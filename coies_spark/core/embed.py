@@ -1,0 +1,171 @@
+"""Deterministic embeddings + collocation phrases.
+
+The reference trains gensim word2vec/doc2vec models
+(word2vec_models.py:38-47, context_based_models.py:85-116), which are
+nondeterministic across runs.  Parity is therefore defined on *frozen
+seeded vectors* consumed by both the single-node oracle and the Spark
+pipeline (FIXTURES.md §4).  ``HashEmbedding`` derives a stable gaussian
+vector per token from a salted md5 — the same bytes on every machine,
+every run, with no trained artifact to ship.  In production the vocab
+table is swapped for real word2vec output (pyspark.ml.feature.Word2Vec)
+without touching any downstream stage: everything consumes a plain
+``{token: float32[d]}`` mapping.
+
+Phrase detection replicates the *public* collocation-scoring algorithm
+gensim implements (Mikolov et al. 2013, "Distributed Representations of
+Words and Phrases"): score(a,b) = (count(ab) - delta) * V / (count(a) *
+count(b)); merge greedily left-to-right when score > threshold
+(reference usage: aaer_corpus.py:105-134).
+
+Doc/gram vector composition parity:
+* sum / mean of word vectors  — context_based_models.py:166-180
+  (DocVecByWESum / DocVecByWEMean), the flagship context model.
+* phrase-token lookup with re-phrase + mean fallback —
+  context_based_models.py:184-218 (PhraseVecBigrams), the flagship gram
+  model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Mapping, Sequence
+
+import numpy as np
+
+PHRASE_DELIM = "_"  # gensim-compatible joiner (constants.py:52)
+
+
+def _seed_for(token: str, salt: str) -> int:
+    digest = hashlib.md5((salt + "\x1f" + token).encode("utf-8")).digest()
+    return int.from_bytes(digest[:4], "little")
+
+
+def hash_vector(token: str, dim: int, salt: str = "coies") -> np.ndarray:
+    """Stable gaussian float32 vector for a token."""
+    rng = np.random.RandomState(_seed_for(token, salt))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+class HashEmbedding:
+    """Lazy deterministic token→vector mapping with a materializable vocab."""
+
+    def __init__(self, dim: int = 16, salt: str = "coies"):
+        self.dim = dim
+        self.salt = salt
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __getitem__(self, token: str) -> np.ndarray:
+        vec = self._cache.get(token)
+        if vec is None:
+            vec = hash_vector(token, self.dim, self.salt)
+            self._cache[token] = vec
+        return vec
+
+    def matrix(self, tokens: Sequence[str]) -> np.ndarray:
+        """(len(tokens), dim) float32 gather."""
+        return np.stack([self[t] for t in tokens]) if tokens else np.zeros((0, self.dim), np.float32)
+
+    def vocab_items(self, tokens: Iterable[str]) -> list[tuple[str, list[float]]]:
+        """Materialize (token, vector) rows, e.g. for a broadcast table."""
+        return [(t, self[t].tolist()) for t in dict.fromkeys(tokens)]
+
+
+class PhraseTable:
+    """Bigram collocation merger (trained from corpus sentence tokens)."""
+
+    def __init__(self, merges: Mapping[tuple[str, str], str]):
+        self.merges = dict(merges)
+
+    @classmethod
+    def train(
+        cls,
+        sentences: Iterable[Sequence[str]],
+        min_count: int = 5,
+        threshold: float = 10.0,
+    ) -> "PhraseTable":
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for sent in sentences:
+            for tok in sent:
+                uni[tok] = uni.get(tok, 0) + 1
+            for a, b in zip(sent, sent[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        vocab_size = len(uni)
+        merges: dict[tuple[str, str], str] = {}
+        for (a, b), n_ab in bi.items():
+            if n_ab < min_count:
+                continue
+            score = (n_ab - min_count) * vocab_size / (uni[a] * uni[b])
+            if score > threshold:
+                merges[(a, b)] = a + PHRASE_DELIM + b
+        return cls(merges)
+
+    def merge(self, tokens: Sequence[str]) -> list[str]:
+        """Greedy left-to-right non-overlapping bigram merge."""
+        out: list[str] = []
+        i = 0
+        n = len(tokens)
+        while i < n:
+            if i + 1 < n and (tokens[i], tokens[i + 1]) in self.merges:
+                out.append(self.merges[(tokens[i], tokens[i + 1])])
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    def to_rows(self) -> list[tuple[str, str, str]]:
+        return [(a, b, m) for (a, b), m in sorted(self.merges.items())]
+
+    @classmethod
+    def from_rows(cls, rows: Iterable[tuple[str, str, str]]) -> "PhraseTable":
+        return cls({(a, b): m for a, b, m in rows})
+
+
+def doc_vector(
+    emb: HashEmbedding, tokens: Sequence[str], mode: str = "sum"
+) -> np.ndarray:
+    """Compose a document/window vector from word vectors (sum|mean)."""
+    if not tokens:
+        return np.zeros(emb.dim, np.float32)
+    mat = emb.matrix(list(tokens))
+    return mat.mean(axis=0) if mode == "mean" else mat.sum(axis=0)
+
+
+def gram_vector(
+    emb: HashEmbedding, phrases: PhraseTable, gram: Sequence[str]
+) -> np.ndarray:
+    """Vector of a candidate gram under the phrase-token model.
+
+    Single phrase-token lookup when the joined form is a known unit;
+    otherwise re-phrase the tokens and take the MEAN of their vectors
+    (context_based_models.py:196-207 fallback semantics).  With hash
+    embeddings every token has a vector, so "known unit" is defined as
+    len(gram) == 1 (already a phrase token); multi-token grams take the
+    fallback path exactly like OOV joined forms do in the reference.
+    """
+    if len(gram) == 1:
+        return emb[gram[0]]
+    merged = phrases.merge(list(gram))
+    mat = emb.matrix(merged)
+    return mat.mean(axis=0)
+
+
+def cosine(u: np.ndarray, v: np.ndarray) -> float:
+    """Plain cosine; callers take abs() per utilities.py:28-32."""
+    nu = float(np.dot(u, u)) ** 0.5
+    nv = float(np.dot(v, v)) ** 0.5
+    if nu == 0.0 or nv == 0.0:
+        return 0.0
+    return float(np.dot(u, v)) / (nu * nv)
+
+
+def abs_cosine_matrix(queries: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """|cosine| of every query row vs every key row → (nq, nk) float64."""
+    q = queries.astype(np.float64)
+    k = keys.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    kn = np.linalg.norm(k, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    kn[kn == 0.0] = 1.0
+    return np.abs((q / qn) @ (k / kn).T)

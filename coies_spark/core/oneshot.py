@@ -1,0 +1,387 @@
+"""Context-based one-shot mention extraction — reference semantics.
+
+This module holds the algorithm of the reference's flagship model
+``OneShotTestWVSumWVPhraseBi`` (main.py:94; oneshot_test.py:470-475,
+217-263) in two independent forms:
+
+* ``oracle_extract_doc`` — a faithful, dict-based, single-node
+  re-implementation mirroring the reference's control flow (including
+  its insertion-order tie-breaking and string-containment membership).
+  Used as the parity oracle in tests — never on the cluster.
+
+* ``detect_doc`` — a numpy-vectorized kernel with pinned deterministic
+  tie-breaking and positional window membership.  This is what the
+  Spark pipeline runs per conversation inside an Arrow
+  ``applyInPandas`` group (pipeline/extract.py), with the example-side
+  artifacts broadcast.
+
+Algorithm per (document, example mention m of type k) — citations into
+/root/reference/:
+
+1. Example context vectors: embeddings (word-vector SUM,
+   context_based_models.py:177-180) of every ``context_size``-token
+   stride-1 window of the example that contains m
+   (context_based_models.py:70-81, oneshot_test.py:400-415).
+2. Candidate contexts: all ``context_size`` windows of the test doc,
+   embedded the same way (oneshot_test.py:417-423, 542-548).
+3. For each example vector: rank all test windows by |cosine|, keep the
+   top ``2*topn`` (oneshot_test.py:433), cut with ``top_group`` at
+   ``context_threshold`` (utilities.py:64-82); merge across example
+   vectors keeping the max similarity per window (oneshot_test.py:50-63).
+4. Candidate grams: bigram-phrased tokens of the RAW document text,
+   split on the phrase delimiter (oneshot_test.py:160-165); keep grams
+   occurring inside a matched window (utilities.py:98-107, 156-165).
+5. Rank candidates by ``(1 + ctx_sim) * |cos(gram_vec(m), gram_vec)|``
+   maxed over containing windows (oneshot_test.py:225-236); take the
+   top ``topn``; cut with ``top_group`` at ``2*word_threshold``
+   (oneshot_test.py:237-241).
+6. Emit the surviving grams as the extractions (oneshot_test.py:248).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import textproc
+from .embed import (
+    HashEmbedding,
+    PhraseTable,
+    abs_cosine_matrix,
+    cosine,
+    doc_vector,
+    gram_vector,
+)
+from .grams import windows as make_windows
+from .ranking import rank_desc, top_group
+
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Flagship parameters (oneshot_test.py:16-21 ``base_conf_dict``)."""
+
+    topn: int = 5
+    context_threshold: float = 0.9
+    word_threshold: float = 0.6
+    context_size: int = 100
+    dim: int = 16
+    salt: str = "coies"
+    phrase_min_count: int = 5
+    phrase_threshold: float = 10.0
+
+
+@dataclass
+class MentionSeed:
+    """One tagged example mention with its broadcastable artifacts."""
+
+    pred: str
+    tokens: tuple[str, ...]
+    gram_vec: np.ndarray          # (d,)  — gram-model vector of the mention
+    context_vecs: np.ndarray      # (k,d) — context vectors of windows containing it
+
+
+@dataclass
+class ExampleArtifacts:
+    """Everything derived from the one-shot example (driver-side, tiny)."""
+
+    config: ExtractionConfig
+    seeds: list[MentionSeed]
+    phrases: PhraseTable
+    emb: HashEmbedding = field(repr=False)
+
+
+def build_example_artifacts(
+    example_tagged_text: str,
+    corpus_sentences: Sequence[Sequence[str]],
+    config: ExtractionConfig,
+    phrases: Optional[PhraseTable] = None,
+) -> ExampleArtifacts:
+    """Parse the tagged example and precompute per-mention seed vectors.
+
+    ``corpus_sentences`` is the (sampled) corpus used to train the
+    phrase table (reference trains on the full AAER corpus,
+    aaer_corpus.py:105-134).
+    """
+    emb = HashEmbedding(config.dim, config.salt)
+    if phrases is None:
+        phrases = PhraseTable.train(
+            corpus_sentences,
+            min_count=config.phrase_min_count,
+            threshold=config.phrase_threshold,
+        )
+    tagged = textproc.tagged_tokens_from_text(example_tagged_text)
+    tokens = [t for t, _ in tagged]
+    spans = textproc.entity_spans(tagged)
+
+    win = make_windows(tokens, config.context_size)
+    seeds: list[MentionSeed] = []
+    for pred, mention_tokens, start, end in spans:
+        ctx_vecs = [
+            doc_vector(emb, wtoks, "sum")
+            for wstart, wtoks in win
+            if wstart <= start and end < wstart + config.context_size
+        ]
+        if not ctx_vecs:  # doc shorter than context_size → one whole-doc window
+            ctx_vecs = [doc_vector(emb, tokens, "sum")]
+        seeds.append(
+            MentionSeed(
+                pred=pred,
+                tokens=tuple(mention_tokens),
+                gram_vec=gram_vector(emb, phrases, mention_tokens),
+                context_vecs=np.stack(ctx_vecs),
+            )
+        )
+    return ExampleArtifacts(config=config, seeds=seeds, phrases=phrases, emb=emb)
+
+
+@dataclass(frozen=True)
+class Emission:
+    pred: str
+    gram: tuple[str, ...]
+    score: float
+    seed_tokens: tuple[str, ...]
+
+
+# --------------------------------------------------------------------------
+# Faithful single-node oracle (dict-based, reference control flow)
+# --------------------------------------------------------------------------
+
+def oracle_extract_doc(
+    raw_text: str,
+    context_text: str,
+    artifacts: ExampleArtifacts,
+) -> list[Emission]:
+    """Reference-faithful extraction for one document.
+
+    ``raw_text``: untagged source text → candidate grams
+    (oneshot_test.py:160-165 reads the raw twin via
+    file_tools.py:103-105).  ``context_text``: text whose token stream
+    forms the context windows (the tagged file in the reference; tags
+    are stripped to tokens — oneshot_test.py:417-423).
+    """
+    cfg = artifacts.config
+    emb, phrases = artifacts.emb, artifacts.phrases
+
+    # Candidate gram dict: phrased raw sentences → flatten → split on '_'
+    # → first-occurrence-ordered unique tuples (oneshot_test.py:160-165).
+    sent_tokens = textproc.sentence_tokens(raw_text)
+    wv_dict: dict[tuple[str, ...], np.ndarray] = {}
+    for sent in sent_tokens:
+        for phrased_tok in phrases.merge(sent):
+            gram = tuple(phrased_tok.split("_"))
+            if gram not in wv_dict:
+                wv_dict[gram] = gram_vector(emb, phrases, gram)
+
+    # Context windows over the (tag-stripped) context token stream,
+    # deduped by content with first-occurrence order (dict semantics of
+    # oneshot_test.py:544-548).
+    ctx_tokens = [t for t, _ in textproc.tagged_tokens_from_text(context_text)]
+    ctx_dict: dict[tuple[str, ...], np.ndarray] = {}
+    for _, wtoks in make_windows(ctx_tokens, cfg.context_size):
+        if wtoks not in ctx_dict:
+            ctx_dict[wtoks] = doc_vector(emb, wtoks, "sum")
+    if not ctx_dict and ctx_tokens:
+        ctx_dict[tuple(ctx_tokens)] = doc_vector(emb, ctx_tokens, "sum")
+
+    out: list[Emission] = []
+    for seed in artifacts.seeds:
+        # Step 3: matched contexts, max-merged across example vectors.
+        ctx_sim: dict[tuple[str, ...], float] = {}
+        for ev in seed.context_vecs:
+            sims = [
+                (wtoks, abs(cosine(ev, vec))) for wtoks, vec in ctx_dict.items()
+            ]
+            ranked = rank_desc(sims, topn=cfg.topn * 2)
+            for wtoks, s in top_group(ranked, cfg.context_threshold):
+                if wtoks not in ctx_sim or s > ctx_sim[wtoks]:
+                    ctx_sim[wtoks] = s
+
+        # Step 4: grams inside the concatenation of matched windows
+        # (utilities.py:98-107 flattens all matched keys into one list).
+        flat_ctx = [tok for wtoks in ctx_sim for tok in wtoks]
+        context_wv = {
+            g: v
+            for g, v in wv_dict.items()
+            if textproc.is_contiguous_sublist(g, flat_ctx)
+        }
+
+        # Step 5: weighted ranking, max over containing windows.
+        sim_dict = {
+            g: abs(cosine(seed.gram_vec, v)) for g, v in context_wv.items()
+        }
+        weighted: dict[tuple[str, ...], float] = {}
+        for wtoks, csim in ctx_sim.items():
+            for g, gsim in sim_dict.items():
+                if textproc.is_contiguous_sublist(g, wtoks):
+                    val = (1.0 + csim) * gsim
+                    if g not in weighted or val > weighted[g]:
+                        weighted[g] = val
+        ranked = rank_desc(list(weighted.items()), topn=cfg.topn)
+        for g, val in top_group(ranked, cfg.word_threshold * 2):
+            out.append(
+                Emission(pred=seed.pred, gram=g, score=val,
+                         seed_tokens=seed.tokens)
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Vectorized kernel (the production path run inside Spark Arrow groups)
+# --------------------------------------------------------------------------
+
+_HASH_BASE = np.uint64(1099511628211)
+
+
+def _window_content_hashes(ids: np.ndarray, n: int) -> np.ndarray:
+    """64-bit content hash of every stride-1 window (dedup surrogate)."""
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, n):
+            powers[i] = powers[i - 1] * _HASH_BASE
+        w = len(ids) - n + 1
+        acc = np.zeros(w, dtype=np.uint64)
+        for j in range(n):
+            acc += ids[j : j + w].astype(np.uint64) * powers[n - 1 - j]
+    return acc
+
+
+def detect_doc(
+    raw_text: str,
+    context_text: Optional[str],
+    artifacts: ExampleArtifacts,
+) -> list[Emission]:
+    """Vectorized extraction for one document (same emissions as the
+    oracle up to deterministic tie-breaking and positional membership).
+
+    Tie-breaking is pinned to (score desc, first-occurrence asc) — the
+    reference relies on dict insertion order, which first-occurrence
+    order reproduces on non-degenerate similarities (SURVEY.md §4.4).
+    """
+    cfg = artifacts.config
+    emb, phrases = artifacts.emb, artifacts.phrases
+    if context_text is None:
+        context_text = raw_text
+
+    # ---- token streams -> integer ids ------------------------------------
+    sent_tokens = textproc.sentence_tokens(raw_text)
+    ctx_tokens = [t for t, _ in textproc.tagged_tokens_from_text(context_text)]
+    if not ctx_tokens:
+        return []
+
+    token_ids: dict[str, int] = {}
+
+    def tid(tok: str) -> int:
+        i = token_ids.get(tok)
+        if i is None:
+            i = len(token_ids)
+            token_ids[tok] = i
+        return i
+
+    ctx_ids = np.fromiter((tid(t) for t in ctx_tokens), dtype=np.int64)
+
+    # ---- context window vectors via prefix sums --------------------------
+    n = min(cfg.context_size, len(ctx_tokens))
+    uniq_tokens = list(token_ids)
+    emb_mat = emb.matrix(uniq_tokens)  # (V,d) gather, cached inside emb
+    tok_vecs = emb_mat[ctx_ids]        # (N,d)
+    prefix = np.concatenate(
+        [np.zeros((1, cfg.dim), np.float64), np.cumsum(tok_vecs, 0, np.float64)]
+    )
+    win_vecs = prefix[n:] - prefix[:-n]          # (W,d) sums of n-token windows
+    win_starts = np.arange(len(win_vecs))
+
+    # dedup identical windows (dict-collapse parity), keep first occurrence
+    hashes = _window_content_hashes(ctx_ids, n)
+    _, first_idx = np.unique(hashes, return_index=True)
+    keep = np.sort(first_idx)
+    win_vecs, win_starts = win_vecs[keep], win_starts[keep]
+
+    # ---- candidate grams --------------------------------------------------
+    # first-occurrence-ordered unique grams with their occurrence positions
+    # in the *context* token stream (positional membership).
+    gram_index: dict[tuple[str, ...], int] = {}
+    gram_list: list[tuple[str, ...]] = []
+    for sent in sent_tokens:
+        for phrased_tok in phrases.merge(sent):
+            g = tuple(phrased_tok.split("_"))
+            if g not in gram_index:
+                gram_index[g] = len(gram_list)
+                gram_list.append(g)
+    if not gram_list:
+        return []
+    gram_vecs = np.stack([gram_vector(emb, phrases, g) for g in gram_list])
+
+    # occurrence table: (position, gram_id, gram_len) over ctx_ids
+    occ_pos: list[np.ndarray] = []
+    occ_gid: list[np.ndarray] = []
+    occ_len: list[np.ndarray] = []
+    for g, gi in gram_index.items():
+        L = len(g)
+        if L > len(ctx_ids):
+            continue
+        mask = np.ones(len(ctx_ids) - L + 1, dtype=bool)
+        for j, tok in enumerate(g):
+            t = token_ids.get(tok)
+            if t is None:
+                mask[:] = False
+                break
+            mask &= ctx_ids[j : len(ctx_ids) - L + 1 + j] == t
+        pos = np.nonzero(mask)[0]
+        if len(pos):
+            occ_pos.append(pos)
+            occ_gid.append(np.full(len(pos), gi))
+            occ_len.append(np.full(len(pos), L))
+    if not occ_pos:
+        return []
+    occ_pos_a = np.concatenate(occ_pos)
+    occ_gid_a = np.concatenate(occ_gid)
+    occ_len_a = np.concatenate(occ_len)
+
+    # ---- per-seed matching ------------------------------------------------
+    out: list[Emission] = []
+    n_grams = len(gram_list)
+    for seed in artifacts.seeds:
+        sims = abs_cosine_matrix(seed.context_vecs, win_vecs)  # (k,W)
+        matched: dict[int, float] = {}  # window row -> max ctx sim
+        for row in sims:
+            order = np.lexsort((win_starts, -row))[: cfg.topn * 2]
+            pairs = [(int(i), float(row[i])) for i in order]
+            for wi, s in top_group(pairs, cfg.context_threshold):
+                if wi not in matched or s > matched[wi]:
+                    matched[wi] = s
+        if not matched:
+            continue
+
+        gram_sims = np.abs(
+            abs_cosine_matrix(seed.gram_vec[None, :], gram_vecs)[0]
+        )
+        weighted = np.full(n_grams, -np.inf)
+        for wi, csim in matched.items():
+            w0 = int(win_starts[wi])
+            inside = (occ_pos_a >= w0) & (occ_pos_a + occ_len_a <= w0 + n)
+            gids = np.unique(occ_gid_a[inside])
+            if len(gids):
+                vals = (1.0 + csim) * gram_sims[gids]
+                weighted[gids] = np.maximum(weighted[gids], vals)
+
+        cand = np.nonzero(weighted > -np.inf)[0]
+        if not len(cand):
+            continue
+        order = np.lexsort((cand, -weighted[cand]))[: cfg.topn]
+        ranked = [(int(cand[i]), float(weighted[cand[i]])) for i in order]
+        for gi, val in top_group(ranked, cfg.word_threshold * 2):
+            out.append(
+                Emission(pred=seed.pred, gram=gram_list[gi], score=val,
+                         seed_tokens=seed.tokens)
+            )
+    return out
+
+
+def emissions_to_triples(
+    doc_id: str, emissions: Sequence[Emission]
+) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) rows; obj = space-joined gram tokens."""
+    return [(doc_id, e.pred, " ".join(e.gram)) for e in emissions]
