@@ -1,0 +1,50 @@
+"""Tokenization as Spark column expressions.
+
+Two tiers:
+
+* ``tokens_col`` — pure JVM expression (``lower`` → ``split`` on the
+  reference's delimiter class → drop empties).  Stays inside
+  whole-stage codegen; exactly equal to ``core.textproc.tokenize`` for
+  ASCII input (the reference corpus is ascii-ignore decoded anyway,
+  file_tools.py:41-51).
+* ``tokenize_udf`` — Arrow-vectorized pandas UDF delegating to
+  ``core.textproc.tokenize`` for byte-exact parity on arbitrary
+  unicode (strip() of exotic unicode whitespace at token edges).
+
+Use the JVM tier in hot paths; the UDF tier where the parity fixture
+demands byte equality on non-ASCII input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.textproc import TOKEN_SPLIT_CHARCLASS, tokenize
+
+# `split` drops nothing by itself; filter the empty strings after.
+_SPLIT_PATTERN = TOKEN_SPLIT_CHARCLASS
+
+
+def tokens_col(col: Column | str, lowercase: bool = True) -> Column:
+    """array<string> of reference-semantics tokens (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, _SPLIT_PATTERN), lambda t: t != "")
+
+
+# SQL text of the same expression, for spark.sql / oracle parity strings.
+def tokens_sql(expr: str, lowercase: bool = True) -> str:
+    inner = f"lower({expr})" if lowercase else expr
+    return (
+        f"filter(split({inner}, '{_SPLIT_PATTERN}'), t -> t <> '')"
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Byte-exact tokenizer (core.textproc.tokenize on lowercased text)."""
+    return texts.map(lambda t: tokenize(t.lower()) if t is not None else [])

@@ -1,0 +1,1 @@
+"""Reusable DataFrame-level operators (SURVEY.md §2 inventory)."""

@@ -1,0 +1,124 @@
+"""Stages 1-2: turn assembly and vectorized mention detection.
+
+Scale design (10^12 turns, SURVEY.md §7):
+
+* ``assemble_docs`` is the ONLY shuffle in the extraction path — a
+  single hash partition by ``conv_id``.  On an Iceberg table bucketed
+  by ``bucket(N, conv_id)`` this becomes shuffle-free (storage
+  partitioned join semantics); on plain parquet AQE coalesces it.
+* ``detect_mentions`` is shuffle-free: one row per conversation flows
+  through ``mapInPandas`` with the example-side artifacts broadcast to
+  every executor.  Window vectors are computed with prefix sums inside
+  the Arrow batch (O(tokens·dim)) and are never materialized into the
+  shuffle — avoiding the ×context_size row blowup a naive
+  windows-as-rows design would ship (SURVEY.md §7 risk 4).
+* Output (conv_id, pred, obj, score) is tiny relative to input —
+  detection is a massive reducer, so downstream stages are cheap.
+
+Reference flow being distributed: oneshot_test.py:193-215 (per-file
+loop) → per-conversation Arrow groups.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.oneshot import ExampleArtifacts, detect_doc
+
+DOC_SCHEMA = "conv_id string, raw_text string, context_text string"
+MENTION_SCHEMA = (
+    "conv_id string, pred string, obj string, score double, "
+    "seed string"
+)
+
+
+def assemble_docs(
+    transcripts: DataFrame,
+    tagged_transcripts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(conv_id, raw_text, context_text): turns concatenated with '\\n'
+    under stable (turn_idx) order.
+
+    '\\n' is both a sentence and token delimiter (file_tools.py:67,75),
+    so joined turns tokenize exactly like the reference's whole-file
+    reads — and per-turn ``text`` is never modified (per-row invariant).
+
+    ``tagged_transcripts``: optional tagged twins (fixture parity mode —
+    the reference reads context windows from the tagged file and
+    candidates from the raw one, file_tools.py:103-105).  Production
+    passes None → context = raw.
+    """
+
+    def concat_turns(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.groupBy("conv_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "text"))
+                ).alias("turns")
+            )
+            .select(
+                "conv_id",
+                F.concat_ws(
+                    "\n", F.transform("turns", lambda s: s.text)
+                ).alias(out),
+            )
+        )
+
+    raw = concat_turns(transcripts, "raw_text")
+    if tagged_transcripts is None:
+        return raw.withColumn("context_text", F.col("raw_text"))
+    tagged = concat_turns(tagged_transcripts, "context_text")
+    return raw.join(tagged, "conv_id", "left").withColumn(
+        "context_text", F.coalesce("context_text", "raw_text")
+    )
+
+
+def detect_mentions(docs: DataFrame, artifacts: ExampleArtifacts) -> DataFrame:
+    """Run the one-shot kernel per conversation (Arrow batches).
+
+    The artifacts (seed vectors + phrase table + embedding provider)
+    are closure-captured → serialized once per task via Spark's
+    broadcast-backed task serialization.  No shuffle: docs is already
+    one row per conv_id.
+    """
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(artifacts)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        art = bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, raw_text, context_text in zip(
+                pdf["conv_id"], pdf["raw_text"], pdf["context_text"]
+            ):
+                for e in detect_doc(raw_text, context_text, art):
+                    rows.append(
+                        (
+                            conv_id,
+                            e.pred,
+                            " ".join(e.gram),
+                            float(e.score),
+                            " ".join(e.seed_tokens),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "pred", "obj", "score", "seed"]
+            )
+
+    return docs.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    artifacts: ExampleArtifacts,
+    tagged_transcripts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """assemble → detect (the minimum end-to-end slice)."""
+    return detect_mentions(
+        assemble_docs(transcripts, tagged_transcripts), artifacts
+    )

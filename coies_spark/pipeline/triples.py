@@ -1,0 +1,108 @@
+"""Stage 5 + end-to-end runner: triple materialization.
+
+Triples (subj, pred, obj) are deduplicated keeping the max detection
+score, written partitioned by ``pred`` (predicate cardinality is tiny —
+entity types — so partition-per-pred gives perfect pruning for
+per-predicate consumers; head-heavy predicates are no hazard at write
+time because rows within a partition spread across tasks).
+
+``run_pipeline`` wires assemble → detect → link → canonicalize →
+triples through a ``StageRunner`` so every stage checkpoints and the
+whole pipeline resumes mid-run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.oneshot import ExampleArtifacts
+from .canonicalize import canonicalize
+from .checkpoint import StageRunner
+from .extract import assemble_docs, detect_mentions
+from .linking import link_mentions
+
+
+def materialize_triples(canonical: DataFrame) -> DataFrame:
+    """(subj, pred, obj, score): subj = canonical entity id for linked
+    comp-like predicates, else the conversation id; dedup keeps max
+    score per triple."""
+    return (
+        canonical.select(
+            F.col("canonical_id").alias("subj"),
+            "pred",
+            "obj",
+            "score",
+            "conv_id",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("score").alias("score"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def conv_triples(mentions: DataFrame) -> DataFrame:
+    """Pre-canonicalization triples keyed by conversation —
+    (subj=conv_id, pred, obj), the parity surface vs the reference
+    (its extractions are per test file)."""
+    return (
+        mentions.select(
+            F.col("conv_id").alias("subj"), "pred", "obj", "score"
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max("score").alias("score"))
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    artifacts: ExampleArtifacts,
+    work_dir: str,
+    dictionary: Optional[DataFrame] = None,
+    tagged_transcripts: Optional[DataFrame] = None,
+    linking_strategy: str = "broadcast",
+) -> StageRunner:
+    """Full checkpointed run; returns the StageRunner (stage dfs +
+    metrics).  Fingerprint covers the extraction config so changing any
+    parameter invalidates downstream snapshots."""
+    runner = StageRunner(
+        spark,
+        work_dir,
+        fingerprint={
+            "config": asdict(artifacts.config),
+            "n_seeds": len(artifacts.seeds),
+            "linking": linking_strategy,
+        },
+    )
+    docs = runner.stage(
+        "s1_docs", lambda: assemble_docs(transcripts, tagged_transcripts)
+    )
+    mentions = runner.stage(
+        "s2_mentions", lambda: detect_mentions(docs, artifacts)
+    )
+    if dictionary is not None:
+        linked = runner.stage(
+            "s3_linked",
+            lambda: link_mentions(mentions, dictionary, linking_strategy),
+        )
+        canonical = runner.stage(
+            "s4_canonical", lambda: canonicalize(linked)
+        )
+        runner.stage(
+            "s5_triples",
+            lambda: materialize_triples(canonical),
+            partition_by=["pred"],
+        )
+    else:
+        runner.stage(
+            "s5_triples",
+            lambda: conv_triples(mentions),
+            partition_by=["pred"],
+        )
+    return runner

@@ -1,0 +1,91 @@
+"""Operator-level Spark tests: salted equivalence, connected components,
+JVM tokenizer parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.core.textproc import tokenize
+from coies_spark.functions.tokenize import tokenize_udf, tokens_col
+from coies_spark.operators.graph import connected_components
+from coies_spark.operators.salted import salted_count, salted_join
+
+pytestmark = pytest.mark.spark
+
+
+class TestSalted:
+    def test_salted_count_equals_plain(self, spark):
+        df = spark.range(0, 5000).withColumn(
+            "k", F.when(F.col("id") % 10 < 8, "hot").otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        )
+        plain = {
+            (r.k): r["count"] for r in df.groupBy("k").count().collect()
+        }
+        salted = {
+            (r.k): r["count"] for r in salted_count(df, ["k"]).collect()
+        }
+        assert plain == salted
+
+    def test_salted_join_equals_plain(self, spark):
+        fact = spark.range(0, 2000).withColumn(
+            "k", F.when(F.col("id") % 4 == 0, "hot").otherwise(
+                (F.col("id") % 13).cast("string"))
+        )
+        dim = spark.createDataFrame(
+            [("hot", "H")] + [(str(i), f"v{i}") for i in range(13)],
+            "k string, v string",
+        )
+        a = sorted(map(tuple, fact.join(dim, "k", "left")
+                       .select("id", "v").collect()))
+        b = sorted(map(tuple, salted_join(fact, dim, "k")
+                       .select("id", "v").collect()))
+        assert a == b
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+        )
+        got = {r.node: r.component
+               for r in connected_components(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_chain_converges(self, spark):
+        # a long-ish chain exercises multi-iteration propagation +
+        # the localCheckpoint lineage cut
+        n = 12
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)],
+            "src string, dst string",
+        )
+        got = {r.node: r.component
+               for r in connected_components(edges, max_iter=30).collect()}
+        assert set(got.values()) == {"n00"}
+        assert len(got) == n + 1
+
+
+class TestTokenizerParity:
+    CASES = [
+        "Hello, world! It's a test.",
+        "rule 102(e)(3)(i) of 1934",
+        "a.b,c;d:e(f)g[h]i{j}k",
+        "multi   space\tand\nnewline\r lines",
+        "UPPER lower MiXeD",
+        "trailing punct...",
+        "",
+    ]
+
+    def test_jvm_equals_python(self, spark):
+        df = spark.createDataFrame([(c,) for c in self.CASES], "text string")
+        got = df.select(tokens_col("text").alias("toks")).collect()
+        for row, case in zip(got, self.CASES):
+            assert row.toks == tokenize(case.lower()), case
+
+    def test_udf_equals_python(self, spark):
+        df = spark.createDataFrame([(c,) for c in self.CASES], "text string")
+        got = df.select(tokenize_udf("text").alias("toks")).collect()
+        for row, case in zip(got, self.CASES):
+            assert list(row.toks) == tokenize(case.lower()), case

@@ -1,0 +1,216 @@
+"""End-to-end Spark pipeline tests: parity vs the single-node oracle,
+per-row invariant, resumability, linking, canonicalization."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.core.metrics import triple_prf
+from coies_spark.core.oneshot import emissions_to_triples, oracle_extract_doc
+from coies_spark.data import synth
+from coies_spark.pipeline.canonicalize import canonicalize
+from coies_spark.pipeline.extract import assemble_docs, extract_mentions
+from coies_spark.pipeline.linking import build_dictionary, link_mentions
+from coies_spark.pipeline.triples import conv_triples, run_pipeline
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def frames(corpus):
+    return (
+        synth.transcripts_frame(corpus.all_docs, use_raw=True),
+        synth.transcripts_frame(corpus.all_docs, use_raw=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_transcripts(spark, frames):
+    raw_pdf, tagged_pdf = frames
+    raw = spark.createDataFrame(raw_pdf)
+    tagged = spark.createDataFrame(tagged_pdf)
+    return raw, tagged
+
+
+def oracle_triples(corpus, artifacts):
+    out = []
+    for doc in corpus.all_docs:
+        out += emissions_to_triples(
+            doc.conv_id,
+            oracle_extract_doc(doc.raw_text, doc.tagged_text, artifacts),
+        )
+    return sorted(set(out))
+
+
+class TestAssembly:
+    def test_turn_order_and_text_preserved(self, spark, spark_transcripts, corpus):
+        raw, _ = spark_transcripts
+        docs = assemble_docs(raw).toPandas().set_index("conv_id")
+        for doc in corpus.all_docs[:5]:
+            assert docs.loc[doc.conv_id, "raw_text"] == doc.raw_text
+
+    def test_shuffled_input_still_ordered(self, spark, frames):
+        raw_pdf, _ = frames
+        shuffled = spark.createDataFrame(
+            raw_pdf.sample(frac=1.0, random_state=0)
+        )
+        a = assemble_docs(shuffled).orderBy("conv_id").toPandas()
+        b = assemble_docs(spark.createDataFrame(raw_pdf)).orderBy(
+            "conv_id"
+        ).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_per_row_invariant(self, spark, spark_transcripts, frames):
+        # the transcripts table is never mutated: re-reading rows after
+        # assembly yields byte-equal text per (conv_id, turn_idx)
+        raw, _ = spark_transcripts
+        raw_pdf, _ = frames
+        back = (
+            raw.select("conv_id", "turn_idx", "text")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        want = raw_pdf[["conv_id", "turn_idx", "text"]].sort_values(
+            ["conv_id", "turn_idx"]
+        ).reset_index(drop=True)
+        back["turn_idx"] = back["turn_idx"].astype("int32")
+        pd.testing.assert_frame_equal(back, want)
+
+
+class TestExtractionParity:
+    def test_spark_matches_oracle(self, spark, spark_transcripts, corpus, artifacts):
+        raw, tagged = spark_transcripts
+        got = extract_mentions(raw, artifacts, tagged_transcripts=tagged)
+        got_triples = sorted(
+            {(r.conv_id, r.pred, r.obj) for r in got.collect()}
+        )
+        want = oracle_triples(corpus, artifacts)
+        m = triple_prf(got_triples, want)
+        assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+
+    def test_conv_triples_schema(self, spark, spark_transcripts, artifacts):
+        raw, tagged = spark_transcripts
+        t = conv_triples(extract_mentions(raw, artifacts, tagged))
+        assert [f.name for f in t.schema.fields] == [
+            "subj", "pred", "obj", "score",
+        ]
+
+
+class TestLinking:
+    def test_broadcast_and_salted_agree(self, spark, spark_transcripts, artifacts):
+        raw, tagged = spark_transcripts
+        mentions = extract_mentions(raw, artifacts, tagged).cache()
+        dictionary = build_dictionary(
+            spark,
+            [("acme holdings", "E1"), ("Acme Holdings", "E1b"),
+             ("revenues", "E2")],
+        )
+        a = link_mentions(mentions, dictionary, "broadcast")
+        b = link_mentions(mentions, dictionary, "salted")
+        cols = ["conv_id", "pred", "obj", "entity_id"]
+        assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+            map(tuple, b.select(cols).collect())
+        )
+
+    def test_unlinked_get_surface_ids(self, spark, spark_transcripts, artifacts):
+        raw, tagged = spark_transcripts
+        mentions = extract_mentions(raw, artifacts, tagged)
+        linked = link_mentions(
+            mentions, build_dictionary(spark, [("acme holdings", "E1")])
+        )
+        rows = linked.collect()
+        assert all(r.entity_id for r in rows)
+        assert any(r.entity_id == "E1" for r in rows)
+        assert any(r.entity_id.startswith("surface:") for r in rows)
+
+
+class TestCanonicalize:
+    def test_shared_surface_merges_ids(self, spark):
+        linked = spark.createDataFrame(
+            [
+                ("c1", "comp", "acme holdings", 1.0, "E1"),
+                ("c2", "comp", "acme holdings", 1.0, "E9"),
+                ("c3", "comp", "zenith industrial", 1.0, "E5"),
+            ],
+            "conv_id string, pred string, obj string, score double, "
+            "entity_id string",
+        )
+        out = canonicalize(linked).collect()
+        by_id = {r.entity_id: r.canonical_id for r in out}
+        assert by_id["E1"] == by_id["E9"] == "E1"
+        assert by_id["E5"] == "E5"
+
+
+class TestResumability:
+    def test_second_run_skips_and_matches(self, spark, spark_transcripts,
+                                          artifacts, tmp_path, corpus):
+        raw, tagged = spark_transcripts
+        work = str(tmp_path / "run")
+        r1 = run_pipeline(spark, raw, artifacts, work,
+                          tagged_transcripts=tagged)
+        first = sorted(
+            map(tuple, r1.results["s5_triples"].df.select(
+                "subj", "pred", "obj").collect())
+        )
+        assert not any(r.skipped for r in r1.results.values())
+
+        r2 = run_pipeline(spark, raw, artifacts, work,
+                          tagged_transcripts=tagged)
+        assert all(r.skipped for r in r2.results.values())
+        second = sorted(
+            map(tuple, r2.results["s5_triples"].df.select(
+                "subj", "pred", "obj").collect())
+        )
+        assert first == second
+        # parity of the checkpointed output vs oracle
+        want = oracle_triples(corpus, artifacts)
+        m = triple_prf(second, want)
+        assert m["f1"] >= 0.95, m
+
+    def test_partial_resume_after_lost_stage(self, spark, spark_transcripts,
+                                             artifacts, tmp_path):
+        import shutil
+
+        raw, tagged = spark_transcripts
+        work = str(tmp_path / "run2")
+        r1 = run_pipeline(spark, raw, artifacts, work,
+                          tagged_transcripts=tagged)
+        n1 = r1.results["s5_triples"].manifest["rows"]
+        shutil.rmtree(f"{work}/s5_triples")
+        r2 = run_pipeline(spark, raw, artifacts, work,
+                          tagged_transcripts=tagged)
+        assert r2.results["s1_docs"].skipped
+        assert r2.results["s2_mentions"].skipped
+        assert not r2.results["s5_triples"].skipped
+        assert r2.results["s5_triples"].manifest["rows"] == n1
+
+    def test_config_change_invalidates(self, spark, spark_transcripts,
+                                       artifacts, tmp_path):
+        from dataclasses import replace
+
+        raw, tagged = spark_transcripts
+        work = str(tmp_path / "run3")
+        run_pipeline(spark, raw, artifacts, work, tagged_transcripts=tagged)
+        art2 = type(artifacts)(
+            config=replace(artifacts.config, topn=3),
+            seeds=artifacts.seeds,
+            phrases=artifacts.phrases,
+            emb=artifacts.emb,
+        )
+        r2 = run_pipeline(spark, raw, art2, work, tagged_transcripts=tagged)
+        assert not any(r.skipped for r in r2.results.values())
+
+    def test_lineage_recorded(self, spark, spark_transcripts, artifacts,
+                              tmp_path):
+        raw, tagged = spark_transcripts
+        work = str(tmp_path / "run4")
+        r = run_pipeline(spark, raw, artifacts, work,
+                         tagged_transcripts=tagged)
+        man = r.results["s5_triples"].manifest
+        assert man["partition_rows"], "per-pred lineage counts expected"
+        assert sum(man["partition_rows"].values()) == man["rows"]
+        metrics = r.metrics().collect()
+        assert {m.stage for m in metrics} >= {"s1_docs", "s2_mentions",
+                                              "s5_triples"}
