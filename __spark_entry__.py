@@ -1,38 +1,582 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every oracle is written so both engines compute **bit-identical**
+values:
+* integer sums/counts cast to BIGINT on both sides;
+* money-style sums go through DECIMAL (exact, order-independent) and
+  back to DOUBLE;
+* cosine similarities fold in identical index order in double
+  precision, then round to 4dp;
+* digests are md5 hex (identical across engines);
+* every ranking has a total deterministic order (value desc, id asc).
+
+Rows-only entries (kg_extract_triples, entity_spans_gold,
+canonicalize_cc, multimodal_features) cover the non-SQL-expressible
+pipeline stages (iterative connected components, Arrow-UDF extraction).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
+from coies_spark.data import synth
+from coies_spark.operators.salted import salted_count
+from coies_spark.operators.graph import connected_components
+from coies_spark.ops import dedup, multimodal, relational, similarity, textstats
+from coies_spark.pipeline.extract import extract_mentions
+from coies_spark.pipeline.triples import conv_triples
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _corpus_size(sf: float) -> tuple[int, int]:
+    """(n_test, n_plain) for the synthetic transcript corpus at sf."""
+    n = max(10, int(round(200 * sf)))
+    return n, n
+
+
+def _synth_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, synth.SynthCorpus]:
+    """(raw, tagged, corpus): raw transcripts carry candidate text; the
+    tagged twins carry context text (the reference's tagged-file ↔
+    raw-source pairing, file_tools.py:103-105)."""
+    n_test, n_plain = _corpus_size(_sf_of(sf_dir))
+    corpus = synth.make_corpus(n_test=n_test, n_plain=n_plain, seed=42)
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    return raw, tagged, corpus
+
+
+# Small-corpus extraction profile: the synthetic transcript turns are
+# 8-40 tokens, so context windows of 10 discriminate (reference-scale
+# context_size=100 exceeds doc length → whole-doc fallback → noise).
+# Reference-scale values stay as ExtractionConfig defaults.
+SMALL_CORPUS_CONFIG = ExtractionConfig(
+    context_size=10,
+    dim=64,
+    context_threshold=0.7,
+    phrase_min_count=4,
+    phrase_threshold=1.0,
+)
+
+
+def _artifacts(corpus: synth.SynthCorpus):
+    return build_example_artifacts(
+        corpus.example.tagged_text,
+        synth.corpus_sentences(corpus),
+        SMALL_CORPUS_CONFIG,
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship entry (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one-shot KG extraction over synthetic transcripts →
+    (subj, pred, obj, score) conversation triples."""
+    raw, tagged, corpus = _synth_transcripts(spark, "/root/testdata/sf0.001")
+    return conv_triples(
+        extract_mentions(raw, _artifacts(corpus), tagged_transcripts=tagged)
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw, tagged, corpus = _synth_transcripts(spark, sf_dir)
+    return conv_triples(
+        extract_mentions(raw, _artifacts(corpus), tagged_transcripts=tagged)
+    )
+
+
+def _q_entity_spans_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold triples parsed from inline tags (P4/P5 fixture path)."""
+    _, _, corpus = _synth_transcripts(spark, sf_dir)
+    rows = corpus.gold_triples()
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _q_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    edges = dedup.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").limit(200)
+    media = multimodal.synthesize_media(docs)
+    return multimodal.extract_features(media).select(
+        "media_id", "modality", "n_bytes", "digest"
+    )
+
+
+def _q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def _dec_sum(col, scale: str = "decimal(28,10)"):
+    """Order-independent exact sum: double → decimal → sum → double.
+
+    The final double is rounded to 2dp because engines differ by ~1 ulp
+    in the decimal→double conversion itself (DuckDB's int128/10^s path
+    is not correctly rounded)."""
+    return F.round(F.sum(col.cast(scale)).cast("double"), 2)
+
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(disc).alias("sum_disc_price"),
+        F.round(
+            _dec_sum(F.col("l_quantity")) / F.count(F.lit(1)), 6
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return j.groupBy("c_mktsegment").agg(
+        _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def _q_top_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return relational.top_group_df(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
+def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return salted_count(events, ["event_type"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- KG pipeline (rows-only; non-SQL-expressible) ---
+        "kg_extract_triples": _q_kg_extract,
+        "entity_spans_gold": _q_entity_spans_gold,
+        "canonicalize_cc": _q_canonicalize_cc,
+        "multimodal_features": _q_multimodal,
+        # --- text analysis (documents) ---
+        "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
+        "quality_scores": lambda s, d: textstats.quality_scores(
+            _read(s, d, "documents")
+        ),
+        "language_id": lambda s, d: textstats.language_id(
+            _read(s, d, "documents")
+        ),
+        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
+            _read(s, d, "documents")
+        ),
+        # --- dedup family (documents) ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
+        "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
+        "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(
+            _read(s, d, "documents")
+        ),
+        "minhash_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(
+            _read(s, d, "documents")
+        ),
+        "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
+        # --- similarity search (embeddings) ---
+        "ann_brute_topk": lambda s, d: similarity.brute_topk(
+            _read(s, d, "embeddings")
+        ),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _read(s, d, "embeddings")
+        ),
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup(
+            _read(s, d, "embeddings")
+        ),
+        # --- evaluation / windows / joins / aggs ---
+        "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
+            _read(s, d, "documents")
+        ),
+        "top_group_orders": _q_top_group,
+        "sessionize_events": lambda s, d: relational.sessionize(
+            _read(s, d, "events")
+        ),
+        "agg_pricing": _q_agg_pricing,
+        "join_revenue": _q_join_revenue,
+        "topk_orders": _q_topk_orders,
+        "salted_event_counts": _q_salted_counts,
+        "running_value": _q_running_value,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# Reference-tokenizer twin (file_tools.py:66-71 semantics, RE2 class).
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), "
+    "'[\\s!-/:-@\\[-`{-~]'), x -> x <> '')"
+)
+
+_SHINGLES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(tokens)-2, 1)+1)) t(i)
+)
+"""
+
+_COS = """
+round(
+  list_sum(list_transform(range(1, len({a})+1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a})+1),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, len({b})+1),
+            i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "['the','a','of','and','to','in','is','it']"
+    return {
+        "token_stats": f"""
+            SELECT doc_id,
+              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            r AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(len(array_to_string(toks,''))*1.0/len(toks), 6)
+                  AS avg_token_len,
+                round(len(list_filter(toks,
+                    x -> list_contains({stop}, x)))*1.0/len(toks), 6)
+                  AS stopword_ratio,
+                round(len(list_filter(toks,
+                    x -> regexp_full_match(x, '[0-9]+')))*1.0/len(toks), 6)
+                  AS digit_ratio,
+                round((length(text) - length(regexp_replace(text,
+                    '[!-/:-@\\[-`{{-~]', '', 'g')))*1.0/length(text), 6)
+                  AS punct_ratio
+              FROM t)
+            SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+              digit_ratio, punct_ratio,
+              round(0.4*stopword_ratio + 0.3*(1.0-digit_ratio)
+                    + 0.3*(1.0-punct_ratio), 6) AS quality
+            FROM r
+        """,
+        "language_id": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+            freq AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1,2),
+            prof AS (
+              SELECT lang AS profile_lang, tok FROM (
+                SELECT lang, tok, row_number() OVER (
+                  PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+                FROM freq) WHERE rn <= 20),
+            hits AS (
+              SELECT t.doc_id, p.profile_lang, count(*) AS hits
+              FROM toks t JOIN prof p USING(tok) GROUP BY 1,2),
+            best AS (
+              SELECT doc_id, profile_lang AS pred_lang FROM (
+                SELECT doc_id, profile_lang, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY hits DESC, profile_lang ASC)
+                  AS rn FROM hits) WHERE rn = 1)
+            SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+                   (b.pred_lang = d.lang) AS correct
+            FROM documents d LEFT JOIN best b USING(doc_id)
+        """,
+        "doc_fingerprint": f"""
+            WITH {_SHINGLES}
+            SELECT doc_id, min(md5(shingle)) AS fingerprint,
+                   CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY 1
+        """,
+        "exact_dedup": """
+            WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+            reps AS (SELECT h, min(doc_id) AS exact_rep FROM h GROUP BY 1)
+            SELECT doc_id, exact_rep FROM h JOIN reps USING(h)
+        """,
+        "bag_dedup": f"""
+            WITH h AS (SELECT doc_id, md5(array_to_string(
+                list_sort(list_distinct({_TOKS})), ' ')) AS h
+              FROM documents),
+            reps AS (SELECT h, min(doc_id) AS bag_rep FROM h GROUP BY 1)
+            SELECT doc_id, bag_rep FROM h JOIN reps USING(h)
+        """,
+        "jaccard_pairs": f"""
+            WITH {_SHINGLES},
+            dfok AS (SELECT shingle FROM sh GROUP BY 1
+                     HAVING count(DISTINCT doc_id) <= 10),
+            idx AS (SELECT sh.doc_id, sh.shingle FROM sh
+                    JOIN dfok USING(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM idx a JOIN idx b USING(shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+            SELECT doc_a, doc_b,
+                   round(c/(sa.n_sh + sb.n_sh - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(c/(sa.n_sh + sb.n_sh - c), 6) >= 0.3
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_SHINGLES},
+            mh AS (
+              SELECT doc_id, h,
+                     min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+              FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+            bands AS (
+              SELECT doc_id, h//2 AS band,
+                     string_agg(minhash, ',' ORDER BY h) AS band_key
+              FROM mh GROUP BY 1,2)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+            GROUP BY 1,2
+        """,
+        "simhash": f"""
+            WITH dtok AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            th AS (SELECT doc_id,
+                     CAST(('0x'||substr(md5(tok),1,4)) AS BIGINT) AS th
+                   FROM dtok),
+            votes AS (
+              SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+              FROM th, unnest(range(0, 16)) t(b) GROUP BY 1,2)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY 1
+        """,
+        "ann_brute_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            t AS (SELECT vec_id AS target_id, embedding AS tv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, target_id,
+                     {_COS.format(a='qv', b='tv')} AS sim
+              FROM q, t WHERE query_id <> target_id)
+            SELECT query_id, target_id, sim, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+                AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH cdim AS (
+              SELECT label, i-1 AS pos,
+                     round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+              FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+              GROUP BY 1,2),
+            cent AS (SELECT label, list(c ORDER BY pos) AS cv
+                     FROM cdim GROUP BY 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, qv, label AS probe_label FROM (
+                SELECT q.query_id, q.qv, cent.label,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS.format(a='qv', b='cv')} DESC,
+                                  cent.label ASC) AS rn
+                FROM q, cent) WHERE rn = 1),
+            scored AS (
+              SELECT p.query_id, p.probe_label, e.vec_id AS target_id,
+                     {_COS.format(a='p.qv', b='e.embedding')} AS sim
+              FROM probes p JOIN embeddings e ON e.label = p.probe_label
+              WHERE e.vec_id <> p.query_id)
+            SELECT query_id, probe_label, target_id, sim, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+                AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_COS.format(a='a.embedding', b='b.embedding')} AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+        """,
+        "rouge1_pairs": f"""
+            WITH ranked AS (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM ranked x JOIN ranked y
+                ON y.source = x.source AND y.rn = x.rn + 1),
+            toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            counts AS (SELECT doc_id, tok, count(*) AS c
+                       FROM toks GROUP BY 1,2),
+            totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total
+                       FROM counts GROUP BY 1),
+            m AS (
+              SELECT p.doc_a, p.doc_b,
+                     CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+              FROM pairs p
+              JOIN counts a ON a.doc_id = p.doc_a
+              JOIN counts b ON b.doc_id = p.doc_b AND b.tok = a.tok
+              GROUP BY 1,2)
+            SELECT p.doc_a, p.doc_b,
+                   round(coalesce(m.m,0)/ta.total, 6) AS p,
+                   round(coalesce(m.m,0)/tb.total, 6) AS r,
+                   round(coalesce(m.m,0)/((ta.total+tb.total)/2.0), 6) AS f
+            FROM pairs p
+            LEFT JOIN m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+            JOIN totals ta ON ta.doc_id = p.doc_a
+            JOIN totals tb ON tb.doc_id = p.doc_b
+        """,
+        "top_group_orders": """
+            WITH st AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                count(*) OVER wg AS n,
+                max(o_totalprice) OVER wg AS mx,
+                min(o_totalprice) OVER wg AS mn,
+                lag(o_totalprice) OVER wo AS prev,
+                row_number() OVER wo AS rn
+              FROM orders
+              WINDOW wg AS (PARTITION BY o_orderpriority),
+                     wo AS (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)),
+            fl AS (
+              SELECT *, CASE WHEN prev IS NOT NULL AND n > 1
+                AND (prev - o_totalprice) >= (mx - mn)/(n - 1)
+                THEN 1 ELSE 0 END AS viol
+              FROM st),
+            cm AS (
+              SELECT *, sum(viol) OVER (PARTITION BY o_orderpriority
+                ORDER BY rn ROWS UNBOUNDED PRECEDING) AS nviol
+              FROM fl)
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM cm WHERE n <= 1 OR nviol = 0
+        """,
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                       FROM events),
+            g AS (
+              SELECT *, us - lag(us) OVER w AS gap,
+                     row_number() OVER w AS rn
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us ASC, event_id ASC)),
+            s AS (
+              SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                       THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY rn
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   (max(us) - min(us))/1000000.0 AS duration_s
+            FROM s GROUP BY 1,2
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                    AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                    AS DOUBLE), 2) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+                    AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+              round(round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                    AS DOUBLE), 2) / count(*), 6) AS avg_qty,
+              CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1,2
+        """,
+        "join_revenue": """
+            SELECT c_mktsegment,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                    AS DOUBLE), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                  FROM orders)
+            WHERE rank <= 5
+        """,
+        "salted_event_counts": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS count
+            FROM events GROUP BY 1
+        """,
+        "running_value": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_value
+            FROM events
+        """,
+    }

@@ -1,0 +1,195 @@
+"""Deduplication family over a documents table.
+
+Exact (hash groupBy), bag-of-words, n-gram Jaccard, MinHash+LSH, and
+SimHash — each designed for the 100 TB regime:
+
+* Exact / bag dedup: one shuffle on a 32-hex-char digest — the classic
+  map-side-combine-friendly groupBy.
+* Jaccard: candidate pairs come from an inverted shingle index with a
+  **document-frequency cap** (``max_df``) so the self-join on shingle
+  never quadratically explodes on stop-shingles; the exact Jaccard is
+  then computed only for candidate pairs.
+* MinHash+LSH: signature = per-(doc, hash-seed) min of a seeded md5
+  digest (md5 hex strings order-compare portably across engines);
+  banding turns near-dup search into an equality join on band keys —
+  the standard shingle→minhash→band→bucket-join pipeline (Broder '97).
+* SimHash: 16-bit md5-derived token hashes, per-bit majority vote
+  (Charikar '02); one explode × 16 bits, one groupBy.
+
+All digests are md5-based so DuckDB oracles reproduce them bit-for-bit.
+No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+from .textstats import doc_shingles
+
+
+def _md5(col) -> F.Column:
+    return F.md5(F.encode(col, "utf-8"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, exact_rep): canonical representative (min doc_id) of
+    each byte-identical-text group.  One shuffle on the text digest."""
+    h = docs.select("doc_id", _md5(F.col("text")).alias("h"))
+    reps = h.groupBy("h").agg(F.min("doc_id").alias("exact_rep"))
+    return h.join(reps, "h").select("doc_id", "exact_rep")
+
+
+def bag_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, bag_rep): representative of each equal-token-multiset-
+    ignoring-order-and-dups group (catches shuffled near-copies).
+    Digest = md5 of the sorted distinct token list."""
+    key = _md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ")
+    )
+    h = docs.select("doc_id", key.alias("h"))
+    reps = h.groupBy("h").agg(F.min("doc_id").alias("bag_rep"))
+    return h.join(reps, "h").select("doc_id", "bag_rep")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): document pairs whose distinct-n-shingle
+    Jaccard similarity is ≥ ``threshold``.
+
+    Candidate generation joins the inverted index with itself **only on
+    shingles with document frequency ≤ max_df** — at web scale the df
+    cap is what keeps the join linear (stop-shingles would otherwise
+    contribute df² pair rows).  Pairs are deduplicated as (a < b).
+    """
+    sh = doc_shingles(docs, n)
+    # Universe = shingles with df <= max_df (stop-shingles excluded from
+    # both numerator and denominator, keeping the measure symmetric).
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    indexed = sh.join(df_ok, "shingle")
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, h, minhash): per-seed MinHash values; ``minhash`` is the
+    lexicographic min of seeded md5 hex digests over the doc's distinct
+    shingles — string ordering is identical across engines, making the
+    signature fully portable."""
+    sh = doc_shingles(docs, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "h",
+        _md5(F.concat_ws(":", F.col("h").cast("string"), "shingle")).alias("d"),
+    )
+    return seeded.groupBy("doc_id", "h").agg(F.min("d").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b): near-duplicate candidates — pairs agreeing on at
+    least one LSH band (band = ``band_size`` consecutive minhashes).
+
+    The banded-signature equality join replaces the all-pairs cross
+    join: cost is Σ bucket² over buckets, bounded in practice because a
+    full band collision already implies high similarity.
+    """
+    sig = minhash_signatures(docs, n, num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    x = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        x.join(y, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): Charikar fingerprint over distinct tokens.
+
+    Token hash = first 4 md5 hex chars → 16-bit int (portable);
+    simhash bit b = majority vote of token bit b.  One explode by
+    ``bits`` then a single groupBy — linear in tokens × bits.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(_md5(F.col("tok")), 1, 4), 16, 10)
+            .cast("long")
+            .alias("th"),
+        )
+    )
+    votes = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "th",
+    ).select(
+        "doc_id",
+        "b",
+        # SQL-form shiftright: the Python wrapper only takes int shifts.
+        (F.expr("shiftright(th, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            "vote"
+        ),
+    )
+    per_bit = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

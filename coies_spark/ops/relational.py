@@ -1,0 +1,156 @@
+"""Relational / windowed operators: the reusable DataFrame form of the
+reference's ranking primitives plus span-assembly patterns.
+
+* ``top_group_df`` — the adaptive top-cluster cut (reference
+  ``get_top_group``, /root/reference/common/utilities.py:64-82) as a
+  windowed DataFrame transform: threshold filter → desc sort → keep the
+  prefix while each consecutive gap < average gap.  Pure window
+  functions; one shuffle on the group key.  Exactly mirrors
+  ``core.ranking.top_group`` (property-tested against it).
+* ``sessionize`` — gap-based span assembly over an event stream (the
+  windowed span-id trick also used for entity spans, SURVEY.md §2.2
+  P5): ``new = gap > timeout``, ``span_id = running sum(new)``.
+* ``rouge1_pairs`` — ROUGE-1 P/R/F(α=0.5) between document pairs as a
+  clipped-unigram-overlap aggregation (reference
+  common/rougescore.py:7-54): explode unigram counts, inner join,
+  Σ min(c_peer, c_model).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import tokens_col
+
+
+def top_group_df(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """Keep, per group, the adaptive top cluster by ``value_col``.
+
+    Semantics (parity with core.ranking.top_group / utilities.py:64-82):
+    drop values <= threshold (strict > keep); groups of ≤1 survivor pass
+    through; else sort desc, avg_gap = (max-min)/(n-1), keep the prefix
+    while each consecutive gap is strictly < avg_gap.
+
+    Deterministic total order: value desc, ``tiebreak_col`` asc.
+    """
+    g = [F.col(c) for c in group_cols]
+    pool = df
+    if threshold is not None:
+        pool = pool.where(F.col(value_col) > threshold)
+    wg = Window.partitionBy(*g)
+    wo = wg.orderBy(F.desc(value_col), F.asc(tiebreak_col))
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.count(F.lit(1)).over(wg)
+    avg_gap = (F.max(value_col).over(wg) - F.min(value_col).over(wg)) / (
+        n - 1
+    )
+    prev = F.lag(value_col).over(wo)
+    viol = F.when(
+        prev.isNotNull() & ((prev - F.col(value_col)) >= avg_gap), 1
+    ).otherwise(0)
+    return (
+        pool.withColumn("__viol", viol)
+        .withColumn("__nviol", F.sum("__viol").over(wrun))
+        .withColumn("__n", n)
+        .where((F.col("__n") <= 1) | (F.col("__nviol") == 0))
+        .drop("__viol", "__nviol", "__n")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """(user_id, session_idx, n_events, duration_s): gap-based sessions.
+
+    One shuffle on the user key; the span-id assignment is the windowed
+    running-sum-of-boundaries trick (same machinery as BIE entity-span
+    grouping, example_parsing.py:121-135 → SURVEY.md P5).
+    Timestamps compare in exact integer microseconds.
+    """
+    wo = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    # cast handles TIMESTAMP_NTZ inputs (session TZ is UTC → lossless)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(wo)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = events.withColumn(
+        "session_idx", F.sum(new_session).over(run)
+    )
+    return spans.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max(us) - F.min(us)) / 1_000_000.0).alias("duration_s"),
+    )
+
+
+def rouge1_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, p, r, f): ROUGE-1 between within-source document
+    pairs (each doc paired with the next doc_id of the same source;
+    peer = a, model = b).
+
+    Clipped-count semantics (rougescore.py:7-40): matches =
+    Σ_token min(count_a, count_b); F uses α=0.5 →
+    f = matches / ((total_a + total_b)/2).  All rounded 6dp.
+    """
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    pairs = (
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("y.source") == F.col("x.source"))
+            & (F.col("y.rn") == F.col("x.rn") + 1),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    a = counts.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("c").alias("cb")
+    )
+    matches = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("total").alias("na"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("total").alias("nb"))
+    out = (
+        pairs.join(matches, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .withColumn("m", F.coalesce("m", F.lit(0)))
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("m") / F.col("na"), 6).alias("p"),
+        F.round(F.col("m") / F.col("nb"), 6).alias("r"),
+        F.round(F.col("m") / ((F.col("na") + F.col("nb")) / 2.0), 6).alias("f"),
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators over a documents table.
+
+Inputs: ``documents(doc_id bigint, text string, lang string,
+source string, n_chars bigint)``.
+
+All operators are pure Catalyst expressions (split / higher-order
+array functions / window aggregation) — no Python in the hot path, so
+they stay inside whole-stage codegen and scale linearly with input
+splits.  Token semantics reuse the reference tokenizer class
+(``functions.tokenize.tokens_col``, parity with
+/root/reference/common/file_tools.py:66-71).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import tokens_col
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks (GPT-2-style pre-split, simplified; RE2- and
+# Java-regex-compatible).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# ASCII punctuation class, shared with the reference tokenizer.
+PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting three ways: reference tokenizer, whitespace,
+    BPE-ish regex pre-tokenizer."""
+    toks = tokens_col("text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality features + combined score.
+
+    Features (all ratios in [0,1], rounded to 6dp for cross-engine
+    comparability): mean token length, stopword ratio, digit-token
+    ratio, punctuation-character ratio.
+    """
+    toks = tokens_col("text")
+    d = docs.select("doc_id", "text", toks.alias("toks"))
+    n_tok = F.size("toks")
+    tok_chars = F.length(F.array_join("toks", ""))
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    n_digit = F.size(F.filter("toks", lambda t: t.rlike("^[0-9]+$")))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", PUNCT_CLASS, "")
+    )
+    avg_len = F.round(tok_chars / n_tok, 6)
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    digit_ratio = F.round(n_digit / n_tok, 6)
+    punct_ratio = F.round(n_punct / F.length("text"), 6)
+    quality = F.round(
+        0.4 * stop_ratio
+        + 0.3 * (1.0 - digit_ratio)
+        + 0.3 * (1.0 - punct_ratio),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-trained token-profile language ID (n-gram-heuristic
+    family): build per-language top-``top_k`` token profiles from the
+    labeled corpus, then classify each document by profile-hit count
+    (ties → lexicographically smallest language; no hits → 'und').
+
+    Two shuffles: profile build (tiny output → broadcast) and the
+    per-document argmax.  The profile table is O(langs × top_k) —
+    broadcast-joined, so classification adds no shuffle on the big side.
+    """
+    toks = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    profile = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("lang", "tok")
+        .withColumnRenamed("lang", "profile_lang")
+    )
+    hits = (
+        toks.select("doc_id", "tok")
+        .join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("profile_lang")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("profile_lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+def shingles_col(n: int, tokens: Column | str = "toks") -> Column:
+    """array<string> of space-joined ``n``-token shingles (stride 1).
+
+    Documents shorter than ``n`` tokens yield one truncated shingle —
+    the same convention as DuckDB inclusive slicing, so oracles match.
+    """
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles per document."""
+    return (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Rolling-shingle fingerprint: the minimum shingle digest per
+    document (winnowing-style 1-of-document selection) plus the
+    distinct-shingle count.  md5 is the cross-engine-portable digest."""
+    sh = doc_shingles(docs, n)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.encode("shingle", "utf-8"))).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
