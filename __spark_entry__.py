@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
             _read(s, d, "documents")
         ),
+        "ngram_windows": lambda s, d: textstats.ngram_windows(
+            _read(s, d, "documents")
+        ),
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
@@ -355,6 +358,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(md5(shingle)) AS fingerprint,
                    CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
             FROM sh GROUP BY 1
+        """,
+        "ngram_windows": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+            w AS (SELECT doc_id, list_transform(
+                    range(1, greatest(len(tokens)-2, 1)+1),
+                    i -> array_to_string(tokens[i:i+2], ' ')) AS wins
+                  FROM toks)
+            SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
+                   CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct
+            FROM w
         """,
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),

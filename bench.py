@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headliners cover the engine's load-bearing paths:
+* kg_extract        — the flagship one-shot KG extraction over a
+                      synthetic transcript corpus (turns/sec is the
+                      BASELINE.json throughput metric; corpus size
+                      scales with --turns / $SPARK_GRAFT_BENCH_TURNS)
+* minhash_lsh       — shingle→minhash→band→bucket-join near-dup
+* jaccard_pairs     — inverted-index exact Jaccard verification
+* simhash           — per-doc Charikar fingerprints
+* ann_brute_topk    — exact cosine top-k over embeddings
+* rouge1_pairs      — clipped-unigram pair scoring
+* agg_pricing       — Q1-style wide aggregation over lineitem
+* join_revenue      — broadcast equi-join + agg
+* sessionize        — windowed span assembly over events
+
+Usage: python bench.py [--cores N] [--sf-dir DIR] [--turns N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_transcripts(spark, n_docs: int):
+    """Deterministic synthetic transcript corpus sized for the bench."""
+    from coies_spark.data import synth
+
+    corpus = synth.make_corpus(
+        n_test=n_docs // 2, n_plain=n_docs // 2, seed=42
+    )
+    raw = synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    tagged = synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    n_turns = len(raw)
+    return (
+        spark.createDataFrame(raw).repartition(64, "conv_id"),
+        spark.createDataFrame(tagged).repartition(64, "conv_id"),
+        corpus,
+        n_turns,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--cores", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument(
+        "--turns", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")),
+        help="approx transcript turns for the kg_extract headliner "
+             "(0 → ~350 docs ≈ 4k turns)",
+    )
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    from coies_spark.core.oneshot import build_example_artifacts
+    from coies_spark.data import synth
+    from coies_spark.ops import dedup, relational, similarity
+    from coies_spark.pipeline.extract import extract_mentions
+    from coies_spark.pipeline.triples import conv_triples
+    from coies_spark.session import get_spark
+
+    from __spark_entry__ import (
+        SMALL_CORPUS_CONFIG,
+        _q_agg_pricing,
+        _q_join_revenue,
+    )
+
+    spark = get_spark("coies-bench", cores=args.cores)
+    sf_dir = args.sf_dir
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+
+    n_docs = max(64, args.turns // 12) if args.turns else 352
+    raw, tagged, corpus, n_turns = build_transcripts(spark, n_docs)
+    raw.cache().count(), tagged.cache().count()  # exclude synth from timing
+
+    artifacts = build_example_artifacts(
+        corpus.example.tagged_text,
+        synth.corpus_sentences(corpus),
+        SMALL_CORPUS_CONFIG,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def run(df):
+        # count() forces full execution without driver-side collect
+        return df.count()
+
+    queries = {
+        "kg_extract": lambda: run(
+            conv_triples(
+                extract_mentions(raw, artifacts, tagged_transcripts=tagged)
+            )
+        ),
+        "minhash_lsh": lambda: run(dedup.lsh_candidate_pairs(docs)),
+        "jaccard_pairs": lambda: run(dedup.jaccard_pairs(docs)),
+        "simhash": lambda: run(dedup.simhash(docs)),
+        "ann_brute_topk": lambda: run(similarity.brute_topk(emb)),
+        "rouge1_pairs": lambda: run(relational.rouge1_pairs(docs)),
+        "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
+        "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
+        "sessionize": lambda: run(relational.sessionize(events)),
+    }
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        rows[name] = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": args.cores,
+        "rows": rows,
+        "kg_turns": n_turns,
+        "kg_turns_per_sec": round(n_turns / times["kg_extract"], 1),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,27 @@ class HashEmbedding:
         return [(t, self[t].tolist()) for t in dict.fromkeys(tokens)]
 
 
+class MappedEmbedding(HashEmbedding):
+    """Production embedding slot: a trained ``{token: vector}`` table
+    (e.g. pyspark.ml Word2Vec output, ops/embedding_train.py) with a
+    deterministic hash-vector fallback for OOV tokens — replacing the
+    reference's nondeterministic incremental vocab update
+    (context_based_models.py:161-164; SURVEY.md §2.9 M6)."""
+
+    def __init__(
+        self,
+        mapping: Mapping[str, Sequence[float]],
+        dim: int,
+        salt: str = "coies",
+    ):
+        super().__init__(dim, salt)
+        for tok, vec in mapping.items():
+            arr = np.asarray(vec, dtype=np.float32)
+            if arr.shape != (dim,):
+                raise ValueError(f"vector for {tok!r} has shape {arr.shape}")
+            self._cache[tok] = arr
+
+
 class PhraseTable:
     """Bigram collocation merger (trained from corpus sentence tokens)."""
 
@@ -151,6 +172,33 @@ def gram_vector(
     return mat.mean(axis=0)
 
 
+def gram_vectors_batch(
+    emb: HashEmbedding, phrases: PhraseTable, grams: Sequence[Sequence[str]]
+) -> np.ndarray:
+    """(len(grams), dim) float32 — batched ``gram_vector`` with identical
+    per-gram results (single-token lookup; multi-token mean of merged
+    tokens, summed in float32 like ``np.mean`` over these short lists).
+    One ``reduceat`` replaces per-gram stack+mean allocations."""
+    out = np.empty((len(grams), emb.dim), np.float32)
+    multi_idx: list[int] = []
+    offsets: list[int] = []
+    flat: list[str] = []
+    for i, g in enumerate(grams):
+        if len(g) == 1:
+            out[i] = emb[g[0]]
+        else:
+            multi_idx.append(i)
+            offsets.append(len(flat))
+            flat.extend(phrases.merge(list(g)))
+    if multi_idx:
+        mat = emb.matrix(flat)
+        off = np.array(offsets)
+        sums = np.add.reduceat(mat, off, axis=0)
+        counts = np.diff(np.append(off, len(flat))).astype(np.float32)
+        out[multi_idx] = sums / counts[:, None]
+    return out
+
+
 def cosine(u: np.ndarray, v: np.ndarray) -> float:
     """Plain cosine; callers take abs() per utilities.py:28-32."""
     nu = float(np.dot(u, u)) ** 0.5
@@ -160,12 +208,14 @@ def cosine(u: np.ndarray, v: np.ndarray) -> float:
     return float(np.dot(u, v)) / (nu * nv)
 
 
+def unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalized float64 copy (zero rows stay zero)."""
+    m = mat.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
 def abs_cosine_matrix(queries: np.ndarray, keys: np.ndarray) -> np.ndarray:
     """|cosine| of every query row vs every key row → (nq, nk) float64."""
-    q = queries.astype(np.float64)
-    k = keys.astype(np.float64)
-    qn = np.linalg.norm(q, axis=1, keepdims=True)
-    kn = np.linalg.norm(k, axis=1, keepdims=True)
-    qn[qn == 0.0] = 1.0
-    kn[kn == 0.0] = 1.0
-    return np.abs((q / qn) @ (k / kn).T)
+    return np.abs(unit_rows(queries) @ unit_rows(keys).T)

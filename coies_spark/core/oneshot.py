@@ -49,10 +49,11 @@ from . import textproc
 from .embed import (
     HashEmbedding,
     PhraseTable,
-    abs_cosine_matrix,
     cosine,
     doc_vector,
     gram_vector,
+    gram_vectors_batch,
+    unit_rows,
 )
 from .grams import windows as make_windows
 from .ranking import rank_desc, top_group
@@ -97,14 +98,18 @@ def build_example_artifacts(
     corpus_sentences: Sequence[Sequence[str]],
     config: ExtractionConfig,
     phrases: Optional[PhraseTable] = None,
+    emb: Optional[HashEmbedding] = None,
 ) -> ExampleArtifacts:
     """Parse the tagged example and precompute per-mention seed vectors.
 
     ``corpus_sentences`` is the (sampled) corpus used to train the
     phrase table (reference trains on the full AAER corpus,
-    aaer_corpus.py:105-134).
+    aaer_corpus.py:105-134).  ``emb`` swaps in a trained embedding
+    table (core.embed.MappedEmbedding over ops/embedding_train.py
+    output); default is the deterministic hash embedding.
     """
-    emb = HashEmbedding(config.dim, config.salt)
+    if emb is None:
+        emb = HashEmbedding(config.dim, config.salt)
     if phrases is None:
         phrases = PhraseTable.train(
             corpus_sentences,
@@ -312,39 +317,61 @@ def detect_doc(
                 gram_list.append(g)
     if not gram_list:
         return []
-    gram_vecs = np.stack([gram_vector(emb, phrases, g) for g in gram_list])
+    gram_vecs = gram_vectors_batch(emb, phrases, gram_list)
 
-    # occurrence table: (position, gram_id, gram_len) over ctx_ids
-    occ_pos: list[np.ndarray] = []
-    occ_gid: list[np.ndarray] = []
-    occ_len: list[np.ndarray] = []
+    # occurrence table: (position, gram_id, gram_len) over ctx_ids.
+    # A per-token-id position index turns each gram's scan into a few
+    # fancy-index probes instead of full-stream boolean masks.
+    sort_order = np.argsort(ctx_ids, kind="stable")
+    sorted_ids = ctx_ids[sort_order]
+    N = len(ctx_ids)
+
+    def positions_of(tid: int) -> np.ndarray:
+        lo = np.searchsorted(sorted_ids, tid, "left")
+        hi = np.searchsorted(sorted_ids, tid, "right")
+        # stable argsort keeps equal keys in stream order → already sorted
+        return sort_order[lo:hi]
+
+    pos_arrays: list[np.ndarray] = []
+    gids: list[int] = []
+    lens: list[int] = []
     for g, gi in gram_index.items():
         L = len(g)
-        if L > len(ctx_ids):
+        if L > N:
             continue
-        mask = np.ones(len(ctx_ids) - L + 1, dtype=bool)
-        for j, tok in enumerate(g):
-            t = token_ids.get(tok)
-            if t is None:
-                mask[:] = False
+        t0 = token_ids.get(g[0])
+        if t0 is None:
+            continue
+        pos = positions_of(t0)
+        for j in range(1, L):
+            if not len(pos):
                 break
-            mask &= ctx_ids[j : len(ctx_ids) - L + 1 + j] == t
-        pos = np.nonzero(mask)[0]
+            tj = token_ids.get(g[j])
+            if tj is None:
+                pos = pos[:0]
+                break
+            pos = pos[pos + j < N]
+            pos = pos[ctx_ids[pos + j] == tj]
         if len(pos):
-            occ_pos.append(pos)
-            occ_gid.append(np.full(len(pos), gi))
-            occ_len.append(np.full(len(pos), L))
-    if not occ_pos:
+            pos_arrays.append(pos)
+            gids.append(gi)
+            lens.append(L)
+    if not pos_arrays:
         return []
-    occ_pos_a = np.concatenate(occ_pos)
-    occ_gid_a = np.concatenate(occ_gid)
-    occ_len_a = np.concatenate(occ_len)
+    counts = [len(p) for p in pos_arrays]
+    occ_pos_a = np.concatenate(pos_arrays)
+    occ_gid_a = np.repeat(np.array(gids), counts)
+    occ_len_a = np.repeat(np.array(lens), counts)
 
     # ---- per-seed matching ------------------------------------------------
+    # normalize once per doc (seed vectors are reused across all windows
+    # and grams, window/gram vectors across all seeds)
+    win_unit = unit_rows(win_vecs)
+    gram_unit = unit_rows(gram_vecs)
     out: list[Emission] = []
     n_grams = len(gram_list)
     for seed in artifacts.seeds:
-        sims = abs_cosine_matrix(seed.context_vecs, win_vecs)  # (k,W)
+        sims = np.abs(unit_rows(seed.context_vecs) @ win_unit.T)  # (k,W)
         matched: dict[int, float] = {}  # window row -> max ctx sim
         for row in sims:
             order = np.lexsort((win_starts, -row))[: cfg.topn * 2]
@@ -355,17 +382,21 @@ def detect_doc(
         if not matched:
             continue
 
-        gram_sims = np.abs(
-            abs_cosine_matrix(seed.gram_vec[None, :], gram_vecs)[0]
+        gram_sims = np.abs(unit_rows(seed.gram_vec[None, :]) @ gram_unit.T)[0]
+        # max ctx sim per occurrence over containing windows, then per
+        # gram (gram_sims >= 0, so max over windows of (1+csim)*gsim
+        # factors into gsim * (1 + max containing csim)).
+        w0s = win_starts[np.fromiter(matched, dtype=np.int64)]
+        csims = np.fromiter(matched.values(), dtype=np.float64)
+        inside = (occ_pos_a[None, :] >= w0s[:, None]) & (
+            (occ_pos_a + occ_len_a)[None, :] <= (w0s + n)[:, None]
         )
-        weighted = np.full(n_grams, -np.inf)
-        for wi, csim in matched.items():
-            w0 = int(win_starts[wi])
-            inside = (occ_pos_a >= w0) & (occ_pos_a + occ_len_a <= w0 + n)
-            gids = np.unique(occ_gid_a[inside])
-            if len(gids):
-                vals = (1.0 + csim) * gram_sims[gids]
-                weighted[gids] = np.maximum(weighted[gids], vals)
+        occ_best = np.where(inside, csims[:, None], -np.inf).max(axis=0)
+        best_csim = np.full(n_grams, -np.inf)
+        np.maximum.at(best_csim, occ_gid_a, occ_best)
+        weighted = np.where(
+            best_csim > -np.inf, (1.0 + best_csim) * gram_sims, -np.inf
+        )
 
         cand = np.nonzero(weighted > -np.inf)[0]
         if not len(cand):

@@ -145,6 +145,20 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def ngram_windows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_windows, n_distinct): stride-1 n-token window count
+    (W1, utilities.py:126-129 semantics: len(tokens)-n+1, min 1) and the
+    deduplicated count (W2 'sequenced' windows as a set,
+    utilities.py:134-139)."""
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    sh = shingles_col(n)
+    return t.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_windows"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """Rolling-shingle fingerprint: the minimum shingle digest per
     document (winnowing-style 1-of-document selection) plus the

@@ -1,0 +1,46 @@
+"""Distributed Word2Vec training slot: trains on synth transcripts,
+plugs into the extraction kernel via MappedEmbedding."""
+
+from __future__ import annotations
+
+import pytest
+
+from coies_spark.core.embed import MappedEmbedding
+from coies_spark.core.oneshot import build_example_artifacts, detect_doc
+from coies_spark.data import synth
+from coies_spark.ops import embedding_train
+from tests.conftest import FIXTURE_CONFIG
+
+pytestmark = pytest.mark.spark
+
+
+def test_word2vec_trains_and_plugs_in(spark, corpus):
+    transcripts = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    sentences = embedding_train.sentence_frame(transcripts)
+    vectors = embedding_train.train_word2vec(sentences, dim=FIXTURE_CONFIG.dim)
+    rows = vectors.collect()
+    assert len(rows) > 50  # vocab trained
+    assert all(len(r.vector) == FIXTURE_CONFIG.dim for r in rows[:5])
+
+    mapping = embedding_train.vectors_to_mapping(vectors)
+    emb = MappedEmbedding(mapping, dim=FIXTURE_CONFIG.dim)
+    # in-vocab lookup returns the trained vector
+    tok = rows[0].token
+    assert emb[tok].tolist() == pytest.approx(mapping[tok], abs=1e-6)
+    # OOV falls back deterministically
+    a = emb["zzz-never-seen"]
+    b = MappedEmbedding(mapping, dim=FIXTURE_CONFIG.dim)["zzz-never-seen"]
+    assert (a == b).all()
+
+    # the kernel accepts the trained table end-to-end
+    art = build_example_artifacts(
+        corpus.example.tagged_text,
+        synth.corpus_sentences(corpus),
+        FIXTURE_CONFIG,
+        emb=emb,
+    )
+    doc = corpus.test_docs[0]
+    out = detect_doc(doc.raw_text, doc.tagged_text, art)
+    assert isinstance(out, list)  # runs clean; emission set is model-dependent

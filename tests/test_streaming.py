@@ -1,0 +1,90 @@
+"""Structured Streaming ingestion tests: file-source micro-batches,
+watermarked windows, foreachBatch extraction with exactly-once resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from coies_spark.data import synth
+from coies_spark.streaming import ingest
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture()
+def drops(spark, corpus, tmp_path):
+    """Two parquet 'commits' of raw transcripts, split by conversation."""
+    pdf = synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    convs = sorted(pdf["conv_id"].unique())
+    half = len(convs) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, subset in enumerate((convs[:half], convs[half:])):
+        spark.createDataFrame(pdf[pdf["conv_id"].isin(subset)]).coalesce(
+            1
+        ).write.parquet(str(in_dir / f"drop{i}"))
+    # file source reads a flat dir of files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for root, _, files in os.walk(in_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.link(os.path.join(root, fn), flat / f"part{n}.parquet")
+                n += 1
+    assert n == 2
+    return str(flat)
+
+
+def test_windowed_counts(spark, drops, tmp_path, corpus):
+    stream = ingest.stream_transcripts(spark, drops)
+    assert stream.isStreaming
+    # complete mode: append would withhold windows the watermark has not
+    # closed (availableNow ends before a later batch can advance it)
+    q = (
+        ingest.windowed_turn_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts").collect()
+    total = sum(r.n_turns for r in got)
+    want = sum(len(d.tagged_turns) for d in corpus.all_docs)
+    assert total == want
+    assert {r.role for r in got} == {"user", "assistant", "tool"}
+
+
+def test_stream_extract_matches_batch(spark, drops, tmp_path, corpus, artifacts):
+    out = str(tmp_path / "triples")
+    ck = str(tmp_path / "ck2")
+    stream = ingest.stream_transcripts(spark, drops, max_files_per_trigger=1)
+    q = ingest.stream_extract(stream, artifacts, out, ck)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() >= 2  # ≥2 micro-batches
+    # streaming result == batch result on the same data
+    from coies_spark.pipeline.extract import extract_mentions
+    from coies_spark.pipeline.triples import conv_triples
+
+    batch_df = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in conv_triples(extract_mentions(batch_df, artifacts)).collect()
+    }
+    have = {(r.subj, r.pred, r.obj) for r in got.collect()}
+    assert have == want
+
+    # exactly-once resume: restarting the finished query adds nothing
+    q2 = ingest.stream_extract(
+        ingest.stream_transcripts(spark, drops), artifacts, out, ck
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == got.count()
