@@ -67,16 +67,21 @@ def jaccard_pairs(
     cap is what keeps the join linear (stop-shingles would otherwise
     contribute df² pair rows).  Pairs are deduplicated as (a < b).
     """
+    from pyspark.sql.window import Window
+
     sh = doc_shingles(docs, n)
     # Universe = shingles with df <= max_df (stop-shingles excluded from
     # both numerator and denominator, keeping the measure symmetric).
-    df_ok = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # The df-cap is a window count over the shingle partitioning — the
+    # SAME partitioning the self-join below needs, so Catalyst reuses
+    # the exchange instead of a groupBy+join round-trip.
+    indexed = (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .where(F.col("df") <= max_df)
-        .select("shingle")
+        .drop("df")
     )
-    indexed = sh.join(df_ok, "shingle")
     sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")

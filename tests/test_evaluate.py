@@ -1,0 +1,109 @@
+"""Distributed evaluation parity: the Spark scoring loop reproduces the
+reference-faithful single-node scorer; grid_search / validate_with_more
+entry points run end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from coies_spark.core.metrics import mention_score
+from coies_spark.core.oneshot import oracle_extract_doc
+from coies_spark.core import textproc
+from coies_spark.data import synth
+from coies_spark.pipeline import evaluate as ev
+from coies_spark.pipeline.extract import extract_mentions
+from tests.conftest import FIXTURE_CONFIG
+
+pytestmark = pytest.mark.spark
+
+
+def single_node_corpus_score(corpus, artifacts) -> float:
+    """The reference test() loop verbatim (oneshot_test.py:193-215)."""
+    doc_scores = []
+    for doc in corpus.all_docs:
+        emissions = oracle_extract_doc(doc.raw_text, doc.tagged_text, artifacts)
+        gold = textproc.entity_dict(
+            textproc.tagged_tokens_from_text(doc.tagged_text)
+        )
+        total, count = 0.0, 0
+        for seed in artifacts.seeds:
+            found = [
+                e.gram for e in emissions if e.seed_tokens == seed.tokens
+            ]
+            s, c = mention_score(found or None, gold, seed.pred)
+            total += s
+            count += c
+        doc_scores.append(total / count)
+    return sum(doc_scores) / len(doc_scores)
+
+
+@pytest.fixture(scope="module")
+def gold_df(spark, corpus):
+    rows = []
+    for doc in corpus.all_docs:
+        tagged = textproc.tagged_tokens_from_text(doc.tagged_text)
+        for pred, toks, _, _ in textproc.entity_spans(tagged):
+            rows.append((doc.conv_id, pred, " ".join(toks)))
+    return spark.createDataFrame(rows, "conv_id string, pred string, obj string")
+
+
+def test_corpus_score_matches_single_node(
+    spark, corpus, artifacts, gold_df
+):
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    got = ev.evaluate_pipeline(raw, tagged, gold_df, artifacts)
+    want = single_node_corpus_score(corpus, artifacts)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert 0.0 < got <= 1.0
+
+
+def test_grid_search_runs(spark, corpus, gold_df):
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    sentences = synth.corpus_sentences(corpus)
+
+    from coies_spark.core.oneshot import build_example_artifacts
+
+    rows = ev.grid_search(
+        FIXTURE_CONFIG,
+        {"context_size": [8, 12]},
+        lambda cfg: build_example_artifacts(
+            corpus.example.tagged_text, sentences, cfg
+        ),
+        lambda art: ev.evaluate_pipeline(raw, tagged, gold_df, art),
+    )
+    assert len(rows) == 2
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    assert {r["value"] for r in rows} == {8, 12}
+
+
+def test_validate_with_more(spark, corpus, gold_df):
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    candidates = [
+        (d.conv_id, d.tagged_text) for d in corpus.test_docs[:3]
+    ]
+    rows = ev.validate_with_more(
+        spark,
+        candidates,
+        synth.corpus_sentences(corpus),
+        FIXTURE_CONFIG,
+        lambda art: ev.evaluate_pipeline(raw, tagged, gold_df, art),
+    )
+    # synth test docs carry 3 entity types → all qualify
+    assert len(rows) == 3
+    assert all(r["n_entity_types"] >= 3 for r in rows)
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)

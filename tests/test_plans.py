@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the properties that keep these
+operators viable at 100 TB — column pruning into the scan, broadcast
+join selection, map-side partial aggregation, single-shuffle assembly —
+asserted on the actual Catalyst plans so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from coies_spark.ops import similarity, textstats
+from coies_spark.pipeline.extract import assemble_docs
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_token_stats_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(textstats.token_stats(docs), "formatted")
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read, p
+    # only the two needed columns reach the parquet scan
+    assert "doc_id" in read[0] and "text" in read[0]
+    assert "lang" not in read[0] and "source" not in read[0]
+
+
+def test_join_revenue_broadcasts_dim(spark):
+    p = plan_of(entrymod._q_join_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_brute_topk_broadcasts_queries(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(similarity.brute_topk(emb))
+    # small query side broadcast → corpus side streams with no shuffle
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_agg_pricing_partial_aggregation(spark):
+    p = plan_of(entrymod._q_agg_pricing(spark, SF_DIR))
+    assert "partial_sum" in p  # map-side combine before the shuffle
+
+
+def test_assemble_single_shuffle(spark):
+    raw = spark.createDataFrame(
+        [("c1", 0, "u", "hello world", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    p = plan_of(assemble_docs(raw))
+    assert p.count("Exchange") == 1  # exactly one hash partition by conv_id
+    assert "partial_collect_list" in p  # map-side partial aggregation
+
+
+def test_extraction_path_shuffle_count(spark):
+    """Raw + tagged assembly: 2 aggregations + 1 join, all on conv_id —
+    the join must reuse the aggregation partitioning (no extra
+    exchange beyond the two aggregation shuffles)."""
+    raw = spark.createDataFrame(
+        [("c1", 0, "u", "hello", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    tagged = spark.createDataFrame(
+        [("c1", 0, "u", "<comp.>hello</>", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    p = plan_of(assemble_docs(raw, tagged))
+    assert p.count("Exchange") <= 3  # 2 agg shuffles (+1 AQE artifact max)
