@@ -113,6 +113,26 @@ def _q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: extract → broadcast-dictionary link → connected-
+    components canonicalize → (subj=entity, pred, obj) triples."""
+    from coies_spark.pipeline.canonicalize import canonicalize
+    from coies_spark.pipeline.linking import build_dictionary, link_mentions
+    from coies_spark.pipeline.triples import materialize_triples
+
+    raw, tagged, corpus = _synth_transcripts(spark, sf_dir)
+    mentions = extract_mentions(
+        raw, _artifacts(corpus), tagged_transcripts=tagged
+    )
+    dictionary = build_dictionary(
+        spark,
+        [(m, f"E{c}") for c, m in enumerate(synth.COMP_POOL)]
+        + [(m, f"I{c}") for c, m in enumerate(synth.ITEM_POOL)],
+    )
+    linked = link_mentions(mentions, dictionary)
+    return materialize_triples(canonicalize(linked))
+
+
 def _q_entity_spans_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold triples parsed from inline tags (P4/P5 fixture path)."""
     _, _, corpus = _synth_transcripts(spark, sf_dir)
@@ -206,6 +226,37 @@ def _q_top_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-membership as a positional range join (SURVEY P8/J2):
+    stopword token positions ⊆ every-10th 3-token window."""
+    from coies_spark.functions.tokenize import tokens_col
+    from coies_spark.ops.textstats import STOPWORDS
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    )
+    items = pos.where(F.col("tok").isin(*STOPWORDS)).select(
+        "doc_id", F.col("p").alias("start"), F.col("p").alias("end")
+    )
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0)))
+            ).alias("w_start"),
+        )
+        .where(F.col("w_start") % 10 == 0)
+        .withColumn("w_end", F.col("w_start") + 2)
+    )
+    joined = relational.range_containment_join(items, wins)
+    return joined.groupBy("doc_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_stop")
+    )
+
+
 def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return salted_count(events, ["event_type"])
@@ -215,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline (rows-only; non-SQL-expressible) ---
         "kg_extract_triples": _q_kg_extract,
+        "kg_linked_triples": _q_kg_linked,
         "entity_spans_gold": _q_entity_spans_gold,
         "canonicalize_cc": _q_canonicalize_cc,
         "multimodal_features": _q_multimodal,
@@ -257,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents")
         ),
         "top_group_orders": _q_top_group,
+        "range_join_stopwords": _q_range_join,
         "sessionize_events": lambda s, d: relational.sessionize(
             _read(s, d, "events")
         ),
@@ -532,6 +585,24 @@ def oracle_sql() -> dict[str, str]:
               FROM fl)
             SELECT o_orderpriority, o_orderkey, o_totalprice
             FROM cm WHERE n <= 1 OR nviol = 0
+        """,
+        "range_join_stopwords": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+            pos AS (SELECT doc_id, i-1 AS p, tokens[i] AS tok
+                    FROM toks, unnest(range(1, len(tokens)+1)) t(i)),
+            items AS (SELECT doc_id, p FROM pos
+                      WHERE list_contains(
+                        ['the','a','of','and','to','in','is','it'], tok)),
+            wins AS (SELECT doc_id, w FROM (
+                       SELECT doc_id,
+                              unnest(range(0, greatest(len(tokens)-2, 1)))
+                                AS w
+                       FROM toks) WHERE w % 10 = 0)
+            SELECT i.doc_id, CAST(w.w AS INT) AS w_start,
+                   CAST(count(*) AS BIGINT) AS n_stop
+            FROM items i JOIN wins w
+              ON i.doc_id = w.doc_id AND i.p >= w.w AND i.p <= w.w + 2
+            GROUP BY 1,2
         """,
         "sessionize_events": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us

@@ -100,6 +100,40 @@ def sessionize(
     )
 
 
+def range_containment_join(
+    items: DataFrame,
+    windows: DataFrame,
+    item_start: str = "start",
+    item_end: str = "end",
+    win_start: str = "w_start",
+    win_end: str = "w_end",
+    partition_cols: Sequence[str] = ("doc_id",),
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: item span ⊆ window span, co-partitioned
+    on ``partition_cols``.
+
+    This is the DataFrame form of the reference's context-membership
+    filter (utilities.py:98-107, 156-165 → SURVEY.md P8/J2): candidate
+    grams survive iff they lie inside a matched context window,
+    expressed positionally instead of via delimiter-string containment.
+    The equi-keys keep the join hash-partitioned (windows per document
+    are few); the range predicate is evaluated post-match, and AQE's
+    skew split handles documents with pathologically many windows.
+    """
+    keys = list(partition_cols)
+    cond = None
+    for k in keys:
+        c = items[k] == windows[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (items[item_start] >= windows[win_start])
+        & (items[item_end] <= windows[win_end])
+    )
+    return items.join(windows, cond, how).drop(*[windows[k] for k in keys])
+
+
 def rouge1_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, p, r, f): ROUGE-1 between within-source document
     pairs (each doc paired with the next doc_id of the same source;
