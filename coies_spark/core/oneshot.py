@@ -91,6 +91,10 @@ class ExampleArtifacts:
     seeds: list[MentionSeed]
     phrases: PhraseTable
     emb: HashEmbedding = field(repr=False)
+    # per-process memo: token → tuple of its proper suffixes (vocab
+    # repeats heavily across documents, so the membership-quirk scan
+    # amortizes; grows worker-locally like emb's vector cache)
+    suffix_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
 
 def build_example_artifacts(
@@ -259,7 +263,8 @@ def detect_doc(
     artifacts: ExampleArtifacts,
 ) -> list[Emission]:
     """Vectorized extraction for one document (same emissions as the
-    oracle up to deterministic tie-breaking and positional membership).
+    oracle, including the reference's suffix-loose membership quirk —
+    utilities.py:156-165 — reproduced positionally).
 
     Tie-breaking is pinned to (score desc, first-occurrence asc) — the
     reference relies on dict insertion order, which first-occurrence
@@ -332,6 +337,23 @@ def detect_doc(
         # stable argsort keeps equal keys in stream order → already sorted
         return sort_order[lo:hi]
 
+    # Reference membership quirk (utilities.py:156-165): containment is
+    # checked on ':'-joined strings, so the FIRST gram token also
+    # matches as a strict SUFFIX of a window token ("3:" ⊂ "33:"),
+    # while later tokens and the gram end must align to boundaries.
+    # Build suffix→token-ids only for suffixes that are gram heads.
+    head_set = {g[0] for g in gram_index}
+    head_alias: dict[str, list[int]] = {}
+    suffixes = artifacts.suffix_cache
+    for tok, tid in token_ids.items():
+        sufs = suffixes.get(tok)
+        if sufs is None:
+            sufs = tuple(tok[s:] for s in range(1, len(tok)))
+            suffixes[tok] = sufs
+        for suf in sufs:
+            if suf in head_set:
+                head_alias.setdefault(suf, []).append(tid)
+
     pos_arrays: list[np.ndarray] = []
     gids: list[int] = []
     lens: list[int] = []
@@ -340,9 +362,16 @@ def detect_doc(
         if L > N:
             continue
         t0 = token_ids.get(g[0])
-        if t0 is None:
+        alias = head_alias.get(g[0], ())
+        heads = ([] if t0 is None else [t0]) + list(alias)
+        if not heads:
             continue
-        pos = positions_of(t0)
+        if len(heads) == 1:
+            pos = positions_of(heads[0])
+        else:
+            pos = np.sort(
+                np.concatenate([positions_of(t) for t in heads])
+            )
         for j in range(1, L):
             if not len(pos):
                 break
