@@ -257,6 +257,28 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: documents that collide with nobody in LSH space —
+    the 'keep set' of a dedup pass."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    members = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    return docs.select("doc_id").join(members, "doc_id", "left_anti")
+
+
+def _q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return salted_count(events, ["event_type"])
@@ -284,6 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_windows": lambda s, d: textstats.ngram_windows(
             _read(s, d, "documents")
         ),
+        "tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
+            _read(s, d, "documents")
+        ),
+        "json_event_sums": _q_json_events,
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
@@ -293,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(
             _read(s, d, "documents")
         ),
+        "lsh_unique_docs": _q_lsh_unique,
         "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
         # --- similarity search (embeddings) ---
         "ann_brute_topk": lambda s, d: similarity.brute_topk(
@@ -422,6 +449,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct
             FROM w
         """,
+        "tfidf_keywords": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                          FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1,2),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT doc_id, tok,
+                     round(tf * ln(CAST(n.n AS DOUBLE)/df.df), 6) AS score
+              FROM tf JOIN df USING(tok) CROSS JOIN n)
+            SELECT doc_id, tok, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
+        "json_event_sums": """
+            SELECT event_type,
+              CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
         "exact_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
             reps AS (SELECT h, min(doc_id) AS exact_rep FROM h GROUP BY 1)
@@ -467,6 +516,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
             GROUP BY 1,2
+        """,
+        "lsh_unique_docs": f"""
+            WITH {_SHINGLES},
+            mh AS (
+              SELECT doc_id, h,
+                     min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+              FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+            bands AS (
+              SELECT doc_id, h//2 AS band,
+                     string_agg(minhash, ',' ORDER BY h) AS band_key
+              FROM mh GROUP BY 1,2),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+              GROUP BY 1,2),
+            members AS (SELECT doc_a AS doc_id FROM pairs
+                        UNION ALL SELECT doc_b FROM pairs)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM members)
         """,
         "simhash": f"""
             WITH dtok AS (

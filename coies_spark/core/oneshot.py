@@ -91,10 +91,12 @@ class ExampleArtifacts:
     seeds: list[MentionSeed]
     phrases: PhraseTable
     emb: HashEmbedding = field(repr=False)
-    # per-process memo: token → tuple of its proper suffixes (vocab
-    # repeats heavily across documents, so the membership-quirk scan
-    # amortizes; grows worker-locally like emb's vector cache)
+    # per-process memos (vocabulary repeats heavily across documents,
+    # so these amortize; they grow worker-locally like emb's cache):
+    # token → tuple of proper suffixes (membership-quirk scan), and
+    # gram → unit-normalized float64 vector (gram model output)
     suffix_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    gram_vec_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
 
 def build_example_artifacts(
@@ -322,7 +324,15 @@ def detect_doc(
                 gram_list.append(g)
     if not gram_list:
         return []
-    gram_vecs = gram_vectors_batch(emb, phrases, gram_list)
+    # unit gram vectors, memoized across documents (pure function of
+    # the gram under the fixed phrase table + embedding)
+    gcache = artifacts.gram_vec_cache
+    missing = [g for g in gram_list if g not in gcache]
+    if missing:
+        fresh = unit_rows(gram_vectors_batch(emb, phrases, missing))
+        for g, v in zip(missing, fresh):
+            gcache[g] = v
+    gram_unit = np.stack([gcache[g] for g in gram_list])
 
     # occurrence table: (position, gram_id, gram_len) over ctx_ids.
     # A per-token-id position index turns each gram's scan into a few
@@ -396,7 +406,6 @@ def detect_doc(
     # normalize once per doc (seed vectors are reused across all windows
     # and grams, window/gram vectors across all seeds)
     win_unit = unit_rows(win_vecs)
-    gram_unit = unit_rows(gram_vecs)
     out: list[Emission] = []
     n_grams = len(gram_list)
     for seed in artifacts.seeds:

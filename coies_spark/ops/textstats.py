@@ -159,6 +159,33 @@ def ngram_windows(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, tok, score, rank): top-``k`` tokens per document by
+    tf·idf (idf = ln(N/df) over the corpus), deterministic tie-break
+    (score desc, token asc).
+
+    Two shuffles: the (doc, token) count and the token df; the df table
+    is vocabulary-sized → broadcast back onto the counts.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0].n
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "tok", "score", "rank")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """Rolling-shingle fingerprint: the minimum shingle digest per
     document (winnowing-style 1-of-document selection) plus the
