@@ -150,7 +150,7 @@ def _q_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents").limit(200)
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = multimodal.synthesize_media(docs)
     return multimodal.extract_features(media).select(
         "media_id", "modality", "n_bytes", "digest"

@@ -71,8 +71,12 @@ from __spark_entry__ import SMALL_CORPUS_CONFIG
 
 in_dir, cores, n_docs, partitions = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+import os as _os
+_shm = "/dev/shm/coies_spark_tmp"
+_os.makedirs(_shm, exist_ok=True)
 spark = get_spark(f"scaling-{cores}", cores=cores,
-                  shuffle_partitions=partitions)
+                  shuffle_partitions=partitions,
+                  extra_conf={"spark.local.dir": _shm})
 corpus = synth.make_corpus(n_test=n_docs // 2, n_plain=n_docs // 2, seed=42)
 artifacts = build_example_artifacts(
     corpus.example.tagged_text, synth.corpus_sentences(corpus),
@@ -85,8 +89,9 @@ warm = spark.createDataFrame(
     synth.transcripts_frame(warm_c.all_docs, use_raw=True)
 ).repartition(partitions, "conv_id")
 extract_mentions(warm, artifacts).count()
+# fixed pass count; min-of-passes damps JIT warm-up and GC-pause noise
 times = []
-for _ in range(3):
+for _ in range(5):
     t0 = time.perf_counter()
     n_mentions = extract_mentions(
         raw, artifacts, tagged_transcripts=tagged).count()
@@ -141,7 +146,8 @@ def main() -> None:
     args = ap.parse_args()
 
     partitions = 4 * args.high
-    in_dir = tempfile.mkdtemp(prefix="coies_scaling_")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    in_dir = tempfile.mkdtemp(prefix="coies_scaling_", dir=shm)
     try:
         prep = subprocess.run(
             [sys.executable, "-c", PREP, in_dir, str(args.docs),

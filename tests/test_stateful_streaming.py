@@ -1,0 +1,78 @@
+"""applyInPandasWithState conversation assembly: turns arriving across
+micro-batches and out of order are stitched per conv_id and emitted on
+quiescence, byte-equal to batch assembly."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from coies_spark.data import synth
+from coies_spark.pipeline.extract import assemble_docs
+from coies_spark.streaming.stateful import assemble_conversations_stateful
+
+pytestmark = pytest.mark.spark
+
+
+def test_stateful_assembly_matches_batch(spark, corpus, tmp_path):
+    docs = corpus.all_docs[:12]
+    pdf = synth.transcripts_frame(docs, use_raw=True)
+    # shuffle turn order and split into two interleaved file drops so
+    # most conversations span micro-batches out of order
+    shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    in_dir = tmp_path / "turns"
+    in_dir.mkdir()
+    for i in range(2):
+        spark.createDataFrame(shuffled.iloc[i::2]).coalesce(1).write.parquet(
+            str(tmp_path / f"d{i}")
+        )
+    n = 0
+    for i in range(2):
+        for root, _, files in os.walk(tmp_path / f"d{i}"):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(root, fn), in_dir / f"p{n}.parquet")
+                    n += 1
+    assert n == 2
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out = assemble_conversations_stateful(stream, idle_timeout_ms=500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_assembly")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        want_n = len(docs)
+        while time.time() < deadline:
+            if spark.sql("select * from conv_assembly").count() >= want_n:
+                break
+            time.sleep(2)
+        got = {
+            r.conv_id: (r.n_turns, r.raw_text)
+            for r in spark.sql("select * from conv_assembly").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r.conv_id: r.raw_text
+        for r in assemble_docs(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == set(want)
+    for cid, (n_turns, raw_text) in got.items():
+        assert raw_text == want[cid], cid
+        assert n_turns == len(raw_text.split("\n"))
