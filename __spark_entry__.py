@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _read(s, d, "embeddings")
         ),
+        "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
+            _read(s, d, "embeddings"), n_planes=8
+        ),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup(
             _read(s, d, "embeddings")
         ),
@@ -375,6 +378,28 @@ round(
    * sqrt(list_sum(list_transform(range(1, len({b})+1),
             i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)
 """
+
+
+def _lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    """Hyperplane-LSH oracle with the SAME deterministic plane constants
+    the Spark operator bakes into its plan (bit-identical buckets)."""
+    from coies_spark.ops.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(n_planes, dim, seed=7)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim}+1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(map(str, p))}])[i]"
+        f")) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          CAST({bits} AS BIGINT) AS bucket
+                   FROM embeddings)
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               {_COS.format(a='x.embedding', b='y.embedding')} AS sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -596,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
                 AS rank
               FROM scored) WHERE rank <= 5
         """,
+        "ann_lsh_pairs": _lsh_oracle(),
         "embedding_neardup": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    {_COS.format(a='a.embedding', b='b.embedding')} AS sim

@@ -29,22 +29,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_transcripts(spark, n_docs: int):
-    """Deterministic synthetic transcript corpus sized for the bench."""
+def build_transcripts(spark, n_docs: int, replicate: int = 8):
+    """Deterministic synthetic transcript corpus sized for the bench;
+    replicated in-plan (JVM-side) to reach a meaningful turn count."""
+    from pyspark.sql import functions as F
+
     from coies_spark.data import synth
 
     corpus = synth.make_corpus(
         n_test=n_docs // 2, n_plain=n_docs // 2, seed=42
     )
-    raw = synth.transcripts_frame(corpus.all_docs, use_raw=True)
-    tagged = synth.transcripts_frame(corpus.all_docs, use_raw=False)
-    n_turns = len(raw)
-    return (
-        spark.createDataFrame(raw).repartition(64, "conv_id"),
-        spark.createDataFrame(tagged).repartition(64, "conv_id"),
-        corpus,
-        n_turns,
-    )
+
+    def rep(use_raw: bool):
+        df = spark.createDataFrame(
+            synth.transcripts_frame(corpus.all_docs, use_raw=use_raw)
+        )
+        return (
+            df.crossJoin(spark.range(replicate).select(F.col("id").alias("r")))
+            .withColumn(
+                "conv_id",
+                F.concat_ws("-", "conv_id", F.col("r").cast("string")),
+            )
+            .drop("r")
+            .repartition(128, "conv_id")
+        )
+
+    raw, tagged = rep(True), rep(False)
+    n_turns = raw.cache().count()
+    tagged.cache().count()
+    return raw, tagged, corpus, n_turns
 
 
 def main() -> None:
@@ -83,15 +96,18 @@ def main() -> None:
     sf_dir = args.sf_dir
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
-    n_docs = max(64, args.turns // 12) if args.turns else 352
+    n_docs = max(64, args.turns // 96) if args.turns else 2000
     raw, tagged, corpus, n_turns = build_transcripts(spark, n_docs)
-    raw.cache().count(), tagged.cache().count()  # exclude synth from timing
 
     artifacts = build_example_artifacts(
         corpus.example.tagged_text,
         synth.corpus_sentences(corpus),
         SMALL_CORPUS_CONFIG,
     )
+    # warm-up (python worker spin-up + JIT) outside the timed region
+    extract_mentions(
+        raw, artifacts, tagged_transcripts=tagged
+    ).count()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

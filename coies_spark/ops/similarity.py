@@ -153,6 +153,80 @@ def ivf_topk(
     )
 
 
+def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (rounded to 6dp so they can be
+    literalized identically into Spark expressions and oracle SQL)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-of-projection LSH bucket key (Charikar
+    random-hyperplane hashing) — the cosine-ANN scale path: candidates
+    are generated by an equality join on ``bucket`` instead of the
+    all-pairs cross join; bucket count 2^n_planes bounds bucket sizes.
+
+    Hyperplanes are deterministic constants baked into the plan, so the
+    bucket assignment is bit-reproducible across engines.
+    """
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    planes = hyperplane_planes(n_planes, first.d, seed)
+    bucket = None
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr, lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_ann_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim): candidate pairs sharing an LSH bucket, with
+    exact cosine verification — bucket join replaces the O(n²) scan."""
+    b = hyperplane_lsh_buckets(embeddings, n_planes, seed, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).join(b, "vec_id")
+    x = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        x.join(y, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim")
+        )
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.4,
