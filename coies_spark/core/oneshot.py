@@ -408,11 +408,22 @@ def detect_doc(
     win_unit = unit_rows(win_vecs)
     out: list[Emission] = []
     n_grams = len(gram_list)
+    k2 = cfg.topn * 2
+    W = len(win_vecs)
     for seed in artifacts.seeds:
         sims = np.abs(unit_rows(seed.context_vecs) @ win_unit.T)  # (k,W)
         matched: dict[int, float] = {}  # window row -> max ctx sim
         for row in sims:
-            order = np.lexsort((win_starts, -row))[: cfg.topn * 2]
+            # top-k2 by (sim desc, win_start asc): argpartition narrows
+            # to the candidate slice, then an exact small lexsort —
+            # equivalent to the full sort (ties at the kth value are all
+            # included in the slice before the tie-break)
+            if W > 8 * k2:
+                kth = np.partition(row, W - k2)[W - k2]
+                cand = np.nonzero(row >= kth)[0]
+                order = cand[np.lexsort((win_starts[cand], -row[cand]))][:k2]
+            else:
+                order = np.lexsort((win_starts, -row))[:k2]
             pairs = [(int(i), float(row[i])) for i in order]
             for wi, s in top_group(pairs, cfg.context_threshold):
                 if wi not in matched or s > matched[wi]:
@@ -426,10 +437,26 @@ def detect_doc(
         # factors into gsim * (1 + max containing csim)).
         w0s = win_starts[np.fromiter(matched, dtype=np.int64)]
         csims = np.fromiter(matched.values(), dtype=np.float64)
-        inside = (occ_pos_a[None, :] >= w0s[:, None]) & (
-            (occ_pos_a + occ_len_a)[None, :] <= (w0s + n)[:, None]
-        )
-        occ_best = np.where(inside, csims[:, None], -np.inf).max(axis=0)
+        # max containing csim per occurrence: visit windows in csim-desc
+        # order and fill unset occurrences — no (windows × occurrences)
+        # matrix materialized
+        occ_end = occ_pos_a + occ_len_a
+        if len(w0s) * len(occ_pos_a) <= 262_144:
+            # small problem: one broadcasted matrix beats the loop
+            inside = (occ_pos_a[None, :] >= w0s[:, None]) & (
+                occ_end[None, :] <= (w0s + n)[:, None]
+            )
+            occ_best = np.where(inside, csims[:, None], -np.inf).max(axis=0)
+        else:
+            occ_best = np.full(len(occ_pos_a), -np.inf)
+            for oi in np.argsort(-csims, kind="stable"):
+                w0 = int(w0s[oi])
+                mask = (
+                    (occ_best == -np.inf)
+                    & (occ_pos_a >= w0)
+                    & (occ_end <= w0 + n)
+                )
+                occ_best[mask] = csims[oi]
         best_csim = np.full(n_grams, -np.inf)
         np.maximum.at(best_csim, occ_gid_a, occ_best)
         weighted = np.where(
