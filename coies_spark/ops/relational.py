@@ -51,8 +51,10 @@ def top_group_df(
     wo = wg.orderBy(F.desc(value_col), F.asc(tiebreak_col))
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n = F.count(F.lit(1)).over(wg)
-    avg_gap = (F.max(value_col).over(wg) - F.min(value_col).over(wg)) / (
-        n - 1
+    # guarded: singleton groups must not evaluate the division (ANSI)
+    avg_gap = F.when(
+        n > 1,
+        (F.max(value_col).over(wg) - F.min(value_col).over(wg)) / (n - 1),
     )
     prev = F.lag(value_col).over(wo)
     viol = F.when(
@@ -184,7 +186,9 @@ def rouge1_pairs(docs: DataFrame) -> DataFrame:
     return out.select(
         "doc_a",
         "doc_b",
-        F.round(F.col("m") / F.col("na"), 6).alias("p"),
-        F.round(F.col("m") / F.col("nb"), 6).alias("r"),
-        F.round(F.col("m") / ((F.col("na") + F.col("nb")) / 2.0), 6).alias("f"),
+        F.round(F.try_divide("m", "na"), 6).alias("p"),
+        F.round(F.try_divide("m", "nb"), 6).alias("r"),
+        F.round(
+            F.try_divide("m", (F.col("na") + F.col("nb")) / 2.0), 6
+        ).alias("f"),
     )

@@ -34,9 +34,17 @@ def _dot(a, b) -> Column:
 
 
 def cosine_sim(a, b) -> Column:
-    """Cosine similarity in double precision, rounded to 4dp."""
+    """Cosine similarity in double precision, rounded to 4dp.
+
+    Zero vectors yield NULL (try_divide) rather than an ANSI
+    divide-by-zero error — the same NULL DuckDB produces for x/0, so
+    oracles stay aligned; NULL sims sort last and drop out of
+    threshold filters."""
     return F.round(
-        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 4
+        F.try_divide(
+            _dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+        ),
+        4,
     )
 
 

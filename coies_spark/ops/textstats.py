@@ -60,10 +60,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", PUNCT_CLASS, "")
     )
-    avg_len = F.round(tok_chars / n_tok, 6)
-    stop_ratio = F.round(n_stop / n_tok, 6)
-    digit_ratio = F.round(n_digit / n_tok, 6)
-    punct_ratio = F.round(n_punct / F.length("text"), 6)
+    # try_divide: empty/punct-only docs yield NULL ratios instead of an
+    # ANSI divide-by-zero error (matches DuckDB's x/0 → NULL)
+    avg_len = F.round(F.try_divide(tok_chars, n_tok), 6)
+    stop_ratio = F.round(F.try_divide(n_stop, n_tok), 6)
+    digit_ratio = F.round(F.try_divide(n_digit, n_tok), 6)
+    punct_ratio = F.round(F.try_divide(n_punct, F.length("text")), 6)
     quality = F.round(
         0.4 * stop_ratio
         + 0.3 * (1.0 - digit_ratio)

@@ -1,0 +1,112 @@
+"""Edge-case hardening: every op must behave on empty, single-row, and
+degenerate inputs (the shapes that appear in stray partitions at scale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.ops import dedup, relational, similarity, textstats
+
+pytestmark = pytest.mark.spark
+
+DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "the quick fox", "en", "s0", 13),
+        (1, "", "en", "s0", 0),                 # empty text
+        (2, "!!! ??? ...", "en", "s1", 11),      # punctuation only
+        (3, "the quick fox", "en", "s1", 13),    # exact duplicate of 0
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 1),  # duplicate vector, other label
+        (3, [0.0, 0.0, 0.0, 0.0], 1),  # zero vector
+    ]
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+class TestEmptyInputs:
+    def test_textstats_empty(self, empty_docs):
+        assert textstats.token_stats(empty_docs).count() == 0
+        assert textstats.quality_scores(empty_docs).count() == 0
+        assert textstats.language_id(empty_docs).count() == 0
+        assert textstats.ngram_windows(empty_docs).count() == 0
+        assert textstats.doc_fingerprint(empty_docs).count() == 0
+
+    def test_dedup_empty(self, empty_docs):
+        assert dedup.exact_dedup(empty_docs).count() == 0
+        assert dedup.jaccard_pairs(empty_docs).count() == 0
+        assert dedup.lsh_candidate_pairs(empty_docs).count() == 0
+        assert dedup.simhash(empty_docs).count() == 0
+
+    def test_rouge_empty(self, empty_docs):
+        assert relational.rouge1_pairs(empty_docs).count() == 0
+
+
+class TestDegenerateInputs:
+    def test_textstats_degenerate(self, tiny_docs):
+        stats = {r.doc_id: r for r in textstats.token_stats(tiny_docs).collect()}
+        assert stats[1].n_tokens == 0
+        assert stats[2].n_tokens == 0
+        assert stats[0].n_tokens == 3
+        q = {r.doc_id: r for r in textstats.quality_scores(tiny_docs).collect()}
+        # empty/punct docs yield null ratios (0 tokens), not crashes
+        assert q[1].avg_token_len is None
+        assert q[0].stopword_ratio > 0
+
+    def test_exact_dedup_finds_duplicate(self, tiny_docs):
+        reps = {r.doc_id: r.exact_rep for r in dedup.exact_dedup(tiny_docs).collect()}
+        assert reps[3] == 0 and reps[0] == 0
+        assert reps[2] == 2
+
+    def test_simhash_skips_tokenless_docs(self, tiny_docs):
+        got = {r.doc_id for r in dedup.simhash(tiny_docs).collect()}
+        assert got == {0, 3}  # docs with no tokens have no hash rows
+
+    def test_brute_topk_zero_vector(self, tiny_emb):
+        rows = similarity.brute_topk(tiny_emb, n_queries=4, k=3).collect()
+        # zero vector yields NaN sims but must not crash; other queries rank
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert by_q[0][0].target_id == 2  # identical vector ranks first
+        assert all(len(v) <= 3 for v in by_q.values())
+
+    def test_ivf_topk_duplicate_vectors(self, tiny_emb):
+        rows = similarity.ivf_topk(tiny_emb, n_queries=2, k=2).collect()
+        assert rows, "ivf must return neighbours"
+
+    def test_top_group_single_row_group(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 10.0)], "g string, k int, v double"
+        )
+        kept = relational.top_group_df(df, ["g"], "v", "k").collect()
+        assert len(kept) == 1
+
+    def test_range_join_empty_windows(self, spark):
+        items = spark.createDataFrame(
+            [(0, 1, 1)], "doc_id bigint, start int, end int"
+        )
+        wins = spark.createDataFrame(
+            [], "doc_id bigint, w_start int, w_end int"
+        )
+        out = relational.range_containment_join(items, wins)
+        assert out.count() == 0
