@@ -40,6 +40,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The testdata embeddings tables are d=64 (TESTDATA.md); the SAME
+# constant feeds the Spark queries and the DuckDB oracles so the two
+# engines can never silently disagree on dimensionality.
+EMB_DIM = 64
+
+
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.01
@@ -329,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings")
         ),
         "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
-            _read(s, d, "embeddings"), n_planes=8
+            _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
         ),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup(
             _read(s, d, "embeddings")
@@ -380,7 +386,7 @@ round(
 """
 
 
-def _lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+def _lsh_oracle(n_planes: int = 8, dim: int = EMB_DIM) -> str:
     """Hyperplane-LSH oracle with the SAME deterministic plane constants
     the Spark operator bakes into its plan (bit-identical buckets)."""
     from coies_spark.ops.similarity import hyperplane_planes

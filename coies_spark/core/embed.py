@@ -47,7 +47,14 @@ def hash_vector(token: str, dim: int, salt: str = "coies") -> np.ndarray:
 
 
 class HashEmbedding:
-    """Lazy deterministic token→vector mapping with a materializable vocab."""
+    """Lazy deterministic token→vector mapping with a materializable vocab.
+
+    The memo is size-capped (clear-on-cap) so an open vocabulary cannot
+    leak memory in a long-lived executor; recompute after a clear is a
+    pure function of the token, so eviction is semantics-free.
+    """
+
+    CACHE_CAP = 500_000
 
     def __init__(self, dim: int = 16, salt: str = "coies"):
         self.dim = dim
@@ -57,6 +64,8 @@ class HashEmbedding:
     def __getitem__(self, token: str) -> np.ndarray:
         vec = self._cache.get(token)
         if vec is None:
+            if len(self._cache) >= self.CACHE_CAP:
+                self._cache.clear()
             vec = hash_vector(token, self.dim, self.salt)
             self._cache[token] = vec
         return vec
@@ -84,11 +93,18 @@ class MappedEmbedding(HashEmbedding):
         salt: str = "coies",
     ):
         super().__init__(dim, salt)
+        # trained vectors live in _base, NOT the evictable memo — a
+        # clear-on-cap of the OOV memo must never drop trained entries
+        self._base: dict[str, np.ndarray] = {}
         for tok, vec in mapping.items():
             arr = np.asarray(vec, dtype=np.float32)
             if arr.shape != (dim,):
                 raise ValueError(f"vector for {tok!r} has shape {arr.shape}")
-            self._cache[tok] = arr
+            self._base[tok] = arr
+
+    def __getitem__(self, token: str) -> np.ndarray:
+        vec = self._base.get(token)
+        return vec if vec is not None else super().__getitem__(token)
 
 
 class PhraseTable:

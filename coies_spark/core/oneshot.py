@@ -58,6 +58,12 @@ from .embed import (
 from .grams import windows as make_windows
 from .ranking import rank_desc, top_group
 
+# Worker-memo bounds: gram vectors are d floats each (~4 KB at d=512 →
+# ~800 MB at cap); suffix tuples are small strings.  Clear-on-cap keeps
+# a long-lived executor's Python workers flat over open vocabularies.
+GRAM_VEC_CACHE_CAP = 200_000
+SUFFIX_CACHE_CAP = 1_000_000
+
 
 @dataclass(frozen=True)
 class ExtractionConfig:
@@ -94,7 +100,9 @@ class ExampleArtifacts:
     # per-process memos (vocabulary repeats heavily across documents,
     # so these amortize; they grow worker-locally like emb's cache):
     # token → tuple of proper suffixes (membership-quirk scan), and
-    # gram → unit-normalized float64 vector (gram model output)
+    # gram → unit-normalized float64 vector (gram model output).
+    # Both are size-capped (clear-on-cap) so an open vocabulary —
+    # numbers, typos — cannot leak memory in a long-lived executor.
     suffix_cache: dict = field(default_factory=dict, repr=False, compare=False)
     gram_vec_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
@@ -329,6 +337,8 @@ def detect_doc(
     gcache = artifacts.gram_vec_cache
     missing = [g for g in gram_list if g not in gcache]
     if missing:
+        if len(gcache) + len(missing) > GRAM_VEC_CACHE_CAP:
+            gcache.clear()  # clear-on-cap: bounded worker memory
         fresh = unit_rows(gram_vectors_batch(emb, phrases, missing))
         for g, v in zip(missing, fresh):
             gcache[g] = v
@@ -355,6 +365,8 @@ def detect_doc(
     head_set = {g[0] for g in gram_index}
     head_alias: dict[str, list[int]] = {}
     suffixes = artifacts.suffix_cache
+    if len(suffixes) > SUFFIX_CACHE_CAP:
+        suffixes.clear()  # clear-on-cap: bounded worker memory
     for tok, tid in token_ids.items():
         sufs = suffixes.get(tok)
         if sufs is None:

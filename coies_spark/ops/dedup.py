@@ -96,9 +96,12 @@ def jaccard_pairs(
     jac = F.round(
         F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
     )
+    # No broadcast hint on the per-doc sizes: they are O(corpus) rows,
+    # which would OOM a forced broadcast at the 100 TB design point —
+    # AQE picks broadcast at bench scale and sort-merge at scale.
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

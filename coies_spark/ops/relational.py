@@ -177,10 +177,12 @@ def rouge1_pairs(docs: DataFrame) -> DataFrame:
     )
     ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("total").alias("na"))
     tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("total").alias("nb"))
+    # per-doc totals are O(corpus) rows — no forced broadcast (AQE
+    # chooses broadcast at bench scale, sort-merge at the 100 TB regime)
     out = (
         pairs.join(matches, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn("m", F.coalesce("m", F.lit(0)))
     )
     return out.select(

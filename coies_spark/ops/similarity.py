@@ -179,6 +179,7 @@ def hyperplane_lsh_buckets(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket): sign-of-projection LSH bucket key (Charikar
     random-hyperplane hashing) — the cosine-ANN scale path: candidates
@@ -186,10 +187,19 @@ def hyperplane_lsh_buckets(
     all-pairs cross join; bucket count 2^n_planes bounds bucket sizes.
 
     Hyperplanes are deterministic constants baked into the plan, so the
-    bucket assignment is bit-reproducible across engines.
+    bucket assignment is bit-reproducible across engines.  Pass ``dim``
+    (callers know it) to keep plan construction job-free; the
+    ``.first()`` probe is only a fallback and raises on an empty frame.
     """
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    planes = hyperplane_planes(n_planes, first.d, seed)
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError(
+                "hyperplane_lsh_buckets: empty embeddings frame — pass "
+                "dim explicitly"
+            )
+        dim = first.d
+    planes = hyperplane_planes(n_planes, dim, seed)
     bucket = None
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -213,10 +223,13 @@ def lsh_ann_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim): candidate pairs sharing an LSH bucket, with
     exact cosine verification — bucket join replaces the O(n²) scan."""
-    b = hyperplane_lsh_buckets(embeddings, n_planes, seed, id_col, vec_col)
+    b = hyperplane_lsh_buckets(
+        embeddings, n_planes, seed, id_col, vec_col, dim
+    )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).join(b, "vec_id")

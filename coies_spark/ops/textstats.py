@@ -167,18 +167,26 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     (score desc, token asc).
 
     Two shuffles: the (doc, token) count and the token df; the df table
-    is vocabulary-sized → broadcast back onto the counts.
+    is vocabulary-sized → broadcast back onto the counts.  The corpus
+    size N is a broadcast 1-row aggregate cross-joined into the plan —
+    no separate driver-side job/scan to fetch the scalar.
     """
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0].n
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("__n_docs"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (

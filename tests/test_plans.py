@@ -62,6 +62,43 @@ def test_assemble_single_shuffle(spark):
     assert "partial_collect_list" in p  # map-side partial aggregation
 
 
+def test_tfidf_construction_runs_no_job(spark, monkeypatch):
+    """The corpus-size scalar N must be computed inside the query plan
+    (broadcast 1-row aggregate), not by a driver-side collect."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = textstats.tfidf_keywords(docs)  # must not trigger an action
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_lsh_buckets_with_dim_runs_no_job(spark, monkeypatch):
+    """With dim supplied, bucket construction must not probe the data."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = similarity.lsh_ann_pairs(emb, n_planes=8, dim=64)
+    monkeypatch.undo()
+    assert df.count() >= 0
+
+
+def test_lsh_buckets_empty_frame_raises(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("false")
+    with pytest.raises(ValueError, match="pass\\s+.?dim"):
+        similarity.hyperplane_lsh_buckets(emb)
+
+
 def test_extraction_path_shuffle_count(spark):
     """Raw + tagged assembly: 2 aggregations + 1 join, all on conv_id —
     the join must reuse the aggregation partitioning (no extra
