@@ -10,9 +10,10 @@ values:
 * digests are md5 hex (identical across engines);
 * every ranking has a total deterministic order (value desc, id asc).
 
-Rows-only entries (kg_extract_triples, entity_spans_gold,
-canonicalize_cc, multimodal_features) cover the non-SQL-expressible
-pipeline stages (iterative connected components, Arrow-UDF extraction).
+Rows-only entries (kg_extract_triples, kg_linked_triples) cover the
+two Arrow-UDF extraction kernels with no SQL twin; everything else —
+including the iterative connected components (recursive-CTE oracle),
+the tag-grammar span parser, and the multimodal digests — is oracled.
 """
 
 from __future__ import annotations
@@ -27,8 +28,15 @@ from pyspark.sql.window import Window
 from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
 from coies_spark.data import synth
 from coies_spark.operators.salted import salted_count
-from coies_spark.operators.graph import connected_components
-from coies_spark.ops import dedup, multimodal, relational, similarity, textstats
+from coies_spark.operators.graph import connected_components_star
+from coies_spark.ops import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    wmd,
+)
 from coies_spark.pipeline.extract import extract_mentions
 from coies_spark.pipeline.triples import conv_triples
 
@@ -139,20 +147,44 @@ def _q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_triples(canonicalize(linked))
 
 
-def _q_entity_spans_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gold triples parsed from inline tags (P4/P5 fixture path)."""
-    _, _, corpus = _synth_transcripts(spark, sf_dir)
-    rows = corpus.gold_triples()
-    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+# Deterministic tag injection over the documents table: both engines
+# apply the SAME regex chain, so the oracle independently re-parses the
+# tag grammar the Spark side parses with the real textproc machinery.
+_TAG_COMP = r"\b(spark|customer)\b"
+_TAG_ITEM = r"\b(table value|big vector)\b"
+
+
+def _q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity spans parsed from inline-tagged documents (P4/P5 path):
+    inject ``<comp.>``/``<item.>`` tags deterministically, then run the
+    distributed tag-grammar parser (pipeline.extract.extract_entity_spans
+    → core.textproc, example_parsing.py:57-92,121-135 parity)."""
+    from coies_spark.pipeline.extract import extract_entity_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _TAG_COMP, "<comp.>$1</>"),
+            _TAG_ITEM,
+            "<item.>$1</>",
+        ).alias("text"),
+    )
+    return extract_entity_spans(tagged)
 
 
 def _q_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidate graph → connected components.  Candidate
+    graphs chain near-duplicates, so their diameter is not bounded by
+    construction — use the O(log² n) large-star/small-star variant
+    (the alias graphs inside pipeline.canonicalize stay on neighbor-min
+    propagation, whose diameter IS bounded)."""
     docs = _read(spark, sf_dir, "documents")
     edges = dedup.lsh_candidate_pairs(docs).select(
         F.col("doc_a").cast("string").alias("src"),
         F.col("doc_b").cast("string").alias("dst"),
     )
-    return connected_components(edges)
+    return connected_components_star(edges)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,10 +324,11 @@ def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- KG pipeline (rows-only; non-SQL-expressible) ---
+        # --- KG pipeline (kg_* are rows-only: Arrow-UDF extraction
+        # kernels with no SQL twin; the rest are oracled) ---
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
-        "entity_spans_gold": _q_entity_spans_gold,
+        "entity_spans_tagged": _q_entity_spans,
         "canonicalize_cc": _q_canonicalize_cc,
         "multimodal_features": _q_multimodal,
         # --- text analysis (documents) ---
@@ -338,12 +371,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
         ),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup(
-            _read(s, d, "embeddings")
+            _read(s, d, "embeddings"), dim=EMB_DIM
         ),
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
             _read(s, d, "documents")
         ),
+        "rougel_pairs": lambda s, d: relational.rougel_pairs(
+            _read(s, d, "documents")
+        ),
+        "rwmd_pairs": lambda s, d: wmd.rwmd_pairs(_read(s, d, "documents")),
         "top_group_orders": _q_top_group,
         "range_join_stopwords": _q_range_join,
         "sessionize_events": lambda s, d: relational.sessionize(
@@ -408,9 +445,108 @@ def _lsh_oracle(n_planes: int = 8, dim: int = EMB_DIM) -> str:
     """
 
 
+def _neardup_oracle(
+    threshold: float = 0.4,
+    n_bands: int = 6,
+    band_planes: int = 2,
+    dim: int = EMB_DIM,
+    seed: int = 7,
+) -> str:
+    """Banded-LSH near-dup oracle with the SAME deterministic plane
+    constants the Spark operator bakes into its plan — candidates and
+    the exact-cosine verify are both bit-identical across engines."""
+    from coies_spark.ops.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(n_bands * band_planes, dim, seed)
+    selects = []
+    for band in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"([{', '.join(map(str, planes[band * band_planes + j]))}])[i]"
+            f")) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_planes)
+        )
+        selects.append(
+            f"SELECT vec_id, embedding, {band} AS band, "
+            f"CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+        )
+    bands = " UNION ALL ".join(selects)
+    return f"""
+        WITH b AS ({bands}),
+        cand AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 {_COS.format(a='x.embedding', b='y.embedding')} AS sim
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.bucket = y.bucket
+            AND x.vec_id < y.vec_id)
+        SELECT DISTINCT vec_a, vec_b, sim FROM cand
+        WHERE sim >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "['the','a','of','and','to','in','is','it']"
     return {
+        "entity_spans_tagged": rf"""
+            WITH tg AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, '{_TAG_COMP}', '<comp.>\1</>', 'g'),
+                  '{_TAG_ITEM}', '<item.>\1</>', 'g') AS ttext
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                regexp_extract_all(ttext, '<([a-z]+)\.>', 1) AS types,
+                regexp_extract_all(ttext, '<[a-z]+\.>(.*?)</>', 1) AS bodies
+              FROM tg)
+            SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+              types[i] AS entity_type,
+              array_to_string(list_filter(
+                regexp_split_to_array(lower(bodies[i]),
+                  '[\s!-/:-@\[-`{{-~]'), x -> x <> ''), ' ') AS mention
+            FROM m, unnest(range(1, len(types)+1)) u(i)
+        """,
+        "multimodal_features": """
+            SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+              (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+                AS modality,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              md5(text) AS digest
+            FROM documents WHERE doc_id < 200
+        """,
+        "canonicalize_cc": f"""
+            WITH RECURSIVE {_SHINGLES},
+            mh AS (
+              SELECT doc_id, h,
+                     min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+              FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+            bands AS (
+              SELECT doc_id, h//2 AS band,
+                     string_agg(minhash, ',' ORDER BY h) AS band_key
+              FROM mh GROUP BY 1,2),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+              GROUP BY 1,2),
+            edges AS (
+              SELECT CAST(doc_a AS VARCHAR) AS a,
+                     CAST(doc_b AS VARCHAR) AS b FROM pairs
+              UNION
+              SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR)
+              FROM pairs),
+            reach AS (
+              -- min-label reachability: component = min (VARCHAR-
+              -- lexicographic, matching Spark's min over string ids)
+              -- node id reachable from each node
+              SELECT a AS node, a AS r FROM edges
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN edges e
+                ON e.a = reach.r)
+            SELECT node, min(r) AS component FROM reach GROUP BY 1
+        """,
         "token_stats": f"""
             SELECT doc_id,
               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -628,12 +764,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
         "ann_lsh_pairs": _lsh_oracle(),
-        "embedding_neardup": f"""
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {_COS.format(a='a.embedding', b='b.embedding')} AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
-        """,
+        "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (
               SELECT doc_id, source, row_number() OVER (
@@ -663,6 +794,93 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
             JOIN totals ta ON ta.doc_id = p.doc_a
             JOIN totals tb ON tb.doc_id = p.doc_b
+        """,
+        "rwmd_pairs": f"""
+            WITH toksu AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                           FROM documents),
+            counts AS (SELECT doc_id, tok, count(*) AS c
+                       FROM toksu GROUP BY 1,2),
+            vecs AS (SELECT doc_id, tok, c,
+                       list_transform(range(0, 8), k ->
+                         CAST(('0x'||substr(md5(tok), 1+4*k, 4)) AS BIGINT)
+                         / 65535.0) AS vec
+                     FROM counts),
+            totals AS (SELECT doc_id, sum(c) AS total
+                       FROM counts GROUP BY 1),
+            ranked AS (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM ranked x JOIN ranked y
+                ON y.source = x.source AND y.rn = x.rn + 1),
+            dists AS (
+              SELECT p.doc_a, p.doc_b, a.tok AS tok_a, a.c AS ca,
+                     b.tok AS tok_b, b.c AS cb,
+                     round(sqrt(list_sum(list_transform(range(1, 9),
+                       i -> (a.vec[i]-b.vec[i])*(a.vec[i]-b.vec[i])))), 6)
+                       AS d
+              FROM pairs p
+              JOIN vecs a ON a.doc_id = p.doc_a
+              JOIN vecs b ON b.doc_id = p.doc_b),
+            mina AS (SELECT doc_a, doc_b, tok_a, ca, min(d) AS mind
+                     FROM dists GROUP BY 1,2,3,4),
+            minb AS (SELECT doc_a, doc_b, tok_b, cb, min(d) AS mind
+                     FROM dists GROUP BY 1,2,3,4),
+            la AS (
+              SELECT doc_a, doc_b,
+                round(CAST(sum(CAST(ca*mind AS DECIMAL(28,10)))
+                      AS DOUBLE) / t.total, 6) AS la
+              FROM mina JOIN totals t ON t.doc_id = mina.doc_a
+              GROUP BY doc_a, doc_b, t.total),
+            lb AS (
+              SELECT doc_a, doc_b,
+                round(CAST(sum(CAST(cb*mind AS DECIMAL(28,10)))
+                      AS DOUBLE) / t.total, 6) AS lb
+              FROM minb JOIN totals t ON t.doc_id = minb.doc_b
+              GROUP BY doc_a, doc_b, t.total)
+            SELECT la.doc_a, la.doc_b, greatest(la.la, lb.lb) AS rwmd
+            FROM la JOIN lb ON la.doc_a = lb.doc_a AND la.doc_b = lb.doc_b
+        """,
+        "rougel_pairs": f"""
+            WITH RECURSIVE
+            ranked AS (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM ranked x JOIN ranked y
+                ON y.source = x.source AND y.rn = x.rn + 1),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            base AS (
+              SELECT p.doc_a, p.doc_b, ta.toks AS a, tb.toks AS b,
+                     len(ta.toks) AS n, len(tb.toks) AS m
+              FROM pairs p
+              JOIN t ta ON ta.doc_id = p.doc_a
+              JOIN t tb ON tb.doc_id = p.doc_b),
+            -- anti-diagonal wavefront LCS: diagonal d depends only on
+            -- diagonals d-1 (cur) and d-2 (prev), so each recursive
+            -- step advances every pair by one whole diagonal with an
+            -- elementwise list_transform (O(n·m) total work per pair)
+            lcs AS (
+              SELECT doc_a, doc_b, a, b, n, m, 0 AS d,
+                     list_transform(range(0, n+1), x -> 0) AS prev,
+                     list_transform(range(0, n+1), x -> 0) AS cur
+              FROM base
+              UNION ALL
+              SELECT doc_a, doc_b, a, b, n, m, d+1, cur AS prev,
+                     list_transform(range(0, n+1), i ->
+                       CASE WHEN i = 0 OR d+1-i <= 0 OR d+1-i > m THEN 0
+                            WHEN a[i] = b[d+1-i] THEN prev[i] + 1
+                            ELSE greatest(cur[i], cur[i+1]) END) AS cur
+              FROM lcs WHERE d < n + m)
+            SELECT doc_a, doc_b,
+                   cur[n+1] * 1.0 / n AS p,
+                   cur[n+1] * 1.0 / m AS r,
+                   cur[n+1] / ((n + m) / 2.0) AS f
+            FROM lcs WHERE d = n + m
         """,
         "top_group_orders": """
             WITH st AS (

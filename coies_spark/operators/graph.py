@@ -1,12 +1,23 @@
 """Connected components over an edge DataFrame (canonicalization core).
 
-Iterative min-label propagation expressed purely in DataFrame ops
-(GraphFrames-style; cf. Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14 — our variant is the simple
-neighborhood-min propagation, adequate for the short-diameter alias
-graphs entity canonicalization produces).  Each iteration is one
-shuffle (groupBy node); lineage is cut with ``localCheckpoint`` every
-few rounds so the plan does not grow unboundedly (SURVEY.md §7 risk 5).
+Two DataFrame-only algorithms (no GraphFrames dependency):
+
+* ``connected_components`` — simple neighbor-min label propagation
+  (GraphFrames-style).  O(diameter) rounds, one shuffle per round —
+  the right choice for the short-diameter alias graphs entity
+  canonicalization produces.  Convergence is checked every
+  ``check_every`` rounds so long chains don't pay one count() action
+  per round.
+* ``connected_components_star`` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14).  O(log² n) rounds regardless of diameter — the web-scale
+  path for graphs whose diameter is not bounded by construction
+  (e.g. LSH candidate-pair graphs chaining near-duplicates).
+
+Both return the same (node, component) labeling: component = min node
+id (string-lexicographic, matching the DuckDB recursive-CTE oracle) in
+the node's connected component.  Lineage is cut with ``localCheckpoint``
+every few rounds so plans don't grow unboundedly (SURVEY.md §7 risk 5).
 """
 
 from __future__ import annotations
@@ -15,22 +26,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
-    checkpoint_every: int = 3,
+    max_iter: int = 50,
+    check_every: int = 2,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """→ (node string, component string): component = min node id
     reachable from node (undirected).  Converges in O(diameter)
-    iterations; raises if max_iter is hit before convergence.
+    rounds; the convergence action only runs every ``check_every``
+    rounds (a converged round is a fixpoint, so running k extra cheap
+    rounds is semantics-free).  Raises if max_iter is hit first.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    sym = _symmetrize(edges, src, dst)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -49,14 +68,101 @@ def connected_components(
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_labels
+        labels = new_labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} iters"
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ⁺(u))."""
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("mn", F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Direct edges large→small, then connect each node's smaller
+    neighborhood (and itself) to its minimum."""
+    directed = sym.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct()
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    with_min = directed.join(mins, "a")
+    out = (
+        with_min.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a").alias("a"), F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """→ (node string, component string) via alternating large-star /
+    small-star (Kiveris SoCC'14): O(log² n) rounds independent of graph
+    diameter.  At the fixpoint the edge set is a union of stars whose
+    centers are the component minima; labels are read straight off the
+    final directed edges.
+    """
+    sym = _symmetrize(edges, src, dst)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    e = sym
+    for it in range(max_iter):
+        e2 = _small_star(_symmetrize(_large_star(e), "a", "b"))
+        e2_sym = _symmetrize(e2, "a", "b")
+        if (it + 1) % checkpoint_every == 0:
+            e2_sym = e2_sym.localCheckpoint(eager=False)
+        # fixpoint test: the (symmetric, distinct) edge sets are equal —
+        # one action over the union of both early-exit anti-join probes
+        same = (
+            e2_sym.exceptAll(e)
+            .limit(1)
+            .unionByName(e.exceptAll(e2_sym).limit(1))
             .limit(1)
             .count()
+            == 0
         )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+        e = e2_sym
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} iters"
+        )
+    # stars: every remaining directed edge (a→b) has b = component min
+    directed = e.select(
+        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("m")
+    )
+    labels = directed.groupBy("node").agg(F.min("m").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )

@@ -136,20 +136,15 @@ def range_containment_join(
     return items.join(windows, cond, how).drop(*[windows[k] for k in keys])
 
 
-def rouge1_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, p, r, f): ROUGE-1 between within-source document
-    pairs (each doc paired with the next doc_id of the same source;
-    peer = a, model = b).
-
-    Clipped-count semantics (rougescore.py:7-40): matches =
-    Σ_token min(count_a, count_b); F uses α=0.5 →
-    f = matches / ((total_a + total_b)/2).  All rounded 6dp.
-    """
+def _source_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): each doc paired with the next doc_id of the same
+    source — the deterministic pair generator shared by the pairwise
+    scoring operators."""
     w = Window.partitionBy("source").orderBy("doc_id")
     ranked = docs.select(
         "doc_id", "source", F.row_number().over(w).alias("rn")
     )
-    pairs = (
+    return (
         ranked.alias("x")
         .join(
             ranked.alias("y"),
@@ -160,6 +155,18 @@ def rouge1_pairs(docs: DataFrame) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
     )
+
+
+def rouge1_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, p, r, f): ROUGE-1 between within-source document
+    pairs (each doc paired with the next doc_id of the same source;
+    peer = a, model = b).
+
+    Clipped-count semantics (rougescore.py:7-40): matches =
+    Σ_token min(count_a, count_b); F uses α=0.5 →
+    f = matches / ((total_a + total_b)/2).  All rounded 6dp.
+    """
+    pairs = _source_pairs(docs)
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.groupBy("doc_id").agg(F.sum("c").alias("total"))
@@ -194,3 +201,59 @@ def rouge1_pairs(docs: DataFrame) -> DataFrame:
             F.try_divide("m", (F.col("na") + F.col("nb")) / 2.0), 6
         ).alias("f"),
     )
+
+
+ROUGEL_SCHEMA = "doc_a long, doc_b long, p double, r double, f double"
+
+
+def rougel_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, p, r, f): ROUGE-L (LCS-based F, rougescore.py:
+    77-123; peer = a, model = b) between within-source document pairs.
+
+    LCS is inherently sequential per pair, so the kernel runs as an
+    Arrow-batched ``mapInPandas`` over ``core.metrics.lcs_len`` (bit-
+    vector DP: one big-int op per token — ~μs per 100-token pair).  The
+    join that ships both token arrays to the kernel is an equi-join on
+    doc ids; nothing is quadratic in the corpus.
+
+    p/r/f are exact IEEE doubles of integer ratios (L/n), so the DuckDB
+    wavefront-LCS oracle reproduces them bit-for-bit without rounding.
+    """
+    from ..core.metrics import lcs_len
+    from ..functions.tokenize import tokens_col as _tokens_col
+
+    pairs = _source_pairs(docs)
+    t = docs.select("doc_id", _tokens_col("text").alias("toks"))
+    joined = pairs.join(
+        t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+        "doc_a",
+    ).join(
+        t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+        "doc_b",
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
+            ):
+                ta, tb = list(ta), list(tb)
+                n, m = len(ta), len(tb)
+                lcs = lcs_len(tb, ta)
+                rows.append(
+                    (
+                        da,
+                        db,
+                        lcs / n if n else 0.0,
+                        lcs / m if m else 0.0,
+                        lcs / ((n + m) / 2.0) if n + m else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "p", "r", "f"]
+            )
+
+    return joined.mapInPandas(kernel, ROUGEL_SCHEMA)

@@ -248,27 +248,128 @@ def lsh_ann_pairs(
     )
 
 
+def banded_lsh_buckets(
+    embeddings: DataFrame,
+    n_bands: int = 6,
+    band_planes: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, <vec_col>, band, bucket): OR-amplified hyperplane LSH —
+    ``n_bands`` independent hash tables of ``band_planes`` hyperplanes
+    each (one struct-array + explode; no shuffle).  A pair is a
+    candidate iff it collides in ≥1 band, so per-pair recall at angle θ
+    is 1-(1-(1-θ/π)^band_planes)^n_bands — tune (band_planes, n_bands)
+    for the target similarity: more planes/band prunes harder, more
+    bands recovers recall.  Plane constants are deterministic (seeded)
+    and baked into the plan → bit-reproducible across engines.
+    """
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError(
+                "banded_lsh_buckets: empty embeddings frame — pass dim"
+            )
+        dim = first.d
+    planes = hyperplane_planes(n_bands * band_planes, dim, seed)
+
+    def band_bucket(band: int) -> Column:
+        bucket = None
+        for j in range(band_planes):
+            arr = F.array(*[F.lit(x) for x in planes[band * band_planes + j]])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda x, h: x.cast("double") * h
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket.cast("long")
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), band_bucket(i).alias("bucket")
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias(vec_col),
+        F.explode(bands).alias("bb"),
+    ).select("vec_id", vec_col, "bb.band", "bb.bucket")
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.4,
+    n_bands: int = 6,
+    band_planes: int = 2,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """(vec_a, vec_b, sim): pairs with cosine ≥ threshold.
+    """(vec_a, vec_b, sim): embedding near-duplicate pairs with exact
+    cosine ≥ ``threshold``.
 
-    All-pairs baseline (O(n²) — at scale, route through
-    ``lsh_candidate_pairs``-style bucketing or ``ivf_topk`` probing
-    first; this operator is the verifier on the candidate set)."""
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    Scale path (default): banded-LSH candidate generation (equality
+    join on (band, bucket) — Σ bucket² cost, never O(n²)) followed by
+    exact cosine verification and candidate dedup.  Recall follows the
+    OR-amplification curve in ``banded_lsh_buckets``; the defaults give
+    ~0.96 per-pair recall at sim 0.4 and ≈1 above sim 0.9 (asserted by
+    tests/test_ops_oracle.py on a planted-twin corpus).
+
+    ``exact=True`` is the all-pairs O(n²) verifier — test oracle only,
+    never the shipped plan.
+    """
+    if exact:
+        a = embeddings.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        )
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                cosine_sim(F.col("va"), F.col("vb")).alias("sim"),
+            )
+            .where(F.col("sim") >= threshold)
+        )
+    e = banded_lsh_buckets(
+        embeddings, n_bands, band_planes, seed, id_col, vec_col, dim
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    x = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        "band",
+        "bucket",
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        "band",
+        "bucket",
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        x.join(y, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim")
+            "vec_a",
+            "vec_b",
+            cosine_sim(F.col("va"), F.col("vb")).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
+        # a pair may collide in several bands; sim is identical on
+        # every duplicate row, so a plain distinct dedups candidates
+        .distinct()
     )

@@ -36,9 +36,13 @@ MENTION_SCHEMA = (
 )
 
 
+MAX_TURNS_PER_DOC = 10_000
+
+
 def assemble_docs(
     transcripts: DataFrame,
     tagged_transcripts: Optional[DataFrame] = None,
+    max_turns: int = MAX_TURNS_PER_DOC,
 ) -> DataFrame:
     """(conv_id, raw_text, context_text): turns concatenated with '\\n'
     under stable (turn_idx) order.
@@ -46,6 +50,13 @@ def assemble_docs(
     '\\n' is both a sentence and token delimiter (file_tools.py:67,75),
     so joined turns tokenize exactly like the reference's whole-file
     reads — and per-turn ``text`` is never modified (per-row invariant).
+
+    ``max_turns`` bounds the assembled row: turns with ``turn_idx >=
+    max_turns`` are dropped BEFORE the aggregation, so one pathological
+    multi-GB conversation can neither blow the 2 GB row limit nor skew
+    its reducer.  The filter is deterministic (turn_idx is the 0-based
+    turn position) and shuffle-free; pass ``max_turns=None``-equivalent
+    by raising the cap if a deployment truly needs unbounded docs.
 
     ``tagged_transcripts``: optional tagged twins (fixture parity mode —
     the reference reads context windows from the tagged file and
@@ -55,7 +66,8 @@ def assemble_docs(
 
     def concat_turns(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.groupBy("conv_id")
+            df.where(F.col("turn_idx") < max_turns)
+            .groupBy("conv_id")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct("turn_idx", "text"))
@@ -122,3 +134,34 @@ def extract_mentions(
     return detect_mentions(
         assemble_docs(transcripts, tagged_transcripts), artifacts
     )
+
+
+SPAN_SCHEMA = "doc_id long, span_idx int, entity_type string, mention string"
+
+
+def extract_entity_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, span_idx, entity_type, mention): gold entity spans
+    parsed from inline ``<type.>…</>`` tags (the P4/P5 tagged-file
+    grammar, example_parsing.py:57-92,121-135) — distributed as a
+    shuffle-free Arrow ``mapInPandas`` over the real single-node parser
+    (core.textproc), one batch per Arrow chunk.
+    """
+    from ..core import textproc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tagged = textproc.tagged_tokens_from_text(text)
+                for idx, (typ, toks, _, _) in enumerate(
+                    textproc.entity_spans(tagged)
+                ):
+                    rows.append((doc_id, idx, typ, " ".join(toks)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "span_idx", "entity_type", "mention"],
+            )
+
+    return docs.mapInPandas(run, schema=SPAN_SCHEMA)

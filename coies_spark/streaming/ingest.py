@@ -67,6 +67,19 @@ def windowed_turn_counts(
     )
 
 
+def write_epoch(triples: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Idempotent per-epoch triple write: dynamic overwrite of exactly
+    the ``batch_id=N`` partition (re-running an epoch replaces its own
+    output instead of duplicating it)."""
+    (
+        triples.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def stream_extract(
     stream: DataFrame,
     artifacts: ExampleArtifacts,
@@ -74,17 +87,25 @@ def stream_extract(
     checkpoint_dir: str,
 ) -> StreamingQuery:
     """Continuous KG extraction: per micro-batch, run the batch
-    extraction kernel and append (subj, pred, obj, score, batch_id)
-    triples.  foreachBatch + checkpoint → exactly-once appends."""
+    extraction kernel and write (subj, pred, obj, score, batch_id)
+    triples partitioned by batch_id.
+
+    foreachBatch is only at-least-once (a batch can replay after a
+    failure before its offset commit), so the write must be idempotent
+    per epoch: each batch DYNAMICALLY OVERWRITES exactly its own
+    ``batch_id=N`` partition — a replayed epoch rewrites the same
+    partition instead of appending duplicates.  Combined with the
+    streaming checkpoint this yields end-to-end exactly-once output
+    (same mechanism as an Iceberg ``overwritePartitions`` commit).
+    """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        triples = conv_triples(extract_mentions(batch, artifacts))
-        (
-            triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        write_epoch(
+            conv_triples(extract_mentions(batch, artifacts)),
+            batch_id,
+            out_dir,
         )
 
     return (

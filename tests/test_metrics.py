@@ -61,3 +61,90 @@ class TestTriplePRF:
     def test_empty_pred(self):
         m = triple_prf([], [("a", "b", "c")])
         assert m["precision"] == 0.0 and m["recall"] == 0.0
+
+
+class TestRougeL:
+    def _lcs_dp(self, a, b):
+        # reference-faithful rolling-row DP (rougescore.py:77-110
+        # semantics) used only as the property-test witness
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(prev[j - 1] + 1 if x == y else max(cur[j - 1], prev[j]))
+            prev = cur
+        return prev[-1]
+
+    def test_known_values(self):
+        from coies_spark.core.metrics import lcs_len, rouge_l
+
+        assert lcs_len("abcbdab", "bdcaba") == 4
+        assert lcs_len([], ["a"]) == 0
+        assert lcs_len(["a", "b"], []) == 0
+        # peer == model → f = 1.0
+        assert rouge_l(["a", "b", "c"], [["a", "b", "c"]]) == 1.0
+        # disjoint → 0.0
+        assert rouge_l(["a"], [["b"]]) == 0.0
+        # lcs("a c" vs "a b c") = 2 → p=2/3 r=2/2 f=2*2/(3+2)... alpha 0.5
+        got = rouge_l(["a", "b", "c"], [["a", "c"]])
+        assert got == pytest.approx(2 * 2 / (3 + 2))
+
+    def test_bitvector_matches_dp_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        from coies_spark.core.metrics import lcs_len
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(st.integers(0, 4), max_size=40),
+            st.lists(st.integers(0, 4), max_size=40),
+        )
+        def check(a, b):
+            assert lcs_len(a, b) == self._lcs_dp(a, b)
+
+        check()
+
+
+class TestRwmdKernelProperties:
+    """Engine-independent sanity of the RWMD construction (the full
+    distributed operator is oracle-verified in test_ops_oracle)."""
+
+    def _vec(self, tok):
+        import hashlib
+
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [int(h[4 * k : 4 * k + 4], 16) / 65535.0 for k in range(8)]
+
+    def _dist(self, t, u):
+        import math
+
+        return round(
+            math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(self._vec(t), self._vec(u)))
+            ),
+            6,
+        )
+
+    def test_identical_docs_have_zero_rwmd(self, spark):
+        from coies_spark.ops.wmd import rwmd_pairs
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma", "s"), (1, "alpha beta gamma", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = rwmd_pairs(docs).collect()
+        assert len(rows) == 1 and rows[0].rwmd == 0.0
+
+    def test_single_token_docs_rwmd_is_exact_distance(self, spark):
+        """With one token per doc, RWMD == WMD == d(t, u) exactly."""
+        from coies_spark.ops.wmd import rwmd_pairs
+
+        docs = spark.createDataFrame(
+            [(0, "alpha", "s"), (1, "beta", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = rwmd_pairs(docs).collect()
+        assert len(rows) == 1
+        assert rows[0].rwmd == pytest.approx(
+            self._dist("alpha", "beta"), abs=2e-6
+        )

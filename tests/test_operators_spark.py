@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from coies_spark.core.textproc import tokenize
 from coies_spark.functions.tokenize import tokenize_udf, tokens_col
-from coies_spark.operators.graph import connected_components
+from coies_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 from coies_spark.operators.salted import salted_count, salted_join
 
 pytestmark = pytest.mark.spark
@@ -65,6 +68,43 @@ class TestConnectedComponents:
                for r in connected_components(edges, max_iter=30).collect()}
         assert set(got.values()) == {"n00"}
         assert len(got) == n + 1
+
+
+    def test_star_matches_simple_on_random_graphs(self, spark):
+        """large-star/small-star must produce the identical labeling as
+        neighbor-min propagation — random graphs, a long chain (worst
+        case for diameter-bound algorithms), and singleton edges."""
+        import random
+
+        rnd = random.Random(5)
+        n = 24
+        edges = [
+            (f"v{rnd.randrange(n):03d}", f"v{rnd.randrange(n):03d}")
+            for _ in range(28)
+        ]
+        cases = [
+            [(a, b) for a, b in edges if a != b],
+            [(f"c{i:03d}", f"c{i+1:03d}") for i in range(10)],
+        ]
+        for edges in cases:
+            df = spark.createDataFrame(edges, "src string, dst string")
+            simple = {
+                (r.node, r.component)
+                for r in connected_components(df, max_iter=60).collect()
+            }
+            star = {
+                (r.node, r.component)
+                for r in connected_components_star(df).collect()
+            }
+            assert star == simple
+
+    def test_star_two_components(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+        )
+        got = {r.node: r.component
+               for r in connected_components_star(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 class TestTokenizerParity:

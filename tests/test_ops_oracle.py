@@ -169,3 +169,34 @@ class TestOpProperties:
         vids = media.where("modality = 'video'").collect()
         want = sum(max(v.duration_ms // 1000, 1) for v in vids)
         assert frames.count() == want
+
+    def test_embedding_neardup_recall_on_planted_twins(self, spark):
+        """Banded LSH at the defaults must find every planted near-dup
+        (sim ≈ 0.97 twins) that the exact all-pairs verifier finds."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((120, 32)).astype("float32")
+        twins = base[:60] + 0.15 * rng.standard_normal((60, 32)).astype(
+            "float32"
+        )
+        rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+            (1000 + i, v.tolist()) for i, v in enumerate(twins)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.embedding_neardup(
+                emb, threshold=0.9, dim=32
+            ).collect()
+        }
+        want = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.embedding_neardup(
+                emb, threshold=0.9, exact=True
+            ).collect()
+        }
+        assert len(want) >= 50  # the plant worked
+        assert got == want  # 100% recall at near-dup similarity

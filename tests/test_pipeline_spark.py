@@ -214,3 +214,20 @@ class TestResumability:
         metrics = r.metrics().collect()
         assert {m.stage for m in metrics} >= {"s1_docs", "s2_mentions",
                                               "s5_triples"}
+
+def test_assemble_docs_caps_oversized_conversations(spark):
+    from coies_spark.pipeline.extract import assemble_docs
+
+    rows = [("big", i, "u", f"turn {i}", None, None) for i in range(30)]
+    rows += [("ok", 0, "u", "hello", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.conv_id: r.raw_text for r in assemble_docs(df, max_turns=10).collect()}
+    assert got["ok"] == "hello"
+    assert got["big"] == "\n".join(f"turn {i}" for i in range(10))
+    # default cap leaves normal conversations untouched
+    full = {r.conv_id: r.raw_text for r in assemble_docs(df).collect()}
+    assert full["big"] == "\n".join(f"turn {i}" for i in range(30))

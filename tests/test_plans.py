@@ -93,6 +93,16 @@ def test_lsh_buckets_with_dim_runs_no_job(spark, monkeypatch):
     assert df.count() >= 0
 
 
+def test_embedding_neardup_no_cross_join(spark):
+    """The shipped near-dup plan must be the banded-LSH equality join —
+    never an all-pairs cross join (the round-1 scale-killer)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(similarity.embedding_neardup(emb, dim=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
 def test_lsh_buckets_empty_frame_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("false")
     with pytest.raises(ValueError, match="pass\\s+.?dim"):

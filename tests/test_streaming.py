@@ -88,3 +88,23 @@ def test_stream_extract_matches_batch(spark, drops, tmp_path, corpus, artifacts)
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == got.count()
+
+def test_write_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch must replace
+    its own partition, not append duplicates; other epochs untouched."""
+    out = str(tmp_path / "epochs")
+    t1 = spark.createDataFrame(
+        [("c1", "comp", "acme", 1.0)], "subj string, pred string, obj string, score double"
+    )
+    t2 = spark.createDataFrame(
+        [("c2", "item", "revenue", 0.9), ("c3", "date", "2001", 0.8)],
+        "subj string, pred string, obj string, score double",
+    )
+    ingest.write_epoch(t1, 0, out)
+    ingest.write_epoch(t2, 1, out)
+    assert spark.read.parquet(out).count() == 3
+    # replay epoch 1 (same payload) → still 3 rows, not 5
+    ingest.write_epoch(t2, 1, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.where("batch_id = 0").count() == 1
