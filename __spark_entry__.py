@@ -195,6 +195,40 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-dup corpus derived in-query (both engines compute the
+# SAME double-precision perturbation): for vec_id < 300, a twin at
+# id+100000 with v'[i] = v[i] + 0.25·v[(i+1) mod dim] → cosine ≈ 0.97
+# against its original.  This puts real near-duplicates in the corpus
+# (the raw embeddings table is near-orthogonal noise), so the operator
+# is exercised in the regime it is built for.
+_NEARDUP_PLANT = 300
+_NEARDUP_ID_OFFSET = 100_000
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.where(F.col("vec_id") < _NEARDUP_PLANT).select(
+        (F.col("vec_id") + _NEARDUP_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + 0.25
+            * F.element_at(
+                F.col("embedding"), ((i + 1) % EMB_DIM + 1).cast("int")
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    return similarity.embedding_neardup(
+        base.unionByName(twins), dim=EMB_DIM
+    )
+
+
 def _q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     w = (
@@ -370,9 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
             _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
         ),
-        "embedding_neardup": lambda s, d: similarity.embedding_neardup(
-            _read(s, d, "embeddings"), dim=EMB_DIM
-        ),
+        "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
             _read(s, d, "documents")
@@ -446,18 +478,31 @@ def _lsh_oracle(n_planes: int = 8, dim: int = EMB_DIM) -> str:
 
 
 def _neardup_oracle(
-    threshold: float = 0.4,
-    n_bands: int = 6,
-    band_planes: int = 2,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 8,
     dim: int = EMB_DIM,
     seed: int = 7,
 ) -> str:
     """Banded-LSH near-dup oracle with the SAME deterministic plane
-    constants the Spark operator bakes into its plan — candidates and
-    the exact-cosine verify are both bit-identical across engines."""
+    constants the Spark operator bakes into its plan — the planted-twin
+    derivation, the candidates, and the exact-cosine verify are all
+    bit-identical across engines."""
     from coies_spark.ops.similarity import hyperplane_planes
 
     planes = hyperplane_planes(n_bands * band_planes, dim, seed)
+    corpus = f"""
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_NEARDUP_ID_OFFSET},
+               list_transform(range(1, {dim}+1), i ->
+                 CAST(embedding[i] AS DOUBLE)
+                 + 0.25 * CAST(embedding[(i % {dim}) + 1] AS DOUBLE))
+        FROM embeddings WHERE vec_id < {_NEARDUP_PLANT}
+    """
     selects = []
     for band in range(n_bands):
         bits = " + ".join(
@@ -469,11 +514,12 @@ def _neardup_oracle(
         )
         selects.append(
             f"SELECT vec_id, embedding, {band} AS band, "
-            f"CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+            f"CAST({bits} AS BIGINT) AS bucket FROM corpus"
         )
     bands = " UNION ALL ".join(selects)
     return f"""
-        WITH b AS ({bands}),
+        WITH corpus AS ({corpus}),
+        b AS ({bands}),
         cand AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                  {_COS.format(a='x.embedding', b='y.embedding')} AS sim

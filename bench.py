@@ -11,6 +11,9 @@ Headliners cover the engine's load-bearing paths:
 * simhash           — per-doc Charikar fingerprints
 * ann_brute_topk    — exact cosine top-k over embeddings
 * rouge1_pairs      — clipped-unigram pair scoring
+* rougel_pairs      — bit-vector LCS ROUGE-L pair scoring (Arrow UDF)
+* rwmd_pairs        — relaxed word-mover's distance pair scoring
+* embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
 * sessionize        — windowed span assembly over events
@@ -81,7 +84,7 @@ def main() -> None:
 
     from coies_spark.core.oneshot import build_example_artifacts
     from coies_spark.data import synth
-    from coies_spark.ops import dedup, relational, similarity
+    from coies_spark.ops import dedup, relational, similarity, wmd
     from coies_spark.pipeline.extract import extract_mentions
     from coies_spark.pipeline.triples import conv_triples
     from coies_spark.session import get_spark
@@ -127,7 +130,12 @@ def main() -> None:
         "jaccard_pairs": lambda: run(dedup.jaccard_pairs(docs)),
         "simhash": lambda: run(dedup.simhash(docs)),
         "ann_brute_topk": lambda: run(similarity.brute_topk(emb)),
+        "embedding_neardup": lambda: run(
+            similarity.embedding_neardup(emb, dim=64)
+        ),
         "rouge1_pairs": lambda: run(relational.rouge1_pairs(docs)),
+        "rougel_pairs": lambda: run(relational.rougel_pairs(docs)),
+        "rwmd_pairs": lambda: run(wmd.rwmd_pairs(docs)),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
         "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
         "sessionize": lambda: run(relational.sessionize(events)),

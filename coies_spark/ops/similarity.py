@@ -307,9 +307,9 @@ def banded_lsh_buckets(
 
 def embedding_neardup(
     embeddings: DataFrame,
-    threshold: float = 0.4,
-    n_bands: int = 6,
-    band_planes: int = 2,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -321,10 +321,15 @@ def embedding_neardup(
 
     Scale path (default): banded-LSH candidate generation (equality
     join on (band, bucket) — Σ bucket² cost, never O(n²)) followed by
-    exact cosine verification and candidate dedup.  Recall follows the
-    OR-amplification curve in ``banded_lsh_buckets``; the defaults give
-    ~0.96 per-pair recall at sim 0.4 and ≈1 above sim 0.9 (asserted by
-    tests/test_ops_oracle.py on a planted-twin corpus).
+    exact cosine verification and candidate dedup.  The defaults are
+    geared to the NEAR-DUP regime (sim ≥ ~0.9): 8 planes/band gives
+    2^8 buckets per band (collision prob for unrelated vectors
+    ≈ 0.5^8), 8 OR-bands recover recall ≈ 1 above sim 0.95 (asserted
+    on a planted-twin corpus in tests/test_ops_oracle.py).  Low
+    thresholds (≤ 0.5) on near-orthogonal corpora are NOT prunable by
+    any LSH — that is a property of the geometry, not the operator;
+    use ``exact`` there or accept the documented recall curve in
+    ``banded_lsh_buckets``.
 
     ``exact=True`` is the all-pairs O(n²) verifier — test oracle only,
     never the shipped plan.

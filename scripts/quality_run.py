@@ -1,0 +1,221 @@
+"""Flagship quality run with TRAINED vectors at reference thresholds.
+
+Reproduces the reference's evaluation shape end-to-end on its own
+corpus (data only — no reference code imported):
+
+* train word2vec on the aaer corpus via ``ops.embedding_train``
+  (reference hyperparameters, word2vec_models.py:38-47: d=512,
+  window=5, min_count=1),
+* plug the vector table into the extraction artifacts through
+  ``MappedEmbedding`` (M1/M6 production slot),
+* run the DISTRIBUTED pipeline (assemble → Arrow mention detection →
+  score) over the tagged test files paired with their raw aaer twins
+  (file_tools.py:103-105 pairing),
+* score with the reference metric (per-doc-normalized ROUGE-1 F,
+  α=0.5 — oneshot_test.py:105-120, 205-208; main.py:19-30)
+  at the flagship config (oneshot_test.py:16-21:
+  topn=5, context_threshold=0.9, word_threshold=0.6, context_size=100).
+
+Usage: python scripts/quality_run.py [--dim 512] [--corpus-files 0(=all)]
+       [--test-files 0(=all)] [--max-iter 1] [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/text_files"
+EXAMPLE = f"{REF}/example/34-53330.txt"
+
+
+def read_ref(path: str) -> str:
+    from coies_spark.core import textproc
+
+    with open(path, "rb") as f:
+        return textproc.ascii_clean(f.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--corpus-files", type=int, default=0, help="0 = all")
+    ap.add_argument("--test-files", type=int, default=0, help="0 = all")
+    ap.add_argument("--max-iter", type=int, default=5)
+    ap.add_argument(
+        "--trainer",
+        choices=["cbow", "sg"],
+        default="cbow",
+        help="cbow = ops.cbow (reference mode, word2vec_models.py:38-47);"
+        " sg = pyspark.ml skip-gram",
+    )
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--vec-cache",
+        default=None,
+        help="npz path: load trained vectors if present, else train and save",
+    )
+    ap.add_argument("--per-seed", action="store_true")
+    args = ap.parse_args()
+
+    from coies_spark.core import textproc
+    from coies_spark.core.embed import MappedEmbedding
+    from coies_spark.core.oneshot import (
+        ExtractionConfig,
+        build_example_artifacts,
+    )
+    from coies_spark.ops.embedding_train import train_word2vec, vectors_to_mapping
+    from coies_spark.pipeline.evaluate import (
+        corpus_score,
+        score_extractions,
+    )
+    from coies_spark.pipeline.extract import extract_mentions
+    from coies_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark("quality-run", cores=args.cores)
+
+    # ---- corpus sentences (reference: full aaer dir, aaer_corpus.py) ----
+    corpus_files = sorted(os.listdir(f"{REF}/aaer"))
+    if args.corpus_files:
+        corpus_files = corpus_files[: args.corpus_files]
+    sentences = []
+    for fn in corpus_files:
+        sentences.extend(
+            textproc.sentence_tokens(read_ref(f"{REF}/aaer/{fn}"))
+        )
+    print(f"corpus: {len(corpus_files)} files, {len(sentences)} sentences")
+
+    # ---- train word2vec (distributed, JVM-side) -------------------------
+    sent_df = spark.createDataFrame(
+        [(s,) for s in sentences if s], "sentence array<string>"
+    )
+    import numpy as np
+
+    if args.vec_cache and os.path.exists(args.vec_cache):
+        npz = np.load(args.vec_cache, allow_pickle=False)
+        # materialize arrays ONCE — indexing npz["vecs"] per token would
+        # re-decompress the full array each access
+        vecs, tokens = npz["vecs"], npz["tokens"]
+        mapping = {t: vecs[i] for i, t in enumerate(tokens)}
+        print(f"loaded {len(mapping)} cached vectors from {args.vec_cache}")
+    else:
+        if args.trainer == "cbow":
+            from coies_spark.ops.cbow import train_cbow
+
+            vectors = train_cbow(
+                sent_df,
+                dim=args.dim,
+                window=5,
+                min_count=1,
+                epochs=args.max_iter,
+                n_parts=max(4, args.cores // 2),
+            )
+        else:
+            vectors = train_word2vec(
+                sent_df,
+                dim=args.dim,
+                window=5,
+                min_count=1,
+                max_iter=args.max_iter,
+            )
+        mapping = vectors_to_mapping(vectors)
+        if args.vec_cache:
+            toks = list(mapping)
+            np.savez_compressed(
+                args.vec_cache,
+                tokens=np.array(toks),
+                vecs=np.stack([np.asarray(mapping[t], np.float32) for t in toks]),
+            )
+    t_train = time.time() - t0
+    print(f"trained {len(mapping)} vectors d={args.dim} in {t_train:.0f}s")
+
+    # ---- artifacts at the flagship config -------------------------------
+    cfg = ExtractionConfig(dim=args.dim)  # flagship defaults (0.9/0.6/100/5)
+    emb = MappedEmbedding(mapping, args.dim)
+    artifacts = build_example_artifacts(
+        read_ref(EXAMPLE), sentences, cfg, emb=emb
+    )
+    print(f"seeds: {[(s.pred, ' '.join(s.tokens)) for s in artifacts.seeds]}")
+
+    # ---- test docs: tagged test/<stem> paired with raw aaer/<stem> ------
+    stems = [
+        fn[:-4]
+        for fn in sorted(os.listdir(f"{REF}/test"))
+        if fn.endswith(".txt")
+        and os.path.exists(f"{REF}/aaer/{fn}")
+    ]
+    if args.test_files:
+        stems = stems[: args.test_files]
+    raw_rows, tagged_rows, gold_rows = [], [], []
+    for stem in stems:
+        raw_rows.append((stem, 0, "doc", read_ref(f"{REF}/aaer/{stem}.txt"), None, None))
+        tagged_text = read_ref(f"{REF}/test/{stem}.txt")
+        tagged_rows.append((stem, 0, "doc", tagged_text, None, None))
+        gold = textproc.entity_dict(
+            textproc.tagged_tokens_from_text(tagged_text)
+        )
+        for pred, mentions in gold.items():
+            for m in mentions:
+                gold_rows.append((stem, pred, " ".join(m)))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    raw = spark.createDataFrame(raw_rows, schema).repartition(len(stems))
+    tagged = spark.createDataFrame(tagged_rows, schema)
+    gold = spark.createDataFrame(
+        gold_rows, "conv_id string, pred string, obj string"
+    )
+    print(f"test docs: {len(stems)}, gold triples: {len(gold_rows)}")
+
+    # ---- distributed extract + score ------------------------------------
+    mentions = extract_mentions(raw, artifacts, tagged_transcripts=tagged)
+    convs = raw.select("conv_id").distinct()
+    scores = score_extractions(mentions, gold, artifacts, convs)
+    if args.per_seed:
+        scores = scores.cache()
+        from pyspark.sql import functions as F
+
+        for r in (
+            scores.groupBy("seed", "pred")
+            .agg(F.round(F.avg("rouge"), 3).alias("avg"), F.count("*").alias("n"))
+            .orderBy("pred", "seed")
+            .collect()
+        ):
+            print(f"  seed={r.seed!r:30} pred={r.pred:6} avg_rouge={r.avg} n={r.n}")
+    score = corpus_score(scores)
+    n_mentions = mentions.count()
+    wall = time.time() - t0
+    out = {
+        "metric": "rouge1_f_corpus",
+        "value": round(score, 4),
+        "dim": args.dim,
+        "corpus_files": len(corpus_files),
+        "test_files": len(stems),
+        "n_mentions": n_mentions,
+        "config": {
+            "topn": cfg.topn,
+            "context_threshold": cfg.context_threshold,
+            "word_threshold": cfg.word_threshold,
+            "context_size": cfg.context_size,
+        },
+        "train_sec": round(t_train, 1),
+        "wall_sec": round(wall, 1),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,54 @@ def test_word2vec_trains_and_plugs_in(spark, corpus):
     doc = corpus.test_docs[0]
     out = detect_doc(doc.raw_text, doc.tagged_text, art)
     assert isinstance(out, list)  # runs clean; emission set is model-dependent
+
+
+class TestCbow:
+    def _sentences(self, spark):
+        # two artificial topics: tokens within a topic co-occur, across
+        # topics never — CBOW must separate them
+        import random
+
+        rnd = random.Random(3)
+        a_vocab = [f"alpha{i}" for i in range(8)]
+        b_vocab = [f"beta{i}" for i in range(8)]
+        rows = []
+        for _ in range(300):
+            v = a_vocab if rnd.random() < 0.5 else b_vocab
+            rows.append(([rnd.choice(v) for _ in range(8)],))
+        return spark.createDataFrame(rows, "sentence array<string>")
+
+    def test_topics_separate_and_deterministic(self, spark):
+        import numpy as np
+
+        from coies_spark.ops.cbow import train_cbow
+
+        sent = self._sentences(spark)
+        v1 = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                sent, dim=16, epochs=2, n_parts=2, min_count=1
+            ).collect()
+        }
+        v2 = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                sent, dim=16, epochs=2, n_parts=2, min_count=1
+            ).collect()
+        }
+        assert set(v1) == set(v2) and len(v1) == 16
+        for t in v1:
+            assert np.allclose(v1[t], v2[t]), "training must be deterministic"
+
+        def cos(x, y):
+            return float(
+                x @ y / (np.linalg.norm(x) * np.linalg.norm(y))
+            )
+
+        within = np.mean(
+            [cos(v1["alpha0"], v1[f"alpha{i}"]) for i in range(1, 8)]
+        )
+        across = np.mean(
+            [cos(v1["alpha0"], v1[f"beta{i}"]) for i in range(8)]
+        )
+        assert within > across + 0.2, (within, across)
