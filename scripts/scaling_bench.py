@@ -48,15 +48,22 @@ from coies_spark.session import get_spark
 out_dir, n_docs, rep = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark("scaling-prep", cores=32)
 corpus = synth.make_corpus(n_test=n_docs // 2, n_plain=n_docs // 2, seed=42)
+frames = {}
 for name, use_raw in (("raw", True), ("tagged", False)):
     df = spark.createDataFrame(
         synth.transcripts_frame(corpus.all_docs, use_raw=use_raw))
-    (df.crossJoin(spark.range(rep).select(F.col("id").alias("r")))
-       .withColumn("conv_id", F.concat_ws(
-           "-", "conv_id", F.col("r").cast("string")))
-       .drop("r")
-       .repartition(64)
-       .write.mode("overwrite").parquet(f"{out_dir}/{name}"))
+    frames[name] = (
+        df.crossJoin(spark.range(rep).select(F.col("id").alias("r")))
+          .withColumn("conv_id", F.concat_ws(
+              "-", "conv_id", F.col("r").cast("string")))
+          .drop("r"))
+    frames[name].repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/{name}")
+# pre-assembled docs for the detect-stage measurement (the flagship
+# compute stage, isolated from the tiny-input shuffle fixed costs)
+from coies_spark.pipeline.extract import assemble_docs
+(assemble_docs(frames["raw"], frames["tagged"]).repartition(64)
+    .write.mode("overwrite").parquet(f"{out_dir}/assembled"))
 print("PREP_OK")
 """
 
@@ -71,6 +78,7 @@ from __spark_entry__ import SMALL_CORPUS_CONFIG
 
 in_dir, cores, n_docs, partitions = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+stage = sys.argv[5] if len(sys.argv) > 5 else "full"
 import os as _os
 _shm = "/dev/shm/coies_spark_tmp"
 _os.makedirs(_shm, exist_ok=True)
@@ -84,6 +92,9 @@ artifacts = build_example_artifacts(
 raw = spark.read.parquet(f"{in_dir}/raw")
 tagged = spark.read.parquet(f"{in_dir}/tagged")
 n_turns = raw.count()
+if stage == "detect":
+    from coies_spark.pipeline.extract import detect_mentions
+    assembled = spark.read.parquet(f"{in_dir}/assembled")
 warm_c = synth.make_corpus(n_test=250, n_plain=250, seed=7)
 warm = spark.createDataFrame(
     synth.transcripts_frame(warm_c.all_docs, use_raw=True)
@@ -93,8 +104,11 @@ extract_mentions(warm, artifacts).count()
 times = []
 for _ in range(5):
     t0 = time.perf_counter()
-    n_mentions = extract_mentions(
-        raw, artifacts, tagged_transcripts=tagged).count()
+    if stage == "detect":
+        n_mentions = detect_mentions(assembled, artifacts).count()
+    else:
+        n_mentions = extract_mentions(
+            raw, artifacts, tagged_transcripts=tagged).count()
     times.append(time.perf_counter() - t0)
 wall = min(times)
 print(json.dumps({"cores": cores, "turns": n_turns,
@@ -124,9 +138,10 @@ def hw_ceiling(low: int, high: int) -> float:
     return round(mean_cpu(low) / mean_cpu(high), 3)
 
 
-def run_level(in_dir: str, cores: int, n_docs: int, partitions: int) -> dict:
+def run_level(in_dir: str, cores: int, n_docs: int, partitions: int,
+              stage: str = "full") -> dict:
     cmd = [sys.executable, "-c", WORKER, in_dir, str(cores), str(n_docs),
-           str(partitions)]
+           str(partitions), stage]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
@@ -143,6 +158,11 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--stage", choices=["full", "detect"], default="full",
+        help="full = scan+assemble+detect; detect = pre-assembled scan+"
+             "detect only (isolates the flagship compute stage from "
+             "fixed shuffle costs that dominate at bench-scale inputs)")
     args = ap.parse_args()
 
     partitions = 4 * args.high
@@ -161,8 +181,10 @@ def main() -> None:
         # same conditions; per level keep the best wall across trials
         lo = hi = None
         for _ in range(2):
-            l = run_level(in_dir, args.low, args.docs, partitions)
-            h = run_level(in_dir, args.high, args.docs, partitions)
+            l = run_level(in_dir, args.low, args.docs, partitions,
+                          args.stage)
+            h = run_level(in_dir, args.high, args.docs, partitions,
+                          args.stage)
             if lo is None or l["wall_s"] < lo["wall_s"]:
                 lo = l
             if hi is None or h["wall_s"] < hi["wall_s"]:
@@ -176,7 +198,7 @@ def main() -> None:
     raw_eff = round(speedup / ratio, 3)
     norm_eff = round(min(1.0, raw_eff / ceiling), 3)
     result = {
-        "metric": "scaling_efficiency",
+        "metric": "scaling_efficiency", "stage": args.stage,
         "value": raw_eff,
         "unit": "fraction",
         "hw_normalized": norm_eff,
