@@ -107,24 +107,42 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures_wide(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, m0..m{num_hashes-1}): the full MinHash signature in ONE
+    map-side-combinable aggregation.  Each ``mi`` is the lexicographic
+    min of seed-``i`` md5 hex digests over the doc's shingles — string
+    ordering is identical across engines, so signatures are portable.
+
+    Shape matters at 100 TB: all ``num_hashes`` digests are computed as
+    sibling expressions on the un-exploded shingle rows and reduced by
+    ``num_hashes`` parallel ``min`` aggregates, so the shingle stream
+    passes the hash aggregate ONCE (vs the naive explode-by-seed which
+    multiplies it by ``num_hashes``) and the shuffle carries one
+    partially-aggregated row per (doc, map partition)."""
+    sh = doc_shingles(docs, n)
+    mins = [
+        F.min(
+            _md5(F.concat_ws(":", F.lit(str(i)), "shingle"))
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
-    """(doc_id, h, minhash): per-seed MinHash values; ``minhash`` is the
-    lexicographic min of seeded md5 hex digests over the doc's distinct
-    shingles — string ordering is identical across engines, making the
-    signature fully portable."""
-    sh = doc_shingles(docs, n)
-    seeded = sh.select(
+    """(doc_id, h, minhash): long-format view of the wide signature —
+    a driver-side-free unpivot, kept for oracle SQL twins and callers
+    that want one row per (doc, seed)."""
+    wide = minhash_signatures_wide(docs, n, num_hashes)
+    stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "h",
-        _md5(F.concat_ws(":", F.col("h").cast("string"), "shingle")).alias("d"),
+        F.expr(f"stack({num_hashes}, {stack}) as (h, minhash)"),
     )
-    return seeded.groupBy("doc_id", "h").agg(F.min("d").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -138,22 +156,31 @@ def lsh_candidate_pairs(
 
     The banded-signature equality join replaces the all-pairs cross
     join: cost is Σ bucket² over buckets, bounded in practice because a
-    full band collision already implies high similarity.
+    full band collision already implies high similarity.  Band keys are
+    assembled from the wide signature row (comma-joined minhashes in
+    seed order), so the whole candidate generation is one shuffle (the
+    signature aggregation) plus the bucket self-join.
     """
-    sig = minhash_signatures(docs, n, num_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s.minhash,
-                ),
+    wide = minhash_signatures_wide(docs, n, num_hashes)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("band_key")
+                *[
+                    F.col(f"m{i}")
+                    for i in range(
+                        b * band_size,
+                        min((b + 1) * band_size, num_hashes),
+                    )
+                ],
+            ).alias("band_key"),
         )
-    )
+        for b in range((num_hashes + band_size - 1) // band_size)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     x = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     y = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
