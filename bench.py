@@ -92,6 +92,7 @@ def main() -> None:
     from __spark_entry__ import (
         SMALL_CORPUS_CONFIG,
         _q_agg_pricing,
+        _q_embedding_neardup,
         _q_join_revenue,
     )
 
@@ -130,8 +131,12 @@ def main() -> None:
         "jaccard_pairs": lambda: run(dedup.jaccard_pairs(docs)),
         "simhash": lambda: run(dedup.simhash(docs)),
         "ann_brute_topk": lambda: run(similarity.brute_topk(emb)),
+        # the driver query: raw embeddings + planted near-dup twins, so
+        # the measurement exercises the >= 0.9 regime the operator is
+        # geared for (the raw table alone is near-orthogonal noise with
+        # zero true pairs)
         "embedding_neardup": lambda: run(
-            similarity.embedding_neardup(emb, dim=64)
+            _q_embedding_neardup(spark, sf_dir)
         ),
         "rouge1_pairs": lambda: run(relational.rouge1_pairs(docs)),
         "rougel_pairs": lambda: run(relational.rougel_pairs(docs)),

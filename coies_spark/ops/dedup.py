@@ -195,8 +195,11 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): Charikar fingerprint over distinct tokens.
 
     Token hash = first 4 md5 hex chars → 16-bit int (portable);
-    simhash bit b = majority vote of token bit b.  One explode by
-    ``bits`` then a single groupBy — linear in tokens × bits.
+    simhash bit b = majority vote of token bit b.  All ``bits`` vote
+    sums are sibling aggregates in ONE map-side-combinable groupBy on
+    the un-exploded token rows (same shape as the wide MinHash
+    signature) — the token stream passes the aggregate once and the
+    shuffle carries one partial row per (doc, map partition).
     """
     tok = (
         docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
@@ -208,23 +211,17 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             .alias("th"),
         )
     )
-    votes = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "th",
-    ).select(
-        "doc_id",
-        "b",
-        # SQL-form shiftright: the Python wrapper only takes int shifts.
-        (F.expr("shiftright(th, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias(
-            "vote"
-        ),
-    )
-    per_bit = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
+            F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    wide = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return wide.select(
+        "doc_id", fingerprint.cast("long").alias("simhash")
     )
