@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
 from coies_spark.ops import similarity, textstats
 from coies_spark.pipeline.extract import assemble_docs
 
@@ -107,6 +109,25 @@ def test_lsh_buckets_empty_frame_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("false")
     with pytest.raises(ValueError, match="pass\\s+.?dim"):
         similarity.hyperplane_lsh_buckets(emb)
+
+
+def test_triples_partition_pruning(spark, tmp_path):
+    """Triples materialize partitioned by pred (pipeline/triples.py);
+    a per-predicate consumer's filter must prune to that partition at
+    the scan (PartitionFilters), not post-filter a full read."""
+    triples = spark.createDataFrame(
+        [("c1", "comp", "acme", 0.9), ("c1", "date", "2001", 0.8),
+         ("c2", "comp", "globex", 0.7), ("c2", "item", "profits", 0.6)],
+        "subj string, pred string, obj string, score double",
+    )
+    out = str(tmp_path / "triples")
+    triples.write.partitionBy("pred").parquet(out)
+    back = spark.read.parquet(out).where(F.col("pred") == "comp")
+    p = plan_of(back, "formatted")
+    assert "PartitionFilters" in p
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "pred" in pf and "comp" in pf, pf
+    assert back.count() == 2
 
 
 def test_extraction_path_shuffle_count(spark):
