@@ -43,6 +43,7 @@ def assemble_docs(
     transcripts: DataFrame,
     tagged_transcripts: Optional[DataFrame] = None,
     max_turns: int = MAX_TURNS_PER_DOC,
+    strategy: str = "union",
 ) -> DataFrame:
     """(conv_id, raw_text, context_text): turns concatenated with '\\n'
     under stable (turn_idx) order.
@@ -62,6 +63,18 @@ def assemble_docs(
     the reference reads context windows from the tagged file and
     candidates from the raw one, file_tools.py:103-105).  Production
     passes None → context = raw.
+
+    ``strategy`` (parity mode only):
+    * ``"union"`` (default) — union both streams with a source flag and
+      aggregate ONCE: two conditional collect_lists in a single
+      groupBy, so the whole parity assembly is one shuffle (no join,
+      no merge sorts).  collect_list drops the nulls the flag
+      condition produces, which is what scopes each list to its side.
+    * ``"join"`` — aggregate each side and left-join: 2 aggregations +
+      join, but every operator keys on conv_id, so over co-bucketed
+      input tables (sources/bucketed.py) the entire plan needs ZERO
+      exchanges — a union of two bucketed scans would discard the
+      bucket partitioning and reintroduce the shuffle.
     """
 
     def concat_turns(df: DataFrame, out: str) -> DataFrame:
@@ -81,12 +94,56 @@ def assemble_docs(
             )
         )
 
-    raw = concat_turns(transcripts, "raw_text")
     if tagged_transcripts is None:
+        raw = concat_turns(transcripts, "raw_text")
         return raw.withColumn("context_text", F.col("raw_text"))
-    tagged = concat_turns(tagged_transcripts, "context_text")
-    return raw.join(tagged, "conv_id", "left").withColumn(
-        "context_text", F.coalesce("context_text", "raw_text")
+    if strategy == "join":
+        raw = concat_turns(transcripts, "raw_text")
+        tagged = concat_turns(tagged_transcripts, "context_text")
+        return raw.join(tagged, "conv_id", "left").withColumn(
+            "context_text", F.coalesce("context_text", "raw_text")
+        )
+
+    def side(df: DataFrame, is_raw: bool) -> DataFrame:
+        return df.where(F.col("turn_idx") < max_turns).select(
+            "conv_id", "turn_idx", "text", F.lit(is_raw).alias("is_raw")
+        )
+
+    u = side(transcripts, True).unionByName(side(tagged_transcripts, False))
+
+    def txt(flag: bool) -> F.Column:
+        return F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_raw") == flag,
+                            F.struct("turn_idx", "text"),
+                        )
+                    )
+                ),
+                lambda s: s.text,
+            ),
+        )
+
+    # presence flags (not an empty-string sentinel: "" is a legal
+    # assembled text for an all-empty-turn conversation) keep the row
+    # set and the fallback exactly equal to the left-join strategy:
+    # rows = conversations with >=1 raw turn; context falls back to raw
+    # only when the conversation has NO tagged twin rows
+    agg = u.groupBy("conv_id").agg(
+        txt(True).alias("raw_text"),
+        txt(False).alias("ctx"),
+        F.max(F.col("is_raw").cast("int")).alias("has_raw"),
+        F.max((~F.col("is_raw")).cast("int")).alias("has_tagged"),
+    )
+    return agg.where(F.col("has_raw") == 1).select(
+        "conv_id",
+        "raw_text",
+        F.when(F.col("has_tagged") == 1, F.col("ctx"))
+        .otherwise(F.col("raw_text"))
+        .alias("context_text"),
     )
 
 

@@ -131,9 +131,11 @@ def test_triples_partition_pruning(spark, tmp_path):
 
 
 def test_extraction_path_shuffle_count(spark):
-    """Raw + tagged assembly: 2 aggregations + 1 join, all on conv_id —
-    the join must reuse the aggregation partitioning (no extra
-    exchange beyond the two aggregation shuffles)."""
+    """Raw + tagged assembly (default union strategy): the flag-union
+    collapses the parity-mode assembly to a SINGLE conditional
+    aggregation — exactly one shuffle, no join.  The join strategy
+    (for co-bucketed input) keeps 2 agg shuffles + a partitioning-
+    reusing join."""
     raw = spark.createDataFrame(
         [("c1", 0, "u", "hello", None, None)],
         "conv_id string, turn_idx int, role string, text string, "
@@ -145,4 +147,43 @@ def test_extraction_path_shuffle_count(spark):
         "tool string, ts timestamp",
     )
     p = plan_of(assemble_docs(raw, tagged))
-    assert p.count("Exchange") <= 3  # 2 agg shuffles (+1 AQE artifact max)
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+    p_join = plan_of(assemble_docs(raw, tagged, strategy="join"))
+    assert p_join.count("Exchange") <= 3  # 2 agg shuffles (+1 AQE max)
+
+
+def test_assemble_strategies_agree_on_edge_cases(spark):
+    """Union and join strategies must emit identical rows, including:
+    conversation only in tagged (dropped), conversation with no tagged
+    twin (context falls back to raw), all-empty-text turns (kept, with
+    empty context distinct from missing twin)."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    raw = spark.createDataFrame(
+        [
+            ("both", 0, "u", "hello", None, None),
+            ("both", 1, "a", "world", None, None),
+            ("raw_only", 0, "u", "solo", None, None),
+            ("empty_text", 0, "u", "", None, None),
+        ],
+        schema,
+    )
+    tagged = spark.createDataFrame(
+        [
+            ("both", 0, "u", "<comp.>hello</>", None, None),
+            ("both", 1, "a", "world", None, None),
+            ("tagged_only", 0, "u", "ghost", None, None),
+            ("empty_text", 0, "u", "", None, None),
+        ],
+        schema,
+    )
+    u = sorted(map(tuple, assemble_docs(raw, tagged).collect()))
+    j = sorted(
+        map(tuple, assemble_docs(raw, tagged, strategy="join").collect())
+    )
+    assert u == j
+    convs = [r[0] for r in u]
+    assert "tagged_only" not in convs and "raw_only" in convs
