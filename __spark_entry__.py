@@ -224,8 +224,13 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         ).alias("embedding"),
     )
+    # the embeddings table arrives as 1-2 small files; the 64 plane
+    # projections per vector are CPU-bound, so spread them over the
+    # session's cores (at production scale the file count supplies
+    # this parallelism and the repartition coalesces away under AQE)
+    n_par = spark.sparkContext.defaultParallelism
     return similarity.embedding_neardup(
-        base.unionByName(twins), dim=EMB_DIM
+        base.unionByName(twins).repartition(n_par), dim=EMB_DIM
     )
 
 

@@ -256,8 +256,10 @@ def banded_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, <vec_col>, band, bucket): OR-amplified hyperplane LSH —
+    """(vec_id, <vec_col>, *keep_cols, band, bucket): OR-amplified
+    hyperplane LSH —
     ``n_bands`` independent hash tables of ``band_planes`` hyperplanes
     each (one struct-array + explode; no shuffle).  A pair is a
     candidate iff it collides in ≥1 band, so per-pair recall at angle θ
@@ -301,8 +303,9 @@ def banded_lsh_buckets(
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias(vec_col),
+        *[F.col(c) for c in keep_cols],
         F.explode(bands).alias("bb"),
-    ).select("vec_id", vec_col, "bb.band", "bb.bucket")
+    ).select("vec_id", vec_col, *keep_cols, "bb.band", "bb.bucket")
 
 
 def embedding_neardup(
@@ -350,18 +353,28 @@ def embedding_neardup(
             )
             .where(F.col("sim") >= threshold)
         )
+    # norms are computed once per vector BEFORE banding/explode; the
+    # per-candidate verify then evaluates only the pair dot product.
+    # sqrt(dot(v,v)) here times sqrt(dot(w,w)) there is the exact
+    # expression cosine_sim folds, so sims stay bit-identical.
+    emb_n = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
     e = banded_lsh_buckets(
-        embeddings, n_bands, band_planes, seed, id_col, vec_col, dim
+        emb_n, n_bands, band_planes, seed, id_col, vec_col, dim,
+        keep_cols=("nrm",),
     )
     x = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
         "band",
         "bucket",
     )
     y = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
         "band",
         "bucket",
     )
@@ -371,7 +384,13 @@ def embedding_neardup(
         .select(
             "vec_a",
             "vec_b",
-            cosine_sim(F.col("va"), F.col("vb")).alias("sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                4,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
         # a pair may collide in several bands; sim is identical on
