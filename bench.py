@@ -113,8 +113,15 @@ def main() -> None:
         raw, artifacts, tagged_transcripts=tagged
     ).count()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf tables are single parquet files → 1-partition scans that
+    # would serialize the CPU-bound map side (shingling, hashing) onto
+    # one core; spread them like a production multi-file table would be
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        args.cores
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        args.cores
+    )
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def run(df):
