@@ -17,6 +17,8 @@ operators/  reusable DataFrame operators (windows, top_group, topk,
             dedup, ann, text analysis)
 pipeline/   the KG-construction pipeline stages (detect, link,
             canonicalize, triples) + checkpoint orchestration
+sources/    bucketed transcript storage (conv_id-clustered tables →
+            shuffle-free assembly)
 streaming/  Structured Streaming variants (windowed event rollups)
 """
 
