@@ -108,3 +108,46 @@ def test_write_epoch_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert got.where("batch_id = 0").count() == 1
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path, corpus):
+    """Streamed exact dedup keeps exactly one row per text digest —
+    the same survivor set size as the batch operator — with state
+    bounded by the watermark."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.streaming.dedup import stream_dedup_exact
+
+    pdf = synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    df = spark.createDataFrame(pdf)
+    # duplicate every row under a shifted conv_id: every text now
+    # appears at least twice inside the watermark horizon
+    doubled = df.unionByName(
+        df.withColumn("conv_id", F.concat_ws("-", "conv_id", F.lit("dup")))
+    )
+    in_dir = tmp_path / "dupdrops"
+    doubled.coalesce(2).write.parquet(str(in_dir))
+
+    stream = ingest.stream_transcripts(spark, str(in_dir))
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("select * from deduped")
+    n_digests = doubled.select(
+        F.md5(F.encode(F.col("text"), "utf-8"))
+    ).distinct().count()
+    assert kept.count() == n_digests  # exactly one survivor per digest
+    assert (
+        kept.select(F.md5(F.encode(F.col("text"), "utf-8")))
+        .distinct()
+        .count()
+        == n_digests
+    )
+    assert "digest" not in kept.columns
