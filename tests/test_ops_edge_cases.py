@@ -110,3 +110,45 @@ class TestDegenerateInputs:
         )
         out = relational.range_containment_join(items, wins)
         assert out.count() == 0
+
+
+def test_lsh_bands_match_long_format_uneven(spark):
+    """Wide-signature band keys must equal keys assembled from the
+    long-format signatures for EVERY (num_hashes, band_size), including
+    a trailing short band (num_hashes not divisible by band_size)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 30),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 30),
+        (2, "one two three four five six seven", "en", "s1", 30),
+        (3, "one two three four five six eight", "en", "s1", 30),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    for num_hashes, band_size in ((5, 2), (8, 3), (4, 4)):
+        got = sorted(
+            map(
+                tuple,
+                dedup.lsh_candidate_pairs(
+                    docs, num_hashes=num_hashes, band_size=band_size
+                ).collect(),
+            )
+        )
+        sig = dedup.minhash_signatures(
+            docs, num_hashes=num_hashes
+        ).collect()
+        by_doc = {}
+        for r in sig:
+            by_doc.setdefault(r.doc_id, {})[r.h] = r.minhash
+        keys = {}
+        for doc, mh in by_doc.items():
+            for b in range(-(-num_hashes // band_size)):
+                lo, hi = b * band_size, min((b + 1) * band_size, num_hashes)
+                keys.setdefault(
+                    (b, ",".join(mh[h] for h in range(lo, hi))), []
+                ).append(doc)
+        want = set()
+        for members in keys.values():
+            for a in members:
+                for c in members:
+                    if a < c:
+                        want.add((a, c))
+        assert got == sorted(want), (num_hashes, band_size)
