@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
             _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
         ),
+        "ann_ivf_kmeans": lambda s, d: similarity.ivf_topk_kmeans(
+            _read(s, d, "embeddings")
+        ),
         "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
@@ -458,6 +461,90 @@ round(
    * sqrt(list_sum(list_transform(range(1, len({b})+1),
             i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)
 """
+
+
+def _ivf_kmeans_oracle(
+    n_clusters: int = 8, iters: int = 2, n_queries: int = 8, k: int = 5
+) -> str:
+    """Generated CTE chain mirroring ``similarity.kmeans_labels`` +
+    ``ivf_topk`` exactly: seed centroids = k smallest-id vectors, each
+    Lloyd round = rounded-cosine argmax assignment (ties → smallest
+    cid) then per-dim avg rounded 6dp, final labels re-centroided for
+    the probe step (ivf_topk recomputes label centroids)."""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cid, ev AS cv"
+        f" FROM emb ORDER BY vec_id LIMIT {n_clusters})",
+    ]
+    cos_assign = _COS.format(a="e.ev", b="c.cv")
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            f" SELECT e.vec_id, c.cid, row_number() OVER ("
+            f" PARTITION BY e.vec_id ORDER BY {cos_assign} DESC,"
+            f" c.cid ASC) AS rn FROM emb e CROSS JOIN cent{it - 1} c)"
+            f" WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it}dim AS (SELECT a.cid, i-1 AS pos,"
+            f" round(avg(e.ev[i]), 6) AS c"
+            f" FROM a{it} a JOIN emb e USING (vec_id),"
+            f" unnest(range(1, len(e.ev)+1)) t(i) GROUP BY 1,2)"
+        )
+        ctes.append(
+            f"cent{it} AS (SELECT cid, list(c ORDER BY pos) AS cv"
+            f" FROM c{it}dim GROUP BY 1)"
+        )
+    ctes.append(
+        f"labels AS (SELECT vec_id, cid AS label FROM ("
+        f" SELECT e.vec_id, c.cid, row_number() OVER ("
+        f" PARTITION BY e.vec_id ORDER BY {cos_assign} DESC,"
+        f" c.cid ASC) AS rn FROM emb e CROSS JOIN cent{iters} c)"
+        f" WHERE rn = 1)"
+    )
+    # ivf_topk over the learned labels (recomputed label centroids)
+    ctes.append(
+        "el AS (SELECT e.vec_id, e.ev, l.label FROM emb e"
+        " JOIN labels l USING (vec_id))"
+    )
+    ctes.append(
+        "ldim AS (SELECT label, i-1 AS pos, round(avg(ev[i]), 6) AS c"
+        " FROM el, unnest(range(1, len(ev)+1)) t(i) GROUP BY 1,2)"
+    )
+    ctes.append(
+        "lcent AS (SELECT label, list(c ORDER BY pos) AS cv"
+        " FROM ldim GROUP BY 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, ev AS qv FROM el"
+        f" WHERE vec_id < {n_queries})"
+    )
+    cos_probe = _COS.format(a="q.qv", b="lcent.cv")
+    ctes.append(
+        f"probes AS (SELECT query_id, qv, label AS probe_label FROM ("
+        f" SELECT q.query_id, q.qv, lcent.label, row_number() OVER ("
+        f" PARTITION BY q.query_id ORDER BY {cos_probe} DESC,"
+        f" lcent.label ASC) AS rn FROM q, lcent) WHERE rn = 1)"
+    )
+    cos_score = _COS.format(a="p.qv", b="e.ev")
+    ctes.append(
+        f"scored AS (SELECT p.query_id, p.probe_label,"
+        f" e.vec_id AS target_id, {cos_score} AS sim"
+        f" FROM probes p JOIN el e ON e.label = p.probe_label"
+        f" WHERE e.vec_id <> p.query_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, probe_label, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM scored) WHERE rank <= {k}
+        """
+    )
 
 
 def _lsh_oracle(n_planes: int = 8, dim: int = EMB_DIM) -> str:
@@ -815,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
         "ann_lsh_pairs": _lsh_oracle(),
+        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (

@@ -161,6 +161,103 @@ def ivf_topk(
     )
 
 
+def kmeans_labels(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, label): deterministic Lloyd k-means cluster assignment,
+    fully declarative — ``iters`` assignment/recenter rounds UNROLLED
+    into one logical plan (no driver loop, no collect).
+
+    * init: the ``k`` smallest-id vectors are the seed centroids
+      (orderBy + limit — deterministic, engine-portable).
+    * assign: broadcast the k centroids, per-row argmax of rounded
+      cosine (ties → smallest centroid id, via max-of-struct with a
+      negated id key).  The k candidate rows per vector are produced
+      and partially aggregated on the SAME map task, so each Lloyd
+      round costs one input-sized shuffle — the textbook distributed
+      k-means bound.
+    * recenter: per-dimension mean in double, rounded 6dp (same
+      contract as ``label_centroids``, which keeps the DuckDB oracle
+      bit-aligned); empty clusters drop out in both engines alike.
+
+    At the 100 TB design point this is the centroid-training stage of
+    the IVF index: k ≪ n centroids broadcast; the corpus never
+    replicates.
+    """
+
+    def assign(cent: DataFrame) -> DataFrame:
+        cand = (
+            embeddings.select(
+                F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av")
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "_aid",
+                "_av",
+                "cid",
+                cosine_sim(F.col("_av"), F.col("cv")).alias("csim"),
+            )
+        )
+        best = F.max(
+            F.struct(F.col("csim").alias("s"), (-F.col("cid")).alias("nc"))
+        ).alias("b")
+        # _av is identical on all k candidate rows of a vector, so
+        # first() is deterministic here
+        return cand.groupBy("_aid").agg(best, F.first("_av").alias("_av")).select(
+            "_aid", "_av", (-F.col("b.nc")).alias("cid")
+        )
+
+    cent = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.transform(
+                vec_col, lambda x: x.cast("double")
+            ).alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        a = assign(cent)
+        cent = (
+            a.select("cid", F.posexplode("_av").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.c,
+                ).alias("cv")
+            )
+        )
+    return assign(cent).select(
+        F.col("_aid").alias(id_col), F.col("cid").alias("label")
+    )
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over self-trained k-means clusters: ``kmeans_labels``
+    supplies the partition assignment, then ``ivf_topk`` probes the
+    nearest centroid's bucket.  This is the production composition the
+    label-column variant stands in for."""
+    labels = kmeans_labels(embeddings, n_clusters, iters, id_col, vec_col)
+    labeled = embeddings.select(id_col, vec_col).join(labels, id_col)
+    return ivf_topk(labeled, n_queries, k, id_col, vec_col, "label")
+
+
 def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes (rounded to 6dp so they can be
     literalized identically into Spark expressions and oracle SQL)."""
