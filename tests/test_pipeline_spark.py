@@ -231,3 +231,69 @@ def test_assemble_docs_caps_oversized_conversations(spark):
     # default cap leaves normal conversations untouched
     full = {r.conv_id: r.raw_text for r in assemble_docs(df).collect()}
     assert full["big"] == "\n".join(f"turn {i}" for i in range(30))
+
+
+def test_fused_extraction_matches_staged(spark, spark_transcripts, artifacts):
+    """extract_mentions_fused must be emission-identical to the staged
+    assemble->detect path, including when Arrow batch boundaries split
+    a conversation (forced via a tiny maxRecordsPerBatch) and across
+    both parity and production (raw-only) modes."""
+    from coies_spark.pipeline.extract import extract_mentions_fused
+
+    raw, tagged = spark_transcripts
+    batch_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(batch_conf)
+    spark.conf.set(batch_conf, "7")  # force mid-conversation splits
+    try:
+        for tg in (tagged, None):
+            want = sorted(
+                map(tuple, extract_mentions(raw, artifacts, tg).collect())
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    extract_mentions_fused(raw, artifacts, tg).collect(),
+                )
+            )
+            assert got == want
+        assert len(want) > 0
+    finally:
+        spark.conf.set(batch_conf, old)
+
+
+def test_fused_extraction_edge_rows(spark, artifacts):
+    """Row semantics parity on the degenerate shapes: tagged-only
+    conversation (emits nothing), raw-only (context falls back to
+    raw), empty-text turns."""
+    from coies_spark.pipeline.extract import extract_mentions_fused
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    raw = spark.createDataFrame(
+        [
+            ("both", 0, "u", "hello there", None, None),
+            ("raw_only", 0, "u", "solo words", None, None),
+            ("empty_text", 0, "u", "", None, None),
+        ],
+        schema,
+    )
+    tagged = spark.createDataFrame(
+        [
+            ("both", 0, "u", "hello there", None, None),
+            ("tagged_only", 0, "u", "ghost", None, None),
+            ("empty_text", 0, "u", "", None, None),
+        ],
+        schema,
+    )
+    want = sorted(
+        map(tuple, extract_mentions(raw, artifacts, tagged).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            extract_mentions_fused(raw, artifacts, tagged).collect(),
+        )
+    )
+    assert got == want
