@@ -297,3 +297,44 @@ def test_fused_extraction_edge_rows(spark, artifacts):
         )
     )
     assert got == want
+
+
+def test_assemble_union_join_property(spark):
+    """Randomized equivalence of the union and join assembly
+    strategies over arbitrary conv/turn structures (duplicate turn
+    indices, empty texts, one-sided conversations)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row_st = st.tuples(
+        st.sampled_from(["c0", "c1", "c2", "c3"]),
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["", "a", "b b", "c words here"]),
+    )
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def frame(rows):
+        data = [(c, i, "u", t, None, None) for c, i, t in rows]
+        return spark.createDataFrame(data, schema)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        raw_rows=st.lists(row_st, min_size=1, max_size=12),
+        tagged_rows=st.lists(row_st, min_size=0, max_size=12),
+    )
+    def check(raw_rows, tagged_rows):
+        raw, tagged = frame(raw_rows), frame(tagged_rows)
+        u = sorted(map(tuple, assemble_docs(raw, tagged).collect()))
+        j = sorted(
+            map(tuple, assemble_docs(raw, tagged, strategy="join").collect())
+        )
+        assert u == j
+
+    check()
