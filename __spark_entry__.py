@@ -202,7 +202,10 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the raw embeddings table is near-orthogonal noise), so the operator
 # is exercised in the regime it is built for.
 _NEARDUP_PLANT = 300
-_NEARDUP_ID_OFFSET = 100_000
+# twin ids must never collide with real vec_ids at any sf the driver
+# runs; 10^9 is far above every generated embeddings table (the same
+# constant feeds the oracle SQL, so both engines stay aligned)
+_NEARDUP_ID_OFFSET = 1_000_000_000
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,9 +1019,12 @@ def oracle_sql() -> dict[str, str]:
                             ELSE greatest(cur[i], cur[i+1]) END) AS cur
               FROM lcs WHERE d < n + m)
             SELECT doc_a, doc_b,
-                   cur[n+1] * 1.0 / n AS p,
-                   cur[n+1] * 1.0 / m AS r,
-                   cur[n+1] / ((n + m) / 2.0) AS f
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE cur[n+1] * 1.0 / n END AS p,
+                   CASE WHEN m = 0 THEN 0.0
+                        ELSE cur[n+1] * 1.0 / m END AS r,
+                   CASE WHEN n + m = 0 THEN 0.0
+                        ELSE cur[n+1] / ((n + m) / 2.0) END AS f
             FROM lcs WHERE d = n + m
         """,
         "top_group_orders": """

@@ -35,6 +35,17 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _nodes(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """All edge endpoints — taken from the RAW edges, before
+    ``_symmetrize`` drops self-loops, so a node appearing only in
+    self-loop edges still gets a (node, component=node) row."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -50,10 +61,8 @@ def connected_components(
     rounds is semantics-free).  Raises if max_iter is hit first.
     """
     sym = _symmetrize(edges, src, dst)
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    labels = _nodes(edges, src, dst).withColumn(
+        "component", F.col("node")
     )
     for it in range(max_iter):
         # neighbor-min message pass: node's new label = min(own label,
@@ -122,7 +131,6 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """→ (node string, component string) via alternating large-star /
     small-star (Kiveris SoCC'14): O(log² n) rounds independent of graph
@@ -131,13 +139,16 @@ def connected_components_star(
     final directed edges.
     """
     sym = _symmetrize(edges, src, dst)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
+    nodes = _nodes(edges, src, dst)
     e = sym
     for it in range(max_iter):
         e2 = _small_star(_symmetrize(_large_star(e), "a", "b"))
-        e2_sym = _symmetrize(e2, "a", "b")
-        if (it + 1) % checkpoint_every == 0:
-            e2_sym = e2_sym.localCheckpoint(eager=False)
+        # lazy localCheckpoint EVERY round: the fixpoint probe reads
+        # e2_sym twice and the next round reads it again — without the
+        # checkpoint each reference recomputes the whole round's
+        # large-star/small-star DAG (~3× the shuffle work), and lineage
+        # would grow unboundedly besides
+        e2_sym = _symmetrize(e2, "a", "b").localCheckpoint(eager=False)
         # fixpoint test: the (symmetric, distinct) edge sets are equal —
         # one action over the union of both early-exit anti-join probes
         same = (

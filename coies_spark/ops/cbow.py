@@ -78,8 +78,25 @@ def _train_partition(
             t_rows = syn1[targets]
             f = _sigmoid(t_rows @ h)
             g = (labels - f) * alpha
-            syn0[ctx] += g @ t_rows
-            syn1[targets] += np.outer(g, h)
+            # gensim skips a negative sample equal to the center word
+            # (word2vec.c: `if (target == word) continue;`): zeroing its
+            # gradient removes both its syn1 update and its contribution
+            # to the context gradient
+            g[1:][negs[pos] == ids[pos]] = 0.0
+            # scatter-adds must ACCUMULATE on duplicate indices (same
+            # word twice in the window / duplicate negatives); fancy
+            # `+=` is last-write-wins, so branch to np.add.at when
+            # duplicates are present (rare — keep the fast path hot)
+            gt = g @ t_rows
+            if len(np.unique(ctx)) == len(ctx):
+                syn0[ctx] += gt
+            else:
+                np.add.at(syn0, ctx, gt)
+            delta = np.outer(g, h)
+            if len(np.unique(targets)) == len(targets):
+                syn1[targets] += delta
+            else:
+                np.add.at(syn1, targets, delta)
     return syn0, syn1
 
 
@@ -157,12 +174,13 @@ def train_cbow(
     syn1 = np.zeros((len(vocab), dim), dtype=np.float32)
 
     # ---- epochs: broadcast → partition SGD → deterministic average ------
+    # constant across epochs — broadcast once, not once per epoch
+    b_keep = sc.broadcast(keep_prob)
+    b_neg = sc.broadcast(neg_cum)
     for ep in range(epochs):
         lr = alpha + (min_alpha - alpha) * ep / max(epochs - 1, 1)
         b_syn0 = sc.broadcast(syn0)
         b_syn1 = sc.broadcast(syn1)
-        b_keep = sc.broadcast(keep_prob)
-        b_neg = sc.broadcast(neg_cum)
 
         def run(split_idx, it, _ep=ep, _lr=lr):
             sents = list(it)
@@ -175,7 +193,10 @@ def train_cbow(
                 window,
                 negative,
                 _lr,
-                seed=seed * 10_000 + _ep * 100 + split_idx,
+                # spacing bounds: epochs < 100, n_parts < 10_000 —
+                # wide enough that (epoch, partition) seeds never
+                # collide across epochs
+                seed=seed * 1_000_000 + _ep * 10_000 + split_idx,
             )
             # emit row blocks so the average is a parallel executor-side
             # reduceByKey (no n_parts × |vocab| × dim driver collect);
@@ -203,8 +224,11 @@ def train_cbow(
         )
         syn0 = np.concatenate([blocks[lo][0] for lo in sorted(blocks)])
         syn1 = np.concatenate([blocks[lo][1] for lo in sorted(blocks)])
-        for b in (b_syn0, b_syn1, b_keep, b_neg):
+        for b in (b_syn0, b_syn1):
             b.unpersist()
+    for b in (b_keep, b_neg, b_index):
+        b.unpersist()
+    ids_rdd.unpersist()
 
     rows = [(t, syn0[i].astype(float).tolist()) for t, i in index.items()]
     return spark.createDataFrame(rows, "token string, vector array<float>")

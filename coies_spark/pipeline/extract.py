@@ -234,8 +234,13 @@ def extract_mentions_fused(
     u = side(transcripts, True)
     if tagged_transcripts is not None:
         u = u.unionByName(side(tagged_transcripts, False))
+    # sort includes text as the tiebreak so duplicate turn_idx values
+    # concatenate in the same order as assemble_docs's
+    # array_sort(struct(turn_idx, text)); restricting the globally
+    # sorted rows to one side preserves that side's (turn_idx, text)
+    # order
     clustered = u.repartition("conv_id").sortWithinPartitions(
-        "conv_id", "turn_idx", "is_raw"
+        "conv_id", "turn_idx", "text"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,7 +273,10 @@ def extract_mentions_fused(
                     if cur is not None:
                         finish(rows)
                     cur = [conv_id, [], []]
-                cur[1 if is_raw else 2].append(text)
+                # NULL turn text is skipped, matching concat_ws's
+                # null-element behavior in assemble_docs
+                if text is not None:
+                    cur[1 if is_raw else 2].append(text)
             yield pd.DataFrame(
                 rows, columns=["conv_id", "pred", "obj", "score", "seed"]
             )

@@ -106,6 +106,25 @@ class TestConnectedComponents:
                for r in connected_components_star(edges).collect()}
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
+    def test_self_loop_only_nodes_are_labeled(self, spark):
+        """A node appearing only in self-loop edges must still get a
+        (node, component=node) row from BOTH algorithms — self-loops
+        are dropped for propagation, not from the node universe."""
+        edges = spark.createDataFrame(
+            [("a", "b"), ("z", "z"), ("b", "b")], "src string, dst string"
+        )
+        want = {"a": "a", "b": "a", "z": "z"}
+        got_simple = {
+            r.node: r.component
+            for r in connected_components(edges).collect()
+        }
+        got_star = {
+            r.node: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        assert got_simple == want
+        assert got_star == want
+
 
 class TestTokenizerParity:
     CASES = [

@@ -276,6 +276,12 @@ def test_fused_extraction_edge_rows(spark, artifacts):
             ("both", 0, "u", "hello there", None, None),
             ("raw_only", 0, "u", "solo words", None, None),
             ("empty_text", 0, "u", "", None, None),
+            ("null_text", 0, "u", None, None, None),
+            ("null_text", 1, "u", "after a null", None, None),
+            # duplicate turn_idx: order must follow the staged
+            # (turn_idx, text) tiebreak
+            ("dup_idx", 0, "u", "zebra words", None, None),
+            ("dup_idx", 0, "a", "apple words", None, None),
         ],
         schema,
     )
@@ -297,6 +303,14 @@ def test_fused_extraction_edge_rows(spark, artifacts):
         )
     )
     assert got == want
+    # the assembled-text parity behind it: fused must see the same
+    # concatenations assemble_docs produces for these shapes
+    docs = {
+        r.conv_id: (r.raw_text, r.context_text)
+        for r in assemble_docs(raw, tagged).collect()
+    }
+    assert docs["null_text"][0] == "after a null"
+    assert docs["dup_idx"][0] == "apple words\nzebra words"
 
 
 def test_assemble_union_join_property(spark):
