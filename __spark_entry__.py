@@ -197,7 +197,8 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Planted near-dup corpus derived in-query (both engines compute the
 # SAME double-precision perturbation): for vec_id < 300, a twin at
-# id+100000 with v'[i] = v[i] + 0.25·v[(i+1) mod dim] → cosine ≈ 0.97
+# id+_NEARDUP_ID_OFFSET with v'[i] = v[i] + 0.25·v[(i+1) mod dim]
+# → cosine ≈ 0.97
 # against its original.  This puts real near-duplicates in the corpus
 # (the raw embeddings table is near-orthogonal noise), so the operator
 # is exercised in the regime it is built for.

@@ -195,8 +195,10 @@ def train_cbow(
                 _lr,
                 # spacing bounds: epochs < 100, n_parts < 10_000 —
                 # wide enough that (epoch, partition) seeds never
-                # collide across epochs
-                seed=seed * 1_000_000 + _ep * 10_000 + split_idx,
+                # collide across epochs; mod 2^32 keeps the value in
+                # RandomState's accepted range for any user seed
+                seed=(seed * 1_000_000 + _ep * 10_000 + split_idx)
+                % (2**32),
             )
             # emit row blocks so the average is a parallel executor-side
             # reduceByKey (no n_parts × |vocab| × dim driver collect);

@@ -245,14 +245,21 @@ def extract_mentions_fused(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         art = bc.value
-        cur = None  # open conversation: [conv_id, raw_parts, ctx_parts]
+        # open conversation: [conv_id, raw_parts, ctx_parts, saw_tagged]
+        cur = None
 
         def finish(rows: list) -> None:
-            conv_id, raw_parts, ctx_parts = cur
+            conv_id, raw_parts, ctx_parts, saw_tagged = cur
             if not raw_parts:
-                return  # no raw turns → no doc (assemble_docs parity)
+                return  # no raw text → no candidates (assemble parity:
+                #         the staged doc would have raw_text "" and
+                #         detect emits nothing from an empty raw side)
             raw_text = "\n".join(raw_parts)
-            context = "\n".join(ctx_parts) if ctx_parts else raw_text
+            # the raw fallback keys on tagged ROW presence (like the
+            # staged has_tagged flag), not on surviving non-null texts:
+            # a twin whose rows are all NULL must yield context "",
+            # not fall back to raw
+            context = "\n".join(ctx_parts) if saw_tagged else raw_text
             for e in detect_doc(raw_text, context, art):
                 rows.append(
                     (
@@ -272,7 +279,9 @@ def extract_mentions_fused(
                 if cur is None or conv_id != cur[0]:
                     if cur is not None:
                         finish(rows)
-                    cur = [conv_id, [], []]
+                    cur = [conv_id, [], [], False]
+                if not is_raw:
+                    cur[3] = True
                 # NULL turn text is skipped, matching concat_ws's
                 # null-element behavior in assemble_docs
                 if text is not None:

@@ -282,6 +282,7 @@ def test_fused_extraction_edge_rows(spark, artifacts):
             # (turn_idx, text) tiebreak
             ("dup_idx", 0, "u", "zebra words", None, None),
             ("dup_idx", 0, "a", "apple words", None, None),
+            ("null_tagged", 0, "u", "real raw words", None, None),
         ],
         schema,
     )
@@ -290,6 +291,9 @@ def test_fused_extraction_edge_rows(spark, artifacts):
             ("both", 0, "u", "hello there", None, None),
             ("tagged_only", 0, "u", "ghost", None, None),
             ("empty_text", 0, "u", "", None, None),
+            # twin present but all its texts NULL: context must be ""
+            # (tagged rows exist), NOT a fallback to raw
+            ("null_tagged", 0, "u", None, None, None),
         ],
         schema,
     )
@@ -311,6 +315,7 @@ def test_fused_extraction_edge_rows(spark, artifacts):
     }
     assert docs["null_text"][0] == "after a null"
     assert docs["dup_idx"][0] == "apple words\nzebra words"
+    assert docs["null_tagged"] == ("real raw words", "")
 
 
 def test_assemble_union_join_property(spark):

@@ -13,9 +13,9 @@ The test runs the DISTRIBUTED pipeline end-to-end (assemble → Arrow
 mention detection → scoring) over all 49 reference test documents and
 asserts the recorded quality numbers hold:
 
-* flagship config (oneshot_test.py:16-21): corpus ROUGE-1 F = 0.137;
+* flagship config (oneshot_test.py:16-21): corpus ROUGE-1 F = 0.1392;
 * calibrated operating point for this trainer's geometry
-  (context_threshold=0.999, word_threshold=0.9): 0.3558, which must
+  (context_threshold=0.999, word_threshold=0.9): 0.3544, which must
   stay ABOVE the empty-extractor baseline (0.3429 — the score the
   metric's absent-type convention hands a pipeline that emits
   nothing).  That gap is the actual quality signal.
