@@ -127,7 +127,10 @@ class PhraseTable:
                 uni[tok] = uni.get(tok, 0) + 1
             for a, b in zip(sent, sent[1:]):
                 bi[(a, b)] = bi.get((a, b), 0) + 1
-        vocab_size = len(uni)
+        # gensim's original_scorer uses len(Phrases.vocab), which holds
+        # unigrams AND bigram keys — unigrams alone would roughly halve
+        # every score and under-merge near the threshold
+        vocab_size = len(uni) + len(bi)
         merges: dict[tuple[str, str], str] = {}
         for (a, b), n_ab in bi.items():
             if n_ab < min_count:

@@ -50,6 +50,12 @@ def gram_family(
 def skip_windows(
     tokens: Sequence[str], n: int, k: int
 ) -> Iterator[tuple[int, tuple[str, ...]]]:
-    """Every k-th stride-1 window (corpus subsampling)."""
+    """Every k-th stride-1 window (corpus subsampling).
+
+    Shape note vs AAERParserNGramsSkip (aaer_corpus.py:216-228): the
+    reference flattens each selected window's tokens into ONE list
+    (``ngrams += ng[i]``); this yields (start, window) pairs instead —
+    flatten downstream if the reference's flat-token-stream shape is
+    needed."""
     for i in range(0, len(tokens) - n + 1, k):
         yield i, tuple(tokens[i : i + n])

@@ -93,6 +93,10 @@ def mention_score(
     alpha: float = 0.5,
 ) -> tuple[float, int]:
     """(score, count) for one example mention vs a doc's gold entities."""
+    # materialize: a generator would be truthy even when empty, breaking
+    # the absent-type full-credit branch below
+    if found_grams is not None:
+        found_grams = list(found_grams)
     if entity_type in gold_by_type:
         answer = [
             [tok for mention in gold_by_type[entity_type] for tok in mention]

@@ -58,11 +58,10 @@ from .embed import (
 from .grams import windows as make_windows
 from .ranking import rank_desc, top_group
 
-# Worker-memo bounds: gram vectors are d floats each (~4 KB at d=512 →
-# ~800 MB at cap); suffix tuples are small strings.  Clear-on-cap keeps
-# a long-lived executor's Python workers flat over open vocabularies.
+# Worker-memo bound: gram vectors are d floats each (~4 KB at d=512 →
+# ~800 MB at cap).  Clear-on-cap keeps a long-lived executor's Python
+# workers flat over open vocabularies.
 GRAM_VEC_CACHE_CAP = 200_000
-SUFFIX_CACHE_CAP = 1_000_000
 
 
 @dataclass(frozen=True)
@@ -87,6 +86,16 @@ class MentionSeed:
     tokens: tuple[str, ...]
     gram_vec: np.ndarray          # (d,)  — gram-model vector of the mention
     context_vecs: np.ndarray      # (k,d) — context vectors of windows containing it
+    # unit-normalized copies, computed ONCE at build time — the kernel
+    # reuses them for every document instead of renormalizing per doc
+    context_units: np.ndarray = None  # type: ignore[assignment]
+    gram_unit: np.ndarray = None      # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.context_units is None:
+            self.context_units = unit_rows(self.context_vecs)
+        if self.gram_unit is None:
+            self.gram_unit = unit_rows(self.gram_vec[None, :])
 
 
 @dataclass
@@ -97,13 +106,11 @@ class ExampleArtifacts:
     seeds: list[MentionSeed]
     phrases: PhraseTable
     emb: HashEmbedding = field(repr=False)
-    # per-process memos (vocabulary repeats heavily across documents,
-    # so these amortize; they grow worker-locally like emb's cache):
-    # token → tuple of proper suffixes (membership-quirk scan), and
+    # per-process memo (vocabulary repeats heavily across documents, so
+    # this amortizes; it grows worker-locally like emb's cache):
     # gram → unit-normalized float64 vector (gram model output).
-    # Both are size-capped (clear-on-cap) so an open vocabulary —
-    # numbers, typos — cannot leak memory in a long-lived executor.
-    suffix_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    # Size-capped (clear-on-cap) so an open vocabulary — numbers,
+    # typos — cannot leak memory in a long-lived executor.
     gram_vec_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
 
@@ -137,19 +144,30 @@ def build_example_artifacts(
     win = make_windows(tokens, config.context_size)
     seeds: list[MentionSeed] = []
     for pred, mention_tokens, start, end in spans:
+        # Reference semantics (find_ngrams_by_tagged_words,
+        # context_based_models.py:70-81): a seed's context set is every
+        # window whose CONTENT contains the mention as a contiguous
+        # sublist (including the is_sublist_of suffix quirk on the
+        # first token) — NOT just the windows positionally covering
+        # this occurrence.  Duplicate tagged mentions therefore share
+        # the union of windows across all their occurrences, and a doc
+        # shorter than context_size yields ZERO windows (and so no
+        # extractions for the seed), exactly like ngram_from_list.
         ctx_vecs = [
             doc_vector(emb, wtoks, "sum")
-            for wstart, wtoks in win
-            if wstart <= start and end < wstart + config.context_size
+            for _, wtoks in win
+            if textproc.is_contiguous_sublist(mention_tokens, wtoks)
         ]
-        if not ctx_vecs:  # doc shorter than context_size → one whole-doc window
-            ctx_vecs = [doc_vector(emb, tokens, "sum")]
         seeds.append(
             MentionSeed(
                 pred=pred,
                 tokens=tuple(mention_tokens),
                 gram_vec=gram_vector(emb, phrases, mention_tokens),
-                context_vecs=np.stack(ctx_vecs),
+                context_vecs=(
+                    np.stack(ctx_vecs)
+                    if ctx_vecs
+                    else np.zeros((0, config.dim), np.float32)
+                ),
             )
         )
     return ExampleArtifacts(config=config, seeds=seeds, phrases=phrases, emb=emb)
@@ -201,8 +219,8 @@ def oracle_extract_doc(
     for _, wtoks in make_windows(ctx_tokens, cfg.context_size):
         if wtoks not in ctx_dict:
             ctx_dict[wtoks] = doc_vector(emb, wtoks, "sum")
-    if not ctx_dict and ctx_tokens:
-        ctx_dict[tuple(ctx_tokens)] = doc_vector(emb, ctx_tokens, "sum")
+    # a doc shorter than context_size has ZERO windows (reference
+    # ngram_from_list returns [] → no matched contexts, no extractions)
 
     out: list[Emission] = []
     for seed in artifacts.seeds:
@@ -279,6 +297,14 @@ def detect_doc(
     Tie-breaking is pinned to (score desc, first-occurrence asc) — the
     reference relies on dict insertion order, which first-occurrence
     order reproduces on non-degenerate similarities (SURVEY.md §4.4).
+
+    Float contract: window vectors accumulate in float64 prefix sums
+    while the oracle mirrors the reference's float32 per-window sums,
+    so similarities agree to ~1e-7, not bitwise.  Emissions only
+    diverge if a similarity lands within that band of a threshold or
+    an adaptive-cluster gap — degenerate by construction and absent
+    from every parity corpus; scores in emitted rows carry the same
+    ~1e-7 tolerance.
     """
     cfg = artifacts.config
     emb, phrases = artifacts.emb, artifacts.phrases
@@ -288,7 +314,9 @@ def detect_doc(
     # ---- token streams -> integer ids ------------------------------------
     sent_tokens = textproc.sentence_tokens(raw_text)
     ctx_tokens = [t for t, _ in textproc.tagged_tokens_from_text(context_text)]
-    if not ctx_tokens:
+    if len(ctx_tokens) < cfg.context_size:
+        # reference parity: ngram_from_list yields no windows for a doc
+        # shorter than the window size → no matched contexts anywhere
         return []
 
     token_ids: dict[str, int] = {}
@@ -303,7 +331,7 @@ def detect_doc(
     ctx_ids = np.fromiter((tid(t) for t in ctx_tokens), dtype=np.int64)
 
     # ---- context window vectors via prefix sums --------------------------
-    n = min(cfg.context_size, len(ctx_tokens))
+    n = cfg.context_size
     uniq_tokens = list(token_ids)
     emb_mat = emb.matrix(uniq_tokens)  # (V,d) gather, cached inside emb
     tok_vecs = emb_mat[ctx_ids]        # (N,d)
@@ -361,20 +389,20 @@ def detect_doc(
     # checked on ':'-joined strings, so the FIRST gram token also
     # matches as a strict SUFFIX of a window token ("3:" ⊂ "33:"),
     # while later tokens and the gram end must align to boundaries.
-    # Build suffix→token-ids only for suffixes that are gram heads.
+    # Only suffixes whose LENGTH equals some gram-head length can ever
+    # match, so probe tok[-len(head):] per distinct head length —
+    # O(V × #head_lengths) total, instead of enumerating every proper
+    # suffix (O(len²) characters per token: one pathological 100k-char
+    # unbroken token would otherwise build ~5 GB of suffix strings).
     head_set = {g[0] for g in gram_index}
+    head_lens = sorted({len(h) for h in head_set})
     head_alias: dict[str, list[int]] = {}
-    suffixes = artifacts.suffix_cache
-    if len(suffixes) > SUFFIX_CACHE_CAP:
-        suffixes.clear()  # clear-on-cap: bounded worker memory
     for tok, tid in token_ids.items():
-        sufs = suffixes.get(tok)
-        if sufs is None:
-            sufs = tuple(tok[s:] for s in range(1, len(tok)))
-            suffixes[tok] = sufs
-        for suf in sufs:
-            if suf in head_set:
-                head_alias.setdefault(suf, []).append(tid)
+        for hl in head_lens:
+            if hl < len(tok):
+                suf = tok[-hl:]
+                if suf in head_set:
+                    head_alias.setdefault(suf, []).append(tid)
 
     pos_arrays: list[np.ndarray] = []
     gids: list[int] = []
@@ -415,15 +443,15 @@ def detect_doc(
     occ_len_a = np.repeat(np.array(lens), counts)
 
     # ---- per-seed matching ------------------------------------------------
-    # normalize once per doc (seed vectors are reused across all windows
-    # and grams, window/gram vectors across all seeds)
+    # window/gram units are per-doc; seed units were normalized once at
+    # build time (MentionSeed.context_units / .gram_unit)
     win_unit = unit_rows(win_vecs)
     out: list[Emission] = []
     n_grams = len(gram_list)
     k2 = cfg.topn * 2
     W = len(win_vecs)
     for seed in artifacts.seeds:
-        sims = np.abs(unit_rows(seed.context_vecs) @ win_unit.T)  # (k,W)
+        sims = np.abs(seed.context_units @ win_unit.T)  # (k,W)
         matched: dict[int, float] = {}  # window row -> max ctx sim
         for row in sims:
             # top-k2 by (sim desc, win_start asc): argpartition narrows
@@ -443,7 +471,7 @@ def detect_doc(
         if not matched:
             continue
 
-        gram_sims = np.abs(unit_rows(seed.gram_vec[None, :]) @ gram_unit.T)[0]
+        gram_sims = np.abs(seed.gram_unit @ gram_unit.T)[0]
         # max ctx sim per occurrence over containing windows, then per
         # gram (gram_sims >= 0, so max over windows of (1+csim)*gsim
         # factors into gsim * (1 + max containing csim)).

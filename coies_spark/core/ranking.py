@@ -33,19 +33,27 @@ def top_group(
 ) -> list[tuple[K, float]]:
     """Adaptive top-cluster cut over (item, score) pairs.
 
-    1. If a threshold is given, drop scores <= threshold (strict ``>``
-       keep rule, utilities.py:70).
-    2. With <= 1 survivor, return them as-is.
-    3. Sort descending; avg_gap = (max - min) / (n - 1); walk the sorted
-       list keeping items while the gap to the previous kept item is
-       strictly < avg_gap; stop at the first gap >= avg_gap.
+    Reference quirks replicated exactly (utilities.py:66-75):
+
+    1. A <= 1-item INPUT returns as-is — before any filtering, so a
+       single item below threshold still survives.
+    2. The threshold filter fires only when the threshold is TRUTHY
+       (``if distance_threshold:``) — threshold=0.0 means no filter,
+       not "drop scores <= 0".  Survivors keep scores > threshold
+       (strict ``>``).
+    3. With <= 1 survivor, return them as-is; else sort descending;
+       avg_gap = (max - min) / (n - 1); walk the sorted list keeping
+       items while the gap to the previous kept item is strictly <
+       avg_gap; stop at the first gap >= avg_gap.
 
     The gaps sum to avg_gap * (n - 1), so some gap >= avg_gap always
     exists (or all gaps are 0, failing the strict ``<`` immediately) —
     the walk always terminates with a non-empty prefix.
     """
     pool = list(scored)
-    if threshold is not None:
+    if len(pool) <= 1:
+        return pool
+    if threshold:
         pool = [kv for kv in pool if kv[1] > threshold]
     if len(pool) <= 1:
         return pool

@@ -93,8 +93,13 @@ def tag_tokens(tokens: list[str]) -> list[tuple[str, Optional[str]]]:
     current: Optional[str] = None
     for tok in tokens:
         if _START_SENT in tok:
-            head, _, rest = tok.partition(_START_SENT)
-            current = head
+            # reference split()[0]/[-1] semantics (example_parsing.py:62-64):
+            # with TWO start marks in one token, the middle segment is
+            # DROPPED and the tail becomes the token — partition() would
+            # leak the second sentinel into the emitted token stream
+            parts = tok.split(_START_SENT)
+            current = parts[0]
+            rest = parts[-1]
             if _END_SENT in rest:
                 rest = rest.split(_END_SENT)[0]
             rest = rest.strip()

