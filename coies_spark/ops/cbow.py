@@ -119,6 +119,16 @@ def train_cbow(
     rate decays linearly per epoch (alpha → min_alpha), matching the
     word2vec schedule at epoch granularity.
     """
+    if epochs >= 100 or n_parts >= 10_000:
+        # the per-(epoch, partition) seed spacing guarantees distinct
+        # RandomState streams only inside these bounds — beyond them
+        # adjacent epochs would silently reuse streams (correlated
+        # subsampling/negatives), so fail loudly instead
+        raise ValueError(
+            f"train_cbow: epochs ({epochs}) must be < 100 and n_parts "
+            f"({n_parts}) < 10_000 to keep per-partition RNG streams "
+            "distinct"
+        )
     spark = sentences.sparkSession
     sc = spark.sparkContext
 

@@ -39,6 +39,15 @@ MENTION_SCHEMA = (
 MAX_TURNS_PER_DOC = 10_000
 
 
+def _flag_side(df: DataFrame, is_raw: bool, max_turns: int) -> DataFrame:
+    """Cap + project one input stream with its source flag — shared by
+    the union assembly strategy and the fused extraction path, whose
+    emission-identity depends on this projection staying identical."""
+    return df.where(F.col("turn_idx") < max_turns).select(
+        "conv_id", "turn_idx", "text", F.lit(is_raw).alias("is_raw")
+    )
+
+
 def assemble_docs(
     transcripts: DataFrame,
     tagged_transcripts: Optional[DataFrame] = None,
@@ -104,12 +113,9 @@ def assemble_docs(
             "context_text", F.coalesce("context_text", "raw_text")
         )
 
-    def side(df: DataFrame, is_raw: bool) -> DataFrame:
-        return df.where(F.col("turn_idx") < max_turns).select(
-            "conv_id", "turn_idx", "text", F.lit(is_raw).alias("is_raw")
-        )
-
-    u = side(transcripts, True).unionByName(side(tagged_transcripts, False))
+    u = _flag_side(transcripts, True, max_turns).unionByName(
+        _flag_side(tagged_transcripts, False, max_turns)
+    )
 
     def txt(flag: bool) -> F.Column:
         return F.concat_ws(
@@ -186,10 +192,21 @@ def extract_mentions(
     transcripts: DataFrame,
     artifacts: ExampleArtifacts,
     tagged_transcripts: Optional[DataFrame] = None,
+    assemble_strategy: str = "union",
 ) -> DataFrame:
-    """assemble → detect (the minimum end-to-end slice)."""
+    """assemble → detect (the minimum end-to-end slice).
+
+    ``assemble_strategy``: pass ``"join"`` when the inputs are
+    co-bucketed tables (sources/bucketed.py) — the join strategy rides
+    the bucket partitioning with ZERO exchanges, which the default
+    union strategy forfeits (a union of bucketed scans discards the
+    partitioning).
+    """
     return detect_mentions(
-        assemble_docs(transcripts, tagged_transcripts), artifacts
+        assemble_docs(
+            transcripts, tagged_transcripts, strategy=assemble_strategy
+        ),
+        artifacts,
     )
 
 
@@ -226,14 +243,9 @@ def extract_mentions_fused(
     sc = transcripts.sparkSession.sparkContext
     bc = sc.broadcast(artifacts)
 
-    def side(df: DataFrame, is_raw: bool) -> DataFrame:
-        return df.where(F.col("turn_idx") < max_turns).select(
-            "conv_id", "turn_idx", "text", F.lit(is_raw).alias("is_raw")
-        )
-
-    u = side(transcripts, True)
+    u = _flag_side(transcripts, True, max_turns)
     if tagged_transcripts is not None:
-        u = u.unionByName(side(tagged_transcripts, False))
+        u = u.unionByName(_flag_side(tagged_transcripts, False, max_turns))
     # sort includes text as the tiebreak so duplicate turn_idx values
     # concatenate in the same order as assemble_docs's
     # array_sort(struct(turn_idx, text)); restricting the globally

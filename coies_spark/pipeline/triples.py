@@ -67,10 +67,16 @@ def run_pipeline(
     dictionary: Optional[DataFrame] = None,
     tagged_transcripts: Optional[DataFrame] = None,
     linking_strategy: str = "broadcast",
+    assemble_strategy: str = "union",
 ) -> StageRunner:
     """Full checkpointed run; returns the StageRunner (stage dfs +
     metrics).  Fingerprint covers the extraction config so changing any
-    parameter invalidates downstream snapshots."""
+    parameter invalidates downstream snapshots.
+
+    ``assemble_strategy="join"`` keeps assembly shuffle-free over
+    co-bucketed input tables (sources/bucketed.py); the default union
+    strategy is one shuffle and right for unbucketed input.
+    """
     runner = StageRunner(
         spark,
         work_dir,
@@ -78,10 +84,14 @@ def run_pipeline(
             "config": asdict(artifacts.config),
             "n_seeds": len(artifacts.seeds),
             "linking": linking_strategy,
+            "assemble": assemble_strategy,
         },
     )
     docs = runner.stage(
-        "s1_docs", lambda: assemble_docs(transcripts, tagged_transcripts)
+        "s1_docs",
+        lambda: assemble_docs(
+            transcripts, tagged_transcripts, strategy=assemble_strategy
+        ),
     )
     mentions = runner.stage(
         "s2_mentions", lambda: detect_mentions(docs, artifacts)
