@@ -186,6 +186,10 @@ def gram_vector(
     """
     if len(gram) == 1:
         return emb[gram[0]]
+    if len(gram) == 0:
+        # zero vector, matching doc_vector's empty-input convention
+        # (mean of an empty matrix would be NaN)
+        return np.zeros(emb.dim, np.float32)
     merged = phrases.merge(list(gram))
     mat = emb.matrix(merged)
     return mat.mean(axis=0)
@@ -205,6 +209,11 @@ def gram_vectors_batch(
     for i, g in enumerate(grams):
         if len(g) == 1:
             out[i] = emb[g[0]]
+        elif len(g) == 0:
+            # empty gram → zero vector (the doc_vector empty-input
+            # convention); routing it through the reduceat batch would
+            # create a zero-length segment (NaN row or IndexError)
+            out[i] = 0.0
         else:
             multi_idx.append(i)
             offsets.append(len(flat))

@@ -202,7 +202,12 @@ def make_corpus(
             same = rng.rand() < same_surface_frac
             picks = [
                 ("comp", COMP_POOL[0] if same else COMP_POOL[rng.randint(1, len(COMP_POOL))]),
-                ("date", DATE_POOL[2] if same else DATE_POOL[rng.randint(0, len(DATE_POOL))]),
+                # exclude the example's own dates (indices 2 and 3) so
+                # the different-surface branch really draws different
+                # surfaces, as the docstring promises for every type
+                ("date", DATE_POOL[2] if same else DATE_POOL[
+                    [0, 1, 4, 5, 6, 7][rng.randint(0, 6)]
+                ]),
                 ("item", ITEM_POOL[0] if same else ITEM_POOL[rng.randint(2, len(ITEM_POOL))]),
             ]
             for pred, mention in picks:

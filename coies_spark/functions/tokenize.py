@@ -39,9 +39,13 @@ def tokens_col(col: Column | str, lowercase: bool = True) -> Column:
 # SQL text of the same expression, for spark.sql / oracle parity strings.
 def tokens_sql(expr: str, lowercase: bool = True) -> str:
     inner = f"lower({expr})" if lowercase else expr
-    return (
-        f"filter(split({inner}, '{_SPLIT_PATTERN}'), t -> t <> '')"
-    )
+    # Spark's SQL string-literal parser unescapes backslash sequences
+    # (spark.sql.parser.escapedStringLiterals=false by default), so the
+    # regex must be double-escaped to reach split() intact — embedding
+    # _SPLIT_PATTERN raw would silently turn '\\s' into the letter 's'
+    # and corrupt every token boundary.
+    pat = _SPLIT_PATTERN.replace("\\", "\\\\")
+    return f"filter(split({inner}, '{pat}'), t -> t <> '')"
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

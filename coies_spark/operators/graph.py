@@ -60,7 +60,10 @@ def connected_components(
     rounds (a converged round is a fixpoint, so running k extra cheap
     rounds is semantics-free).  Raises if max_iter is hit first.
     """
-    sym = _symmetrize(edges, src, dst)
+    # lazy localCheckpoint: every round's plan and every convergence
+    # probe reference sym — without it each action re-runs the raw
+    # edges' scan+union+distinct from scratch
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     labels = _nodes(edges, src, dst).withColumn(
         "component", F.col("node")
     )

@@ -19,12 +19,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(cols: Sequence[str], buckets: int) -> Column:
-    # Deterministic pseudo-random salt derived from the whole row's key
-    # columns + a monotonically varying component so identical keys
-    # scatter across buckets.
+def _salt_col(df: DataFrame, buckets: int) -> Column:
+    # Salt derived from the FULL row content — genuinely deterministic:
+    # the same row hashes to the same bucket on any recomputation.
+    # monotonically_increasing_id/rand would scatter better but are
+    # recompute-nondeterministic, and a nondeterministic shuffle key is
+    # the SPARK-23207 correctness hazard (a retried map task re-salts
+    # rows that surviving reducers already fetched → lost/duplicated
+    # rows).  Rows identical in EVERY column share a bucket; for counts
+    # those collapse in the map-side partial combine anyway, and real
+    # fact rows carry distinguishing columns.
     return F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in cols]),
+        F.xxhash64(*[F.col(c) for c in df.columns]),
         F.lit(buckets),
     ).cast("int")
 
@@ -43,11 +49,21 @@ def salted_join(
     (key, salt) splits each hot key's rows across ``buckets`` tasks.
     Use when ``dim`` is too large to broadcast but small enough to
     replicate ``buckets``×; otherwise prefer ``F.broadcast``.
+
+    Only ``inner`` and ``left`` joins are valid: any dim-preserving
+    type (right/full/semi from the dim side) would return each
+    unmatched dim key once per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded dim "
+            "side would multiply unmatched dim keys by `buckets`; use "
+            "'inner' or 'left'"
+        )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    salted_fact = fact.withColumn("__salt", _salt_col([on], buckets))
+    salted_fact = fact.withColumn("__salt", _salt_col(fact, buckets))
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
 
@@ -61,7 +77,7 @@ def salted_count(
     partial map-side combine; the explicit salt additionally bounds
     the reduce-side width of any single hot key)."""
     partial = (
-        df.withColumn("__salt", _salt_col(list(keys), buckets))
+        df.withColumn("__salt", _salt_col(df, buckets))
         .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )

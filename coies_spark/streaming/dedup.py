@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ops.dedup import _md5
+
 
 def stream_dedup_exact(
     stream: DataFrame,
@@ -36,9 +38,12 @@ def stream_dedup_exact(
     compatible (rows emit immediately; only state expiry waits on the
     watermark).
     """
+    # the digest is ops.dedup._md5 — the SAME expression the batch
+    # exact_dedup keys on, so batch/stream survivor sets stay aligned
+    # by construction
     digested = (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .withColumn("digest", F.md5(F.encode(F.col(text_col), "utf-8")))
+        .withColumn("digest", _md5(F.col(text_col)))
     )
     return digested.dropDuplicatesWithinWatermark(["digest"]).drop("digest")

@@ -58,8 +58,17 @@ def assemble_conversations_stateful(
             turn_idxs.extend(prev_idx)
             texts.extend(prev_txt)
         for pdf in pdfs:
-            turn_idxs.extend(int(i) for i in pdf["turn_idx"])
-            texts.extend(str(t) for t in pdf["text"])
+            for i, t in zip(pdf["turn_idx"], pdf["text"]):
+                # batch-parity NULL handling: a NULL turn_idx row is
+                # dropped (assemble_docs's turn_idx predicate filters
+                # it) and a NULL text contributes nothing to the
+                # concatenation (concat_ws skips nulls) — without this,
+                # NULL turn_idx arrives as NaN (int() raises) and NULL
+                # text would stringify to the literal 'None'
+                if pd.isna(i) or pd.isna(t):
+                    continue
+                turn_idxs.append(int(i))
+                texts.append(str(t))
         state.update((turn_idxs, texts))
         state.setTimeoutDuration(idle_timeout_ms)
         yield _EMPTY
