@@ -67,21 +67,22 @@ def jaccard_pairs(
     cap is what keeps the join linear (stop-shingles would otherwise
     contribute df² pair rows).  Pairs are deduplicated as (a < b).
     """
-    from pyspark.sql.window import Window
-
     sh = doc_shingles(docs, n)
     # Universe = shingles with df <= max_df (stop-shingles excluded from
     # both numerator and denominator, keeping the measure symmetric).
-    # The df-cap is a window count over the shingle partitioning — the
-    # SAME partitioning the self-join below needs, so Catalyst reuses
-    # the exchange instead of a groupBy+join round-trip.
-    indexed = (
-        sh.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+    # The df count is a two-phase groupBy (map-side partial aggregation)
+    # joined back onto the index — NOT a count window over
+    # partitionBy(shingle): a window must co-locate ALL rows of a
+    # stop-shingle (df=10⁸ at web scale) in ONE task before the cap can
+    # drop them, while the partial agg reduces them map-side and AQE
+    # splits any residual join skew.  Same rows out.
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)
-        .drop("df")
+        .select("shingle")
     )
+    indexed = sh.join(keep, "shingle")
     sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -95,9 +95,25 @@ def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
     """
     toks = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("tok"))
     freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Two-stage top-k: rank within (lang, salt) shards first, then rank
+    # the ≤ n_salts × top_k shard winners per lang.  A language's global
+    # top-k is necessarily in its shard's top-k, so the result is
+    # identical to the single-window form — but no task ever sees more
+    # than one shard of a language's vocabulary (the web-scale fix for
+    # the per-lang window straggler; same ordering → same rows).
+    n_salts = 16
+    salt = F.pmod(F.xxhash64("tok"), F.lit(n_salts))
+    w_shard = Window.partitionBy("lang", "salt").orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )
+    shard_top = (
+        freq.withColumn("salt", salt)
+        .withColumn("srn", F.row_number().over(w_shard))
+        .where(F.col("srn") <= top_k)
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
     profile = (
-        freq.withColumn("rn", F.row_number().over(w))
+        shard_top.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= top_k)
         .select("lang", "tok")
         .withColumnRenamed("lang", "profile_lang")

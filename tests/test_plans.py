@@ -105,6 +105,32 @@ def test_embedding_neardup_no_cross_join(spark):
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
 
 
+def test_jaccard_df_cap_partial_aggregation(spark):
+    """The df cap must be a two-phase groupBy (map-side partial count)
+    joined back — never a count window over partitionBy(shingle), which
+    funnels every row of a web-scale stop-shingle through ONE task
+    before the cap filters it."""
+    from coies_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(dedup.jaccard_pairs(docs))
+    assert "Window" not in p
+    assert "partial_count" in p  # df computed with map-side combine
+
+
+def test_language_id_no_per_lang_vocab_window(spark):
+    """Profile build ranks within (lang, salt) shards before the per-
+    lang rank, so no window task sees a language's full vocabulary."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(textstats.language_id(docs), "formatted")
+    # the shard stage exists: a window partitioned by (lang, salt)
+    assert "salt" in p
+    out = textstats.language_id(docs)
+    # and the output is unchanged vs the known oracle property: every
+    # doc classified, prediction non-null
+    assert out.where(F.col("pred_lang").isNull()).count() == 0
+
+
 def test_lsh_buckets_empty_frame_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("false")
     with pytest.raises(ValueError, match="pass\\s+.?dim"):
