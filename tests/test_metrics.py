@@ -148,3 +148,51 @@ class TestRwmdKernelProperties:
         assert rows[0].rwmd == pytest.approx(
             self._dist("alpha", "beta"), abs=2e-6
         )
+
+    def test_pruned_rwmd_matches_exact_on_shared_vocab_long_docs(self, spark):
+        """Long documents drawn from a SHARED vocabulary: every token's
+        true nearest counterpart is itself (distance 0), which always
+        collides in the same LSH bucket, so the pruned RWMD equals the
+        exact one bit-for-bit — the long-doc fixture for the prune
+        path."""
+        import random
+
+        from coies_spark.ops.wmd import rwmd_pairs
+
+        rnd = random.Random(7)
+        vocab = [f"tok{i}" for i in range(40)]
+        doc_a = " ".join(rnd.choice(vocab) for _ in range(600))
+        doc_b = " ".join(rnd.choice(vocab) for _ in range(600))
+        docs = spark.createDataFrame(
+            [(0, doc_a, "s"), (1, doc_b, "s")],
+            "doc_id long, text string, source string",
+        )
+        exact = rwmd_pairs(docs).collect()[0].rwmd
+        pruned = rwmd_pairs(docs, prune_planes=3, prune_bands=4).collect()[
+            0
+        ].rwmd
+        assert pruned == exact == 0.0
+
+    def test_pruned_rwmd_is_upper_bound_and_plan_is_bucket_join(self, spark):
+        """Disjoint-vocabulary docs: pruning may miss true nearest
+        neighbours, so pruned >= exact (never an underestimate); and
+        the pruned plan generates candidates via the (band, bucket)
+        equality join, never the full per-pair token square."""
+        from coies_spark.ops.wmd import rwmd_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(f"alpha{i}" for i in range(30)), "s"),
+                (1, " ".join(f"beta{i}" for i in range(30)), "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        exact = rwmd_pairs(docs).collect()[0].rwmd
+        pruned_df = rwmd_pairs(docs, prune_planes=2, prune_bands=2)
+        pruned = pruned_df.collect()[0].rwmd
+        assert pruned >= exact - 1e-9
+        plan = pruned_df._jdf.queryExecution().toString()
+        assert "bucket" in plan
+        # exact path has no bucket machinery in its plan
+        exact_plan = rwmd_pairs(docs)._jdf.queryExecution().toString()
+        assert "bucket" not in exact_plan
