@@ -11,9 +11,12 @@ values:
 * every ranking has a total deterministic order (value desc, id asc).
 
 Rows-only entries (kg_extract_triples, kg_linked_triples) cover the
-two Arrow-UDF extraction kernels with no SQL twin; everything else —
-including the iterative connected components (recursive-CTE oracle),
-the tag-grammar span parser, and the multimodal digests — is oracled.
+two Arrow-UDF extraction kernels with no SQL twin — but their DIGEST
+twins (kg_extract_digest, kg_linked_digest) ARE oracled against
+committed sf0.01 constants, so the kernels have a hard driver-verified
+regression gate; everything else — including the iterative connected
+components (recursive-CTE oracle), the tag-grammar span parser, and
+the multimodal digests — is oracled directly.
 """
 
 from __future__ import annotations
@@ -145,6 +148,49 @@ def _q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     linked = link_mentions(mentions, dictionary)
     return materialize_triples(canonicalize(linked))
+
+
+def _triple_digest(triples: DataFrame) -> DataFrame:
+    """(digest_sum, n_triples): order-independent corpus digest of a
+    triple set — SUM of the first-48-bits-of-md5 of each
+    '\\x1f'-joined (subj, pred, obj).  A sum of per-row hashes is
+    map-side partially aggregable (no sorted collect_list single
+    reducer), so the digest query itself is 100 TB-shaped.  The driver
+    oracle pins the committed sf0.01 constant, turning the rows-only
+    Arrow-kernel queries into a hard cross-round regression gate."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(F.concat_ws("\x1f", "subj", "pred", "obj"), "utf-8")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return triples.agg(
+        F.sum(h).alias("digest_sum"),
+        F.count(F.lit(1)).alias("n_triples"),
+    )
+
+
+def _q_kg_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triple_digest(_q_kg_extract(spark, sf_dir))
+
+
+def _q_kg_linked_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triple_digest(_q_kg_linked(spark, sf_dir))
+
+
+# Committed sf0.01 digests for the two Arrow-kernel queries (pinned by
+# tests/test_pipeline_spark.py::test_kg_digest_constants as well) —
+# regenerate with scripts/check_oracle.py after any intended
+# extraction-semantics change.
+KG_DIGEST_SF001 = {
+    "kg_extract_digest": (3791208780544839, 28),  # (digest_sum, n_triples)
+    "kg_linked_digest": (712123261519296, 5),
+}
 
 
 # Deterministic tag injection over the documents table: both engines
@@ -371,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernels with no SQL twin; the rest are oracled) ---
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
+        # digest twins of the two rows-only kernels: oracled against the
+        # committed sf0.01 constants (hard cross-round regression gate)
+        "kg_extract_digest": _q_kg_extract_digest,
+        "kg_linked_digest": _q_kg_linked_digest,
         "entity_spans_tagged": _q_entity_spans,
         "canonicalize_cc": _q_canonicalize_cc,
         "multimodal_features": _q_multimodal,
@@ -629,7 +679,19 @@ def _neardup_oracle(
 
 def oracle_sql() -> dict[str, str]:
     stop = "['the','a','of','and','to','in','is','it']"
+    xd, xn = KG_DIGEST_SF001["kg_extract_digest"]
+    ld, ln = KG_DIGEST_SF001["kg_linked_digest"]
     return {
+        # pinned constants: the independent twin of the Arrow-kernel
+        # extraction output at sf0.01 (see _triple_digest)
+        "kg_extract_digest": f"""
+            SELECT CAST({xd} AS BIGINT) AS digest_sum,
+                   CAST({xn} AS BIGINT) AS n_triples
+        """,
+        "kg_linked_digest": f"""
+            SELECT CAST({ld} AS BIGINT) AS digest_sum,
+                   CAST({ln} AS BIGINT) AS n_triples
+        """,
         "entity_spans_tagged": rf"""
             WITH tg AS (
               SELECT doc_id,

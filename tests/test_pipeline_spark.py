@@ -357,3 +357,22 @@ def test_assemble_union_join_property(spark):
         assert u == j
 
     check()
+
+
+def test_kg_digest_constants(spark):
+    """The committed sf0.01 triple-set digests (the driver oracle for
+    the two Arrow-kernel queries) must reproduce — any extraction-
+    semantics drift trips this before the driver does."""
+    import os
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("sf0.01 testdata not available")
+    for name, fn in (
+        ("kg_extract_digest", e._q_kg_extract_digest),
+        ("kg_linked_digest", e._q_kg_linked_digest),
+    ):
+        r = fn(spark, sf_dir).collect()[0]
+        assert (r.digest_sum, r.n_triples) == e.KG_DIGEST_SF001[name], name
