@@ -167,6 +167,7 @@ def kmeans_labels(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "broadcast",
 ) -> DataFrame:
     """(vec_id, label): deterministic Lloyd k-means cluster assignment,
     fully declarative — ``iters`` assignment/recenter rounds UNROLLED
@@ -184,17 +185,40 @@ def kmeans_labels(
       contract as ``label_centroids``, which keeps the DuckDB oracle
       bit-aligned); empty clusters drop out in both engines alike.
 
+    ``centroid_mode``:
+
+    * ``"broadcast"`` (default) — the k centroids ship to every task;
+      right whenever k ≪ n and k·dim fits the broadcast budget.
+    * ``"join"`` — the centroid side stays a TABLE and the candidate
+      generation is a shuffle-replicated nested-loop join (no
+      BroadcastExchange on the centroid side): the path for centroid
+      counts beyond broadcast size (e.g. a 10⁵-centroid IVF at 100 TB).
+      Same rows out; cost becomes one extra centroid-table scan per
+      replicated partition group.
+
     At the 100 TB design point this is the centroid-training stage of
-    the IVF index: k ≪ n centroids broadcast; the corpus never
-    replicates.
+    the IVF index: the corpus never replicates in either mode.
     """
+    if centroid_mode not in ("broadcast", "join"):
+        raise ValueError(f"kmeans_labels: unknown centroid_mode {centroid_mode!r}")
+
+    def _with_centroids(left: DataFrame, cent: DataFrame) -> DataFrame:
+        if centroid_mode == "broadcast":
+            return left.crossJoin(F.broadcast(cent))
+        # SHUFFLE_REPLICATE_NL pins the no-broadcast cartesian strategy
+        # even when the centroid table is under the AQE broadcast
+        # threshold, so the plan exercised at test scale is the one
+        # that runs at 10⁵ centroids
+        return left.join(cent.hint("SHUFFLE_REPLICATE_NL"), how="cross")
 
     def assign(cent: DataFrame) -> DataFrame:
         cand = (
-            embeddings.select(
-                F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av")
+            _with_centroids(
+                embeddings.select(
+                    F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av")
+                ),
+                cent,
             )
-            .crossJoin(F.broadcast(cent))
             .select(
                 "_aid",
                 "_av",
@@ -248,12 +272,15 @@ def ivf_topk_kmeans(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "broadcast",
 ) -> DataFrame:
     """IVF top-k over self-trained k-means clusters: ``kmeans_labels``
     supplies the partition assignment, then ``ivf_topk`` probes the
     nearest centroid's bucket.  This is the production composition the
     label-column variant stands in for."""
-    labels = kmeans_labels(embeddings, n_clusters, iters, id_col, vec_col)
+    labels = kmeans_labels(
+        embeddings, n_clusters, iters, id_col, vec_col, centroid_mode
+    )
     labeled = embeddings.select(id_col, vec_col).join(labels, id_col)
     return ivf_topk(labeled, n_queries, k, id_col, vec_col, "label")
 

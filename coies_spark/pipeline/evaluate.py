@@ -141,6 +141,52 @@ def grid_search(
     return out
 
 
+def grid_search_batched(
+    base_config: ExtractionConfig,
+    param_grid: dict[str, Sequence],
+    build_artifacts: Callable[[ExtractionConfig], ExampleArtifacts],
+    build_scores: Callable[[ExampleArtifacts], DataFrame],
+) -> list[dict]:
+    """``grid_search`` with ONE Spark job for the whole sweep: every
+    config's scores frame (``score_extractions`` output) is tagged with
+    its run index and unioned, the per-doc normalization + corpus mean
+    aggregate per run inside a single plan, and one collect fetches all
+    N corpus scores.  Large grids pay job-setup/scan costs once instead
+    of once per config (the reference loops the full pipeline per
+    config — main.py:56-61, 98-100 — which is exactly the driver-side
+    round-trip shape to avoid at scale).
+    """
+    from functools import reduce as _reduce
+
+    runs: list[tuple[str, object, ExtractionConfig]] = []
+    frames: list[DataFrame] = []
+    for param, values in param_grid.items():
+        for v in values:
+            cfg = replace(base_config, **{param: v})
+            scores = build_scores(build_artifacts(cfg))
+            frames.append(scores.withColumn("__run", F.lit(len(runs))))
+            runs.append((param, v, cfg))
+    if not frames:
+        return []
+    union = _reduce(DataFrame.unionByName, frames)
+    per_doc = union.groupBy("__run", "conv_id").agg(
+        F.avg("rouge").alias("doc_score")
+    )
+    collected = (
+        per_doc.groupBy("__run").agg(F.avg("doc_score").alias("s")).collect()
+    )
+    by_run = {r["__run"]: float(r["s"]) for r in collected}
+    return [
+        {
+            "param": param,
+            "value": v,
+            "score": by_run[i],
+            "config": json.dumps(asdict(cfg), sort_keys=True),
+        }
+        for i, (param, v, cfg) in enumerate(runs)
+    ]
+
+
 def validate_with_more(
     spark: SparkSession,
     candidate_examples: Iterable[tuple[str, str]],

@@ -86,6 +86,58 @@ def test_grid_search_runs(spark, corpus, gold_df):
     assert {r["value"] for r in rows} == {8, 12}
 
 
+def test_grid_search_batched_single_collect(spark, corpus, gold_df, monkeypatch):
+    """The batched sweep must (a) agree with the sequential grid_search
+    and (b) fetch all N config scores with exactly ONE collect."""
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    sentences = synth.corpus_sentences(corpus)
+
+    from coies_spark.core.oneshot import build_example_artifacts
+
+    build = lambda cfg: build_example_artifacts(
+        corpus.example.tagged_text, sentences, cfg
+    )
+    convs = raw.select("conv_id").distinct()
+
+    def build_scores(art):
+        mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
+        return ev.score_extractions(mentions, gold_df, art, convs)
+
+    sequential = ev.grid_search(
+        FIXTURE_CONFIG,
+        {"context_size": [8, 12]},
+        build,
+        lambda art: ev.corpus_score(build_scores(art)),
+    )
+
+    cls = type(raw)  # the concrete (classic) DataFrame class
+    n_collects = 0
+    orig = cls.collect
+
+    def counting(self, *a, **k):
+        nonlocal n_collects
+        n_collects += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    batched = ev.grid_search_batched(
+        FIXTURE_CONFIG, {"context_size": [8, 12]}, build, build_scores
+    )
+    monkeypatch.undo()
+
+    assert n_collects == 1
+    assert len(batched) == 2
+    for s, b in zip(sequential, batched):
+        assert s["param"] == b["param"] and s["value"] == b["value"]
+        assert b["score"] == pytest.approx(s["score"], abs=1e-9)
+    assert ev.grid_search_batched(FIXTURE_CONFIG, {}, build, build_scores) == []
+
+
 def test_validate_with_more(spark, corpus, gold_df):
     raw = spark.createDataFrame(
         synth.transcripts_frame(corpus.all_docs, use_raw=True)

@@ -131,6 +131,21 @@ def test_language_id_no_per_lang_vocab_window(spark):
     assert out.where(F.col("pred_lang").isNull()).count() == 0
 
 
+def test_kmeans_join_mode_no_centroid_broadcast(spark):
+    """centroid_mode='join' must keep the centroid side out of any
+    BroadcastExchange (the k-beyond-broadcast-size path) and emit the
+    same labels as broadcast mode."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bcast = similarity.kmeans_labels(emb, k=4, iters=1)
+    joined = similarity.kmeans_labels(emb, k=4, iters=1, centroid_mode="join")
+    p = plan_of(joined)
+    assert "CartesianProduct" in p
+    assert "BroadcastExchange" not in p
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+
 def test_lsh_buckets_empty_frame_raises(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("false")
     with pytest.raises(ValueError, match="pass\\s+.?dim"):
