@@ -36,7 +36,12 @@ def tokens_col(col: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(c, _SPLIT_PATTERN), lambda t: t != "")
 
 
-# SQL text of the same expression, for spark.sql / oracle parity strings.
+# SQL text of the same expression, for spark.sql callers.  SPARK SQL
+# ONLY: the double-escaping below matches Spark's SQL string-literal
+# parser (escapedStringLiterals=false); a DuckDB literal needs the raw
+# pattern instead (the oracle strings in __spark_entry__ carry their
+# own).  Round-trip equality with tokens_col is pinned by
+# tests/test_textproc.py::test_tokens_sql_roundtrip.
 def tokens_sql(expr: str, lowercase: bool = True) -> str:
     inner = f"lower({expr})" if lowercase else expr
     # Spark's SQL string-literal parser unescapes backslash sequences

@@ -53,6 +53,13 @@ def salted_join(
     Only ``inner`` and ``left`` joins are valid: any dim-preserving
     type (right/full/semi from the dim side) would return each
     unmatched dim key once per salt replica.
+
+    Known limitation (shared with ``salted_count``): the deterministic
+    salt hashes the FULL row, so fact rows that are byte-identical in
+    every column land in the SAME bucket — a hot key whose rows are
+    exact duplicates regains a single-task straggler.  Real fact rows
+    carry distinguishing columns (ids/timestamps); if yours don't,
+    persist a stable row id first and it will enter the salt hash.
     """
     if how not in ("inner", "left"):
         raise ValueError(

@@ -460,7 +460,25 @@ def embedding_neardup(
 
     ``exact=True`` is the all-pairs O(n²) verifier — test oracle only,
     never the shipped plan.
+
+    .. versionchanged:: round 2
+       BEHAVIOR CHANGE vs round 1: default ``threshold`` moved
+       0.4 → 0.9 and the default plan moved exact-all-pairs →
+       banded-LSH (approximate below ~0.9 similarity; the old exact
+       behavior is opt-in via ``exact=True``).  Callers keeping round-1
+       arguments get lossy results — a low threshold with the LSH path
+       now emits a RuntimeWarning.
     """
+    if threshold <= 0.5 and not exact:
+        import warnings
+
+        warnings.warn(
+            "embedding_neardup: threshold <= 0.5 with the banded-LSH "
+            "path — this regime is not LSH-prunable (recall falls "
+            "with similarity); pass exact=True for exhaustive pairs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if exact:
         a = embeddings.select(
             F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")

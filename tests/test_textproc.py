@@ -1,5 +1,7 @@
 """Tokenizer / tag-parsing parity unit tests (SURVEY.md §5 vignettes)."""
 
+import pytest
+
 from coies_spark.core import textproc as tp
 
 
@@ -117,3 +119,29 @@ class TestSublist:
         # the reference's string-containment check matches mid-token at the
         # start: 'b:c:' in 'ab:c:' — replicated on purpose
         assert tp.is_contiguous_sublist(["b", "c"], ["ab", "c"])
+
+
+@pytest.mark.spark
+def test_tokens_sql_roundtrip(spark):
+    """tokens_sql (SQL-literal form, double-escaped for Spark's parser)
+    must tokenize identically to tokens_col on unicode + punctuation +
+    whitespace-variant text."""
+    from coies_spark.functions.tokenize import tokens_col, tokens_sql
+
+    rows = [
+        ("Hello, World! it's 2001-2002",),
+        ("tabs\tand\nnewlines  double  spaces",),
+        ("punct-only !!! ...",),
+        ("",),
+        ("Ünïcode café naïve",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    df.createOrReplaceTempView("tok_rt")
+    via_col = [r.t for r in df.select(tokens_col("text").alias("t")).collect()]
+    via_sql = [
+        r.t
+        for r in spark.sql(
+            f"SELECT {tokens_sql('text')} AS t FROM tok_rt"
+        ).collect()
+    ]
+    assert via_col == via_sql
