@@ -162,6 +162,63 @@ class PhraseTable:
         return cls({(a, b): m for a, b, m in rows})
 
 
+class StackedPhraseTable:
+    """Multi-pass collocation merger — the reference's trigram family
+    (AAERParserPhrases, aaer_corpus.py:105-134: ``trigrams =
+    Phrases(bigrams[sentences])`` applied as ``trigrams[bigrams[s]]``;
+    consumed by PhraseVecTrigrams, context_based_models.py:203-218).
+
+    ``tables[0]`` is trained on the raw corpus, ``tables[i]`` on the
+    corpus transformed by tables[0..i-1] — so a second pass can merge a
+    merged bigram with a neighbour into a trigram, exactly gensim's
+    stacked-Phrases construction.  Drop-in wherever ``PhraseTable`` is
+    accepted (the whole surface is ``.merge(tokens)``).
+    """
+
+    def __init__(self, tables: Sequence[PhraseTable]):
+        self.tables = list(tables)
+
+    @classmethod
+    def train(
+        cls,
+        sentences: Iterable[Sequence[str]],
+        passes: int = 2,
+        min_count: int = 5,
+        threshold: float = 10.0,
+    ) -> "StackedPhraseTable":
+        sents = [list(s) for s in sentences]
+        tables: list[PhraseTable] = []
+        for _ in range(passes):
+            t = PhraseTable.train(sents, min_count, threshold)
+            tables.append(t)
+            sents = [t.merge(s) for s in sents]
+        return cls(tables)
+
+    def merge(self, tokens: Sequence[str]) -> list[str]:
+        out = list(tokens)
+        for t in self.tables:
+            out = t.merge(out)
+        return out
+
+    def to_rows(self) -> list[tuple[int, str, str, str]]:
+        return [
+            (i, a, b, m)
+            for i, t in enumerate(self.tables)
+            for (a, b), m in sorted(t.merges.items())
+        ]
+
+    @classmethod
+    def from_rows(
+        cls, rows: Iterable[tuple[int, str, str, str]]
+    ) -> "StackedPhraseTable":
+        by_pass: dict[int, dict[tuple[str, str], str]] = {}
+        for i, a, b, m in rows:
+            by_pass.setdefault(i, {})[(a, b)] = m
+        return cls(
+            [PhraseTable(by_pass[i]) for i in sorted(by_pass)]
+        )
+
+
 def doc_vector(
     emb: HashEmbedding, tokens: Sequence[str], mode: str = "sum"
 ) -> np.ndarray:
