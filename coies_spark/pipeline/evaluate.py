@@ -141,6 +141,73 @@ def grid_search(
     return out
 
 
+def perfect_mentions(
+    gold: DataFrame, artifacts: ExampleArtifacts
+) -> DataFrame:
+    """Perfect-extractor baseline (OneShotTestPerfect,
+    oneshot_test.py:267-287): for every seed, emit the doc's gold
+    mentions of the seed's type verbatim.  Scored through
+    ``score_extractions`` this bounds the metric from above (absent
+    types emit nothing → the absent-type credit applies, exactly the
+    reference's ``score_by_rouge`` path)."""
+    spark = gold.sparkSession
+    seeds = spark.createDataFrame(
+        [(" ".join(s.tokens), s.pred) for s in artifacts.seeds],
+        "seed string, pred string",
+    )
+    return gold.join(F.broadcast(seeds), "pred").select(
+        "conv_id", "seed", "pred", "obj", F.lit(1.0).alias("score")
+    )
+
+
+def random_mentions(
+    transcripts: DataFrame,
+    artifacts: ExampleArtifacts,
+    salt: str = "random-baseline",
+) -> DataFrame:
+    """Random-selection baseline (OneShotTestRandom,
+    oneshot_test.py:299-308): one token drawn from the doc's token
+    stream per (doc, seed).  The reference uses ``random.choice``; here
+    the draw is a deterministic hash (conv_id, seed, salt) → index so
+    the baseline reproduces bit-for-bit across runs — same
+    distributional role, stable CI.  All JVM-side (no UDF)."""
+    from ..functions.tokenize import tokens_col
+
+    spark = transcripts.sparkSession
+    seeds = spark.createDataFrame(
+        [(" ".join(s.tokens), s.pred) for s in artifacts.seeds],
+        "seed string, pred string",
+    )
+    # order-stable token stream: sort turns by turn_idx before flatten
+    doc_toks = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: tokens_col(s.text),
+                )
+            ).alias("toks")
+        )
+        .where(F.size("toks") > 0)
+    )
+    idx = (
+        F.pmod(
+            F.xxhash64("conv_id", "seed", F.lit(salt)), F.size("toks")
+        )
+        + 1
+    ).cast("int")
+    return doc_toks.crossJoin(F.broadcast(seeds)).select(
+        "conv_id",
+        "seed",
+        "pred",
+        F.element_at("toks", idx).alias("obj"),
+        F.lit(0.0).alias("score"),
+    )
+
+
 def grid_search_batched(
     base_config: ExtractionConfig,
     param_grid: dict[str, Sequence],

@@ -55,6 +55,9 @@ def main() -> None:
         " sg = pyspark.ml skip-gram",
     )
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--n-parts", type=int, default=0, help="0 = cores//2")
+    ap.add_argument("--sync-per-epoch", type=int, default=1)
+    ap.add_argument("--combine", choices=["sum", "mean"], default="sum")
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
         "--vec-cache",
@@ -62,6 +65,12 @@ def main() -> None:
         help="npz path: load trained vectors if present, else train and save",
     )
     ap.add_argument("--per-seed", action="store_true")
+    ap.add_argument(
+        "--baselines",
+        action="store_true",
+        help="also score Perfect / Random / Human baselines "
+        "(oneshot_test.py:267-323) through the same scorer",
+    )
     args = ap.parse_args()
 
     from coies_spark.core import textproc
@@ -115,7 +124,9 @@ def main() -> None:
                 window=5,
                 min_count=1,
                 epochs=args.max_iter,
-                n_parts=max(4, args.cores // 2),
+                n_parts=args.n_parts or max(4, args.cores // 2),
+                combine=args.combine,
+                sync_per_epoch=args.sync_per_epoch,
             )
         else:
             vectors = train_word2vec(
@@ -192,6 +203,54 @@ def main() -> None:
             print(f"  seed={r.seed!r:30} pred={r.pred:6} avg_rouge={r.avg} n={r.n}")
     score = corpus_score(scores)
     n_mentions = mentions.count()
+
+    baselines = {}
+    if args.baselines:
+        from coies_spark.pipeline.evaluate import (
+            perfect_mentions,
+            random_mentions,
+        )
+
+        baselines["perfect"] = corpus_score(
+            score_extractions(perfect_mentions(gold, artifacts), gold, artifacts, convs)
+        )
+        baselines["random"] = corpus_score(
+            score_extractions(random_mentions(raw, artifacts), gold, artifacts, convs)
+        )
+        empty = spark.createDataFrame(
+            [], "conv_id string, seed string, pred string, obj string"
+        )
+        baselines["empty"] = corpus_score(
+            score_extractions(empty, gold, artifacts, convs)
+        )
+        # Human baseline (OneShotTestHuman, oneshot_test.py:311-323):
+        # the human-annotated twin of each test file serves as the
+        # found set, scored against the true gold — typo'd entity keys
+        # in the human files ('items', 'itme') miss exactly as in the
+        # reference (keys used verbatim)
+        human_rows = []
+        for stem in stems:
+            hp = f"{REF}/human_results/{stem}.txt"
+            if not os.path.exists(hp):
+                continue
+            hd = textproc.entity_dict(
+                textproc.tagged_tokens_from_text(read_ref(hp))
+            )
+            for pred, ms in hd.items():
+                for m in ms:
+                    human_rows.append((stem, pred, " ".join(m)))
+        if human_rows:
+            from coies_spark.pipeline.evaluate import perfect_mentions as _pm
+
+            human_gold = spark.createDataFrame(
+                human_rows, "conv_id string, pred string, obj string"
+            )
+            baselines["human"] = corpus_score(
+                score_extractions(
+                    _pm(human_gold, artifacts), gold, artifacts, convs
+                )
+            )
+        print("baselines:", {k: round(v, 4) for k, v in baselines.items()})
     wall = time.time() - t0
     out = {
         "metric": "rouge1_f_corpus",
@@ -209,6 +268,8 @@ def main() -> None:
         "train_sec": round(t_train, 1),
         "wall_sec": round(wall, 1),
     }
+    if baselines:
+        out["baselines"] = {k: round(v, 4) for k, v in baselines.items()}
     line = json.dumps(out)
     print(line)
     if args.json_out:

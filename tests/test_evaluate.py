@@ -159,3 +159,32 @@ def test_validate_with_more(spark, corpus, gold_df):
     assert len(rows) == 3
     assert all(r["n_entity_types"] >= 3 for r in rows)
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+
+
+def test_perfect_and_random_baselines(spark, corpus, gold_df):
+    """Perfect must hit the metric ceiling (1.0: gold vs gold, plus the
+    absent-type credit); Random must land strictly below it and
+    reproduce deterministically (hash-draw, not random.choice)."""
+    from coies_spark.core.oneshot import build_example_artifacts
+
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    art = build_example_artifacts(
+        corpus.example.tagged_text, synth.corpus_sentences(corpus),
+        FIXTURE_CONFIG,
+    )
+    convs = raw.select("conv_id").distinct()
+
+    perfect = ev.corpus_score(
+        ev.score_extractions(ev.perfect_mentions(gold_df, art), gold_df, art, convs)
+    )
+    assert perfect == pytest.approx(1.0, abs=1e-9)
+
+    r1 = ev.random_mentions(raw, art)
+    r2 = ev.random_mentions(raw, art)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    random_score = ev.corpus_score(
+        ev.score_extractions(r1, gold_df, art, convs)
+    )
+    assert 0.0 <= random_score < perfect
