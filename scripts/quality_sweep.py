@@ -1,0 +1,219 @@
+"""Threshold sweep + baselines over CACHED trained vectors.
+
+Loads a trained-vector npz (produced by quality_run.py --vec-cache),
+builds the evaluation frames once, then scores EVERY (context_threshold,
+word_threshold) grid point in ONE batched Spark job (the
+grid_search_batched shape generalized to a 2-D grid): per-config
+detection branches union under a run index, per-doc normalization +
+corpus mean aggregate in-plan, one collect for all scores and one for
+all mention counts.
+
+Also reports the Perfect / Random / Empty / Human baselines
+(oneshot_test.py:267-323) through the same scorer so every sweep comes
+with its upper/lower bounds.
+
+Usage: python scripts/quality_sweep.py --vec-cache V.npz
+         [--cts 0.9,0.99,0.999] [--wts 0.6,0.8,0.9] [--trigrams]
+         [--json-out PATH] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/text_files"
+EXAMPLE = f"{REF}/example/34-53330.txt"
+
+
+def read_ref(path: str) -> str:
+    from coies_spark.core import textproc
+
+    with open(path, "rb") as f:
+        return textproc.ascii_clean(f.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vec-cache", required=True)
+    ap.add_argument("--cts", default="0.9,0.95,0.99,0.995,0.999")
+    ap.add_argument("--wts", default="0.6,0.8,0.9")
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--trigrams", action="store_true",
+                    help="use the stacked (trigram) phrase table")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from coies_spark.core import textproc
+    from coies_spark.core.embed import (
+        MappedEmbedding,
+        PhraseTable,
+        StackedPhraseTable,
+    )
+    from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
+    from coies_spark.pipeline.evaluate import (
+        perfect_mentions,
+        random_mentions,
+        score_extractions,
+    )
+    from coies_spark.pipeline.extract import extract_mentions
+    from coies_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark("quality-sweep", cores=args.cores)
+
+    z = np.load(args.vec_cache, allow_pickle=False)
+    vecs, tokens = z["vecs"].astype(np.float32), z["tokens"]
+    mapping = {t: vecs[i] for i, t in enumerate(tokens)}
+    print(f"loaded {len(mapping)} vectors from {args.vec_cache}")
+
+    corpus_files = sorted(os.listdir(f"{REF}/aaer"))
+    sentences = []
+    for fn in corpus_files:
+        sentences.extend(textproc.sentence_tokens(read_ref(f"{REF}/aaer/{fn}")))
+    base_cfg = ExtractionConfig(dim=args.dim)
+    if args.trigrams:
+        phrases = StackedPhraseTable.train(
+            sentences,
+            passes=2,
+            min_count=base_cfg.phrase_min_count,
+            threshold=base_cfg.phrase_threshold,
+        )
+    else:
+        phrases = PhraseTable.train(
+            sentences,
+            min_count=base_cfg.phrase_min_count,
+            threshold=base_cfg.phrase_threshold,
+        )
+    emb = MappedEmbedding(mapping, args.dim)
+
+    stems = [
+        fn[:-4]
+        for fn in sorted(os.listdir(f"{REF}/test"))
+        if fn.endswith(".txt") and os.path.exists(f"{REF}/aaer/{fn}")
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    raw_rows, tagged_rows, gold_rows = [], [], []
+    for stem in stems:
+        raw_rows.append((stem, 0, "doc", read_ref(f"{REF}/aaer/{stem}.txt"), None, None))
+        tt = read_ref(f"{REF}/test/{stem}.txt")
+        tagged_rows.append((stem, 0, "doc", tt, None, None))
+        for pred, ms in textproc.entity_dict(
+            textproc.tagged_tokens_from_text(tt)
+        ).items():
+            for m in ms:
+                gold_rows.append((stem, pred, " ".join(m)))
+    raw = spark.createDataFrame(raw_rows, schema).repartition(len(stems)).cache()
+    tagged = spark.createDataFrame(tagged_rows, schema).cache()
+    gold = spark.createDataFrame(
+        gold_rows, "conv_id string, pred string, obj string"
+    ).cache()
+    convs = raw.select("conv_id").distinct().cache()
+
+    cts = [float(x) for x in args.cts.split(",")]
+    wts = [float(x) for x in args.wts.split(",")]
+    runs, score_frames, mention_frames = [], [], []
+    for ct in cts:
+        for wt in wts:
+            cfg = ExtractionConfig(
+                dim=args.dim, context_threshold=ct, word_threshold=wt
+            )
+            art = build_example_artifacts(
+                read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb
+            )
+            mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
+            rid = len(runs)
+            mention_frames.append(
+                mentions.groupBy().count().select(
+                    F.lit(rid).alias("__run"), F.col("count").alias("n")
+                )
+            )
+            score_frames.append(
+                score_extractions(mentions, gold, art, convs).withColumn(
+                    "__run", F.lit(rid)
+                )
+            )
+            runs.append({"ct": ct, "wt": wt})
+
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    union = reduce(DataFrame.unionByName, score_frames)
+    per_doc = union.groupBy("__run", "conv_id").agg(
+        F.avg("rouge").alias("doc_score")
+    )
+    got = (
+        per_doc.groupBy("__run").agg(F.avg("doc_score").alias("s")).collect()
+    )
+    for r in got:
+        runs[r["__run"]]["score"] = round(float(r["s"]), 4)
+    for r in reduce(DataFrame.unionByName, mention_frames).collect():
+        runs[r["__run"]]["n_mentions"] = int(r["n"])
+
+    # ---- baselines (one artifacts build at the flagship config) ---------
+    art0 = build_example_artifacts(
+        read_ref(EXAMPLE), [], base_cfg, phrases=phrases, emb=emb
+    )
+
+    def cscore(mentions_df):
+        s = score_extractions(mentions_df, gold, art0, convs)
+        pd_ = s.groupBy("conv_id").agg(F.avg("rouge").alias("d"))
+        return round(float(pd_.agg(F.avg("d")).collect()[0][0]), 4)
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, seed string, pred string, obj string"
+    )
+    baselines = {
+        "perfect": cscore(perfect_mentions(gold, art0)),
+        "random": cscore(random_mentions(raw, art0)),
+        "empty": cscore(empty),
+    }
+    human_rows = []
+    for stem in stems:
+        hp = f"{REF}/human_results/{stem}.txt"
+        if os.path.exists(hp):
+            hd = textproc.entity_dict(
+                textproc.tagged_tokens_from_text(read_ref(hp))
+            )
+            for pred, ms in hd.items():
+                for m in ms:
+                    human_rows.append((stem, pred, " ".join(m)))
+    if human_rows:
+        human_gold = spark.createDataFrame(
+            human_rows, "conv_id string, pred string, obj string"
+        )
+        baselines["human"] = cscore(perfect_mentions(human_gold, art0))
+
+    out = {
+        "metric": "rouge1_f_corpus_sweep",
+        "vec_cache": args.vec_cache,
+        "trigrams": bool(args.trigrams),
+        "grid": runs,
+        "baselines": baselines,
+        "best": max(runs, key=lambda r: r.get("score", 0.0)),
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
