@@ -12,18 +12,39 @@ Spark-native operator:
 
 * vocabulary, frequency subsampling probabilities, and the
   unigram^0.75 negative-sampling table are built with one DataFrame
-  aggregation and broadcast;
-* each epoch runs partition-parallel SGD (numpy kernel inside
+  aggregation (optionally capped at ``max_vocab`` by a distributed
+  top-V) and broadcast;
+* each sync round runs partition-parallel SGD (numpy kernel inside
   ``mapPartitions``) from the SAME broadcast weights, and the per-
-  partition results are averaged — the standard parameter-averaging
-  scheme Spark ML's own Word2Vec uses (one aggregate per epoch, no
-  parameter server needed);
-* all randomness is seeded per (partition, epoch): same input + same
+  partition results are combined either by
+
+  - ``combine="sum"`` (default): **delta sum** —
+    ``W ← W₀ + Σ_p (W_p − W₀)`` — every partition's updates land, the
+    synchronous approximation of gensim's hogwild workers (all 10
+    workers write into ONE shared matrix, word2vec_models.py:38-47).
+    Update magnitude is independent of ``n_parts``; staleness is
+    bounded by the sync interval (``sync_per_epoch`` mini-epochs per
+    epoch shorten it at the cost of one broadcast+reduce each);
+  - ``combine="mean"``: parameter averaging (Spark ML's scheme).
+    NOTE: the mean divides the summed weights by ``n_parts``, so a
+    word's effective step size shrinks ~1/n_parts (empty partitions
+    contribute the unchanged broadcast weights) — vector quality is
+    tied to the partition count.  Kept for comparison; use "sum" for
+    production quality.
+
+* the learning rate decays **linearly in global training progress at
+  sentence granularity** (word2vec.c / gensim decay ``alpha →
+  min_alpha`` over all epochs), not per-epoch steps;
+* all randomness is seeded per (round, partition): same input + same
   partitioning → same vectors.
 
 At 100 TB the training input is a bounded sample (embedding quality
 saturates far below corpus size); the weight matrices are O(vocab ×
-dim) — broadcastable by construction.
+dim) — broadcast per sync round, so the driver/executor budget is
+``2 × max_vocab × dim × 4`` bytes (e.g. 400 MiB at V=100k, d=512);
+cap ``max_vocab`` accordingly.  The output vector table is built
+distributed (executors materialize rows from the broadcast weights),
+never as a driver-side list of Python float lists.
 """
 
 from __future__ import annotations
@@ -47,15 +68,24 @@ def _train_partition(
     keep_prob,
     window: int,
     negative: int,
-    alpha: float,
+    alpha_start: float,
+    alpha_end: float,
     seed: int,
 ):
     """In-place CBOW-NS SGD over one partition's sentences (gensim
-    semantics: reduced window, cbow_mean=1, shared-negative updates)."""
+    semantics: reduced window, cbow_mean=1, shared-negative updates).
+    The learning rate decays linearly from ``alpha_start`` to
+    ``alpha_end`` across the partition's sentences — word-level decay
+    at sentence granularity, matching word2vec.c's progress-linear
+    schedule when every partition covers the same progress slice."""
     rng = np.random.RandomState(seed)
     syn0 = syn0.copy()
     syn1 = syn1.copy()
-    for ids in sent_ids_list:
+    n_sents = len(sent_ids_list)
+    for si, ids in enumerate(sent_ids_list):
+        alpha = alpha_start + (alpha_end - alpha_start) * (
+            si / n_sents if n_sents else 0.0
+        )
         if len(ids) < 2:
             continue
         keep = rng.random_sample(len(ids)) < keep_prob[ids]
@@ -112,46 +142,71 @@ def train_cbow(
     min_alpha: float = 1e-4,
     n_parts: int = 8,
     seed: int = 42,
+    combine: str = "sum",
+    sync_per_epoch: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """→ (token string, vector array<float>): CBOW-NS vector table.
 
-    ``sentences``: one ``sentence array<string>`` column.  The learning
-    rate decays linearly per epoch (alpha → min_alpha), matching the
-    word2vec schedule at epoch granularity.
+    ``sentences``: one ``sentence array<string>`` column.  See the
+    module docstring for the ``combine`` semantics ("sum" = hogwild-
+    equivalent delta sum, default; "mean" = parameter averaging whose
+    quality degrades with ``n_parts``) and the ``max_vocab`` /
+    broadcast memory budget.  ``sync_per_epoch`` splits each epoch
+    into that many synchronization rounds (shorter staleness, more
+    broadcast+reduce rounds).
     """
-    if epochs >= 100 or n_parts >= 10_000:
-        # the per-(epoch, partition) seed spacing guarantees distinct
+    total_rounds = epochs * max(sync_per_epoch, 1)
+    if total_rounds >= 100 or n_parts >= 10_000:
+        # the per-(round, partition) seed spacing guarantees distinct
         # RandomState streams only inside these bounds — beyond them
-        # adjacent epochs would silently reuse streams (correlated
+        # adjacent rounds would silently reuse streams (correlated
         # subsampling/negatives), so fail loudly instead
         raise ValueError(
-            f"train_cbow: epochs ({epochs}) must be < 100 and n_parts "
-            f"({n_parts}) < 10_000 to keep per-partition RNG streams "
-            "distinct"
+            f"train_cbow: epochs*sync_per_epoch ({total_rounds}) must be "
+            f"< 100 and n_parts ({n_parts}) < 10_000 to keep "
+            "per-partition RNG streams distinct"
         )
+    if combine not in ("sum", "mean"):
+        raise ValueError(f"train_cbow: unknown combine mode {combine!r}")
     spark = sentences.sparkSession
     sc = spark.sparkContext
 
     # ---- vocabulary + subsampling + negative table (one aggregation) ----
     from pyspark.sql import functions as F
 
-    counts = (
+    counts_df = (
         sentences.select(F.explode("sentence").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_count)
         .orderBy(F.desc("c"), F.asc("tok"))
-        .collect()
     )
+    if max_vocab is not None:
+        # distributed top-V (orderBy+limit = TakeOrdered, map-side
+        # partial): bounds the broadcast/driver weight matrices to
+        # 2 × max_vocab × dim floats no matter the corpus vocabulary
+        counts_df = counts_df.limit(max_vocab)
+    counts = counts_df.collect()
+    if not counts:
+        raise ValueError(
+            "train_cbow: vocabulary is empty after min_count filtering — "
+            "nothing to train on"
+        )
     vocab = [r.tok for r in counts]
     freq = np.array([r.c for r in counts], dtype=np.float64)
     index = {t: i for i, t in enumerate(vocab)}
     total = freq.sum()
-    # gensim subsampling keep probability
-    thresh = sample * total
-    keep_prob = np.minimum(
-        1.0, (np.sqrt(freq / thresh) + 1.0) * (thresh / freq)
-    ).astype(np.float64)
+    if sample and sample > 0:
+        # gensim subsampling keep probability
+        thresh = sample * total
+        keep_prob = np.minimum(
+            1.0, (np.sqrt(freq / thresh) + 1.0) * (thresh / freq)
+        ).astype(np.float64)
+    else:
+        # sample<=0 disables subsampling (gensim: sample=0) — guard the
+        # division instead of emitting NaN keep probabilities
+        keep_prob = np.ones(len(vocab), dtype=np.float64)
     pow_freq = freq**NEG_TABLE_POWER
     neg_cum = np.cumsum(pow_freq / pow_freq.sum())
     neg_cum[-1] = 1.0
@@ -183,17 +238,25 @@ def train_cbow(
     ).astype(np.float32)
     syn1 = np.zeros((len(vocab), dim), dtype=np.float32)
 
-    # ---- epochs: broadcast → partition SGD → deterministic average ------
-    # constant across epochs — broadcast once, not once per epoch
+    # ---- sync rounds: broadcast → partition SGD → combine ---------------
+    # constant across rounds — broadcast once, not once per round
     b_keep = sc.broadcast(keep_prob)
     b_neg = sc.broadcast(neg_cum)
-    for ep in range(epochs):
-        lr = alpha + (min_alpha - alpha) * ep / max(epochs - 1, 1)
+    n_sync = max(sync_per_epoch, 1)
+    for rnd in range(total_rounds):
+        # global linear alpha schedule over ALL training progress
+        # (word2vec.c: alpha decays per word processed, not per epoch)
+        lr0 = alpha + (min_alpha - alpha) * (rnd / total_rounds)
+        lr1 = alpha + (min_alpha - alpha) * ((rnd + 1) / total_rounds)
+        sub = rnd % n_sync
         b_syn0 = sc.broadcast(syn0)
         b_syn1 = sc.broadcast(syn1)
 
-        def run(split_idx, it, _ep=ep, _lr=lr):
-            sents = list(it)
+        def run(split_idx, it, _rnd=rnd, _sub=sub, _lr0=lr0, _lr1=lr1):
+            # mini-epoch slice: round r of an epoch trains every
+            # n_sync-th sentence starting at r (stride slicing keeps
+            # each round's slice stable across epochs)
+            sents = [s for i, s in enumerate(it) if i % n_sync == _sub]
             s0, s1 = _train_partition(
                 sents,
                 b_syn0.value,
@@ -202,15 +265,16 @@ def train_cbow(
                 b_keep.value,
                 window,
                 negative,
-                _lr,
-                # spacing bounds: epochs < 100, n_parts < 10_000 —
-                # wide enough that (epoch, partition) seeds never
-                # collide across epochs; mod 2^32 keeps the value in
+                _lr0,
+                _lr1,
+                # spacing bounds: total_rounds < 100, n_parts < 10_000 —
+                # wide enough that (round, partition) seeds never
+                # collide across rounds; mod 2^32 keeps the value in
                 # RandomState's accepted range for any user seed
-                seed=(seed * 1_000_000 + _ep * 10_000 + split_idx)
+                seed=(seed * 1_000_000 + _rnd * 10_000 + split_idx)
                 % (2**32),
             )
-            # emit row blocks so the average is a parallel executor-side
+            # emit row blocks so the combine is a parallel executor-side
             # reduceByKey (no n_parts × |vocab| × dim driver collect);
             # float64 blocks keep the summation exact, the final cast
             # back to float32 bounds the fetched result
@@ -223,24 +287,46 @@ def train_cbow(
                     ),
                 )
 
-        blocks = dict(
+        sums = dict(
             ids_rdd.mapPartitionsWithIndex(run)
             .reduceByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]))
-            .mapValues(
-                lambda t: (
-                    (t[0] / n_parts).astype(np.float32),
-                    (t[1] / n_parts).astype(np.float32),
-                )
-            )
             .collect()
         )
-        syn0 = np.concatenate([blocks[lo][0] for lo in sorted(blocks)])
-        syn1 = np.concatenate([blocks[lo][1] for lo in sorted(blocks)])
+        s0_sum = np.concatenate([sums[lo][0] for lo in sorted(sums)])
+        s1_sum = np.concatenate([sums[lo][1] for lo in sorted(sums)])
+        if combine == "mean":
+            syn0 = (s0_sum / n_parts).astype(np.float32)
+            syn1 = (s1_sum / n_parts).astype(np.float32)
+        else:
+            # delta sum: Σ_p W_p = n·W₀ + Σ_p Δ_p, so
+            # W₀ + Σ_p Δ_p = Σ_p W_p − (n−1)·W₀ — empty partitions
+            # return W₀ unchanged and cancel exactly
+            syn0 = (
+                s0_sum - (n_parts - 1) * syn0.astype(np.float64)
+            ).astype(np.float32)
+            syn1 = (
+                s1_sum - (n_parts - 1) * syn1.astype(np.float64)
+            ).astype(np.float32)
         for b in (b_syn0, b_syn1):
             b.unpersist()
     for b in (b_keep, b_neg, b_index):
         b.unpersist()
     ids_rdd.unpersist()
 
-    rows = [(t, syn0[i].astype(float).tolist()) for t, i in index.items()]
+    # ---- output table: built distributed from the broadcast weights -----
+    # (a driver-side [(token, [float]*dim)] list costs ~20× the raw
+    # matrix in Python object overhead at V=100k, d=512)
+    b_final = sc.broadcast(syn0)
+    blocks = [
+        (lo, vocab[lo : lo + _BLOCK_ROWS])
+        for lo in range(0, len(vocab), _BLOCK_ROWS)
+    ]
+
+    def emit(block):
+        lo, toks = block
+        s0 = b_final.value
+        for i, t in enumerate(toks):
+            yield t, s0[lo + i].astype(float).tolist()
+
+    rows = sc.parallelize(blocks, max(len(blocks), 1)).flatMap(emit)
     return spark.createDataFrame(rows, "token string, vector array<float>")

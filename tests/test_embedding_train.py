@@ -95,3 +95,60 @@ class TestCbow:
             [cos(v1["alpha0"], v1[f"beta{i}"]) for i in range(8)]
         )
         assert within > across + 0.2, (within, across)
+
+    def test_mean_combine_and_sync_rounds_also_separate(self, spark):
+        import numpy as np
+
+        from coies_spark.ops.cbow import train_cbow
+
+        v = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                self._sentences(spark),
+                dim=16,
+                epochs=4,
+                n_parts=2,
+                min_count=1,
+                combine="mean",
+                sync_per_epoch=2,
+            ).collect()
+        }
+
+        def cos(x, y):
+            return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+        within = np.mean([cos(v["alpha0"], v[f"alpha{i}"]) for i in range(1, 8)])
+        across = np.mean([cos(v["alpha0"], v[f"beta{i}"]) for i in range(8)])
+        assert within > across + 0.2, (within, across)
+
+    def test_max_vocab_caps_to_top_frequency(self, spark):
+        from coies_spark.ops.cbow import train_cbow
+
+        rows = [
+            (["hot", "hot", "hot", "warm", "warm", "cold"],),
+        ] * 20 + [(["rare1", "rare2", "hot", "warm"],)] * 2
+        sent = spark.createDataFrame(rows, "sentence array<string>")
+        vocab = {
+            r.token
+            for r in train_cbow(
+                sent, dim=8, epochs=1, n_parts=2, max_vocab=3
+            ).collect()
+        }
+        assert vocab == {"hot", "warm", "cold"}  # top-3 by count
+
+    def test_degenerate_inputs_guarded(self, spark):
+        import pytest as _pytest
+
+        from coies_spark.ops.cbow import train_cbow
+
+        sent = spark.createDataFrame(
+            [(["a", "b", "a", "b"],)] * 5, "sentence array<string>"
+        )
+        # sample=0 disables subsampling instead of dividing by zero
+        rows = train_cbow(sent, dim=4, epochs=1, n_parts=1, sample=0).collect()
+        assert len(rows) == 2
+        # empty post-min_count vocabulary raises a clear error
+        with _pytest.raises(ValueError, match="vocabulary is empty"):
+            train_cbow(sent, dim=4, epochs=1, n_parts=1, min_count=100)
+        with _pytest.raises(ValueError, match="combine"):
+            train_cbow(sent, dim=4, epochs=1, n_parts=1, combine="median")
