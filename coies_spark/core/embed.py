@@ -104,7 +104,26 @@ class MappedEmbedding(HashEmbedding):
 
     def __getitem__(self, token: str) -> np.ndarray:
         vec = self._base.get(token)
-        return vec if vec is not None else super().__getitem__(token)
+        if vec is not None:
+            return vec
+        if PHRASE_DELIM in token:
+            # OOV phrase token → mean of its constituent tokens — the
+            # reference's PhraseVec fallback (context_based_models.py:
+            # 196-207: KeyError → re-phrase → mean of member vectors).
+            # Memoized in the evictable OOV cache like hash fallbacks.
+            memo = self._cache.get(token)
+            if memo is not None:
+                return memo
+            parts = [p for p in token.split(PHRASE_DELIM) if p]
+            if parts:
+                vec = np.mean([self[p] for p in parts], axis=0).astype(
+                    np.float32
+                )
+                if len(self._cache) >= self.CACHE_CAP:
+                    self._cache.clear()
+                self._cache[token] = vec
+                return vec
+        return super().__getitem__(token)
 
 
 class PhraseTable:

@@ -106,6 +106,9 @@ class ExampleArtifacts:
     seeds: list[MentionSeed]
     phrases: PhraseTable
     emb: HashEmbedding = field(repr=False)
+    # gram model (reference: phrased-corpus word2vec, see
+    # build_example_artifacts); None → emb serves both roles
+    gram_emb: Optional[HashEmbedding] = field(default=None, repr=False)
     # per-process memo (vocabulary repeats heavily across documents, so
     # this amortizes; it grows worker-locally like emb's cache):
     # gram → unit-normalized float64 vector (gram model output).
@@ -120,6 +123,7 @@ def build_example_artifacts(
     config: ExtractionConfig,
     phrases: Optional[PhraseTable] = None,
     emb: Optional[HashEmbedding] = None,
+    gram_emb: Optional[HashEmbedding] = None,
 ) -> ExampleArtifacts:
     """Parse the tagged example and precompute per-mention seed vectors.
 
@@ -128,9 +132,21 @@ def build_example_artifacts(
     aaer_corpus.py:105-134).  ``emb`` swaps in a trained embedding
     table (core.embed.MappedEmbedding over ops/embedding_train.py
     output); default is the deterministic hash embedding.
+
+    ``gram_emb``: the GRAM model — the reference flagship uses TWO
+    word2vec models (OneShotTestWVSumWVPhraseBi, oneshot_test.py:
+    470-475): context windows score under a raw-corpus model
+    (DocVecByWESum over AAERParserSentences, context_based_models.py:
+    136-180) while candidate/seed grams score under a model trained on
+    the bigram-PHRASED corpus (PhraseVecBigrams → AAERExParser-
+    PhrasesBigrams, context_based_models.py:203-218 + aaer_corpus.py:
+    149-160), so phrase tokens like ``esafetyworld_inc`` carry real
+    trained vectors.  Defaults to ``emb`` (single-model setting).
     """
     if emb is None:
         emb = HashEmbedding(config.dim, config.salt)
+    if gram_emb is None:
+        gram_emb = emb
     if phrases is None:
         phrases = PhraseTable.train(
             corpus_sentences,
@@ -162,7 +178,7 @@ def build_example_artifacts(
             MentionSeed(
                 pred=pred,
                 tokens=tuple(mention_tokens),
-                gram_vec=gram_vector(emb, phrases, mention_tokens),
+                gram_vec=gram_vector(gram_emb, phrases, mention_tokens),
                 context_vecs=(
                     np.stack(ctx_vecs)
                     if ctx_vecs
@@ -170,7 +186,13 @@ def build_example_artifacts(
                 ),
             )
         )
-    return ExampleArtifacts(config=config, seeds=seeds, phrases=phrases, emb=emb)
+    return ExampleArtifacts(
+        config=config,
+        seeds=seeds,
+        phrases=phrases,
+        emb=emb,
+        gram_emb=gram_emb,
+    )
 
 
 @dataclass(frozen=True)
@@ -200,16 +222,19 @@ def oracle_extract_doc(
     """
     cfg = artifacts.config
     emb, phrases = artifacts.emb, artifacts.phrases
+    gram_emb = artifacts.gram_emb or emb
 
     # Candidate gram dict: phrased raw sentences → flatten → split on '_'
     # → first-occurrence-ordered unique tuples (oneshot_test.py:160-165).
+    # Gram vectors come from the GRAM model (phrased-corpus word2vec in
+    # the reference flagship), context vectors below from ``emb``.
     sent_tokens = textproc.sentence_tokens(raw_text)
     wv_dict: dict[tuple[str, ...], np.ndarray] = {}
     for sent in sent_tokens:
         for phrased_tok in phrases.merge(sent):
             gram = tuple(phrased_tok.split("_"))
             if gram not in wv_dict:
-                wv_dict[gram] = gram_vector(emb, phrases, gram)
+                wv_dict[gram] = gram_vector(gram_emb, phrases, gram)
 
     # Context windows over the (tag-stripped) context token stream,
     # deduped by content with first-occurrence order (dict semantics of
@@ -308,6 +333,7 @@ def detect_doc(
     """
     cfg = artifacts.config
     emb, phrases = artifacts.emb, artifacts.phrases
+    gram_emb = artifacts.gram_emb or emb
     if context_text is None:
         context_text = raw_text
 
@@ -367,7 +393,7 @@ def detect_doc(
     if missing:
         if len(gcache) + len(missing) > GRAM_VEC_CACHE_CAP:
             gcache.clear()  # clear-on-cap: bounded worker memory
-        fresh = unit_rows(gram_vectors_batch(emb, phrases, missing))
+        fresh = unit_rows(gram_vectors_batch(gram_emb, phrases, missing))
         for g, v in zip(missing, fresh):
             gcache[g] = v
     gram_unit = np.stack([gcache[g] for g in gram_list])

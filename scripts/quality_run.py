@@ -66,6 +66,19 @@ def main() -> None:
     )
     ap.add_argument("--per-seed", action="store_true")
     ap.add_argument(
+        "--phrased-corpus",
+        action="store_true",
+        help="train on the bigram-PHRASED corpus (the reference's gram "
+        "model, PhraseVecBigrams / AAERExParserPhrasesBigrams — here the "
+        "same aaer dir stands in for the 'extra' corpus)",
+    )
+    ap.add_argument(
+        "--gram-vec-cache",
+        default=None,
+        help="npz of a phrased-corpus trained model to use as the GRAM "
+        "model (two-model flagship setting); contexts use --vec-cache",
+    )
+    ap.add_argument(
         "--baselines",
         action="store_true",
         help="also score Perfect / Random / Human baselines "
@@ -102,8 +115,21 @@ def main() -> None:
     print(f"corpus: {len(corpus_files)} files, {len(sentences)} sentences")
 
     # ---- train word2vec (distributed, JVM-side) -------------------------
+    cfg = ExtractionConfig(dim=args.dim)  # flagship defaults (0.9/0.6/100/5)
+    phrases = None
+    train_sents = sentences
+    if args.phrased_corpus:
+        from coies_spark.core.embed import PhraseTable
+
+        phrases = PhraseTable.train(
+            sentences,
+            min_count=cfg.phrase_min_count,
+            threshold=cfg.phrase_threshold,
+        )
+        train_sents = [phrases.merge(s) for s in sentences]
+        print(f"phrased corpus: {len(phrases.merges)} merges")
     sent_df = spark.createDataFrame(
-        [(s,) for s in sentences if s], "sentence array<string>"
+        [(s,) for s in train_sents if s], "sentence array<string>"
     )
     import numpy as np
 
@@ -148,10 +174,18 @@ def main() -> None:
     print(f"trained {len(mapping)} vectors d={args.dim} in {t_train:.0f}s")
 
     # ---- artifacts at the flagship config -------------------------------
-    cfg = ExtractionConfig(dim=args.dim)  # flagship defaults (0.9/0.6/100/5)
     emb = MappedEmbedding(mapping, args.dim)
+    gram_emb = None
+    if args.gram_vec_cache and os.path.exists(args.gram_vec_cache):
+        gz = np.load(args.gram_vec_cache, allow_pickle=False)
+        gvecs, gtoks = gz["vecs"], gz["tokens"]
+        gram_emb = MappedEmbedding(
+            {t: gvecs[i] for i, t in enumerate(gtoks)}, args.dim
+        )
+        print(f"gram model: {len(gtoks)} vectors from {args.gram_vec_cache}")
     artifacts = build_example_artifacts(
-        read_ref(EXAMPLE), sentences, cfg, emb=emb
+        read_ref(EXAMPLE), sentences, cfg, phrases=phrases, emb=emb,
+        gram_emb=gram_emb,
     )
     print(f"seeds: {[(s.pred, ' '.join(s.tokens)) for s in artifacts.seeds]}")
 

@@ -41,6 +41,12 @@ def read_ref(path: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vec-cache", required=True)
+    ap.add_argument(
+        "--gram-cache",
+        default=None,
+        help="npz of a phrased-corpus model used as the GRAM model "
+        "(two-model flagship setting; contexts use --vec-cache)",
+    )
     ap.add_argument("--cts", default="0.9,0.95,0.99,0.995,0.999")
     ap.add_argument("--wts", default="0.6,0.8,0.9")
     ap.add_argument("--dim", type=int, default=512)
@@ -96,6 +102,14 @@ def main() -> None:
             threshold=base_cfg.phrase_threshold,
         )
     emb = MappedEmbedding(mapping, args.dim)
+    gram_emb = None
+    if args.gram_cache:
+        gz = np.load(args.gram_cache, allow_pickle=False)
+        gvecs, gtoks = gz["vecs"].astype(np.float32), gz["tokens"]
+        gram_emb = MappedEmbedding(
+            {t: gvecs[i] for i, t in enumerate(gtoks)}, args.dim
+        )
+        print(f"gram model: {len(gtoks)} vectors from {args.gram_cache}")
 
     stems = [
         fn[:-4]
@@ -132,7 +146,8 @@ def main() -> None:
                 dim=args.dim, context_threshold=ct, word_threshold=wt
             )
             art = build_example_artifacts(
-                read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb
+                read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb,
+                gram_emb=gram_emb,
             )
             mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
             rid = len(runs)
@@ -166,7 +181,8 @@ def main() -> None:
 
     # ---- baselines (one artifacts build at the flagship config) ---------
     art0 = build_example_artifacts(
-        read_ref(EXAMPLE), [], base_cfg, phrases=phrases, emb=emb
+        read_ref(EXAMPLE), [], base_cfg, phrases=phrases, emb=emb,
+        gram_emb=gram_emb,
     )
 
     def cscore(mentions_df):
@@ -201,6 +217,7 @@ def main() -> None:
     out = {
         "metric": "rouge1_f_corpus_sweep",
         "vec_cache": args.vec_cache,
+        "gram_cache": args.gram_cache,
         "trigrams": bool(args.trigrams),
         "grid": runs,
         "baselines": baselines,

@@ -74,3 +74,68 @@ def test_untagged_doc_uses_raw_for_context(corpus, artifacts):
     got = detect_doc(doc.raw_text, None, artifacts)
     ref = detect_doc(doc.raw_text, doc.raw_text, artifacts)
     assert [(e.pred, e.gram) for e in got] == [(e.pred, e.gram) for e in ref]
+
+
+class TestGramModelSlot:
+    """Two-model setting (reference flagship OneShotTestWVSumWVPhraseBi:
+    raw-corpus model for contexts, phrased-corpus model for grams)."""
+
+    def test_mapped_embedding_phrase_fallback_is_mean_of_parts(self):
+        import numpy as np
+
+        from coies_spark.core.embed import MappedEmbedding
+
+        m = MappedEmbedding(
+            {"alpha": [1.0, 0.0], "beta": [0.0, 1.0]}, dim=2
+        )
+        got = m["alpha_beta"]
+        assert np.allclose(got, [0.5, 0.5])  # mean of the known parts
+        # trained phrase tokens take precedence over the fallback
+        m2 = MappedEmbedding(
+            {"alpha": [1.0, 0.0], "beta": [0.0, 1.0], "alpha_beta": [9.0, 9.0]},
+            dim=2,
+        )
+        assert np.allclose(m2["alpha_beta"], [9.0, 9.0])
+
+    def test_gram_emb_feeds_grams_and_kernels_agree(self, corpus):
+        import numpy as np
+
+        from coies_spark.core.embed import HashEmbedding
+        from coies_spark.core.oneshot import (
+            build_example_artifacts,
+            detect_doc,
+            emissions_to_triples,
+            oracle_extract_doc,
+        )
+        from coies_spark.data import synth
+        from tests.conftest import FIXTURE_CONFIG
+
+        sentences = synth.corpus_sentences(corpus)
+        emb = HashEmbedding(FIXTURE_CONFIG.dim, "ctx-model")
+        gram_emb = HashEmbedding(FIXTURE_CONFIG.dim, "gram-model")
+        one = build_example_artifacts(
+            corpus.example.tagged_text, sentences, FIXTURE_CONFIG, emb=emb
+        )
+        two = build_example_artifacts(
+            corpus.example.tagged_text, sentences, FIXTURE_CONFIG,
+            emb=emb, gram_emb=gram_emb,
+        )
+        # seed gram vectors come from the gram model (multi-token comp
+        # seed differs between the two settings)
+        diffs = [
+            not np.allclose(a.gram_vec, b.gram_vec)
+            for a, b in zip(one.seeds, two.seeds)
+        ]
+        assert any(diffs)
+        # context vectors are untouched by the gram model
+        for a, b in zip(one.seeds, two.seeds):
+            assert np.allclose(a.context_vecs, b.context_vecs)
+        # oracle and Arrow kernels still agree under the two-model setting
+        for doc in corpus.test_docs[:5]:
+            want = set(emissions_to_triples(
+                doc.conv_id, oracle_extract_doc(doc.raw_text, doc.tagged_text, two)
+            ))
+            got = set(emissions_to_triples(
+                doc.conv_id, detect_doc(doc.raw_text, doc.tagged_text, two)
+            ))
+            assert want == got
