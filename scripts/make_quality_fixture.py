@@ -25,16 +25,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF = "/root/reference/text_files"
-EXAMPLE = f"{REF}/example/34-53330.txt"
-
-
-def read_ref(path: str) -> str:
-    from coies_spark.core import textproc
-
-    with open(path, "rb") as f:
-        return textproc.ascii_clean(f.read())
+from quality_common import EXAMPLE, REF, eval_stems, read_ref
 
 
 def main() -> None:
@@ -74,11 +67,7 @@ def main() -> None:
     )
 
     # ---- evaluation vocabulary -------------------------------------------
-    stems = [
-        fn[:-4]
-        for fn in sorted(os.listdir(f"{REF}/test"))
-        if fn.endswith(".txt") and os.path.exists(f"{REF}/aaer/{fn}")
-    ]
+    stems = eval_stems()
     eval_texts = [read_ref(EXAMPLE)]
     for stem in stems:
         eval_texts.append(read_ref(f"{REF}/test/{stem}.txt"))
@@ -95,8 +84,18 @@ def main() -> None:
         z = np.load(path, allow_pickle=False)
         toks, vecs = z["tokens"], z["vecs"]
         keep = [i for i, t in enumerate(toks) if t in vocab]
+        if not keep:
+            raise ValueError(
+                f"{path}: no tokens overlap the evaluation vocabulary — "
+                "wrong cache file?"
+            )
         kept_v = vecs[keep]
-        if np.abs(kept_v).max() < 6.0e4 and np.abs(kept_v[kept_v != 0]).min() > 6.5e-5:
+        nonzero = kept_v[kept_v != 0]
+        if (
+            nonzero.size
+            and np.abs(kept_v).max() < 6.0e4
+            and np.abs(nonzero).min() > 6.5e-5
+        ):
             kept_v = kept_v.astype(np.float16)
         print(f"  {path}: kept {len(keep)}/{len(toks)} as {kept_v.dtype}")
         return np.array([toks[i] for i in keep]), kept_v

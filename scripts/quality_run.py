@@ -29,16 +29,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF = "/root/reference/text_files"
-EXAMPLE = f"{REF}/example/34-53330.txt"
-
-
-def read_ref(path: str) -> str:
-    from coies_spark.core import textproc
-
-    with open(path, "rb") as f:
-        return textproc.ascii_clean(f.read())
+from quality_common import EXAMPLE, REF, human_gold_rows, read_ref
 
 
 def main() -> None:
@@ -57,7 +50,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--n-parts", type=int, default=0, help="0 = cores//2")
     ap.add_argument("--sync-per-epoch", type=int, default=1)
-    ap.add_argument("--combine", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--combine", choices=["sum", "mean"], default="mean")
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
         "--vec-cache",
@@ -126,11 +119,7 @@ def main() -> None:
             min_count=cfg.phrase_min_count,
             threshold=cfg.phrase_threshold,
         )
-        train_sents = [phrases.merge(s) for s in sentences]
         print(f"phrased corpus: {len(phrases.merges)} merges")
-    sent_df = spark.createDataFrame(
-        [(s,) for s in train_sents if s], "sentence array<string>"
-    )
     import numpy as np
 
     if args.vec_cache and os.path.exists(args.vec_cache):
@@ -141,6 +130,13 @@ def main() -> None:
         mapping = {t: vecs[i] for i, t in enumerate(tokens)}
         print(f"loaded {len(mapping)} cached vectors from {args.vec_cache}")
     else:
+        # corpus frame built only on the training path — the vec cache
+        # exists precisely to skip this work on re-evals
+        if args.phrased_corpus:
+            train_sents = [phrases.merge(s) for s in sentences]
+        sent_df = spark.createDataFrame(
+            [(s,) for s in train_sents if s], "sentence array<string>"
+        )
         if args.trainer == "cbow":
             from coies_spark.ops.cbow import train_cbow
 
@@ -262,26 +258,14 @@ def main() -> None:
         # found set, scored against the true gold — typo'd entity keys
         # in the human files ('items', 'itme') miss exactly as in the
         # reference (keys used verbatim)
-        human_rows = []
-        for stem in stems:
-            hp = f"{REF}/human_results/{stem}.txt"
-            if not os.path.exists(hp):
-                continue
-            hd = textproc.entity_dict(
-                textproc.tagged_tokens_from_text(read_ref(hp))
-            )
-            for pred, ms in hd.items():
-                for m in ms:
-                    human_rows.append((stem, pred, " ".join(m)))
+        human_rows = human_gold_rows(stems)
         if human_rows:
-            from coies_spark.pipeline.evaluate import perfect_mentions as _pm
-
             human_gold = spark.createDataFrame(
                 human_rows, "conv_id string, pred string, obj string"
             )
             baselines["human"] = corpus_score(
                 score_extractions(
-                    _pm(human_gold, artifacts), gold, artifacts, convs
+                    perfect_mentions(human_gold, artifacts), gold, artifacts, convs
                 )
             )
         print("baselines:", {k: round(v, 4) for k, v in baselines.items()})

@@ -26,16 +26,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF = "/root/reference/text_files"
-EXAMPLE = f"{REF}/example/34-53330.txt"
-
-
-def read_ref(path: str) -> str:
-    from coies_spark.core import textproc
-
-    with open(path, "rb") as f:
-        return textproc.ascii_clean(f.read())
+from quality_common import EXAMPLE, REF, eval_stems, gold_rows as _gold_rows, human_gold_rows, read_ref
 
 
 def main() -> None:
@@ -111,25 +104,16 @@ def main() -> None:
         )
         print(f"gram model: {len(gtoks)} vectors from {args.gram_cache}")
 
-    stems = [
-        fn[:-4]
-        for fn in sorted(os.listdir(f"{REF}/test"))
-        if fn.endswith(".txt") and os.path.exists(f"{REF}/aaer/{fn}")
-    ]
+    stems = eval_stems()
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
     )
-    raw_rows, tagged_rows, gold_rows = [], [], []
+    raw_rows, tagged_rows = [], []
     for stem in stems:
         raw_rows.append((stem, 0, "doc", read_ref(f"{REF}/aaer/{stem}.txt"), None, None))
-        tt = read_ref(f"{REF}/test/{stem}.txt")
-        tagged_rows.append((stem, 0, "doc", tt, None, None))
-        for pred, ms in textproc.entity_dict(
-            textproc.tagged_tokens_from_text(tt)
-        ).items():
-            for m in ms:
-                gold_rows.append((stem, pred, " ".join(m)))
+        tagged_rows.append((stem, 0, "doc", read_ref(f"{REF}/test/{stem}.txt"), None, None))
+    gold_rows = _gold_rows(stems)
     raw = spark.createDataFrame(raw_rows, schema).repartition(len(stems)).cache()
     tagged = spark.createDataFrame(tagged_rows, schema).cache()
     gold = spark.createDataFrame(
@@ -198,16 +182,7 @@ def main() -> None:
         "random": cscore(random_mentions(raw, art0)),
         "empty": cscore(empty),
     }
-    human_rows = []
-    for stem in stems:
-        hp = f"{REF}/human_results/{stem}.txt"
-        if os.path.exists(hp):
-            hd = textproc.entity_dict(
-                textproc.tagged_tokens_from_text(read_ref(hp))
-            )
-            for pred, ms in hd.items():
-                for m in ms:
-                    human_rows.append((stem, pred, " ".join(m)))
+    human_rows = human_gold_rows(stems)
     if human_rows:
         human_gold = spark.createDataFrame(
             human_rows, "conv_id string, pred string, obj string"
