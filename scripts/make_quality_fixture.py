@@ -90,12 +90,9 @@ def main() -> None:
                 "wrong cache file?"
             )
         kept_v = vecs[keep]
-        nonzero = kept_v[kept_v != 0]
-        if (
-            nonzero.size
-            and np.abs(kept_v).max() < 6.0e4
-            and np.abs(nonzero).min() > 6.5e-5
-        ):
+        # quantize unless it would OVERFLOW (inf poisons every cosine);
+        # underflow of tiny components to zero is score-neutral
+        if kept_v.size and np.abs(kept_v).max() < 6.0e4:
             kept_v = kept_v.astype(np.float16)
         print(f"  {path}: kept {len(keep)}/{len(toks)} as {kept_v.dtype}")
         return np.array([toks[i] for i in keep]), kept_v
