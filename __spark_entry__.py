@@ -470,6 +470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _read(s, d, "embeddings")
         ),
+        # multi-probe IVF: the recall lever (probe-1 misses neighbours
+        # just across a Voronoi boundary); probes the 2 nearest buckets
+        "ann_ivf_nprobe": lambda s, d: similarity.ivf_topk(
+            _read(s, d, "embeddings"), nprobe=2
+        ),
         "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
             _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
         ),
@@ -966,6 +971,34 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY {_COS.format(a='qv', b='cv')} DESC,
                                   cent.label ASC) AS rn
                 FROM q, cent) WHERE rn = 1),
+            scored AS (
+              SELECT p.query_id, p.probe_label, e.vec_id AS target_id,
+                     {_COS.format(a='p.qv', b='e.embedding')} AS sim
+              FROM probes p JOIN embeddings e ON e.label = p.probe_label
+              WHERE e.vec_id <> p.query_id)
+            SELECT query_id, probe_label, target_id, sim, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+                AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "ann_ivf_nprobe": f"""
+            WITH cdim AS (
+              SELECT label, i-1 AS pos,
+                     round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+              FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+              GROUP BY 1,2),
+            cent AS (SELECT label, list(c ORDER BY pos) AS cv
+                     FROM cdim GROUP BY 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, qv, label AS probe_label FROM (
+                SELECT q.query_id, q.qv, cent.label,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS.format(a='qv', b='cv')} DESC,
+                                  cent.label ASC) AS rn
+                FROM q, cent) WHERE rn <= 2),
             scored AS (
               SELECT p.query_id, p.probe_label, e.vec_id AS target_id,
                      {_COS.format(a='p.qv', b='e.embedding')} AS sim

@@ -112,10 +112,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
     """(query_id, probe_label, target_id, sim, rank): IVF search — each
-    query probes only the cluster whose centroid is nearest (max rounded
-    cosine, ties → smallest label), then exact top-k inside the bucket.
+    query probes its ``nprobe`` nearest clusters (max rounded cosine,
+    ties → smallest label), then exact top-k over the union of the
+    probed buckets.  ``probe_label`` is the bucket the winning target
+    was found in.
+
+    ``nprobe`` is the standard IVF recall lever (probe-1 misses
+    neighbours that fall just across a Voronoi boundary); cost grows
+    linearly in the probed fraction ``nprobe/n_clusters`` of the corpus
+    — still never O(n²).  The probe table stays O(queries × nprobe)
+    rows and broadcast.
     """
     cent = (
         label_centroids(embeddings, label_col, vec_col)
@@ -137,7 +146,7 @@ def ivf_topk(
         q.crossJoin(F.broadcast(cent))
         .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
         .withColumn("rn", F.row_number().over(probe_w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", F.col(label_col).alias("probe_label"))
     )
     t = embeddings.select(
@@ -273,16 +282,17 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_mode: str = "broadcast",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF top-k over self-trained k-means clusters: ``kmeans_labels``
     supplies the partition assignment, then ``ivf_topk`` probes the
-    nearest centroid's bucket.  This is the production composition the
-    label-column variant stands in for."""
+    ``nprobe`` nearest centroids' buckets.  This is the production
+    composition the label-column variant stands in for."""
     labels = kmeans_labels(
         embeddings, n_clusters, iters, id_col, vec_col, centroid_mode
     )
     labeled = embeddings.select(id_col, vec_col).join(labels, id_col)
-    return ivf_topk(labeled, n_queries, k, id_col, vec_col, "label")
+    return ivf_topk(labeled, n_queries, k, id_col, vec_col, "label", nprobe)
 
 
 def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
