@@ -47,3 +47,63 @@ def stream_dedup_exact(
         .withColumn("digest", _md5(F.col(text_col)))
     )
     return digested.dropDuplicatesWithinWatermark(["digest"]).drop("digest")
+
+
+def minhash_signature_col(
+    text_col: str = "text", n: int = 3, num_hashes: int = 8
+):
+    """Comma-joined wide MinHash signature as ONE per-row expression —
+    no aggregation, so it is computable inside an append-mode stream.
+
+    Equals the batch ``ops.dedup.minhash_signatures_wide`` signature
+    bit-for-bit: the batch path min-aggregates seeded md5 digests over
+    exploded distinct shingles; ``array_min`` over the same digests on
+    the un-exploded distinct-shingle array is the same minimum (string
+    ordering, identical tokenization) — asserted in
+    tests/test_streaming.py."""
+    from ..functions.tokenize import tokens_col
+    from ..ops.textstats import shingles_col
+
+    shingles = F.array_distinct(shingles_col(n, tokens_col(text_col)))
+    mins = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda sh: _md5(F.concat_ws(":", F.lit(str(i)), sh)),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.concat_ws(",", *mins)
+
+
+def stream_dedup_minhash(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming NEAR-duplicate filter: drop rows whose FULL MinHash
+    signature was seen inside the watermark horizon.
+
+    Full-signature equality is the precision-biased end of the LSH
+    family (one band of ``num_hashes`` rows): a pair with Jaccard J
+    collides with probability J^num_hashes, so unrelated docs are
+    essentially never dropped while near-identical docs (boilerplate
+    re-crawls, whitespace/ordering variants that perturb a few
+    shingles) collapse with probability ≈ J^8.  Recall-oriented banded
+    matching needs cross-row candidate joins — that is the batch
+    ``lsh_candidate_pairs`` path; this operator is the streaming
+    ingest guard in front of it.  State is bounded by the horizon
+    exactly like ``stream_dedup_exact``.
+    """
+    sig = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "mh_sig", minhash_signature_col(text_col, n, num_hashes)
+        )
+    )
+    return sig.dropDuplicatesWithinWatermark(["mh_sig"]).drop("mh_sig")

@@ -151,3 +151,65 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path, corpus):
         == n_digests
     )
     assert "digest" not in kept.columns
+
+
+def test_stream_dedup_minhash_matches_batch_signatures(spark, tmp_path, corpus):
+    """(a) the per-row signature expression equals the batch
+    minhash_signatures_wide aggregation bit-for-bit; (b) the streamed
+    near-dup filter keeps exactly one survivor per full signature."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.ops.dedup import minhash_signatures_wide
+    from coies_spark.streaming.dedup import (
+        minhash_signature_col,
+        stream_dedup_minhash,
+    )
+
+    pdf = synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    df = spark.createDataFrame(pdf)
+
+    # (a) signature parity on a batch frame (doc_id := conv_id+turn)
+    docs = df.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    ).where(F.length("text") > 0)
+    want = {
+        r.doc_id: ",".join([r[f"m{i}"] for i in range(8)])
+        for r in minhash_signatures_wide(docs).collect()
+    }
+    got = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", minhash_signature_col("text").alias("sig")
+        ).collect()
+    }
+    assert got == want
+
+    # (b) streamed near-dup filter: duplicate every row, survivors ==
+    # distinct full signatures
+    doubled = df.unionByName(
+        df.withColumn("conv_id", F.concat_ws("-", "conv_id", F.lit("dup")))
+    )
+    in_dir = tmp_path / "mhdrops"
+    doubled.coalesce(2).write.parquet(str(in_dir))
+    stream = ingest.stream_transcripts(spark, str(in_dir))
+    q = (
+        stream_dedup_minhash(stream)
+        .writeStream.format("memory")
+        .queryName("mh_deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckmh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("select * from mh_deduped")
+    n_sigs = (
+        doubled.select(minhash_signature_col("text").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert kept.count() == n_sigs
+    assert "mh_sig" not in kept.columns
