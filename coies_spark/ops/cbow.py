@@ -132,6 +132,99 @@ def _train_partition(
     return syn0, syn1
 
 
+def _train_partition_batch(
+    sent_ids_list,
+    syn0,
+    syn1,
+    neg_cum,
+    keep_prob,
+    window: int,
+    negative: int,
+    alpha_start: float,
+    alpha_end: float,
+    seed: int,
+):
+    """Vectorized twin of ``_train_partition``: one numpy batch per
+    SENTENCE (all positions' gradients computed at the sentence-start
+    weights, applied summed) instead of one Python iteration per
+    position.  Sentence-level mini-batch SGD — the standard
+    approximation at word2vec learning rates (~16-word batches at
+    alpha 0.025).  MEASURED: ~3.6× faster at d≤64 (per-position numpy
+    overhead dominates there); ~1× at d=512, where the matrix math and
+    the scatter-adds are the cost — at production dim the training
+    wall is the per-sync-round broadcast+reduce of the 2·V·d weight
+    blocks, not the SGD kernel, so prefer fewer/cheaper sync rounds
+    over kernel tuning.  Consumes the RNG in the
+    same draw order as the exact kernel (keep mask, reduced windows,
+    negatives), so subsampling/window/negative choices are identical —
+    only the within-sentence update interleaving differs."""
+    rng = np.random.RandomState(seed)
+    syn0 = syn0.copy()
+    syn1 = syn1.copy()
+    n_sents = len(sent_ids_list)
+    dim = syn0.shape[1]
+    for si, ids in enumerate(sent_ids_list):
+        alpha = alpha_start + (alpha_end - alpha_start) * (
+            si / n_sents if n_sents else 0.0
+        )
+        if len(ids) < 2:
+            continue
+        keep = rng.random_sample(len(ids)) < keep_prob[ids]
+        ids = ids[keep]
+        n = len(ids)
+        if n < 2:
+            continue
+        reduced = rng.randint(1, window + 1, size=n)
+        negs = np.searchsorted(neg_cum, rng.random_sample((n, negative)))
+
+        pos = np.arange(n)
+        lo = np.maximum(0, pos - reduced)
+        hi = np.minimum(n, pos + reduced + 1)
+        m = hi - lo - 1  # context sizes (center excluded)
+        ok = m > 0  # positions with a non-empty context
+        if not ok.any():
+            continue
+        lo, hi, m, cpos = lo[ok], hi[ok], m[ok], pos[ok]
+        negs_ok = negs[ok]
+        k = len(cpos)
+
+        # context means via prefix sums of the sentence token matrix
+        S = syn0[ids].astype(np.float64)
+        P = np.concatenate([np.zeros((1, dim)), np.cumsum(S, axis=0)])
+        H = ((P[hi] - P[lo] - S[cpos]) / m[:, None]).astype(np.float32)
+
+        targets = np.concatenate([ids[cpos][:, None], negs_ok], axis=1)
+        t_rows = syn1[targets]  # (k, 1+neg, d)
+        f = _sigmoid(np.einsum("knd,kd->kn", t_rows, H))
+        labels = np.zeros((k, 1 + negative), dtype=np.float32)
+        labels[:, 0] = 1.0
+        g = (labels - f) * alpha
+        # gensim's target==center skip (word2vec.c `continue`)
+        g[:, 1:][negs_ok == ids[cpos][:, None]] = 0.0
+
+        # syn1 += outer(g, H) scattered over targets (accumulating)
+        delta1 = g[:, :, None] * H[:, None, :]
+        np.add.at(syn1, targets.reshape(-1), delta1.reshape(-1, dim))
+
+        # context gradient per window, scattered to every member
+        gt = np.einsum("kn,knd->kd", g, t_rows)  # pre-update syn1 rows
+        # flat member positions of each window (center excluded):
+        # windows expand to [lo, hi) ranges minus the center slot
+        lens = hi - lo
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat = (
+            np.arange(lens.sum())
+            - np.repeat(offs, lens)
+            + np.repeat(lo, lens)
+        )
+        win_of = np.repeat(np.arange(k), lens)
+        member = flat != cpos[win_of]
+        np.add.at(
+            syn0, ids[flat[member]], gt[win_of[member]]
+        )
+    return syn0, syn1
+
+
 def train_cbow(
     sentences: DataFrame,
     dim: int = 512,
@@ -147,6 +240,7 @@ def train_cbow(
     combine: str = "mean",
     sync_per_epoch: int = 1,
     max_vocab: int | None = None,
+    kernel: str = "exact",
 ) -> DataFrame:
     """→ (token string, vector array<float>): CBOW-NS vector table.
 
@@ -171,6 +265,9 @@ def train_cbow(
         )
     if combine not in ("sum", "mean"):
         raise ValueError(f"train_cbow: unknown combine mode {combine!r}")
+    if kernel not in ("exact", "batch"):
+        raise ValueError(f"train_cbow: unknown kernel {kernel!r}")
+    part_fn = _train_partition if kernel == "exact" else _train_partition_batch
     spark = sentences.sparkSession
     sc = spark.sparkContext
 
@@ -259,7 +356,7 @@ def train_cbow(
             # n_sync-th sentence starting at r (stride slicing keeps
             # each round's slice stable across epochs)
             sents = [s for i, s in enumerate(it) if i % n_sync == _sub]
-            s0, s1 = _train_partition(
+            s0, s1 = part_fn(
                 sents,
                 b_syn0.value,
                 b_syn1.value,

@@ -152,3 +152,73 @@ class TestCbow:
             train_cbow(sent, dim=4, epochs=1, n_parts=1, min_count=100)
         with _pytest.raises(ValueError, match="combine"):
             train_cbow(sent, dim=4, epochs=1, n_parts=1, combine="median")
+
+    def test_batch_kernel_learns_and_is_deterministic(self, spark):
+        import numpy as np
+
+        from coies_spark.ops.cbow import train_cbow
+
+        sent = self._sentences(spark)
+        v1 = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                sent, dim=16, epochs=2, n_parts=2, min_count=1,
+                kernel="batch",
+            ).collect()
+        }
+        v2 = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                sent, dim=16, epochs=2, n_parts=2, min_count=1,
+                kernel="batch",
+            ).collect()
+        }
+        for t in v1:
+            assert np.allclose(v1[t], v2[t])
+
+        def cos(x, y):
+            return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+        within = np.mean([cos(v1["alpha0"], v1[f"alpha{i}"]) for i in range(1, 8)])
+        across = np.mean([cos(v1["alpha0"], v1[f"beta{i}"]) for i in range(8)])
+        assert within > across + 0.2, (within, across)
+
+    def test_batch_kernel_tracks_exact_kernel(self, spark):
+        """Where no rows collide within a sentence (large V, one
+        2-token sentence) the kernels agree bitwise; on a realistic
+        corpus (collisions → within-sentence interleaving differs) the
+        weight DELTAS stay near-perfectly correlated — the documented
+        mini-batch approximation contract."""
+        import numpy as np
+
+        from coies_spark.ops.cbow import (
+            NEG_TABLE_POWER,
+            _train_partition,
+            _train_partition_batch,
+        )
+
+        rng = np.random.RandomState(0)
+        V, d = 500, 16
+        freq = rng.randint(1, 100, V).astype(np.float64)
+        pf = freq**NEG_TABLE_POWER
+        neg_cum = np.cumsum(pf / pf.sum())
+        neg_cum[-1] = 1.0
+        keep = np.ones(V)
+        syn0 = ((rng.random_sample((V, d)) - 0.5) / d).astype(np.float32)
+        syn1 = np.zeros((V, d), np.float32)
+
+        one = [np.array([1, 2], dtype=np.int64)]
+        a = _train_partition(one, syn0, syn1, neg_cum, keep, 5, 5, 0.025, 0.025, 7)
+        b = _train_partition_batch(one, syn0, syn1, neg_cum, keep, 5, 5, 0.025, 0.025, 7)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+        sents = [
+            np.array(rng.randint(0, V, rng.randint(5, 25)), dtype=np.int64)
+            for _ in range(500)
+        ]
+        e = _train_partition(sents, syn0, syn1, neg_cum, keep, 5, 5, 0.025, 0.001, 7)
+        f = _train_partition_batch(sents, syn0, syn1, neg_cum, keep, 5, 5, 0.025, 0.001, 7)
+        de = (e[0] - syn0).ravel()
+        db = (f[0] - syn0).ravel()
+        corr = float(np.corrcoef(de, db)[0, 1])
+        assert corr > 0.99, corr
