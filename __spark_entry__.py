@@ -439,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": lambda s, d: textstats.quality_scores(
             _read(s, d, "documents")
         ),
+        "repetition_stats": lambda s, d: textstats.repetition_stats(
+            _read(s, d, "documents")
+        ),
         "language_id": lambda s, d: textstats.language_id(
             _read(s, d, "documents")
         ),
@@ -774,6 +777,35 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(lower(text),
                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            arr AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                len(list_distinct(toks)) AS nd_tok,
+                len(g3) AS n3, len(list_distinct(g3)) AS nd3
+              FROM (SELECT doc_id, toks,
+                      [array_to_string(toks[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(toks)-2,1)+1)] AS g3
+                    FROM t)),
+            g2 AS (
+              SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+              FROM t, unnest(range(1, greatest(len(toks)-1,1)+1)) r(i)),
+            f2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, sum(c) AS n2, count(*) AS nd2,
+                     max(c) AS top2 FROM f2 GROUP BY 1),
+            s AS (
+              SELECT arr.doc_id, n_tokens,
+                round(1 - nd_tok/CAST(n_tokens AS DOUBLE), 6)
+                  AS dup_token_frac,
+                round(1 - nd2/CAST(n2 AS DOUBLE), 6) AS dup_2gram_frac,
+                round(1 - nd3/CAST(n3 AS DOUBLE), 6) AS dup_3gram_frac,
+                round(top2/CAST(n2 AS DOUBLE), 6) AS top_2gram_frac
+              FROM arr JOIN a2 USING (doc_id))
+            SELECT *, (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18)
+              AS keep
+            FROM s
         """,
         "quality_scores": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

@@ -221,3 +221,69 @@ def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
         F.min(F.md5(F.encode("shingle", "utf-8"))).alias("fingerprint"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 quality heuristics), adapted from
+    characters/lines to the reference tokenizer's token stream — the
+    transcript corpus has no line structure.  Per document:
+
+    - ``dup_token_frac``: 1 − distinct/total tokens (type-token
+      complement);
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 − distinct/total
+      stride-1 n-grams (Gopher's duplicate n-gram fraction);
+    - ``top_2gram_frac``: occurrences of the modal 2-gram over total
+      2-grams (Gopher's "fraction in most common n-gram");
+    - ``keep``: the filter verdict at Gopher-like thresholds
+      (top-2-gram ≤ 0.20 ∧ dup-3-gram ≤ 0.18).  Absolute thresholds
+      are only meaningful past a minimum length — very short documents
+      trivially exceed the modal-2-gram bound (3 tokens → 0.5), same
+      as in the Gopher pipeline, which gates these filters behind a
+      min word count.
+
+    Shorter-than-n documents follow the repo's shingle convention (one
+    truncated shingle; empty doc → one ``""`` shingle), so ratios stay
+    defined and oracles match.  Empty docs have NULL token ratios
+    (``try_divide``, matching DuckDB x/0 → NULL).
+
+    Scale: token/3-gram ratios are array-side per row (zero shuffle,
+    codegen); only the modal-2-gram count needs an explode +
+    ``groupBy(doc_id, gram)`` — one shuffle with map-side partial
+    aggregation, then a doc_id-keyed join back.  No corpus-global
+    state, so the op is embarrassingly parallel over documents.
+    """
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    sh3 = shingles_col(3)
+    arr = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("nd_tok"),
+        F.size(sh3).alias("n3"),
+        F.size(F.array_distinct(sh3)).alias("nd3"),
+    )
+    f2 = (
+        t.select("doc_id", F.explode(shingles_col(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a2 = f2.groupBy("doc_id").agg(
+        F.sum("c").alias("n2"),
+        F.count(F.lit(1)).alias("nd2"),
+        F.max("c").alias("top2"),
+    )
+    scored = arr.join(a2, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(1 - F.try_divide("nd_tok", "n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(1 - F.try_divide("nd2", "n2"), 6).alias("dup_2gram_frac"),
+        F.round(1 - F.try_divide("nd3", "n3"), 6).alias("dup_3gram_frac"),
+        F.round(F.try_divide("top2", "n2"), 6).alias("top_2gram_frac"),
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("dup_3gram_frac") <= 0.18),
+    )

@@ -152,3 +152,43 @@ def test_lsh_bands_match_long_format_uneven(spark):
                     if a < c:
                         want.add((a, c))
         assert got == sorted(want), (num_hashes, band_size)
+
+
+class TestRepetitionStats:
+    def test_filters_repetitive_docs(self, spark):
+        rows = [
+            # 1 unique token repeated: modal 2-gram covers everything
+            (0, " ".join(["spam"] * 40), "en", "s0", 199),
+            # alternating 2-token loop: dup 3-grams near 1
+            (1, " ".join(["buy", "now"] * 20), "en", "s0", 159),
+            # diverse text: should keep
+            (2, "one two three four five six seven eight nine ten", "en",
+             "s0", 49),
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        out = {
+            r.doc_id: r for r in textstats.repetition_stats(docs).collect()
+        }
+        assert not out[0].keep and out[0].top_2gram_frac == 1.0
+        assert not out[1].keep and out[1].dup_3gram_frac > 0.9
+        assert out[2].keep and out[2].dup_token_frac == 0.0
+
+    def test_degenerate_docs(self, tiny_docs):
+        out = {
+            r.doc_id: r
+            for r in textstats.repetition_stats(tiny_docs).collect()
+        }
+        assert len(out) == 4
+        # empty + punct-only docs: NULL token ratios (0 tokens), the
+        # "" placeholder shingle makes top_2gram_frac 1.0 -> rejected
+        for d in (1, 2):
+            assert out[d].dup_token_frac is None
+            assert out[d].top_2gram_frac == 1.0 and not out[d].keep
+        # 3 distinct tokens: no repetition, but the modal bigram is 1
+        # of 2 -> 0.5 > 0.20, the documented short-doc behavior (the
+        # Gopher pipeline gates these thresholds behind a min length)
+        assert out[0].dup_token_frac == 0.0 and out[0].top_2gram_frac == 0.5
+        assert not out[0].keep
+
+    def test_empty_input(self, empty_docs):
+        assert textstats.repetition_stats(empty_docs).count() == 0
