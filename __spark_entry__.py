@@ -465,6 +465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents")
         ),
         "lsh_unique_docs": _q_lsh_unique,
+        # decontamination: every 43rd doc stands in for the benchmark
+        # suite; n=3 (not the production n=8) because the synthetic
+        # 30-word vocabulary makes 8-gram collisions vanish
+        "contamination_pairs": lambda s, d: dedup.contamination_pairs(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where("doc_id % 43 = 0"),
+            n=3,
+            min_overlap=0.25,
+        ),
         "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
         # --- similarity search (embeddings) ---
         "ann_brute_topk": lambda s, d: similarity.brute_topk(
@@ -918,6 +927,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(c/(sa.n_sh + sb.n_sh - c), 6) >= 0.3
+        """,
+        "contamination_pairs": f"""
+            WITH {_SHINGLES},
+            bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                      WHERE doc_id % 43 = 0),
+            bs AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench
+                   FROM bench GROUP BY 1),
+            j AS (
+              SELECT s.doc_id, b.bench_id,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh s JOIN bench b USING (shingle)
+              WHERE s.doc_id <> b.bench_id
+              GROUP BY 1, 2)
+            SELECT doc_id, bench_id, n_shared, n_bench,
+              round(n_shared/CAST(n_bench AS DOUBLE), 6) AS overlap,
+              (n_shared/CAST(n_bench AS DOUBLE) >= 0.25) AS contaminated
+            FROM j JOIN bs USING (bench_id)
         """,
         "minhash_lsh_pairs": f"""
             WITH {_SHINGLES},

@@ -226,3 +226,60 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return wide.select(
         "doc_id", fingerprint.cast("long").alias("simhash")
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_shared, n_bench,
+    overlap, contaminated) for every (document, benchmark item) pair
+    sharing at least one distinct ``n``-token shingle.  ``overlap`` is
+    the fraction of the benchmark item's distinct shingles that appear
+    in the document — the train-side contamination rule used by GPT-3
+    (13-gram) and PaLM (8-gram) eval decontamination; ``contaminated``
+    flags overlap ≥ ``min_overlap``.
+
+    ``benchmark`` is any frame with (doc_id, text); its ids are
+    reported as ``bench_id`` and self-pairs (same id) are excluded so
+    the benchmark may be a subset of ``docs``.
+
+    Scale: benchmark suites are tiny next to a pretraining corpus
+    (≤10⁶ items), so the benchmark's inverted shingle index and its
+    per-item sizes are BROADCAST — the corpus-side probe is a map-side
+    hash join with no shuffle of the big side; the only big-side
+    shuffle is the (doc_id, bench_id) pair count, whose cardinality is
+    bounded by true collisions.  Collision frequency is governed by
+    ``n``: at the production default n=8 random n-gram collisions are
+    vanishingly rare (the PaLM choice), so no df cap is needed; short
+    n on small corpora (tests use n=3) trades that guard for recall.
+    """
+    d_sh = doc_shingles(docs, n)
+    b_sh = (
+        doc_shingles(benchmark, n)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    b_sizes = b_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench")
+    )
+    shared = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(b_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            "n_bench",
+            F.round(F.try_divide("n_shared", "n_bench"), 6).alias("overlap"),
+            (
+                F.try_divide("n_shared", "n_bench") >= F.lit(min_overlap)
+            ).alias("contaminated"),
+        )
+    )

@@ -192,3 +192,29 @@ class TestRepetitionStats:
 
     def test_empty_input(self, empty_docs):
         assert textstats.repetition_stats(empty_docs).count() == 0
+
+
+class TestContamination:
+    def test_planted_contamination(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+            (1, "totally different words nothing shared here at all", "en",
+             "s", 1),
+            # verbatim copy of the benchmark item with a prefix
+            (2, "prefix words then alpha beta gamma delta epsilon zeta eta "
+                "theta", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        bench = docs.where("doc_id = 0")
+        out = dedup.contamination_pairs(docs, bench, n=3, min_overlap=0.5)
+        got = {r.doc_id: r for r in out.collect()}
+        # doc 1 shares no 3-gram; doc 2 contains every benchmark 3-gram
+        assert set(got) == {2}
+        r = got[2]
+        assert r.bench_id == 0 and r.overlap == 1.0 and r.contaminated
+        # self-pair (doc 0 vs bench 0) must be excluded
+        assert 0 not in got
+
+    def test_empty_sides(self, empty_docs, tiny_docs):
+        assert dedup.contamination_pairs(tiny_docs, empty_docs).count() == 0
+        assert dedup.contamination_pairs(empty_docs, tiny_docs).count() == 0

@@ -228,3 +228,16 @@ def test_assemble_strategies_agree_on_edge_cases(spark):
     assert u == j
     convs = [r[0] for r in u]
     assert "tagged_only" not in convs and "raw_only" in convs
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark's inverted shingle index and sizes must be
+    broadcast — the corpus side must never shuffle for the probe join
+    (benchmark suites are tiny next to a pretraining corpus)."""
+    from coies_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where("doc_id % 43 = 0")
+    p = plan_of(dedup.contamination_pairs(docs, bench, n=3))
+    assert p.count("BroadcastHashJoin") == 2  # shingle probe + sizes
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
