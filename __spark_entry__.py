@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, d: textstats.repetition_stats(
             _read(s, d, "documents")
         ),
+        "scrub_pii": lambda s, d: textstats.scrub_pii(
+            _read(s, d, "documents")
+        ),
         "language_id": lambda s, d: textstats.language_id(
             _read(s, d, "documents")
         ),
@@ -704,6 +707,28 @@ def _neardup_oracle(
     """
 
 
+def _scrub_pii_sql() -> str:
+    """DuckDB twin of ``textstats.scrub_pii``, generated from the SAME
+    ``PII_PATTERNS`` tuple so the two engines can never drift: each
+    layer counts matches on the intermediate the replacement saw, then
+    rewrites (RE2 and Java regex agree on these pattern classes)."""
+    sql = "SELECT doc_id, text AS t FROM documents"
+    carry: list[str] = []
+    for name, pat, repl in textstats.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cols = (", " + ", ".join(carry)) if carry else ""
+        sql = (
+            f"SELECT doc_id{cols}, "
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)"
+            f" AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t FROM ({sql})"
+        )
+        carry.append(f"n_{name}")
+    return (
+        f"SELECT doc_id, t AS scrubbed, {', '.join(carry)} FROM ({sql})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "['the','a','of','and','to','in','is','it']"
     xd, xn = KG_DIGEST_SF001["kg_extract_digest"]
@@ -787,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
+        "scrub_pii": _scrub_pii_sql(),
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             arr AS (

@@ -287,3 +287,41 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         (F.col("top_2gram_frac") <= 0.20)
         & (F.col("dup_3gram_frac") <= 0.18),
     )
+
+
+# PII patterns, ordered: URLs first (they can contain @ and digits),
+# then emails, IPv4, phone-shaped digit runs.  Each pattern is valid
+# and equivalent in both Java regex (Spark) and RE2 (DuckDB oracles).
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed, n_url, n_email, n_ip, n_phone): text with
+    URLs / emails / IPv4s / phone-shaped digit runs replaced by typed
+    placeholder tokens, plus per-category match counts — the standard
+    pre-training PII-redaction pass (C4/CCNet-style rule scrubbing).
+
+    Patterns apply in order (URL before email before IP before phone)
+    so a URL containing ``@`` or digit runs is redacted once as
+    ``<URL>``; counts are measured on the same intermediate the
+    replacement saw, so they always agree with the emitted text.
+
+    Scale: a pure ``regexp_replace``/``regexp_extract_all`` projection
+    — whole-stage codegen, zero shuffle, embarrassingly parallel.
+    """
+    scrubbed = F.col("text")
+    cols = [F.col("doc_id")]
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(*cols, scrubbed.alias("scrubbed"), *counts)

@@ -204,3 +204,46 @@ class TestOpProperties:
         # recall in the near-dup band the defaults are geared for
         assert got <= set(exact)
         assert strong <= got
+
+
+def test_scrub_pii_planted_cross_engine(spark):
+    """The sf corpus contains no PII, so the driver row only proves
+    pass-through parity.  This plants URLs/emails/IPs/phones and
+    asserts (a) the redactions themselves, (b) Spark and the generated
+    DuckDB twin agree token-for-token on PII-laden text."""
+    from coies_spark.ops import textstats
+
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk or visit "
+            "https://example.com/a?b=c#frag today", "en", "s", 1),
+        (1, "server 10.0.255.7 answered; call +1 (555) 123-4567 now",
+         "en", "s", 1),
+        (2, "no pii here at all", "en", "s", 1),
+        (3, "", "en", "s", 1),
+    ]
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    docs = spark.createDataFrame(rows, schema)
+    got = {r.doc_id: r for r in textstats.scrub_pii(docs).collect()}
+    assert got[0].n_email == 1 and got[0].n_url == 1
+    assert "<EMAIL>" in got[0].scrubbed and "<URL>" in got[0].scrubbed
+    assert "example" not in got[0].scrubbed
+    assert got[1].n_ip == 1 and got[1].n_phone == 1
+    assert "<IP>" in got[1].scrubbed and "<PHONE>" in got[1].scrubbed
+    assert got[2].scrubbed == "no pii here at all"
+    assert got[3].scrubbed == "" and got[3].n_url == 0
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    _assert_match(
+        textstats.scrub_pii(docs).toPandas(),
+        con.execute(entrymod._scrub_pii_sql()).df(),
+        "scrub_pii_planted",
+    )
