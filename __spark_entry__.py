@@ -36,6 +36,7 @@ from coies_spark.ops import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     textstats,
     wmd,
@@ -445,6 +446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": lambda s, d: textstats.scrub_pii(
             _read(s, d, "documents")
         ),
+        # mixture reweighting: downsample the over-represented 'en',
+        # keep all 'zh', sample the rest at the default rate; the md5
+        # hash-Bernoulli rule makes the sample engine-portable
+        "stratified_sample": lambda s, d: sampling.stratified_sample(
+            _read(s, d, "documents"),
+            {"en": 0.3, "zh": 1.0},
+            default=0.6,
+        ),
         "language_id": lambda s, d: textstats.language_id(
             _read(s, d, "documents")
         ),
@@ -707,6 +716,20 @@ def _neardup_oracle(
     """
 
 
+def _stratified_sample_sql() -> str:
+    """DuckDB twin of the stratified_sample driver query, built from
+    the SAME threshold_hex so rates can never drift between engines."""
+    hk = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    t_en = sampling.threshold_hex(0.3)
+    t_def = sampling.threshold_hex(0.6)
+    return f"""
+        SELECT * FROM documents
+        WHERE CASE WHEN lang = 'en' THEN {hk} < '{t_en}'
+                   WHEN lang = 'zh' THEN TRUE
+                   ELSE {hk} < '{t_def}' END
+    """
+
+
 def _scrub_pii_sql() -> str:
     """DuckDB twin of ``textstats.scrub_pii``, generated from the SAME
     ``PII_PATTERNS`` tuple so the two engines can never drift: each
@@ -813,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "scrub_pii": _scrub_pii_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             arr AS (

@@ -1,0 +1,82 @@
+"""Deterministic sampling operators for corpus balancing.
+
+A pretraining pipeline resamples sources/languages to target mixture
+rates.  ``sample(...)`` here is hash-Bernoulli: a row is kept iff the
+first 8 hex chars of ``md5(id)`` fall below a threshold derived from
+the requested fraction.  Fixed-length lowercase-hex strings compare
+lexicographically exactly like their numeric values, so the predicate
+is a plain string comparison that every engine (Spark, DuckDB, any
+SQL) evaluates identically — the sample is REPRODUCIBLE across
+engines, runs, and cluster sizes, and a row's fate never depends on
+partitioning (unlike ``DataFrame.sample``).
+
+Scale: both operators are pure projections/filters — zero shuffle,
+whole-stage codegen, embarrassingly parallel; the per-stratum rate
+table compiles into a literal CASE chain (strata counts are small:
+languages, sources), so no join is introduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8
+_HEX_SPACE = 16**_HEX_WIDTH
+
+
+def _hash_key(id_col: str) -> Column:
+    return F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")),
+        1,
+        _HEX_WIDTH,
+    )
+
+
+def threshold_hex(fraction: float) -> str | None:
+    """The 8-hex-char keep threshold for ``fraction``; ``None`` means
+    keep-all (fraction ≥ 1).  Shared with the DuckDB oracle builder."""
+    if fraction >= 1.0:
+        return None
+    f = max(fraction, 0.0)
+    return format(int(f * _HEX_SPACE), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by the row id's md5 prefix.
+
+    Deterministic and engine-portable: the same ids survive on any
+    run, any partitioning, any SQL engine — which also means samples
+    at different fractions are NESTED (the 10% sample is a subset of
+    the 20% sample), the property incremental corpus rebuilds rely on.
+    """
+    thr = threshold_hex(fraction)
+    if thr is None:
+        return df
+    return df.where(_hash_key(id_col) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[key]`` of
+    each stratum (language/source mixture reweighting).  Strata absent
+    from ``fractions`` keep ``default`` (0 → dropped).
+
+    The rate table compiles to a literal CASE chain on ``key`` — no
+    join, no shuffle; rows stream through the filter map-side.
+    """
+    hk = _hash_key(id_col)
+    dthr = threshold_hex(default)
+    pred: Column = F.lit(True) if dthr is None else hk < F.lit(dthr)
+    for stratum in sorted(fractions):
+        thr = threshold_hex(fractions[stratum])
+        keep = F.lit(True) if thr is None else hk < F.lit(thr)
+        pred = F.when(F.col(key) == stratum, keep).otherwise(pred)
+    return df.where(pred)

@@ -218,3 +218,60 @@ class TestContamination:
     def test_empty_sides(self, empty_docs, tiny_docs):
         assert dedup.contamination_pairs(tiny_docs, empty_docs).count() == 0
         assert dedup.contamination_pairs(empty_docs, tiny_docs).count() == 0
+
+
+class TestDeterministicSampling:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (i, f"doc {i}", ["en", "de", "zh"][i % 3], "s", 1)
+            for i in range(3000)
+        ]
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def test_rate_and_nesting(self, corpus):
+        from coies_spark.ops import sampling
+
+        n = corpus.count()
+        s10 = sampling.deterministic_sample(corpus, 0.1)
+        s20 = sampling.deterministic_sample(corpus, 0.2)
+        r10, r20 = s10.count() / n, s20.count() / n
+        assert abs(r10 - 0.1) < 0.03 and abs(r20 - 0.2) < 0.03
+        # nested: the 10% sample is a subset of the 20% sample
+        ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+        ids20 = {r.doc_id for r in s20.select("doc_id").collect()}
+        assert ids10 <= ids20
+        # fraction >= 1 keeps everything; <= 0 keeps nothing
+        assert sampling.deterministic_sample(corpus, 1.0).count() == n
+        assert sampling.deterministic_sample(corpus, 0.0).count() == 0
+
+    def test_partitioning_independence(self, corpus):
+        from coies_spark.ops import sampling
+
+        a = {
+            r.doc_id
+            for r in sampling.deterministic_sample(
+                corpus.repartition(17), 0.25
+            ).collect()
+        }
+        b = {
+            r.doc_id
+            for r in sampling.deterministic_sample(
+                corpus.coalesce(1), 0.25
+            ).collect()
+        }
+        assert a == b
+
+    def test_stratified_rates(self, corpus):
+        from coies_spark.ops import sampling
+
+        out = sampling.stratified_sample(
+            corpus, {"en": 0.5, "de": 1.0}, default=0.0
+        )
+        by_lang = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang["de"] == 1000
+        assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
+        assert "zh" not in by_lang  # default 0 drops unlisted strata
