@@ -222,3 +222,47 @@ class TestCbow:
         db = (f[0] - syn0).ravel()
         corr = float(np.corrcoef(de, db)[0, 1])
         assert corr > 0.99, corr
+
+    def test_sparse_sync_matches_dense(self, spark):
+        """sync="sparse" ships only touched-row deltas; results must
+        agree with the dense full-matrix reduce to float32 rounding,
+        for both combine modes, and be deterministic."""
+        import numpy as np
+
+        from coies_spark.ops.cbow import train_cbow
+
+        sent = self._sentences(spark)
+        for combine in ("mean", "sum"):
+            vecs = {}
+            for sync in ("dense", "sparse"):
+                vecs[sync] = {
+                    r.token: np.array(r.vector)
+                    for r in train_cbow(
+                        sent, dim=16, epochs=2, n_parts=4, min_count=1,
+                        combine=combine, sync=sync,
+                    ).collect()
+                }
+            assert set(vecs["dense"]) == set(vecs["sparse"])
+            for t in vecs["dense"]:
+                np.testing.assert_allclose(
+                    vecs["dense"][t], vecs["sparse"][t],
+                    rtol=1e-6, atol=1e-7, err_msg=(combine, t),
+                )
+        rerun = {
+            r.token: np.array(r.vector)
+            for r in train_cbow(
+                sent, dim=16, epochs=2, n_parts=4, min_count=1,
+                combine="sum", sync="sparse",
+            ).collect()
+        }
+        for t in rerun:
+            assert np.array_equal(rerun[t], vecs["sparse"][t])
+
+    def test_sync_validation(self, spark):
+        import pytest as _pytest
+
+        from coies_spark.ops.cbow import train_cbow
+
+        sent = self._sentences(spark)
+        with _pytest.raises(ValueError, match="sync"):
+            train_cbow(sent, dim=4, epochs=1, n_parts=1, sync="gossip")
