@@ -33,6 +33,7 @@ from coies_spark.data import synth
 from coies_spark.operators.salted import salted_count
 from coies_spark.operators.graph import connected_components_star
 from coies_spark.ops import (
+    curate,
     dedup,
     multimodal,
     relational,
@@ -449,6 +450,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture reweighting: downsample the over-represented 'en',
         # keep all 'zh', sample the rest at the default rate; the md5
         # hash-Bernoulli rule makes the sample engine-portable
+        # the composed pretraining-corpus pass: quality gate ->
+        # repetition gate -> bag-dedup representative -> PII scrub ->
+        # mixture sample, one declarative plan
+        "curate_corpus": lambda s, d: curate.curate_corpus(
+            _read(s, d, "documents"),
+            min_quality=0.62,
+            fractions={"en": 0.5},
+            default_rate=1.0,
+        ),
         "stratified_sample": lambda s, d: sampling.stratified_sample(
             _read(s, d, "documents"),
             {"en": 0.3, "zh": 1.0},
@@ -756,7 +766,7 @@ def oracle_sql() -> dict[str, str]:
     stop = "['the','a','of','and','to','in','is','it']"
     xd, xn = KG_DIGEST_SF001["kg_extract_digest"]
     ld, ln = KG_DIGEST_SF001["kg_linked_digest"]
-    return {
+    sql = {
         # pinned constants: the independent twin of the Arrow-kernel
         # extraction output at sf0.01 (see _triple_digest)
         "kg_extract_digest": f"""
@@ -1343,3 +1353,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
     }
+    # curate_corpus is COMPOSED from the per-stage oracles above, so
+    # its stages can never drift from their individually-verified twins
+    hk = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    t_en = sampling.threshold_hex(0.5)
+    sql["curate_corpus"] = f"""
+        WITH q AS (SELECT doc_id, n_tokens, quality
+                   FROM ({sql['quality_scores']})),
+        r AS (SELECT doc_id, keep FROM ({sql['repetition_stats']})),
+        b AS (SELECT doc_id, bag_rep FROM ({sql['bag_dedup']})),
+        s AS (SELECT doc_id, scrubbed FROM ({sql['scrub_pii']}))
+        SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality,
+               s.scrubbed
+        FROM documents d
+        JOIN q USING (doc_id) JOIN r USING (doc_id)
+        JOIN b USING (doc_id) JOIN s USING (doc_id)
+        WHERE q.quality >= 0.62 AND r.keep AND d.doc_id = b.bag_rep
+          AND (CASE WHEN d.lang = 'en' THEN {hk} < '{t_en}'
+                    ELSE TRUE END)
+    """
+    return sql

@@ -51,36 +51,41 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     comparability): mean token length, stopword ratio, digit-token
     ratio, punctuation-character ratio.
     """
-    toks = tokens_col("text")
-    d = docs.select("doc_id", "text", toks.alias("toks"))
-    n_tok = F.size("toks")
-    tok_chars = F.length(F.array_join("toks", ""))
-    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
-    n_digit = F.size(F.filter("toks", lambda t: t.rlike("^[0-9]+$")))
+    d = docs.select("doc_id", "text", tokens_col("text").alias("toks"))
+    return d.select("doc_id", *quality_feature_cols("toks").values())
+
+
+def quality_feature_cols(tokens: str = "toks") -> dict[str, Column]:
+    """The quality feature/score columns over a pre-aliased token
+    array column plus ``text`` — shared between ``quality_scores`` and
+    the fused curation pass so the formula can never drift."""
+    n_tok = F.size(tokens)
+    tok_chars = F.length(F.array_join(tokens, ""))
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    n_digit = F.size(F.filter(tokens, lambda t: t.rlike("^[0-9]+$")))
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", PUNCT_CLASS, "")
     )
     # try_divide: empty/punct-only docs yield NULL ratios instead of an
     # ANSI divide-by-zero error (matches DuckDB's x/0 → NULL)
-    avg_len = F.round(F.try_divide(tok_chars, n_tok), 6)
     stop_ratio = F.round(F.try_divide(n_stop, n_tok), 6)
     digit_ratio = F.round(F.try_divide(n_digit, n_tok), 6)
     punct_ratio = F.round(F.try_divide(n_punct, F.length("text")), 6)
-    quality = F.round(
-        0.4 * stop_ratio
-        + 0.3 * (1.0 - digit_ratio)
-        + 0.3 * (1.0 - punct_ratio),
-        6,
-    )
-    return d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        avg_len.alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        quality.alias("quality"),
-    )
+    return {
+        "n_tokens": n_tok.alias("n_tokens"),
+        "avg_token_len": F.round(F.try_divide(tok_chars, n_tok), 6).alias(
+            "avg_token_len"
+        ),
+        "stopword_ratio": stop_ratio.alias("stopword_ratio"),
+        "digit_ratio": digit_ratio.alias("digit_ratio"),
+        "punct_ratio": punct_ratio.alias("punct_ratio"),
+        "quality": F.round(
+            0.4 * stop_ratio
+            + 0.3 * (1.0 - digit_ratio)
+            + 0.3 * (1.0 - punct_ratio),
+            6,
+        ).alias("quality"),
+    }
 
 
 def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
@@ -314,8 +319,15 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     Scale: a pure ``regexp_replace``/``regexp_extract_all`` projection
     — whole-stage codegen, zero shuffle, embarrassingly parallel.
     """
+    scrubbed, counts = scrub_cols()
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), *counts)
+
+
+def scrub_cols() -> tuple[Column, list[Column]]:
+    """(scrubbed text column, per-category count columns) over
+    ``text`` — shared between ``scrub_pii`` and the fused curation
+    pass."""
     scrubbed = F.col("text")
-    cols = [F.col("doc_id")]
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
@@ -324,4 +336,4 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
             .alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return docs.select(*cols, scrubbed.alias("scrubbed"), *counts)
+    return scrubbed, counts

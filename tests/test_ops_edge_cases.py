@@ -275,3 +275,36 @@ class TestDeterministicSampling:
         assert by_lang["de"] == 1000
         assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
         assert "zh" not in by_lang  # default 0 drops unlisted strata
+
+
+class TestCurateCorpus:
+    def test_gates_compose(self, spark):
+        from coies_spark.ops import curate
+
+        rows = [
+            # clean survivor
+            (0, "the quick brown fox jumps over the lazy dog today", "en",
+             "s", 1),
+            # repetitive -> dropped by the repetition gate
+            (1, " ".join(["spam"] * 40), "en", "s", 1),
+            # bag-duplicate of 0 (shuffled words) -> dropped (rep is 0)
+            (2, "dog lazy the over jumps fox brown quick the today", "en",
+             "s", 1),
+            # PII survivor: scrubbed but kept
+            (3, "send the report to a.b@example.com before the deadline "
+                "is it done in time for the quarterly review of it", "en",
+             "s", 1),
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        out = {
+            r.doc_id: r
+            for r in curate.curate_corpus(docs, min_quality=0.0).collect()
+        }
+        assert set(out) == {0, 3}
+        assert "<EMAIL>" in out[3].scrubbed
+        assert "example.com" not in out[3].scrubbed
+
+    def test_empty(self, empty_docs):
+        from coies_spark.ops import curate
+
+        assert curate.curate_corpus(empty_docs).count() == 0
