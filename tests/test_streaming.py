@@ -213,3 +213,111 @@ def test_stream_dedup_minhash_matches_batch_signatures(spark, tmp_path, corpus):
     )
     assert kept.count() == n_sigs
     assert "mh_sig" not in kept.columns
+
+
+def test_top2gram_array_col_matches_batch(spark):
+    """The row-local modal-2-gram column (streaming path) must equal
+    repetition_stats' aggregated top_2gram_frac on every doc."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.functions.tokenize import tokens_col
+    from coies_spark.ops.textstats import repetition_stats
+    from coies_spark.streaming.curate import top_2gram_frac_col
+
+    rows = [
+        (0, "the quick fox the quick fox jumps", "en", "s", 1),
+        (1, " ".join(["buy", "now"] * 10), "en", "s", 1),
+        (2, "", "en", "s", 1),
+        (3, "one two three four five", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    arr = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id",
+            top_2gram_frac_col(tokens_col("text")).alias("f"),
+        ).collect()
+    }
+    agg = {
+        r.doc_id: r.top_2gram_frac for r in repetition_stats(docs).collect()
+    }
+    assert arr == agg
+
+
+def test_stream_curate_matches_batch_gates(spark, tmp_path):
+    """Streamed curation keeps exactly the batch-gated rows, one per
+    MinHash signature (first arrival), with PII scrubbed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from coies_spark.functions.tokenize import tokens_col
+    from coies_spark.ops.textstats import quality_feature_cols, shingles_col
+    from coies_spark.streaming.curate import stream_curate, top_2gram_frac_col
+    from coies_spark.streaming.dedup import minhash_signature_col
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(40):
+        text = (
+            f"the report number {i} of the series is it ready to go in "
+            f"time for the review of the team at mail{i}@example.com"
+        )
+        rows.append((i, text, "en", "s", 1, base + datetime.timedelta(seconds=i)))
+    # near-duplicate pair (identical text, later arrival) + junk doc
+    rows.append((100, rows[0][1], "en", "s", 1, base + datetime.timedelta(seconds=50)))
+    rows.append((101, " ".join(["spam"] * 30), "en", "s", 1, base))
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+    in_dir = tmp_path / "docs_stream"
+    df.coalesce(1).write.parquet(str(in_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(in_dir))
+    q = (
+        stream_curate(stream, min_quality=0.0)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("select * from curated_stream")
+    got = {r.doc_id: r for r in kept.collect()}
+
+    # batch comparator: same gates via the same column builders, one
+    # survivor per minhash signature
+    feats = quality_feature_cols("toks")
+    sh3 = shingles_col(3)
+    gated = (
+        df.withColumn("toks", tokens_col("text"))
+        .where(
+            (feats["quality"] >= 0.0)
+            & (top_2gram_frac_col("toks") <= 0.20)
+            & (
+                F.round(
+                    1
+                    - F.try_divide(
+                        F.size(F.array_distinct(sh3)), F.size(sh3)
+                    ),
+                    6,
+                )
+                <= 0.18
+            )
+        )
+        .withColumn("sig", minhash_signature_col())
+    )
+    n_sigs = gated.select("sig").distinct().count()
+    assert len(got) == n_sigs
+    assert 101 not in got            # repetition gate
+    assert 100 not in got and 0 in got  # first arrival survives
+    assert all("<EMAIL>" in r.scrubbed for r in got.values())
+    assert all("example.com" not in r.scrubbed for r in got.values())
