@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents").where("doc_id % 43 = 0"),
             n=3,
             min_overlap=0.25,
+            benchmark_in_docs=True,
         ),
         "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
         # --- similarity search (embeddings) ---
@@ -1361,15 +1362,21 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT doc_id, n_tokens, quality
                    FROM ({sql['quality_scores']})),
         r AS (SELECT doc_id, keep FROM ({sql['repetition_stats']})),
-        b AS (SELECT doc_id, bag_rep FROM ({sql['bag_dedup']})),
-        s AS (SELECT doc_id, scrubbed FROM ({sql['scrub_pii']}))
-        SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality,
-               s.scrubbed
-        FROM documents d
-        JOIN q USING (doc_id) JOIN r USING (doc_id)
-        JOIN b USING (doc_id) JOIN s USING (doc_id)
-        WHERE q.quality >= 0.62 AND r.keep AND d.doc_id = b.bag_rep
-          AND (CASE WHEN d.lang = 'en' THEN {hk} < '{t_en}'
+        s AS (SELECT doc_id, scrubbed FROM ({sql['scrub_pii']})),
+        dig AS (SELECT doc_id, md5(array_to_string(
+                  list_sort(list_distinct({_TOKS})), ' ')) AS bag_key
+                FROM documents),
+        gated AS (
+          SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality,
+                 s.scrubbed, dig.bag_key
+          FROM documents d
+          JOIN q USING (doc_id) JOIN r USING (doc_id)
+          JOIN s USING (doc_id) JOIN dig USING (doc_id)
+          WHERE q.quality >= 0.62 AND r.keep),
+        surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY bag_key)
+        SELECT doc_id, lang, source, n_tokens, quality, scrubbed
+        FROM gated JOIN surv USING (doc_id)
+        WHERE (CASE WHEN lang = 'en' THEN {hk} < '{t_en}'
                     ELSE TRUE END)
     """
     return sql

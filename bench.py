@@ -14,6 +14,7 @@ Headliners cover the engine's load-bearing paths:
 * rouge1_pairs      — clipped-unigram pair scoring
 * rougel_pairs      — bit-vector LCS ROUGE-L pair scoring (Arrow UDF)
 * rwmd_pairs        — relaxed word-mover's distance pair scoring
+* curate_corpus     — fused quality+repetition+dedup+scrub+sample pass
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
@@ -85,7 +86,7 @@ def main() -> None:
 
     from coies_spark.core.oneshot import build_example_artifacts
     from coies_spark.data import synth
-    from coies_spark.ops import dedup, relational, similarity, wmd
+    from coies_spark.ops import curate, dedup, relational, similarity, wmd
     from coies_spark.pipeline.extract import extract_mentions
     from coies_spark.pipeline.triples import conv_triples
     from coies_spark.session import get_spark
@@ -150,6 +151,13 @@ def main() -> None:
         "rouge1_pairs": lambda: run(relational.rouge1_pairs(docs)),
         "rougel_pairs": lambda: run(relational.rougel_pairs(docs)),
         "rwmd_pairs": lambda: run(wmd.rwmd_pairs(docs)),
+        # the fused curation pipeline (quality + repetition + dedup +
+        # scrub + mixture sample in 3 corpus scans)
+        "curate_corpus": lambda: run(
+            curate.curate_corpus(
+                docs, min_quality=0.62, fractions={"en": 0.5}
+            )
+        ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
         "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
         "sessionize": lambda: run(relational.sessionize(events)),

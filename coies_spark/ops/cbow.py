@@ -275,7 +275,14 @@ def train_cbow(
     mini-epoch slice of a web corpus touches ~10⁵ rows of a 10⁷-row
     vocabulary.  MEASURED: 2.1× end-to-end (7.7→3.6 s) at V=5k,
     d=128, 8 partitions × 8 sync rounds on zipf sentences; the gap
-    widens with V/touched.  Deltas of float32 weights are exact in
+    widens with V/touched.  MEMORY ENVELOPE: the driver holds every
+    partition's touched deltas at once — Σ_p touched_p × d × 16 bytes
+    (two float64 matrices).  On a DENSE-touch workload (small vocab,
+    well-mixed partitions: touched_p ≈ V) that is n_parts × 2·V·d × 8
+    bytes on the DRIVER, worse than dense mode's executor-side
+    reduce — pick sparse only when round slices genuinely touch a
+    small fraction of V (many sync rounds / huge vocab), which is
+    exactly when it wins.  Deltas of float32 weights are exact in
     float64 and
     applied in partition order, so sparse is deterministic; it agrees
     with dense to float32 rounding (the final-cast tie can differ by

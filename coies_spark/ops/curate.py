@@ -5,37 +5,44 @@ quality gate → repetition gate → near-copy dedup → PII scrub →
 mixture sampling — as ONE declarative Spark plan, so Catalyst sees
 the whole thing and a 100 TB run costs:
 
-* one projection-only pass over the corpus computing quality features
-  AND the scrubbed text together (``quality_feature_cols`` +
-  ``scrub_cols`` fused into a single select — not one scan per
-  feature family);
-* two aggregate branches that must rescan/shuffle by nature: the
-  repetition verdict (modal-2-gram count, one shuffle) and the
-  bag-dedup representative (token-multiset digest groupBy, one
-  shuffle);
-* two doc_id-keyed joins folding the branches back (co-partitioned
-  after the first exchange; AQE picks broadcast when a branch is
-  small);
+* one projection-only pass over the corpus computing quality features,
+  the scrubbed text, the array-side repetition ratio, AND the
+  bag-dedup digest together (all from shared column builders —
+  ``quality_feature_cols``/``scrub_cols``/``dup_ngram_frac_col``/
+  ``bag_digest_col`` — so the fused pass and the standalone operators
+  cannot drift);
+* one aggregate branch that must rescan/shuffle by nature: the
+  modal-2-gram count (explode + map-side-combinable double groupBy);
+* the dedup-survivor selection over the GATED rows (gate-then-dedup,
+  the C4/Gopher ordering: a junk near-copy can never be the group's
+  representative and drag clean content out with it) — a min-over-
+  window on the bag digest, one exchange, no self-join, so the gated
+  subtree is never duplicated (digest groups are intrinsically small,
+  so the window is skew-safe);
 * the deterministic mixture sample as a final map-side filter
   (engine-portable md5 hash-Bernoulli, see ``ops.sampling``) — it
-  commutes with everything above, so survivors are stable across
+  commutes with the projections, so survivors are stable across
   partitionings and reruns.
 
-Gate placement: the quality/repetition filters run BEFORE the join
-results are needed downstream, so dropped docs never reach the
-sample; dedup keeps each bag-duplicate group's min-doc_id
-representative (survivorship is deterministic).
+Dedup keeps each gated bag-duplicate group's min-doc_id member
+(survivorship is deterministic).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.tokenize import tokens_col
-from .dedup import _md5
+from .dedup import bag_digest_col
 from .sampling import stratified_sample
-from .textstats import quality_feature_cols, scrub_cols, shingles_col
+from .textstats import (
+    dup_ngram_frac_col,
+    quality_feature_cols,
+    scrub_cols,
+    shingles_col,
+)
 
 
 def curate_corpus(
@@ -46,16 +53,15 @@ def curate_corpus(
 ) -> DataFrame:
     """→ (doc_id, lang, source, n_tokens, quality, scrubbed): the
     curated corpus — docs that clear the quality floor and the
-    repetition filter, are their bag-dedup group's representative,
-    with PII scrubbed, mixture-sampled per ``fractions``.
+    repetition filter, are their gated bag-dedup group's
+    representative, with PII scrubbed, mixture-sampled per
+    ``fractions``.
     """
     feats = quality_feature_cols("toks")
     scrubbed, _counts = scrub_cols()
-    sh3 = shingles_col(3)
     # scan 1: every projection-side feature in one pass — quality
-    # score, scrubbed text, AND the array-side repetition ratios
-    # (identical formulas to repetition_stats, incl. the 6dp rounding
-    # the keep verdict compares on)
+    # score, scrubbed text, repetition ratio, dedup digest (shared
+    # builders, identical formulas/rounding to the standalone ops)
     base = docs.select(
         "doc_id",
         "lang",
@@ -69,9 +75,8 @@ def curate_corpus(
         feats["n_tokens"],
         feats["quality"],
         scrubbed.alias("scrubbed"),
-        F.round(
-            1 - F.try_divide(F.size(F.array_distinct(sh3)), F.size(sh3)), 6
-        ).alias("dup_3gram_frac"),
+        dup_ngram_frac_col(3, "toks").alias("dup_3gram_frac"),
+        bag_digest_col().alias("bag_key"),
     )
     # scan 2: the modal-2-gram count (the one repetition feature that
     # needs an aggregate) — explode + two groupBys, map-side combine
@@ -87,31 +92,21 @@ def curate_corpus(
             F.round(F.try_divide("top2", "n2"), 6).alias("top_2gram_frac"),
         )
     )
-    # scan 3: bag-dedup survivors — groupBy(digest).min(doc_id) emits
-    # each group's representative id directly (no join-back rescan);
-    # the inner join below doubles as the keep-only-representatives
-    # semi-join
-    survivors = (
-        docs.select(
-            "doc_id",
-            _md5(
-                F.array_join(
-                    F.array_sort(F.array_distinct(tokens_col("text"))), " "
-                )
-            ).alias("h"),
-        )
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    gated = base.join(a2, "doc_id").where(
+        (F.col("quality") >= min_quality)
+        & (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("dup_3gram_frac") <= 0.18)
     )
+    # dedup over the GATED rows (gate-then-dedup): keep the min-doc_id
+    # member of each gated digest group via a window — one exchange on
+    # bag_key, no self-join, so the gated subtree is never duplicated.
+    # A bag_key window is skew-safe where the Jaccard df window was
+    # not: duplicate groups are intrinsically small (a group IS a set
+    # of near-copies), never stop-key sized.
+    w = Window.partitionBy("bag_key")
     out = (
-        base.join(a2, "doc_id")
-        .join(survivors, "doc_id")
-        .where(
-            (F.col("quality") >= min_quality)
-            & (F.col("top_2gram_frac") <= 0.20)
-            & (F.col("dup_3gram_frac") <= 0.18)
-        )
+        gated.withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "lang", "source", "n_tokens", "quality", "scrubbed")
     )
     if fractions is not None:

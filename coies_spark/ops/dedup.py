@@ -41,14 +41,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return h.join(reps, "h").select("doc_id", "exact_rep")
 
 
+def bag_digest_col(text_col: str = "text") -> F.Column:
+    """md5 of the sorted distinct token list — the bag-dedup group
+    key, shared with the curation pass so the two can't drift."""
+    return _md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(tokens_col(text_col))), " "
+        )
+    )
+
+
 def bag_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, bag_rep): representative of each equal-token-multiset-
     ignoring-order-and-dups group (catches shuffled near-copies).
     Digest = md5 of the sorted distinct token list."""
-    key = _md5(
-        F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ")
-    )
-    h = docs.select("doc_id", key.alias("h"))
+    h = docs.select("doc_id", bag_digest_col().alias("h"))
     reps = h.groupBy("h").agg(F.min("doc_id").alias("bag_rep"))
     return h.join(reps, "h").select("doc_id", "bag_rep")
 
@@ -233,6 +240,8 @@ def contamination_pairs(
     benchmark: DataFrame,
     n: int = 8,
     min_overlap: float = 0.5,
+    benchmark_in_docs: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, bench_id, n_shared, n_bench,
     overlap, contaminated) for every (document, benchmark item) pair
@@ -243,19 +252,29 @@ def contamination_pairs(
     flags overlap ≥ ``min_overlap``.
 
     ``benchmark`` is any frame with (doc_id, text); its ids are
-    reported as ``bench_id`` and self-pairs (same id) are excluded so
-    the benchmark may be a subset of ``docs``.
+    reported as ``bench_id``.  Set ``benchmark_in_docs=True`` ONLY
+    when the benchmark rows really are a subset of ``docs`` sharing
+    its id space: it excludes same-id self-pairs.  Leave it False for
+    an independently-loaded benchmark — there an id collision is
+    coincidence, and excluding it would silently hide a genuine
+    contamination hit.
 
-    Scale: benchmark suites are tiny next to a pretraining corpus
-    (≤10⁶ items), so the benchmark's inverted shingle index and its
-    per-item sizes are BROADCAST — the corpus-side probe is a map-side
-    hash join with no shuffle of the big side; the only big-side
-    shuffle is the (doc_id, bench_id) pair count, whose cardinality is
-    bounded by true collisions.  Collision frequency is governed by
-    ``n``: at the production default n=8 random n-gram collisions are
-    vanishingly rare (the PaLM choice), so no df cap is needed; short
-    n on small corpora (tests use n=3) trades that guard for recall.
+    Scale: benchmark suites are small next to a pretraining corpus,
+    so by default the benchmark's inverted shingle index and per-item
+    sizes are BROADCAST — the corpus-side probe is a map-side hash
+    join with no shuffle of the big side; the only big-side shuffle
+    is the (doc_id, bench_id) pair count, whose cardinality is
+    bounded by true collisions.  The forced broadcast is sized for
+    suites up to ~10⁵ items (~10⁶-10⁷ shingle rows); for larger
+    suites pass ``broadcast=False`` and let AQE pick the join (a
+    10⁶-item suite's exploded index is GBs — force-broadcasting it
+    bypasses AQE's size check and times out / OOMs).  Collision
+    frequency is governed by ``n``: at the production default n=8
+    random n-gram collisions are vanishingly rare (the PaLM choice),
+    so no df cap is needed; short n on small corpora (tests use n=3)
+    trades that guard for recall.
     """
+    hint = F.broadcast if broadcast else (lambda df: df)
     d_sh = doc_shingles(docs, n)
     b_sh = (
         doc_shingles(benchmark, n)
@@ -264,14 +283,14 @@ def contamination_pairs(
     b_sizes = b_sh.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("n_bench")
     )
-    shared = (
-        d_sh.join(F.broadcast(b_sh), "shingle")
-        .where(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    shared = d_sh.join(hint(b_sh), "shingle")
+    if benchmark_in_docs:
+        shared = shared.where(F.col("doc_id") != F.col("bench_id"))
+    shared = shared.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
     return (
-        shared.join(F.broadcast(b_sizes), "bench_id")
+        shared.join(hint(b_sizes), "bench_id")
         .select(
             "doc_id",
             "bench_id",

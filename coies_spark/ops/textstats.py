@@ -151,12 +151,45 @@ def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
 def shingles_col(n: int, tokens: Column | str = "toks") -> Column:
     """array<string> of space-joined ``n``-token shingles (stride 1).
 
-    Documents shorter than ``n`` tokens yield one truncated shingle —
-    the same convention as DuckDB inclusive slicing, so oracles match.
+    Documents shorter than ``n`` tokens yield one truncated shingle
+    (empty docs one ``""`` shingle) — the same convention as DuckDB
+    inclusive slicing, so oracles match.
+
+    Construction is ``zip_with`` over n−1 shifted suffix slices, with
+    every reference to ``tokens`` OUTSIDE lambda bodies.  The obvious
+    per-index form — ``transform(sequence(...), i → array_join(
+    slice(t, i, n)))`` — re-evaluates ``t`` for every element when it
+    is a computed expression (Catalyst does no subexpression
+    elimination inside higher-order lambdas), turning shingling
+    O(len²): measured 87 s for ONE 20k-token document, i.e. every
+    shingle consumer (Jaccard, MinHash, decontamination, repetition)
+    stalls on web-length docs.  The zip form evaluates ``t`` a
+    constant number of times per row.
     """
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    size = F.size(t)
+    acc = t
+    for k in range(2, n + 1):
+        # suffix starting at position k; zip_with pads the shorter
+        # side with NULL and concat_ws skips NULLs, so trailing
+        # elements shorten naturally before the final truncation
+        acc = F.zip_with(
+            acc,
+            F.slice(t, k, size),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    out = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(1)))
+    return F.when(size == 0, F.array(F.lit(""))).otherwise(out)
+
+
+def dup_ngram_frac_col(n: int, tokens: Column | str = "toks") -> Column:
+    """1 − distinct/total stride-1 n-grams, rounded 6dp — the Gopher
+    duplicate n-gram fraction as a single array-side column; shared by
+    ``repetition_stats`` and both curation passes."""
+    sh = shingles_col(n, tokens)
+    return F.round(
+        1 - F.try_divide(F.size(F.array_distinct(sh)), F.size(sh)), 6
+    )
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -259,13 +292,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     state, so the op is embarrassingly parallel over documents.
     """
     t = docs.select("doc_id", tokens_col("text").alias("toks"))
-    sh3 = shingles_col(3)
     arr = t.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("nd_tok"),
-        F.size(sh3).alias("n3"),
-        F.size(F.array_distinct(sh3)).alias("nd3"),
+        dup_ngram_frac_col(3).alias("dup_3gram_frac"),
     )
     f2 = (
         t.select("doc_id", F.explode(shingles_col(2)).alias("g"))
@@ -284,7 +315,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             "dup_token_frac"
         ),
         F.round(1 - F.try_divide("nd2", "n2"), 6).alias("dup_2gram_frac"),
-        F.round(1 - F.try_divide("nd3", "n3"), 6).alias("dup_3gram_frac"),
+        "dup_3gram_frac",
         F.round(F.try_divide("top2", "n2"), 6).alias("top_2gram_frac"),
     )
     return scored.withColumn(
@@ -295,13 +326,29 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 
 # PII patterns, ordered: URLs first (they can contain @ and digits),
-# then emails, IPv4, phone-shaped digit runs.  Each pattern is valid
+# then emails, IPv4, phone-shaped digit groups.  Each pattern is valid
 # and equivalent in both Java regex (Spark) and RE2 (DuckDB oracles).
+#
+# The phone shape requires THREE separator-delimited digit groups
+# (optional +/parens on the first) — a naive "9+ chars of digits and
+# separators" class redacts ISO dates and number series as phones
+# (measured: '2026-08-17' and '10 20 30 40 50' both matched), which
+# corrupts the curated corpus.  Group sizes exclude the date shapes
+# (YYYY-MM-DD / DD-MM-YYYY have a 2-digit middle or trailing group
+# where the pattern demands 3-6).  Tradeoff, documented: bare
+# separator-less numbers ('5551234567') are NOT matched — they are
+# indistinguishable from ids/order numbers; thousand-separated
+# numerals ('12 345 678') do match.
 PII_PATTERNS = (
     ("url", r"https?://[^\s]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"\+?\(?[0-9]{2,4}\)?[\s.-][0-9]{3,6}[\s.-][0-9]{2,6}"
+        r"([\s.-][0-9]{2,5})?",
+        "<PHONE>",
+    ),
 )
 
 

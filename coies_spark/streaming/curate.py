@@ -10,14 +10,15 @@ the one stateful stage: the watermark-bounded full-MinHash filter
 sweeps anything beyond the horizon later.
 
 One deliberate divergence from the batch pass: the modal-2-gram
-repetition feature is computed ARRAY-SIDE here (count occurrences of
-each distinct gram inside the row, O(distinct × n) per doc) instead
-of the batch explode + groupBy — a per-doc aggregation in an
-append-mode stream would force watermark-delayed emission for a
-quantity that is entirely row-local anyway.  The ratios (and hence
-the keep verdict) are identical; only the execution shape differs —
-asserted against ``repetition_stats`` in tests/test_streaming.py.
+repetition feature is computed ARRAY-SIDE here (longest equal-run of
+the sorted gram array, O(n log n) per row) instead of the batch
+explode + groupBy — a per-doc aggregation in an append-mode stream
+would force watermark-delayed emission for a quantity that is
+entirely row-local anyway.  The ratios (and hence the keep verdict)
+are identical; only the execution shape differs — asserted against
+``repetition_stats`` in tests/test_streaming.py.
 
+Stage order matches the batch pass (gate → dedup → sample).
 Survivorship semantics vs batch: the stream keeps the FIRST-ARRIVED
 member of a near-dup group (within the watermark horizon), while the
 batch pass keeps the min-doc_id bag-representative; both are
@@ -31,7 +32,12 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_col
 from ..ops.sampling import stratified_sample
-from ..ops.textstats import quality_feature_cols, scrub_cols, shingles_col
+from ..ops.textstats import (
+    dup_ngram_frac_col,
+    quality_feature_cols,
+    scrub_cols,
+    shingles_col,
+)
 from .dedup import stream_dedup_minhash
 
 
@@ -39,15 +45,32 @@ def top_2gram_frac_col(tokens: Column | str = "toks") -> Column:
     """Row-local modal-2-gram coverage: occurrences of the most
     frequent 2-gram over total 2-grams, computed with higher-order
     array functions only — identical (incl. 6dp rounding) to the
-    batch ``repetition_stats`` column, but needing no aggregation."""
-    sh2 = shingles_col(2, tokens)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(sh2),
-            lambda g: F.size(F.filter(sh2, lambda x: x == g)),
-        )
+    batch ``repetition_stats`` column, but needing no aggregation.
+
+    The modal count is the longest equal-run in the SORTED gram array
+    (one ``aggregate`` fold over ``array_sort`` — O(n log n) per row;
+    the per-distinct-gram ``filter`` formulation is O(n²) and stalls
+    micro-batches on long documents)."""
+    sh2 = F.array_sort(shingles_col(2, tokens))
+    run = F.aggregate(
+        sh2,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias(
+                "run"
+            ),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    return F.round(F.try_divide(top, F.size(sh2)), 6)
+    return F.round(F.try_divide(run.best, F.size(sh2)), 6)
 
 
 def stream_curate(
@@ -69,15 +92,11 @@ def stream_curate(
     """
     feats = quality_feature_cols("toks")
     scrubbed, _counts = scrub_cols()
-    sh3 = shingles_col(3)
-    dup3 = F.round(
-        1 - F.try_divide(F.size(F.array_distinct(sh3)), F.size(sh3)), 6
-    )
     gated = (
         stream.withColumn("toks", tokens_col("text"))
         .withColumn("n_tokens", feats["n_tokens"])
         .withColumn("quality", feats["quality"])
-        .withColumn("dup_3gram_frac", dup3)
+        .withColumn("dup_3gram_frac", dup_ngram_frac_col(3, "toks"))
         .withColumn("top_2gram_frac", top_2gram_frac_col("toks"))
         .where(
             (F.col("quality") >= min_quality)
@@ -85,9 +104,13 @@ def stream_curate(
             & (F.col("dup_3gram_frac") <= 0.18)
         )
     )
-    if fractions is not None:
-        gated = stratified_sample(gated, fractions, default=default_rate)
+    # dedup BEFORE sampling — matching the batch pass's gate → dedup →
+    # sample order, so a group's survivor is decided by arrival, and
+    # only then hash-sampled (sampling first would let a later member
+    # of a sampled-out group slip through, diverging from batch)
     deduped = stream_dedup_minhash(gated, watermark=watermark, ts_col=ts_col)
+    if fractions is not None:
+        deduped = stratified_sample(deduped, fractions, default=default_rate)
     return deduped.select(
         "doc_id",
         "lang",

@@ -206,14 +206,21 @@ class TestContamination:
         ]
         docs = spark.createDataFrame(rows, DOC_SCHEMA)
         bench = docs.where("doc_id = 0")
-        out = dedup.contamination_pairs(docs, bench, n=3, min_overlap=0.5)
+        out = dedup.contamination_pairs(
+            docs, bench, n=3, min_overlap=0.5, benchmark_in_docs=True
+        )
         got = {r.doc_id: r for r in out.collect()}
         # doc 1 shares no 3-gram; doc 2 contains every benchmark 3-gram
         assert set(got) == {2}
         r = got[2]
         assert r.bench_id == 0 and r.overlap == 1.0 and r.contaminated
-        # self-pair (doc 0 vs bench 0) must be excluded
+        # self-pair (doc 0 vs bench 0) excluded via benchmark_in_docs
         assert 0 not in got
+        # an INDEPENDENT benchmark whose id coincidentally collides
+        # must still report the hit (the default keeps same-id pairs)
+        sep = dedup.contamination_pairs(docs, bench, n=3, min_overlap=0.5)
+        ids = {(r.doc_id, r.bench_id) for r in sep.collect()}
+        assert (0, 0) in ids and (2, 0) in ids
 
     def test_empty_sides(self, empty_docs, tiny_docs):
         assert dedup.contamination_pairs(tiny_docs, empty_docs).count() == 0
@@ -304,7 +311,49 @@ class TestCurateCorpus:
         assert "<EMAIL>" in out[3].scrubbed
         assert "example.com" not in out[3].scrubbed
 
+    def test_gate_then_dedup_ordering(self, spark):
+        """A junk near-copy with the smaller doc_id must never drag
+        clean content out of the corpus: the dedup representative is
+        chosen among GATED rows (C4/Gopher ordering), not the raw
+        corpus."""
+        from coies_spark.ops import curate
+
+        rows = [
+            # repetitive junk, same token BAG as doc 9, smaller id
+            (5, "the quick brown fox jumps over a lazy dog today "
+                "fox fox fox fox fox fox the the the the", "en", "s", 1),
+            # the clean unique content
+            (9, "the quick brown fox jumps over a lazy dog today", "en",
+             "s", 1),
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        out = {r.doc_id for r in curate.curate_corpus(
+            docs, min_quality=0.0).collect()}
+        assert out == {9}
+
     def test_empty(self, empty_docs):
         from coies_spark.ops import curate
 
         assert curate.curate_corpus(empty_docs).count() == 0
+
+
+def test_shingles_linear_on_long_docs(spark):
+    """Tripwire for the O(len²) shingle regression: the per-index
+    slice form took 87 s for ONE 20k-token doc (Catalyst re-evaluates
+    a computed tokens expression inside higher-order lambdas); the
+    shipped zip_with form is linear.  Generous bound so host noise
+    can't flake it — the broken form exceeds it by minutes."""
+    import time
+
+    from coies_spark.functions.tokenize import tokens_col
+    from coies_spark.ops.textstats import shingles_col
+
+    doc = spark.createDataFrame(
+        [(" ".join(f"w{i % 900}" for i in range(30000)),)], "text string"
+    )
+    t0 = time.time()
+    n = doc.select(
+        F.size(shingles_col(3, tokens_col("text"))).alias("n")
+    ).collect()[0].n
+    assert n == 29998
+    assert time.time() - t0 < 60

@@ -220,6 +220,11 @@ def test_scrub_pii_planted_cross_engine(spark):
          "en", "s", 1),
         (2, "no pii here at all", "en", "s", 1),
         (3, "", "en", "s", 1),
+        # regression: dates and number series must NOT redact as phones
+        (4, "the meeting on 2026-08-17 was moved from 17-10-2026 and "
+            "the log shows 10:30:45", "en", "s", 1),
+        (5, "totals were 10 20 30 40 50 units in the 2026 report", "en",
+         "s", 1),
     ]
     schema = ("doc_id bigint, text string, lang string, source string, "
               "n_chars bigint")
@@ -232,6 +237,8 @@ def test_scrub_pii_planted_cross_engine(spark):
     assert "<IP>" in got[1].scrubbed and "<PHONE>" in got[1].scrubbed
     assert got[2].scrubbed == "no pii here at all"
     assert got[3].scrubbed == "" and got[3].n_url == 0
+    for d in (4, 5):
+        assert got[d].n_phone == 0 and got[d].scrubbed == rows[d][1], got[d]
 
     import pandas as pd
 

@@ -243,14 +243,16 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
-def test_curate_corpus_three_scans(spark):
-    """The fused curation pass must read the corpus exactly 3 times:
-    the projection pass (quality+scrub+array repetition ratios), the
-    modal-2-gram branch, and the dedup-survivor branch — never one
-    scan per feature family (5+ before fusion)."""
+def test_curate_corpus_two_scans(spark):
+    """The fused curation pass must read the corpus exactly twice:
+    the projection pass (quality + scrub + array repetition ratio +
+    dedup digest) and the modal-2-gram aggregate branch — never one
+    scan per feature family (5+ under naive composition).  Dedup is a
+    min-over-window on the gated rows, so it adds no scan and no
+    self-join."""
     from coies_spark.ops import curate
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan_of(curate.curate_corpus(docs, fractions={"en": 0.5}))
-    assert p.count("FileScan") == 3, p
+    assert p.count("FileScan") == 2, p
     assert "CartesianProduct" not in p
