@@ -57,24 +57,44 @@ def minhash_signature_col(
 
     Equals the batch ``ops.dedup.minhash_signatures_wide`` signature
     bit-for-bit: the batch path min-aggregates seeded md5 digests over
-    exploded distinct shingles; ``array_min`` over the same digests on
-    the un-exploded distinct-shingle array is the same minimum (string
-    ordering, identical tokenization) — asserted in
-    tests/test_streaming.py."""
+    exploded distinct shingles; the per-seed minimum over the same
+    digests on the un-exploded distinct-shingle array is the same
+    minimum (string ordering, identical tokenization) — asserted in
+    tests/test_streaming.py.
+
+    All ``num_hashes`` minima come from ONE ``aggregate`` fold with a
+    struct accumulator — a per-seed ``array_min(transform(...))``
+    would re-evaluate the whole tokenize→shingle→distinct pipeline
+    once per seed (Catalyst evaluates each outer expression
+    independently; ×8 per row on the ingest hot path)."""
     from ..functions.tokenize import tokens_col
     from ..ops.textstats import shingles_col
 
     shingles = F.array_distinct(shingles_col(n, tokens_col(text_col)))
-    mins = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda sh: _md5(F.concat_ws(":", F.lit(str(i)), sh)),
-            )
-        )
-        for i in range(num_hashes)
-    ]
-    return F.concat_ws(",", *mins)
+    names = [f"m{i}" for i in range(num_hashes)]
+    # 'g' > 'f': any md5 hex string sorts below the sentinel, and the
+    # shingle array is never empty (empty docs get one "" shingle)
+    sentinel = "g" * 32
+    init = F.struct(
+        *[F.lit(sentinel).alias(nm) for nm in names]
+    )
+    # the join happens in the aggregate's FINISH lambda: acc is bound
+    # once there, while 8 outer GetStructField references would each
+    # re-evaluate the whole fold
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, sh: F.struct(
+            *[
+                F.least(
+                    acc[nm],
+                    _md5(F.concat_ws(":", F.lit(str(i)), sh)),
+                ).alias(nm)
+                for i, nm in enumerate(names)
+            ]
+        ),
+        lambda acc: F.concat_ws(",", *[acc[nm] for nm in names]),
+    )
 
 
 def stream_dedup_minhash(
