@@ -464,6 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"en": 0.3, "zh": 1.0},
             default=0.6,
         ),
+        # fixed-SIZE twin: exactly 20 docs per language by hash order
+        "stratified_topk_sample": lambda s, d: sampling.stratified_topk_sample(
+            _read(s, d, "documents"), k=20
+        ),
         "language_id": lambda s, d: textstats.language_id(
             _read(s, d, "documents")
         ),
@@ -848,6 +852,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_pii": _scrub_pii_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "stratified_topk_sample": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                         doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20
+        """,
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             arr AS (

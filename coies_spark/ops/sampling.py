@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_WIDTH = 8
 _HEX_SPACE = 16**_HEX_WIDTH
@@ -80,3 +81,30 @@ def stratified_sample(
         keep = F.lit(True) if thr is None else hk < F.lit(thr)
         pred = F.when(F.col(key) == stratum, keep).otherwise(pred)
     return df.where(pred)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    k: int,
+    key: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly ``min(k, |stratum|)`` rows per stratum: the ``k``
+    smallest md5 hash keys.  A deterministic, engine-portable
+    fixed-SIZE sample (vs the fixed-RATE ``stratified_sample``) — the
+    standard way to cut per-language/per-source eval and calibration
+    sets whose size must not drift with corpus growth.  Because the
+    hash order is stable, growing a stratum only ever REPLACES members
+    (k stays exact); ties are impossible for distinct ids.
+
+    One shuffle (the per-stratum rank window).  Strata counts are
+    assumed modest (languages/sources); row_number within a stratum is
+    the same two-stage-shardable shape as language_id's profile build
+    if a stratum ever becomes task-sized.
+    """
+    w = Window.partitionBy(key).orderBy(_hash_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -357,3 +357,36 @@ def test_shingles_linear_on_long_docs(spark):
     ).collect()[0].n
     assert n == 29998
     assert time.time() - t0 < 60
+
+
+def test_stratified_topk_sample_properties(spark):
+    """Exact k per stratum, short strata kept whole, and the
+    replacement property: growing the corpus only swaps members in."""
+    from coies_spark.ops import sampling
+
+    rows = [
+        (i, f"doc {i}", "en" if i % 3 else "de", "s", 1) for i in range(90)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = sampling.stratified_topk_sample(docs, k=10)
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang == {"en": 10, "de": 10}
+    # stratum smaller than k is kept whole
+    tiny = sampling.stratified_topk_sample(docs.where("doc_id < 4"), k=10)
+    assert tiny.count() == 4
+    # growth replaces: the k-set of the half corpus vs the full corpus
+    # may differ, but the FULL-corpus k-set restricted to half ids is a
+    # subset of the half-corpus k-set (hash order is global)
+    half_ids = {
+        r.doc_id
+        for r in sampling.stratified_topk_sample(
+            docs.where("doc_id < 45"), k=10
+        ).collect()
+    }
+    full_ids = {
+        r.doc_id for r in sampling.stratified_topk_sample(docs, k=10).collect()
+    }
+    assert {i for i in full_ids if i < 45} <= half_ids
