@@ -520,6 +520,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": lambda s, d: similarity.ivf_topk_kmeans(
             _read(s, d, "embeddings")
         ),
+        # PQ/ADC: the ANN memory-compression path (codes, not raw
+        # vectors, are scanned). Recall on the near-orthogonal synth
+        # embeddings is inherently low for ANY quantizer — the gate
+        # checks cross-engine exactness of the trained codebooks,
+        # codes, and ADC ranking, not recall.
+        "ann_pq_topk": lambda s, d: similarity.pq_topk(
+            _read(s, d, "embeddings"), dim=EMB_DIM
+        ),
         "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
@@ -647,6 +655,99 @@ def _ivf_kmeans_oracle(
         + ",\n".join(ctes)
         + f"""
         SELECT query_id, probe_label, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM scored) WHERE rank <= {k}
+        """
+    )
+
+
+def _pq_oracle(
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 5,
+    dim: int = EMB_DIM,
+) -> str:
+    """Generated CTE chain mirroring ``similarity.pq_topk`` exactly:
+    per-subspace unrolled Lloyd (seeds = ksub smallest-id subvectors,
+    6dp-rounded squared-L2 argmin with smallest-cid ties, 6dp-rounded
+    recenter), final codes, then ADC cosine (exact query, quantized
+    target) rounded 4dp before ranking."""
+    dsub = dim // m
+    l2 = (
+        "round(list_sum(list_transform(range(1, len(e.sv)+1),"
+        " i -> (e.sv[i]-c.cv[i])*(e.sv[i]-c.cv[i]))), 6)"
+    )
+    ctes = [
+        "embd AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+        f"elong AS (SELECT vec_id, sub,"
+        f" ev[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS sv"
+        f" FROM embd, unnest(range(0, {m})) r(sub))",
+        f"cent0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv"
+        f" FROM elong WHERE vec_id IN"
+        f" (SELECT vec_id FROM embd ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, sub, cid FROM ("
+            f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
+            f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
+            f" c.cid ASC) AS rn FROM elong e JOIN cent{it - 1} c"
+            f" ON e.sub = c.sub) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it}dim AS (SELECT a.sub, a.cid, i-1 AS pos,"
+            f" round(avg(e.sv[i]), 6) AS c FROM a{it} a JOIN elong e"
+            f" ON e.vec_id = a.vec_id AND e.sub = a.sub,"
+            f" unnest(range(1, len(e.sv)+1)) t(i) GROUP BY 1,2,3)"
+        )
+        ctes.append(
+            f"cent{it} AS (SELECT sub, cid, list(c ORDER BY pos) AS cv"
+            f" FROM c{it}dim GROUP BY 1,2)"
+        )
+    ctes.append(
+        f"codes AS (SELECT vec_id, sub, cid AS code FROM ("
+        f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
+        f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
+        f" c.cid ASC) AS rn FROM elong e JOIN cent{iters} c"
+        f" ON e.sub = c.sub) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qn AS (SELECT vec_id AS query_id,"
+        f" sqrt(list_sum(list_transform(range(1, len(ev)+1),"
+        f" i -> ev[i]*ev[i]))) AS qnorm"
+        f" FROM embd WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"qlong AS (SELECT vec_id AS query_id, sub, sv AS qsv"
+        f" FROM elong WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"parts AS (SELECT q.query_id, c.vec_id AS target_id,"
+        f" list_sum(list_transform(range(1, len(q.qsv)+1),"
+        f" i -> q.qsv[i]*b.cv[i])) AS d,"
+        f" list_sum(list_transform(range(1, len(b.cv)+1),"
+        f" i -> b.cv[i]*b.cv[i])) AS csq"
+        f" FROM codes c JOIN cent{iters} b"
+        f" ON b.sub = c.sub AND b.cid = c.code"
+        f" JOIN qlong q ON q.sub = c.sub"
+        f" WHERE c.vec_id <> q.query_id)"
+    )
+    ctes.append(
+        "scored AS (SELECT query_id, target_id,"
+        " round(sum(d) / (any_value(qn.qnorm) * sqrt(sum(csq))), 4)"
+        " AS sim FROM parts JOIN qn USING (query_id)"
+        " GROUP BY query_id, target_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, target_id, sim, rank FROM (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
             AS rank
@@ -1144,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_pairs": _lsh_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "ann_pq_topk": _pq_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (

@@ -549,3 +549,202 @@ def embedding_neardup(
         # every duplicate row, so a plain distinct dedups candidates
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression path
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a, b) -> Column:
+    """Rounded squared-L2 between two double arrays (6dp, so the
+    cross-engine argmin can never flip on float noise)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.round(
+        F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v), 6
+    )
+
+
+def _pq_sub_long(
+    embeddings: DataFrame, m: int, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): each vector split into ``m`` contiguous
+    ``dsub``-dim double subvectors, long format so every Lloyd step
+    runs ONCE across all subspaces (keyed by ``sub``)."""
+    subs = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for j in range(m)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(subs).alias("sub", "sv")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training + encoding (Jégou et al. 2011),
+    fully declarative: → (codes (id, sub, code), codebook (sub, cid,
+    cv array<double>)).
+
+    Each vector splits into ``m`` contiguous ``dsub = dim/m``
+    subvectors; per subspace, ``ksub`` centroids are trained with the
+    same deterministic unrolled-Lloyd recipe as ``kmeans_labels``
+    (seeds = the ksub smallest-id vectors' subvectors; assignment =
+    argmin of 6dp-rounded squared-L2, ties → smallest cid; recenter =
+    per-dim double mean rounded 6dp) — except assignment is L2 (the
+    PQ objective), not cosine.  All m subspaces train in ONE long
+    frame keyed by ``sub``: each Lloyd round costs one input-sized
+    shuffle total, not one per subspace, and the m·ksub centroid rows
+    stay broadcast.
+
+    Memory story at 100 TB: codes are m small ints per vector
+    (m=8, ksub=256 → 8 bytes vs 4·dim float32), so the searchable
+    index for 10¹⁰ vectors fits a fraction of the raw store; the
+    codebook is m·ksub·dsub doubles — always broadcastable.
+    """
+    if dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    dsub = dim // m
+    emb_long = _pq_sub_long(embeddings, m, dsub, id_col, vec_col)
+
+    seeds = embeddings.orderBy(id_col).limit(ksub).select(id_col)
+    cent = (
+        emb_long.join(F.broadcast(seeds), id_col)
+        .select(
+            "sub",
+            F.col(id_col).cast("int").alias("cid"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    for _ in range(iters):
+        assign = (
+            emb_long.join(F.broadcast(cent), "sub")
+            .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_col, "sub", "cid")
+        )
+        cent = (
+            emb_long.join(assign, [id_col, "sub"])
+            .select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.c,
+                ).alias("cv")
+            )
+        )
+    codes = (
+        emb_long.join(F.broadcast(cent), "sub")
+        .withColumn("dist", _l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "sub", F.col("cid").alias("code"))
+    )
+    return codes, cent
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, sim, rank): approximate cosine top-k via
+    asymmetric distance computation over PQ codes — the query stays
+    exact, every target is represented by its m codebook centroids.
+
+    sim ≈ Σ_sub ⟨q_sub, cb[code_sub]⟩ / (‖q‖ · ‖q̂_target‖), rounded
+    4dp before ranking (the repo-wide cross-engine contract).
+
+    Scale shape: targets are scanned as (id, sub, code) rows joined to
+    the BROADCAST codebook (m·ksub rows) and the BROADCAST query
+    subvectors — one pass over the codes, one (query, target) groupBy;
+    the raw target vectors are never touched after encoding, which is
+    the entire point of PQ.
+    """
+    dsub = dim // m
+    codes, cb = pq_codebooks(
+        embeddings, m, ksub, iters, dim, id_col, vec_col
+    )
+    q_long = (
+        _pq_sub_long(
+            embeddings.where(F.col(id_col) < n_queries),
+            m,
+            dsub,
+            id_col,
+            vec_col,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("sv", "qsv")
+    )
+    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qsv"), F.col("cv"), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cvsq = F.aggregate(
+        F.transform(F.col("cv"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    parts = (
+        codes.join(F.broadcast(cb.withColumnRenamed("cid", "code")), ["sub", "code"])
+        .join(F.broadcast(q_long), "sub")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("target_id"),
+            dot.alias("d"),
+            cvsq.alias("csq"),
+        )
+    )
+    scored = (
+        parts.groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
+        .join(F.broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= k)
+    )

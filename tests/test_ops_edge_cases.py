@@ -390,3 +390,59 @@ def test_stratified_topk_sample_properties(spark):
         r.doc_id for r in sampling.stratified_topk_sample(docs, k=10).collect()
     }
     assert {i for i in full_ids if i < 45} <= half_ids
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, spark):
+        from coies_spark.ops import similarity
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        codes, cb = similarity.pq_codebooks(emb, m=4, ksub=8, dim=64)
+        n = emb.count()
+        assert codes.count() == n * 4  # one code per (vector, subspace)
+        cbs = cb.collect()
+        assert all(len(r.cv) == 16 for r in cbs)  # dsub = 64/4
+        assert len(cbs) <= 32  # empty clusters may drop
+        # encoding is deterministic under repartitioning
+        c1 = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+        codes2, _ = similarity.pq_codebooks(
+            emb.repartition(7), m=4, ksub=8, dim=64
+        )
+        assert c1 == {(r.vec_id, r.sub): r.code for r in codes2.collect()}
+
+    def test_adc_exact_on_centroid_points(self, spark):
+        """Vectors that ARE subspace centroids reconstruct exactly, so
+        ADC cosine equals true cosine on them (up to 4dp rounding)."""
+        import numpy as np
+
+        from coies_spark.ops import similarity
+
+        rng = np.random.RandomState(3)
+        # 8 well-separated base vectors, duplicated so Lloyd converges
+        # onto them exactly (each cluster is a point mass)
+        base = rng.randn(8, 16).round(1)
+        rows = []
+        vid = 0
+        for rep in range(6):
+            for b in range(8):
+                rows.append((vid, np.tile(base[b], 4).tolist(), b))
+                vid += 1
+        emb = spark.createDataFrame(rows, EMB_SCHEMA)
+        out = similarity.pq_topk(emb, m=4, ksub=8, dim=64, n_queries=4, k=5)
+        got = out.collect()
+        assert got, "pq_topk returned nothing"
+        for r in got:
+            # duplicates of the query's own base vector score ~1.0
+            if (r.target_id - r.query_id) % 8 == 0:
+                assert abs(r.sim - 1.0) < 1e-3, r
+
+    def test_m_must_divide_dim(self, spark):
+        from coies_spark.ops import similarity
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            similarity.pq_codebooks(emb, m=5, dim=64)
