@@ -32,6 +32,7 @@ from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
 from coies_spark.data import synth
 from coies_spark.operators.salted import salted_count
 from coies_spark.operators.graph import connected_components_star
+from coies_spark.operators.graph import pagerank as graph_pagerank
 from coies_spark.ops import (
     curate,
     dedup,
@@ -435,6 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_digest": _q_kg_linked_digest,
         "entity_spans_tagged": _q_entity_spans,
         "canonicalize_cc": _q_canonicalize_cc,
+        # PageRank over the same near-dup candidate graph: high-pr
+        # nodes are duplicate-cluster hubs (boilerplate detection)
+        "pagerank_neardup": lambda s, d: graph_pagerank(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
         "multimodal_features": _q_multimodal,
         # --- text analysis (documents) ---
         "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
@@ -1469,6 +1477,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
     }
+    # pagerank_neardup: unrolled power iteration over the SAME edge
+    # set as the minhash_lsh_pairs oracle (composition keeps the edge
+    # derivation single-sourced); per-round 9dp rounding pins iterates
+    iters, d = 3, 0.85
+    pr_ctes = [
+        f"e AS (SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']}))",
+        "sym AS (SELECT DISTINCT a, b FROM ("
+        " SELECT doc_a AS a, doc_b AS b FROM e"
+        " UNION ALL SELECT doc_b, doc_a FROM e) WHERE a <> b)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1)",
+        "pr0 AS (SELECT node, round(1.0/(SELECT n FROM nn), 9) AS pr"
+        " FROM nodes)",
+    ]
+    for it in range(1, iters + 1):
+        pr_ctes.append(
+            f"pr{it} AS (SELECT s.b AS node,"
+            f" round((1-{d})/(SELECT n FROM nn)"
+            f" + {d}*sum(p.pr/dg.deg), 9) AS pr"
+            f" FROM sym s JOIN pr{it - 1} p ON p.node = s.a"
+            f" JOIN deg dg ON dg.node = s.a GROUP BY s.b)"
+        )
+    sql["pagerank_neardup"] = (
+        "WITH " + ",\n".join(pr_ctes) + f" SELECT node, pr FROM pr{iters}"
+    )
+
     # curate_corpus is COMPOSED from the per-stage oracles above, so
     # its stages can never drift from their individually-verified twins
     hk = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"

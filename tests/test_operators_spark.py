@@ -148,3 +148,34 @@ class TestTokenizerParity:
         got = df.select(tokenize_udf("text").alias("toks")).collect()
         for row, case in zip(got, self.CASES):
             assert list(row.toks) == tokenize(case.lower()), case
+
+
+class TestPageRank:
+    def test_star_graph_center_dominates(self, spark):
+        from coies_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (0, 4)], "src bigint, dst bigint"
+        )
+        pr = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+        assert set(pr) == {0, 1, 2, 3, 4}
+        assert all(pr[0] > pr[i] for i in (1, 2, 3, 4))
+        assert len({pr[i] for i in (1, 2, 3, 4)}) == 1  # leaves equal
+        # mass conservation (no dangling nodes after symmetrization)
+        assert abs(sum(pr.values()) - 1.0) < 1e-6
+        # direction of the input edge must not matter
+        rev = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 0)], "src bigint, dst bigint"
+        )
+        pr2 = {r.node: r.pr for r in pagerank(rev, iters=5).collect()}
+        assert pr == pr2
+
+    def test_two_components(self, spark):
+        from coies_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (2, 3)], "src bigint, dst bigint"
+        )
+        pr = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+        # symmetric pairs: uniform pr everywhere
+        assert len(set(pr.values())) == 1 and len(pr) == 4
