@@ -376,3 +376,36 @@ def test_kg_digest_constants(spark):
     ):
         r = fn(spark, sf_dir).collect()[0]
         assert (r.digest_sum, r.n_triples) == e.KG_DIGEST_SF001[name], name
+
+
+class TestCurationRun:
+    def test_checkpoint_lineage_and_resume(self, spark, tmp_path):
+        from coies_spark.pipeline.curate_run import run_curation
+
+        docs_path = "/root/testdata/sf0.001/documents.parquet"
+        out = str(tmp_path / "curation")
+        curated, report, runner = run_curation(
+            spark, docs_path, out, fractions={"en": 0.5}
+        )
+        n1 = curated.count()
+        assert n1 > 0 and not runner.results["curated"].skipped
+        # per-language lineage recorded in the manifest
+        lineage = runner.results["curated"].manifest["partition_rows"]
+        assert lineage and sum(lineage.values()) == n1
+        langs = {r.lang for r in report.collect()}
+        assert set(lineage) == langs
+
+        # resume: same config -> both stages skip, identical rows
+        c2, r2, runner2 = run_curation(
+            spark, docs_path, out, fractions={"en": 0.5}
+        )
+        assert runner2.results["curated"].skipped
+        assert runner2.results["report"].skipped
+        assert c2.count() == n1
+
+        # config change -> fingerprint mismatch -> recompute
+        c3, _, runner3 = run_curation(
+            spark, docs_path, out, min_quality=0.64, fractions={"en": 0.5}
+        )
+        assert not runner3.results["curated"].skipped
+        assert c3.count() < n1  # tighter floor keeps fewer docs
