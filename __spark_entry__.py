@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": lambda s, d: textstats.language_id(
             _read(s, d, "documents")
         ),
+        "language_id_chargram": lambda s, d: textstats.language_id_chargram(
+            _read(s, d, "documents")
+        ),
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
             _read(s, d, "documents")
         ),
@@ -1034,6 +1037,31 @@ def oracle_sql() -> dict[str, str]:
             hits AS (
               SELECT t.doc_id, p.profile_lang, count(*) AS hits
               FROM toks t JOIN prof p USING(tok) GROUP BY 1,2),
+            best AS (
+              SELECT doc_id, profile_lang AS pred_lang FROM (
+                SELECT doc_id, profile_lang, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY hits DESC, profile_lang ASC)
+                  AS rn FROM hits) WHERE rn = 1)
+            SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+                   (b.pred_lang = d.lang) AS correct
+            FROM documents d LEFT JOIN best b USING(doc_id)
+        """,
+        "language_id_chargram": """
+            WITH g AS (
+              SELECT doc_id, lang, gram AS tok
+              FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+                   unnest(list_transform(
+                     range(1, greatest(length(lt)-2, 1)+1),
+                     i -> substr(lt, i, 3))) t(gram)),
+            freq AS (SELECT lang, tok, count(*) AS cnt FROM g GROUP BY 1,2),
+            prof AS (
+              SELECT lang AS profile_lang, tok FROM (
+                SELECT lang, tok, row_number() OVER (
+                  PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+                FROM freq) WHERE rn <= 40),
+            hits AS (
+              SELECT t.doc_id, p.profile_lang, count(*) AS hits
+              FROM g t JOIN prof p USING(tok) GROUP BY 1,2),
             best AS (
               SELECT doc_id, profile_lang AS pred_lang FROM (
                 SELECT doc_id, profile_lang, row_number() OVER (

@@ -99,6 +99,42 @@ def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
     broadcast-joined, so classification adds no shuffle on the big side.
     """
     toks = docs.select("doc_id", "lang", F.explode(tokens_col("text")).alias("tok"))
+    return _profile_classify(docs, toks, top_k)
+
+
+def language_id_chargram(
+    docs: DataFrame, n: int = 3, top_k: int = 40
+) -> DataFrame:
+    """Character-n-gram language ID (the textcat/CLD heuristic,
+    Cavnar & Trenkle '94 family): same corpus-trained-profile + argmax
+    classifier as ``language_id``, but featurized on lowercased char
+    ``n``-grams (including spaces) instead of whole tokens — the
+    variant that works on unsegmented scripts and catches
+    orthographic signals tokens miss.
+
+    Char grams come from the linear ``shingles_col`` over the
+    char-split text (sep="") — never per-index substring inside a
+    lambda (the documented O(len²) trap).  Unicode note: Spark splits
+    on UTF-16 code units, DuckDB's substr on characters; identical on
+    BMP text (the corpus), divergent only for supplementary-plane
+    chars.
+    """
+    chars = F.split(F.lower(F.col("text")), "")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles_col(n, chars, sep="")).alias("tok"),
+    )
+    return _profile_classify(docs, grams, top_k)
+
+
+def _profile_classify(
+    docs: DataFrame, feats: DataFrame, top_k: int
+) -> DataFrame:
+    """Shared profile-train + argmax-classify core: ``feats`` is a
+    (doc_id, lang, tok) long frame; see ``language_id`` for the
+    two-stage sharded top-k rationale."""
+    toks = feats
     freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     # Two-stage top-k: rank within (lang, salt) shards first, then rank
     # the ≤ n_salts × top_k shard winners per lang.  A language's global
@@ -148,8 +184,10 @@ def language_id(docs: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
-def shingles_col(n: int, tokens: Column | str = "toks") -> Column:
-    """array<string> of space-joined ``n``-token shingles (stride 1).
+def shingles_col(
+    n: int, tokens: Column | str = "toks", sep: str = " "
+) -> Column:
+    """array<string> of ``sep``-joined ``n``-token shingles (stride 1).
 
     Documents shorter than ``n`` tokens yield one truncated shingle
     (empty docs one ``""`` shingle) — the same convention as DuckDB
@@ -176,7 +214,7 @@ def shingles_col(n: int, tokens: Column | str = "toks") -> Column:
         acc = F.zip_with(
             acc,
             F.slice(t, k, size),
-            lambda a, b: F.concat_ws(" ", a, b),
+            lambda a, b: F.concat_ws(sep, a, b),
         )
     out = F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(1)))
     return F.when(size == 0, F.array(F.lit(""))).otherwise(out)

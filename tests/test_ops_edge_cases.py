@@ -446,3 +446,30 @@ class TestProductQuantization:
         )
         with pytest.raises(ValueError, match="divide"):
             similarity.pq_codebooks(emb, m=5, dim=64)
+
+
+def test_language_id_chargram_separates_scripts(spark):
+    """Char-3-gram profiles must classify by orthography even when
+    token profiles would fail (unseen words at test time)."""
+    from coies_spark.ops import textstats
+
+    rows = []
+    i = 0
+    # training signal: distinct orthographies
+    for w, lang in ((("schnell", "zeitung", "straße"), "de"),
+                    (("quickly", "thought", "through"), "en")):
+        for _ in range(10):
+            rows.append((i, " ".join(w), lang, "s", 1))
+            i += 1
+    # held-out-ish docs reusing the same character patterns
+    rows.append((100, "zeitung straße schnell", "de", "s", 1))
+    rows.append((101, "through thought quickly", "en", "s", 1))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r.doc_id: r.pred_lang
+        for r in textstats.language_id_chargram(docs).collect()
+    }
+    assert out[100] == "de" and out[101] == "en"
+    # empty-doc robustness
+    empty = spark.createDataFrame([(0, "", "en", "s", 0)], DOC_SCHEMA)
+    assert textstats.language_id_chargram(empty).count() == 1
