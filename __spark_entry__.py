@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
+        "dedup_cluster_sizes": lambda s, d: dedup.dedup_cluster_sizes(
+            _read(s, d, "documents")
+        ),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(
             _read(s, d, "documents")
         ),
@@ -1120,6 +1123,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             reps AS (SELECT h, min(doc_id) AS bag_rep FROM h GROUP BY 1)
             SELECT doc_id, bag_rep FROM h JOIN reps USING(h)
+        """,
+        "dedup_cluster_sizes": f"""
+            WITH h AS (SELECT md5(array_to_string(
+                list_sort(list_distinct({_TOKS})), ' ')) AS h
+              FROM documents),
+            g AS (SELECT h, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM h GROUP BY 1)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY 1
         """,
         "jaccard_pairs": f"""
             WITH {_SHINGLES},

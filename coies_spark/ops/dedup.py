@@ -302,3 +302,19 @@ def contamination_pairs(
             ).alias("contaminated"),
         )
     )
+
+
+def dedup_cluster_sizes(docs: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters): histogram of bag-dedup group sizes
+    — the dedup monitoring table (how much of the corpus is
+    duplicated, and in how large clusters).  Two map-side-combinable
+    groupBys over the digest; the second input is one row per group,
+    so the histogram costs one tiny shuffle beyond the digest count.
+    """
+    return (
+        docs.select(bag_digest_col().alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -473,3 +473,15 @@ def test_language_id_chargram_separates_scripts(spark):
     # empty-doc robustness
     empty = spark.createDataFrame([(0, "", "en", "s", 0)], DOC_SCHEMA)
     assert textstats.language_id_chargram(empty).count() == 1
+
+
+def test_dedup_cluster_sizes_histogram(spark, tiny_docs):
+    from coies_spark.ops import dedup
+
+    # tiny_docs: docs 0 and 3 share a bag; 1 and 2 are both tokenless
+    # (empty digest bag) so they also share a group
+    hist = {
+        r.cluster_size: r.n_clusters
+        for r in dedup.dedup_cluster_sizes(tiny_docs).collect()
+    }
+    assert hist == {2: 2}
