@@ -539,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings is inherently low for ANY quantizer — the gate
         # checks cross-engine exactness of the trained codebooks,
         # codes, and ADC ranking, not recall.
+        "embedding_norm_stats": lambda s, d: similarity.embedding_norm_stats(
+            _read(s, d, "embeddings")
+        ),
         "ann_pq_topk": lambda s, d: similarity.pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM
         ),
@@ -1293,6 +1296,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_pairs": _lsh_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "embedding_norm_stats": """
+            WITH n AS (SELECT sqrt(list_sum(list_transform(
+                range(1, len(embedding)+1),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE)))) AS n
+              FROM embeddings)
+            SELECT round(min(n), 6) AS norm_min,
+                   round(quantile_cont(n, 0.25), 6) AS norm_p25,
+                   round(quantile_cont(n, 0.5), 6) AS norm_p50,
+                   round(quantile_cont(n, 0.75), 6) AS norm_p75,
+                   round(max(n), 6) AS norm_max,
+                   round(avg(n), 6) AS norm_mean,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM n
+        """,
         "ann_pq_topk": _pq_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""

@@ -748,3 +748,31 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_norm_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row embedding-health summary: exact L2-norm quartiles, mean
+    and extremes over the table (6dp).  This is the trainer-health
+    gauge the distributed-CBOW work made load-bearing: synchronized
+    delta-sum training blows weight norms up exponentially while
+    COSINE geometry still looks fine (sigmoid clipping preserves
+    directions), so norm percentiles — not similarity spot-checks —
+    are what catch a diverging run.  Exact percentiles with linear
+    interpolation (Spark ``percentile`` ≡ DuckDB ``quantile_cont``),
+    so the check is oracle-able; one aggregation, map-side partial.
+    """
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    d = embeddings.select(norm.alias("n"))
+    return d.agg(
+        F.round(F.min("n"), 6).alias("norm_min"),
+        F.round(F.expr("percentile(n, 0.25)"), 6).alias("norm_p25"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("norm_p50"),
+        F.round(F.expr("percentile(n, 0.75)"), 6).alias("norm_p75"),
+        F.round(F.max("n"), 6).alias("norm_max"),
+        F.round(F.avg("n"), 6).alias("norm_mean"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -485,3 +485,27 @@ def test_dedup_cluster_sizes_histogram(spark, tiny_docs):
         for r in dedup.dedup_cluster_sizes(tiny_docs).collect()
     }
     assert hist == {2: 2}
+
+
+def test_embedding_norm_stats_detects_blowup(spark):
+    """The trainer-health gauge: norm percentiles must surface a
+    diverged model whose cosine geometry still looks fine."""
+    import numpy as np
+
+    from coies_spark.ops import similarity
+
+    rng = np.random.RandomState(1)
+    healthy = [
+        (i, (rng.randn(8) / 8).tolist(), 0) for i in range(50)
+    ]
+    s1 = similarity.embedding_norm_stats(
+        spark.createDataFrame(healthy, EMB_SCHEMA)
+    ).collect()[0]
+    # same directions, exploded magnitudes (the delta-sum failure mode)
+    blown = [(i, (np.array(v) * 1e9).tolist(), l) for i, v, l in healthy]
+    s2 = similarity.embedding_norm_stats(
+        spark.createDataFrame(blown, EMB_SCHEMA)
+    ).collect()[0]
+    assert s2.norm_p50 > 1e8 * s1.norm_p50
+    assert s1.n_vectors == s2.n_vectors == 50
+    assert s1.norm_min <= s1.norm_p25 <= s1.norm_p50 <= s1.norm_p75 <= s1.norm_max
