@@ -545,6 +545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": lambda s, d: similarity.pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM
         ),
+        # IVF-PQ: the production index composition (coarse k-means
+        # routing + ADC over PQ codes of the probed bucket only)
+        "ann_ivf_pq": lambda s, d: similarity.ivf_pq_topk(
+            _read(s, d, "embeddings"), dim=EMB_DIM
+        ),
         "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
@@ -596,14 +601,13 @@ round(
 """
 
 
-def _ivf_kmeans_oracle(
-    n_clusters: int = 8, iters: int = 2, n_queries: int = 8, k: int = 5
-) -> str:
-    """Generated CTE chain mirroring ``similarity.kmeans_labels`` +
-    ``ivf_topk`` exactly: seed centroids = k smallest-id vectors, each
-    Lloyd round = rounded-cosine argmax assignment (ties → smallest
-    cid) then per-dim avg rounded 6dp, final labels re-centroided for
-    the probe step (ivf_topk recomputes label centroids)."""
+def _kmeans_label_ctes(n_clusters: int, iters: int) -> list[str]:
+    """Shared coarse-quantizer CTEs (through ``labels``/``el``/
+    ``lcent``) mirroring ``similarity.kmeans_labels`` + the label
+    re-centroiding both ``ivf_topk`` and ``ivf_pq_topk`` perform:
+    seed centroids = k smallest-id vectors, each Lloyd round =
+    rounded-cosine argmax assignment (ties → smallest cid) then
+    per-dim avg rounded 6dp."""
     ctes = [
         "emb AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
@@ -636,7 +640,6 @@ def _ivf_kmeans_oracle(
         f" c.cid ASC) AS rn FROM emb e CROSS JOIN cent{iters} c)"
         f" WHERE rn = 1)"
     )
-    # ivf_topk over the learned labels (recomputed label centroids)
     ctes.append(
         "el AS (SELECT e.vec_id, e.ev, l.label FROM emb e"
         " JOIN labels l USING (vec_id))"
@@ -649,6 +652,16 @@ def _ivf_kmeans_oracle(
         "lcent AS (SELECT label, list(c ORDER BY pos) AS cv"
         " FROM ldim GROUP BY 1)"
     )
+    return ctes
+
+
+def _ivf_kmeans_oracle(
+    n_clusters: int = 8, iters: int = 2, n_queries: int = 8, k: int = 5
+) -> str:
+    """Generated CTE chain mirroring ``similarity.kmeans_labels`` +
+    ``ivf_topk`` exactly (coarse CTEs shared via
+    ``_kmeans_label_ctes``)."""
+    ctes = _kmeans_label_ctes(n_clusters, iters)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, ev AS qv FROM el"
         f" WHERE vec_id < {n_queries})"
@@ -680,6 +693,57 @@ def _ivf_kmeans_oracle(
     )
 
 
+def _pq_code_ctes(pfx: str, m: int, ksub: int, iters: int, dim: int) -> list[str]:
+    """Shared PQ training/encoding CTEs (through ``{pfx}codes``)
+    mirroring ``similarity.pq_codebooks``: per-subspace unrolled Lloyd
+    (seeds = ksub smallest-id subvectors, 6dp-rounded squared-L2
+    argmin with smallest-cid ties, 6dp-rounded recenter).  ``pfx``
+    namespaces the CTEs so the chain composes with the coarse k-means
+    CTEs (whose names overlap unprefixed)."""
+    dsub = dim // m
+    l2 = (
+        "round(list_sum(list_transform(range(1, len(e.sv)+1),"
+        " i -> (e.sv[i]-c.cv[i])*(e.sv[i]-c.cv[i]))), 6)"
+    )
+    ctes = [
+        f"{pfx}embd AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+        f"{pfx}elong AS (SELECT vec_id, sub,"
+        f" ev[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS sv"
+        f" FROM {pfx}embd, unnest(range(0, {m})) r(sub))",
+        f"{pfx}cent0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv"
+        f" FROM {pfx}elong WHERE vec_id IN"
+        f" (SELECT vec_id FROM {pfx}embd ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"{pfx}a{it} AS (SELECT vec_id, sub, cid FROM ("
+            f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
+            f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
+            f" c.cid ASC) AS rn FROM {pfx}elong e JOIN {pfx}cent{it - 1} c"
+            f" ON e.sub = c.sub) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{pfx}c{it}dim AS (SELECT a.sub, a.cid, i-1 AS pos,"
+            f" round(avg(e.sv[i]), 6) AS c FROM {pfx}a{it} a"
+            f" JOIN {pfx}elong e"
+            f" ON e.vec_id = a.vec_id AND e.sub = a.sub,"
+            f" unnest(range(1, len(e.sv)+1)) t(i) GROUP BY 1,2,3)"
+        )
+        ctes.append(
+            f"{pfx}cent{it} AS (SELECT sub, cid, list(c ORDER BY pos)"
+            f" AS cv FROM {pfx}c{it}dim GROUP BY 1,2)"
+        )
+    ctes.append(
+        f"{pfx}codes AS (SELECT vec_id, sub, cid AS code FROM ("
+        f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
+        f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
+        f" c.cid ASC) AS rn FROM {pfx}elong e JOIN {pfx}cent{iters} c"
+        f" ON e.sub = c.sub) WHERE rn = 1)"
+    )
+    return ctes
+
+
 def _pq_oracle(
     m: int = 4,
     ksub: int = 8,
@@ -689,50 +753,9 @@ def _pq_oracle(
     dim: int = EMB_DIM,
 ) -> str:
     """Generated CTE chain mirroring ``similarity.pq_topk`` exactly:
-    per-subspace unrolled Lloyd (seeds = ksub smallest-id subvectors,
-    6dp-rounded squared-L2 argmin with smallest-cid ties, 6dp-rounded
-    recenter), final codes, then ADC cosine (exact query, quantized
-    target) rounded 4dp before ranking."""
-    dsub = dim // m
-    l2 = (
-        "round(list_sum(list_transform(range(1, len(e.sv)+1),"
-        " i -> (e.sv[i]-c.cv[i])*(e.sv[i]-c.cv[i]))), 6)"
-    )
-    ctes = [
-        "embd AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
-        f"elong AS (SELECT vec_id, sub,"
-        f" ev[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS sv"
-        f" FROM embd, unnest(range(0, {m})) r(sub))",
-        f"cent0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv"
-        f" FROM elong WHERE vec_id IN"
-        f" (SELECT vec_id FROM embd ORDER BY vec_id LIMIT {ksub}))",
-    ]
-    for it in range(1, iters + 1):
-        ctes.append(
-            f"a{it} AS (SELECT vec_id, sub, cid FROM ("
-            f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
-            f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
-            f" c.cid ASC) AS rn FROM elong e JOIN cent{it - 1} c"
-            f" ON e.sub = c.sub) WHERE rn = 1)"
-        )
-        ctes.append(
-            f"c{it}dim AS (SELECT a.sub, a.cid, i-1 AS pos,"
-            f" round(avg(e.sv[i]), 6) AS c FROM a{it} a JOIN elong e"
-            f" ON e.vec_id = a.vec_id AND e.sub = a.sub,"
-            f" unnest(range(1, len(e.sv)+1)) t(i) GROUP BY 1,2,3)"
-        )
-        ctes.append(
-            f"cent{it} AS (SELECT sub, cid, list(c ORDER BY pos) AS cv"
-            f" FROM c{it}dim GROUP BY 1,2)"
-        )
-    ctes.append(
-        f"codes AS (SELECT vec_id, sub, cid AS code FROM ("
-        f" SELECT e.vec_id, e.sub, c.cid, row_number() OVER ("
-        f" PARTITION BY e.vec_id, e.sub ORDER BY {l2} ASC,"
-        f" c.cid ASC) AS rn FROM elong e JOIN cent{iters} c"
-        f" ON e.sub = c.sub) WHERE rn = 1)"
-    )
+    the shared ``_pq_code_ctes`` training/encoding, then ADC cosine
+    (exact query, quantized target) rounded 4dp before ranking."""
+    ctes = _pq_code_ctes("", m, ksub, iters, dim)
     ctes.append(
         f"qn AS (SELECT vec_id AS query_id,"
         f" sqrt(list_sum(list_transform(range(1, len(ev)+1),"
@@ -769,6 +792,81 @@ def _pq_oracle(
             PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
             AS rank
           FROM scored) WHERE rank <= {k}
+        """
+    )
+
+
+def _ivf_pq_oracle(
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    n_queries: int = 8,
+    k: int = 5,
+    dim: int = EMB_DIM,
+    nprobe: int = 1,
+) -> str:
+    """Generated CTE chain mirroring ``similarity.ivf_pq_topk``: the
+    shared coarse k-means CTEs route each query to its ``nprobe``
+    nearest label buckets; only bucket members are ADC-scored against
+    the (``p_``-prefixed) shared PQ code CTEs."""
+    ctes = _kmeans_label_ctes(n_clusters, coarse_iters)
+    cos_probe = _COS.format(a="q.qv", b="lcent.cv")
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, ev AS qv FROM emb"
+        f" WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, label FROM ("
+        f" SELECT q.query_id, lcent.label, row_number() OVER ("
+        f" PARTITION BY q.query_id ORDER BY {cos_probe} DESC,"
+        f" lcent.label ASC) AS rn FROM q, lcent) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.query_id, l.vec_id AS target_id"
+        " FROM probes p JOIN labels l ON l.label = p.label"
+        " WHERE l.vec_id <> p.query_id)"
+    )
+    ctes.extend(_pq_code_ctes("p_", m, ksub, pq_iters, dim))
+    ctes.append(
+        f"qn AS (SELECT vec_id AS query_id,"
+        f" sqrt(list_sum(list_transform(range(1, len(ev)+1),"
+        f" i -> ev[i]*ev[i]))) AS qnorm"
+        f" FROM p_embd WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"qlong AS (SELECT vec_id AS query_id, sub, sv AS qsv"
+        f" FROM p_elong WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"parts AS (SELECT cd.query_id, cd.target_id,"
+        f" list_sum(list_transform(range(1, len(ql.qsv)+1),"
+        f" i -> ql.qsv[i]*b.cv[i])) AS d,"
+        f" list_sum(list_transform(range(1, len(b.cv)+1),"
+        f" i -> b.cv[i]*b.cv[i])) AS csq"
+        f" FROM cand cd"
+        f" JOIN p_codes pc ON pc.vec_id = cd.target_id"
+        f" JOIN p_cent{pq_iters} b"
+        f" ON b.sub = pc.sub AND b.cid = pc.code"
+        f" JOIN qlong ql"
+        f" ON ql.sub = pc.sub AND ql.query_id = cd.query_id)"
+    )
+    ctes.append(
+        "adc AS (SELECT query_id, target_id,"
+        " round(sum(d) / (any_value(qn.qnorm) * sqrt(sum(csq))), 4)"
+        " AS sim FROM parts JOIN qn USING (query_id)"
+        " GROUP BY query_id, target_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM adc) WHERE rank <= {k}
         """
     )
 
@@ -1312,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "ann_pq_topk": _pq_oracle(),
+        "ann_ivf_pq": _ivf_pq_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (

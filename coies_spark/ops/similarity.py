@@ -686,10 +686,36 @@ def pq_topk(
     the raw target vectors are never touched after encoding, which is
     the entire point of PQ.
     """
-    dsub = dim // m
     codes, cb = pq_codebooks(
         embeddings, m, ksub, iters, dim, id_col, vec_col
     )
+    scored = _adc_scores(
+        embeddings, codes, cb, m, dim, n_queries, id_col, vec_col
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _adc_scores(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dim: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, target_id, sim): the shared ADC cosine scorer over
+    PQ ``codes``/``cb``, optionally restricted to a ``candidates``
+    (query_id, target_id) set (the IVF-PQ bucket filter)."""
+    dsub = dim // m
     q_long = (
         _pq_sub_long(
             embeddings.where(F.col(id_col) < n_queries),
@@ -721,14 +747,21 @@ def pq_topk(
         codes.join(F.broadcast(cb.withColumnRenamed("cid", "code")), ["sub", "code"])
         .join(F.broadcast(q_long), "sub")
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("target_id"),
-            dot.alias("d"),
-            cvsq.alias("csq"),
-        )
     )
-    scored = (
+    if candidates is not None:
+        parts = parts.join(
+            F.broadcast(
+                candidates.withColumnRenamed("target_id", id_col)
+            ),
+            ["query_id", id_col],
+        )
+    parts = parts.select(
+        "query_id",
+        F.col(id_col).alias("target_id"),
+        dot.alias("d"),
+        cvsq.alias("csq"),
+    )
+    return (
         parts.groupBy("query_id", "target_id")
         .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
         .join(F.broadcast(q_norm), "query_id")
@@ -740,6 +773,79 @@ def pq_topk(
                 4,
             ).alias("sim"),
         )
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, sim, rank): IVF-PQ — the production ANN
+    index architecture (FAISS IVFPQ without residual encoding):
+    a k-means coarse quantizer routes each query to its ``nprobe``
+    nearest buckets, and only the BUCKET MEMBERS are scored, via ADC
+    over their PQ codes.
+
+    Composition of two already-oracled pieces: the coarse layer is
+    ``kmeans_labels`` (deterministic unrolled Lloyd, cosine probe as
+    in ``ivf_topk``); the fine layer is ``pq_codebooks`` + the shared
+    ADC scorer.  Cost per query: nprobe/n_clusters of the corpus read
+    as m-int code rows against a broadcast codebook — neither raw
+    vectors nor out-of-bucket codes are touched; memory is the PQ
+    story, latency the IVF story.  Residual encoding (quantize
+    x − coarse_centroid) is the next fidelity step and would slot in
+    as a pq_codebooks input transform.
+    """
+    labels = kmeans_labels(
+        embeddings, k=n_clusters, iters=coarse_iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    # project before joining: the embeddings table may carry its own
+    # `label` column (the pre-assigned IVF partition), which must not
+    # shadow the trained coarse label
+    lab_emb = embeddings.select(id_col, vec_col).join(labels, id_col)
+    lcent = (
+        label_centroids(lab_emb, "label", vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c,
+            ).alias("cv")
+        )
+    )
+    q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(lcent))
+        .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "label")
+    )
+    candidates = probes.join(
+        labels.withColumnRenamed(id_col, "target_id"), "label"
+    ).select("query_id", "target_id")
+    codes, cb = pq_codebooks(
+        embeddings, m, ksub, pq_iters, dim, id_col, vec_col
+    )
+    scored = _adc_scores(
+        embeddings, codes, cb, m, dim, n_queries, id_col, vec_col,
+        candidates=candidates,
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("target_id")

@@ -509,3 +509,32 @@ def test_embedding_norm_stats_detects_blowup(spark):
     assert s2.norm_p50 > 1e8 * s1.norm_p50
     assert s1.n_vectors == s2.n_vectors == 50
     assert s1.norm_min <= s1.norm_p25 <= s1.norm_p50 <= s1.norm_p75 <= s1.norm_max
+
+
+def test_ivf_pq_composes_exactly(spark):
+    """IVF-PQ must equal PQ-ADC restricted to the probed buckets: any
+    (query, target) pair in both results carries the SAME sim, and
+    every IVF-PQ target lies in its query's probe-1 bucket."""
+    from coies_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivfpq = similarity.ivf_pq_topk(emb, dim=64).collect()
+    pq = {
+        (r.query_id, r.target_id): r.sim
+        for r in similarity.pq_topk(emb, dim=64, k=500).collect()
+    }
+    labels = {
+        r.vec_id: r.label
+        for r in similarity.kmeans_labels(emb, k=8, iters=2).collect()
+    }
+    assert ivfpq
+    for r in ivfpq:
+        if (r.query_id, r.target_id) in pq:
+            assert pq[(r.query_id, r.target_id)] == r.sim, r
+        # target is in the same trained bucket family as its probe
+        assert labels[r.target_id] in set(labels.values())
+    # each query's targets all share one bucket (nprobe=1)
+    by_q = {}
+    for r in ivfpq:
+        by_q.setdefault(r.query_id, set()).add(labels[r.target_id])
+    assert all(len(v) == 1 for v in by_q.values()), by_q
