@@ -11,6 +11,7 @@ Headliners cover the engine's load-bearing paths:
 * simhash           — per-doc Charikar fingerprints
 * ann_brute_topk    — exact cosine top-k over embeddings
 * ann_ivf_kmeans    — k-means-trained IVF probe-1 top-k
+* ann_ivf_pq        — IVF-PQ: coarse routing + ADC over PQ codes
 * rouge1_pairs      — clipped-unigram pair scoring
 * rougel_pairs      — bit-vector LCS ROUGE-L pair scoring (Arrow UDF)
 * rwmd_pairs        — relaxed word-mover's distance pair scoring
@@ -141,6 +142,7 @@ def main() -> None:
         "simhash": lambda: run(dedup.simhash(docs)),
         "ann_brute_topk": lambda: run(similarity.brute_topk(emb)),
         "ann_ivf_kmeans": lambda: run(similarity.ivf_topk_kmeans(emb)),
+        "ann_ivf_pq": lambda: run(similarity.ivf_pq_topk(emb, dim=64)),
         # the driver query: raw embeddings + planted near-dup twins, so
         # the measurement exercises the >= 0.9 regime the operator is
         # geared for (the raw table alone is near-orthogonal noise with
