@@ -154,7 +154,7 @@ def main() -> None:
         "rougel_pairs": lambda: run(relational.rougel_pairs(docs)),
         "rwmd_pairs": lambda: run(wmd.rwmd_pairs(docs)),
         # the fused curation pipeline (quality + repetition + dedup +
-        # scrub + mixture sample in 3 corpus scans)
+        # scrub + mixture sample in 2 corpus scans)
         "curate_corpus": lambda: run(
             curate.curate_corpus(
                 docs, min_quality=0.62, fractions={"en": 0.5}
