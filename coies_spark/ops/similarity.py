@@ -692,6 +692,13 @@ def pq_topk(
     scored = _adc_scores(
         embeddings, codes, cb, m, dim, n_queries, id_col, vec_col
     )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ADC ranking contract: top-``k`` per query by (sim desc,
+    target_id asc), rank as long — one definition so the PQ family
+    cannot diverge from itself or its oracles."""
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("target_id")
     )
@@ -847,13 +854,7 @@ def ivf_pq_topk(
         embeddings, codes, cb, m, dim, n_queries, id_col, vec_col,
         candidates=candidates,
     )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("target_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_norm_stats(
@@ -869,7 +870,12 @@ def embedding_norm_stats(
     directions), so norm percentiles — not similarity spot-checks —
     are what catch a diverging run.  Exact percentiles with linear
     interpolation (Spark ``percentile`` ≡ DuckDB ``quantile_cont``),
-    so the check is oracle-able; one aggregation, map-side partial.
+    so the check is oracle-able.  Memory shape, honestly: exact
+    ``percentile`` buffers the value multiset per aggregation buffer
+    and merges onto ONE final task — fine for the vocab-sized vector
+    tables this gauge monitors (V ≤ 10⁶ norms ≈ MBs), NOT a
+    map-side-combinable rollup; at 10¹⁰-vector scale switch to
+    ``approx_percentile`` and give up oracle exactness.
     """
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     d = embeddings.select(norm.alias("n"))

@@ -527,12 +527,31 @@ def test_ivf_pq_composes_exactly(spark):
         r.vec_id: r.label
         for r in similarity.kmeans_labels(emb, k=8, iters=2).collect()
     }
+    # independently recompute each query's nearest re-centroided label
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, float) for r in emb.collect()}
+    cents = {}
+    for v, lab in labels.items():
+        cents.setdefault(lab, []).append(vecs[v])
+    cents = {lab: np.mean(vs, axis=0).round(6) for lab, vs in cents.items()}
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4
+        )
+
+    def probe_label(q):
+        return min(
+            cents, key=lambda lab: (-cos(vecs[q], cents[lab]), lab)
+        )
+
     assert ivfpq
     for r in ivfpq:
         if (r.query_id, r.target_id) in pq:
             assert pq[(r.query_id, r.target_id)] == r.sim, r
-        # target is in the same trained bucket family as its probe
-        assert labels[r.target_id] in set(labels.values())
+        # every target lies in ITS QUERY'S argmax-cosine bucket
+        assert labels[r.target_id] == probe_label(r.query_id), r
     # each query's targets all share one bucket (nprobe=1)
     by_q = {}
     for r in ivfpq:
