@@ -550,6 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": lambda s, d: similarity.ivf_pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM
         ),
+        # full-fidelity FAISS mode: PQ over x - coarse_centroid
+        "ann_ivf_pq_residual": lambda s, d: similarity.ivf_pq_topk(
+            _read(s, d, "embeddings"), dim=EMB_DIM, residual=True
+        ),
         "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
@@ -693,28 +697,43 @@ def _ivf_kmeans_oracle(
     )
 
 
-def _pq_code_ctes(pfx: str, m: int, ksub: int, iters: int, dim: int) -> list[str]:
+def _pq_code_ctes(
+    pfx: str,
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    elong_sql: str | None = None,
+) -> list[str]:
     """Shared PQ training/encoding CTEs (through ``{pfx}codes``)
     mirroring ``similarity.pq_codebooks``: per-subspace unrolled Lloyd
     (seeds = ksub smallest-id subvectors, 6dp-rounded squared-L2
     argmin with smallest-cid ties, 6dp-rounded recenter).  ``pfx``
     namespaces the CTEs so the chain composes with the coarse k-means
-    CTEs (whose names overlap unprefixed)."""
+    CTEs (whose names overlap unprefixed).  ``elong_sql`` overrides
+    the (vec_id, sub, sv) source — the residual-IVFPQ hook."""
     dsub = dim // m
     l2 = (
         "round(list_sum(list_transform(range(1, len(e.sv)+1),"
         " i -> (e.sv[i]-c.cv[i])*(e.sv[i]-c.cv[i]))), 6)"
     )
-    ctes = [
-        f"{pfx}embd AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
-        f"{pfx}elong AS (SELECT vec_id, sub,"
-        f" ev[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS sv"
-        f" FROM {pfx}embd, unnest(range(0, {m})) r(sub))",
+    if elong_sql is None:
+        ctes = [
+            f"{pfx}embd AS (SELECT vec_id, list_transform(embedding,"
+            " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+            f"{pfx}elong AS (SELECT vec_id, sub,"
+            f" ev[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS sv"
+            f" FROM {pfx}embd, unnest(range(0, {m})) r(sub))",
+        ]
+        seed_src = f"{pfx}embd"
+    else:
+        ctes = [f"{pfx}elong AS ({elong_sql})"]
+        seed_src = f"(SELECT DISTINCT vec_id FROM {pfx}elong)"
+    ctes.append(
         f"{pfx}cent0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv"
         f" FROM {pfx}elong WHERE vec_id IN"
-        f" (SELECT vec_id FROM {pfx}embd ORDER BY vec_id LIMIT {ksub}))",
-    ]
+        f" (SELECT vec_id FROM {seed_src} ORDER BY vec_id LIMIT {ksub}))"
+    )
     for it in range(1, iters + 1):
         ctes.append(
             f"{pfx}a{it} AS (SELECT vec_id, sub, cid FROM ("
@@ -849,6 +868,98 @@ def _ivf_pq_oracle(
         f" JOIN p_codes pc ON pc.vec_id = cd.target_id"
         f" JOIN p_cent{pq_iters} b"
         f" ON b.sub = pc.sub AND b.cid = pc.code"
+        f" JOIN qlong ql"
+        f" ON ql.sub = pc.sub AND ql.query_id = cd.query_id)"
+    )
+    ctes.append(
+        "adc AS (SELECT query_id, target_id,"
+        " round(sum(d) / (any_value(qn.qnorm) * sqrt(sum(csq))), 4)"
+        " AS sim FROM parts JOIN qn USING (query_id)"
+        " GROUP BY query_id, target_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM adc) WHERE rank <= {k}
+        """
+    )
+
+
+def _ivf_pq_residual_oracle(
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    n_queries: int = 8,
+    k: int = 5,
+    dim: int = EMB_DIM,
+    nprobe: int = 1,
+) -> str:
+    """Generated CTE chain mirroring ``similarity.ivf_pq_topk(
+    residual=True)``: PQ trains on x − coarse_centroid (exact in
+    double), ADC reconstructs coarse_centroid + decoded residual."""
+    dsub = dim // m
+    ctes = _kmeans_label_ctes(n_clusters, coarse_iters)
+    cos_probe = _COS.format(a="q.qv", b="lcent.cv")
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, ev AS qv FROM emb"
+        f" WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, label FROM ("
+        f" SELECT q.query_id, lcent.label, row_number() OVER ("
+        f" PARTITION BY q.query_id ORDER BY {cos_probe} DESC,"
+        f" lcent.label ASC) AS rn FROM q, lcent) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.query_id, l.vec_id AS target_id"
+        " FROM probes p JOIN labels l ON l.label = p.label"
+        " WHERE l.vec_id <> p.query_id)"
+    )
+    res_elong = (
+        f"SELECT e.vec_id, r.sub, list_transform(range(1, {dsub}+1),"
+        f" i -> e.ev[r.sub*{dsub}+i] - lc.cv[r.sub*{dsub}+i]) AS sv"
+        f" FROM el e JOIN lcent lc USING (label),"
+        f" unnest(range(0, {m})) r(sub)"
+    )
+    ctes.extend(
+        _pq_code_ctes("p_", m, ksub, pq_iters, dim, elong_sql=res_elong)
+    )
+    ctes.append(
+        f"qn AS (SELECT vec_id AS query_id,"
+        f" sqrt(list_sum(list_transform(range(1, len(ev)+1),"
+        f" i -> ev[i]*ev[i]))) AS qnorm"
+        f" FROM emb WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"qlong AS (SELECT vec_id AS query_id, r.sub,"
+        f" ev[r.sub*{dsub}+1 : r.sub*{dsub}+{dsub}] AS qsv"
+        f" FROM emb, unnest(range(0, {m})) r(sub)"
+        f" WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"lcsub AS (SELECT label, r.sub,"
+        f" cv[r.sub*{dsub}+1 : r.sub*{dsub}+{dsub}] AS ccsv"
+        f" FROM lcent, unnest(range(0, {m})) r(sub))"
+    )
+    ctes.append(
+        f"parts AS (SELECT cd.query_id, cd.target_id,"
+        f" list_sum(list_transform(range(1, {dsub}+1),"
+        f" i -> ql.qsv[i] * (ls.ccsv[i] + b.cv[i]))) AS d,"
+        f" list_sum(list_transform(range(1, {dsub}+1),"
+        f" i -> (ls.ccsv[i] + b.cv[i]) * (ls.ccsv[i] + b.cv[i]))) AS csq"
+        f" FROM cand cd"
+        f" JOIN p_codes pc ON pc.vec_id = cd.target_id"
+        f" JOIN p_cent{pq_iters} b"
+        f" ON b.sub = pc.sub AND b.cid = pc.code"
+        f" JOIN labels l ON l.vec_id = cd.target_id"
+        f" JOIN lcsub ls ON ls.label = l.label AND ls.sub = pc.sub"
         f" JOIN qlong ql"
         f" ON ql.sub = pc.sub AND ql.query_id = cd.query_id)"
     )
@@ -1411,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk": _pq_oracle(),
         "ann_ivf_pq": _ivf_pq_oracle(),
+        "ann_ivf_pq_residual": _ivf_pq_residual_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (

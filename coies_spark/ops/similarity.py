@@ -794,14 +794,14 @@ def ivf_pq_topk(
     n_queries: int = 8,
     k: int = 5,
     nprobe: int = 1,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, target_id, sim, rank): IVF-PQ — the production ANN
-    index architecture (FAISS IVFPQ without residual encoding):
-    a k-means coarse quantizer routes each query to its ``nprobe``
-    nearest buckets, and only the BUCKET MEMBERS are scored, via ADC
-    over their PQ codes.
+    index architecture (FAISS IVFPQ): a k-means coarse quantizer
+    routes each query to its ``nprobe`` nearest buckets, and only the
+    BUCKET MEMBERS are scored, via ADC over their PQ codes.
 
     Composition of two already-oracled pieces: the coarse layer is
     ``kmeans_labels`` (deterministic unrolled Lloyd, cosine probe as
@@ -809,9 +809,14 @@ def ivf_pq_topk(
     ADC scorer.  Cost per query: nprobe/n_clusters of the corpus read
     as m-int code rows against a broadcast codebook — neither raw
     vectors nor out-of-bucket codes are touched; memory is the PQ
-    story, latency the IVF story.  Residual encoding (quantize
-    x − coarse_centroid) is the next fidelity step and would slot in
-    as a pq_codebooks input transform.
+    story, latency the IVF story.
+
+    ``residual=True`` is the full-fidelity FAISS mode: PQ trains on
+    and encodes x − coarse_centroid(x) (residuals are smaller and
+    better-conditioned than raw vectors, so the same code budget
+    reconstructs more accurately), and ADC scores against
+    coarse_centroid + decoded residual.  Default False quantizes raw
+    vectors (IVFPQ without residual — cheaper, one codebook context).
     """
     labels = kmeans_labels(
         embeddings, k=n_clusters, iters=coarse_iters, id_col=id_col,
@@ -847,14 +852,118 @@ def ivf_pq_topk(
     candidates = probes.join(
         labels.withColumnRenamed(id_col, "target_id"), "label"
     ).select("query_id", "target_id")
-    codes, cb = pq_codebooks(
-        embeddings, m, ksub, pq_iters, dim, id_col, vec_col
+    if not residual:
+        codes, cb = pq_codebooks(
+            embeddings, m, ksub, pq_iters, dim, id_col, vec_col
+        )
+        scored = _adc_scores(
+            embeddings, codes, cb, m, dim, n_queries, id_col, vec_col,
+            candidates=candidates,
+        )
+        return _rank_topk(scored, k)
+
+    # residual mode: PQ over x − coarse_centroid(x); float32 minus a
+    # 6dp-rounded double is exact in double, so residuals reproduce
+    # across engines
+    res_emb = lab_emb.join(F.broadcast(lcent), "label").select(
+        id_col,
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cv"),
+            lambda a, b: a.cast("double") - b,
+        ).alias("resv"),
     )
-    scored = _adc_scores(
-        embeddings, codes, cb, m, dim, n_queries, id_col, vec_col,
-        candidates=candidates,
+    codes, cb = pq_codebooks(
+        res_emb, m, ksub, pq_iters, dim, id_col, "resv"
+    )
+    scored = _adc_scores_residual(
+        embeddings, codes, cb, labels, lcent, m, dim, n_queries,
+        id_col, vec_col, candidates,
     )
     return _rank_topk(scored, k)
+
+
+def _adc_scores_residual(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    labels: DataFrame,
+    lcent: DataFrame,
+    m: int,
+    dim: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+    candidates: DataFrame,
+) -> DataFrame:
+    """ADC for residual IVF-PQ: each target reconstructs as
+    coarse_centroid(label) + decoded residual codeword, per subspace;
+    the query stays exact."""
+    dsub = dim // m
+    q_long = (
+        _pq_sub_long(
+            embeddings.where(F.col(id_col) < n_queries),
+            m,
+            dsub,
+            id_col,
+            vec_col,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("sv", "qsv")
+    )
+    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    # coarse centroid subvectors: (label, sub, ccsv)
+    lc_sub = lcent.select(
+        "label",
+        F.posexplode(
+            F.array(
+                *[F.slice("cv", j * dsub + 1, dsub) for j in range(m)]
+            )
+        ).alias("sub", "ccsv"),
+    )
+    approx = F.zip_with(
+        F.col("ccsv"), F.col("cv"), lambda a, b: a + b
+    )
+    parts = (
+        candidates.withColumnRenamed("target_id", id_col)
+        .where(F.col("query_id") != F.col(id_col))
+        .join(codes, id_col)
+        .join(F.broadcast(cb.withColumnRenamed("cid", "code")), ["sub", "code"])
+        .join(labels, id_col)
+        .join(F.broadcast(lc_sub), ["label", "sub"])
+        .join(F.broadcast(q_long), ["query_id", "sub"])
+        .withColumn("av", approx)
+        .select(
+            "query_id",
+            F.col(id_col).alias("target_id"),
+            F.aggregate(
+                F.zip_with(F.col("qsv"), F.col("av"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            F.aggregate(
+                F.transform(F.col("av"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("csq"),
+        )
+    )
+    return (
+        parts.groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
+        .join(F.broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
+                4,
+            ).alias("sim"),
+        )
+    )
 
 
 def embedding_norm_stats(
