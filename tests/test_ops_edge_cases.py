@@ -602,3 +602,33 @@ def test_residual_ivf_pq_improves_reconstruction(spark):
     # measured 0.0042 vs 0.0051; allow headroom but require no worse
     assert res_err <= raw_err, (res_err, raw_err)
     assert res_err < 0.02
+
+
+def test_ivf_pq_nprobe_recall_lever(spark):
+    """nprobe=2 must widen the candidate set monotonically: sims agree
+    on common pairs, targets span at most 2 buckets, and each query's
+    nprobe=2 top-k is at least as close to exhaustive PQ as nprobe=1."""
+    from coies_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = similarity.ivf_pq_topk(emb, dim=64, nprobe=1).collect()
+    two = similarity.ivf_pq_topk(emb, dim=64, nprobe=2).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in similarity.kmeans_labels(emb, k=8, iters=2).collect()
+    }
+    s1 = {(r.query_id, r.target_id): r.sim for r in one}
+    s2 = {(r.query_id, r.target_id): r.sim for r in two}
+    for pair, sim in s1.items():
+        if pair in s2:
+            assert s2[pair] == sim, pair
+    by_q = {}
+    for r in two:
+        by_q.setdefault(r.query_id, set()).add(labels[r.target_id])
+    assert all(1 <= len(v) <= 2 for v in by_q.values()), by_q
+    # top-1 sim can only improve (or stay) when probing more buckets
+    top1 = lambda rows: {
+        r.query_id: r.sim for r in rows if r.rank == 1
+    }
+    t1, t2 = top1(one), top1(two)
+    assert all(t2[q] >= t1[q] for q in t1), (t1, t2)
