@@ -516,6 +516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             benchmark_in_docs=True,
         ),
         "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
+        # blocked Hamming near-dup (Manku et al. WWW'07): candidates
+        # from pigeonhole bit-block equality, exact bit_count verify
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(
+            _read(s, d, "documents"), max_hamming=1
+        ),
         # --- similarity search (embeddings) ---
         "ann_brute_topk": lambda s, d: similarity.brute_topk(
             _read(s, d, "embeddings")
@@ -1746,6 +1751,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
     }
+    # simhash_pairs: semantics are exact Hamming <= d over the SAME
+    # fingerprints as the simhash oracle (the pigeonhole blocking is an
+    # execution strategy, not a semantic)
+    sql["simhash_pairs"] = f"""
+        WITH s AS (SELECT doc_id, simhash FROM ({sql['simhash']}))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """
+
     # pagerank_neardup: unrolled power iteration over the SAME edge
     # set as the minhash_lsh_pairs oracle (composition keeps the edge
     # derivation single-sourced); per-round 9dp rounding pins iterates

@@ -318,3 +318,69 @@ def dedup_cluster_sizes(docs: DataFrame) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): document pairs whose SimHash
+    fingerprints differ in ≤ ``max_hamming`` bits — the blocked
+    near-dup search of Manku et al. (WWW'07, "Detecting
+    Near-Duplicates for Web Crawling").
+
+    Pigeonhole blocking: the fingerprint splits into ``max_hamming+1``
+    contiguous bit blocks; two prints within Hamming distance d must
+    agree EXACTLY on at least one block, so candidates come from
+    ``d+1`` equality self-joins on (block index, block value) — never
+    an all-pairs scan — and are then verified with an exact
+    ``bit_count(a XOR b)``.  Shuffle cost: one fingerprint pass plus a
+    (d+1)-way block explode and the bucket self-join, the same shape
+    as MinHash banding.
+    """
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    sh = simhash(docs, bits)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (bits - i * width if i == n_blocks - 1 else width))
+                        - 1
+                    )
+                )
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(blocks).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "blk",
+        "bv",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "blk",
+        "bv",
+    )
+    return (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

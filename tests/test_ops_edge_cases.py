@@ -632,3 +632,27 @@ def test_ivf_pq_nprobe_recall_lever(spark):
     }
     t1, t2 = top1(one), top1(two)
     assert all(t2[q] >= t1[q] for q in t1), (t1, t2)
+
+
+def test_simhash_pairs_blocking_is_complete(spark):
+    """The pigeonhole blocking must find EVERY pair within the Hamming
+    threshold — verified against brute force over all fingerprint
+    pairs, for block counts that split 16 bits unevenly (d=2 -> 3
+    blocks of 5/5/6)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where("doc_id < 120")
+    prints = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    for d in (0, 1, 2, 3):
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_pairs(docs, max_hamming=d).collect()
+        }
+        want = {}
+        ids = sorted(prints)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(prints[a] ^ prints[b]).count("1")
+                if h <= d:
+                    want[(a, b)] = h
+        assert got == want, (d, len(got), len(want))
