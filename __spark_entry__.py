@@ -444,6 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "multimodal_features": _q_multimodal,
+        # video frame-sampling plan: pure column math, no decode
+        "frame_samples": lambda s, d: multimodal.frame_sample(
+            multimodal.synthesize_media(_read(s, d, "documents"))
+        ),
         # --- text analysis (documents) ---
         "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
         "quality_scores": lambda s, d: textstats.quality_scores(
@@ -1172,6 +1176,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.node, e.b FROM reach JOIN edges e
                 ON e.a = reach.r)
             SELECT node, min(r) AS component FROM reach GROUP BY 1
+        """,
+        "frame_samples": """
+            WITH media AS (
+              SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     (['image','audio','video'])[CAST(doc_id % 3 + 1
+                       AS INT)] AS modality,
+                     CAST(n_chars * 10 AS INT) AS duration_ms
+              FROM documents)
+            SELECT media_id, frame_idx,
+                   CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms
+            FROM (
+              SELECT media_id,
+                     unnest(range(0, greatest(
+                       CAST(floor(duration_ms/1000.0) AS INT) - 1,
+                       0) + 1)) AS frame_idx
+              FROM media WHERE modality = 'video')
         """,
         "token_stats": f"""
             SELECT doc_id,

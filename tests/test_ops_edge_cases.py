@@ -656,3 +656,27 @@ def test_simhash_pairs_blocking_is_complete(spark):
                 if h <= d:
                     want[(a, b)] = h
         assert got == want, (d, len(got), len(want))
+
+
+def test_frame_sample_edges(spark):
+    from coies_spark.ops import multimodal
+
+    rows = [
+        # video shorter than the sampling interval: one frame at t=0
+        (2, "ab", "en", "s", 50),     # doc_id%3==2 -> video, 500ms
+        # longer video: 3 frames at 0/1000/2000 (3500ms, idx 0..2)
+        (5, "abc", "en", "s", 350),   # video, 3500ms
+        # non-video rows are excluded entirely
+        (0, "x", "en", "s", 100),     # image
+        (1, "y", "en", "s", 100),     # audio
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    media = multimodal.synthesize_media(docs)
+    out = sorted(
+        (r.media_id, r.frame_idx, r.frame_ts_ms)
+        for r in multimodal.frame_sample(media).collect()
+    )
+    assert out == [
+        ("m-2", 0, 0),
+        ("m-5", 0, 0), ("m-5", 1, 1000), ("m-5", 2, 2000),
+    ]
