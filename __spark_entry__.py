@@ -155,7 +155,7 @@ def _q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triple_digest(triples: DataFrame) -> DataFrame:
     """(digest_sum, n_triples): order-independent corpus digest of a
-    triple set — SUM of the first-48-bits-of-md5 of each
+    triple set — SUM of the first-32-bits-of-md5 of each
     '\\x1f'-joined (subj, pred, obj).  A sum of per-row hashes is
     map-side partially aggregable (no sorted collect_list single
     reducer), so the digest query itself is 100 TB-shaped.  The driver
@@ -426,12 +426,16 @@ def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- KG pipeline (kg_* are rows-only: Arrow-UDF extraction
-        # kernels with no SQL twin; the rest are oracled) ---
-        "kg_extract_triples": _q_kg_extract,
-        "kg_linked_triples": _q_kg_linked,
-        # digest twins of the two rows-only kernels: oracled against the
-        # committed sf0.01 constants (hard cross-round regression gate)
+        # --- KG pipeline ---
+        # oracled digest twins of the two rows-only Arrow-UDF kernels:
+        # pinned against the committed sf0.01 constants (hard
+        # cross-round regression gate).  The rows-only kernels
+        # themselves (kg_extract_triples / kg_linked_triples) sit at
+        # the END of this dict: the driver harness sweeps the first 50
+        # entries, and the digests run the SAME kernels with a strictly
+        # stronger check, so the rows-only twins are the right entries
+        # to fall off the sweep (r3 dropped salted_event_counts /
+        # running_value instead — both oracled and green).
         "kg_extract_digest": _q_kg_extract_digest,
         "kg_linked_digest": _q_kg_linked_digest,
         "entity_spans_tagged": _q_entity_spans,
@@ -582,6 +586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "salted_event_counts": _q_salted_counts,
         "running_value": _q_running_value,
+        # rows-only Arrow-kernel queries (no SQL twin; covered by the
+        # kg_*_digest entries above) — intentionally last, see the
+        # comment at the top of this dict
+        "kg_extract_triples": _q_kg_extract,
+        "kg_linked_triples": _q_kg_linked,
     }
 
 
@@ -1446,14 +1455,22 @@ def oracle_sql() -> dict[str, str]:
             WITH dtok AS (
               SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            h AS (SELECT doc_id,
+                    CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS hi,
+                    CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS lo
+                  FROM dtok),
             th AS (SELECT doc_id,
-                     CAST(('0x'||substr(md5(tok),1,4)) AS BIGINT) AS th
-                   FROM dtok),
+                     (hi - CASE WHEN hi >= 2147483648
+                           THEN 4294967296 ELSE 0 END)
+                       * 4294967296 + lo AS th
+                   FROM h),
             votes AS (
               SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
-              FROM th, unnest(range(0, 16)) t(b) GROUP BY 1,2)
+              FROM th, unnest(range(0, 64)) t(b) GROUP BY 1,2)
             SELECT doc_id,
-              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+              CAST(sum(CASE WHEN s > 0 THEN
+                         CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << b) END
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY 1
         """,

@@ -259,9 +259,11 @@ def train_cbow(
     """→ (token string, vector array<float>): CBOW-NS vector table.
 
     ``sentences``: one ``sentence array<string>`` column.  See the
-    module docstring for the ``combine`` semantics ("sum" = hogwild-
-    equivalent delta sum, default; "mean" = parameter averaging whose
-    quality degrades with ``n_parts``) and the ``max_vocab`` /
+    module docstring for the ``combine`` semantics ("mean" =
+    parameter averaging, the shipped default — scale ``epochs`` by
+    ``n_parts`` to compensate the dilution; "sum" = hogwild-equivalent
+    delta sum with the documented norm-blowup hazard at
+    ``n_parts >= 16``) and the ``max_vocab`` /
     broadcast memory budget.  ``sync_per_epoch`` splits each epoch
     into that many synchronization rounds (shorter staleness, more
     broadcast+reduce rounds).

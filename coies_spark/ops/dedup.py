@@ -199,26 +199,61 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+def _simhash_token_hash(bits: int):
+    """md5-derived ``bits``-wide token hash column, engine-portable.
+
+    ``bits <= 32``: the first ``bits/4`` md5 hex chars as a
+    non-negative int.  ``bits == 64``: the first two 32-bit hex
+    halves reassembled into the signed two's-complement BIGINT —
+    ``(hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo`` — exactly the arithmetic
+    the DuckDB oracle runs, so fingerprints agree across engines at
+    every width (no engine-specific xxhash64 in the portable path).
+    """
+    if bits == 64:
+        hi = F.conv(F.substring(_md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(_md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+        return (
+            hi - F.when(hi >= F.lit(2**31), F.lit(2**32)).otherwise(F.lit(0))
+        ) * F.lit(2**32) + lo
+    return F.conv(
+        F.substring(_md5(F.col("tok")), 1, bits // 4), 16, 10
+    ).cast("long")
+
+
+def _bit_term(b: int):
+    """Long literal with only bit ``b`` set (two's complement: bit 63
+    is the sign bit, so its term is MIN_LONG, not an overflowing
+    ``1 << 63``)."""
+    return F.lit(-(2**63)) if b == 63 else F.lit(1 << b)
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash): Charikar fingerprint over distinct tokens.
 
-    Token hash = first 4 md5 hex chars → 16-bit int (portable);
-    simhash bit b = majority vote of token bit b.  All ``bits`` vote
-    sums are sibling aggregates in ONE map-side-combinable groupBy on
-    the un-exploded token rows (same shape as the wide MinHash
-    signature) — the token stream passes the aggregate once and the
-    shuffle carries one partial row per (doc, map partition).
+    ``bits = 64`` is the production default — the Manku et al.
+    (WWW'07) configuration.  A 16-bit print has a 65,536-point
+    fingerprint space: beyond ~10⁵ docs distinct documents collide at
+    hamming=0 and the pigeonhole blocks of :func:`simhash_pairs` stop
+    pruning (every 4-bit block bucket holds ~n/16 docs).  16/32 stay
+    supported for compatibility and small corpora.
+
+    Token hash = md5-derived (see :func:`_simhash_token_hash` for the
+    portable 64-bit assembly); simhash bit b = majority vote of token
+    bit b.  All ``bits`` vote sums are sibling aggregates in ONE
+    map-side-combinable groupBy on the un-exploded token rows (same
+    shape as the wide MinHash signature) — the token stream passes
+    the aggregate once and the shuffle carries one partial row per
+    (doc, map partition).
     """
+    if bits not in (16, 32, 64):
+        raise ValueError(f"simhash: bits must be 16, 32 or 64, got {bits}")
     tok = (
         docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
         .distinct()
-        .select(
-            "doc_id",
-            F.conv(F.substring(_md5(F.col("tok")), 1, 4), 16, 10)
-            .cast("long")
-            .alias("th"),
-        )
+        .select("doc_id", _simhash_token_hash(bits).alias("th"))
     )
+    # (th >> b) & 1 recovers original bit b regardless of arithmetic
+    # sign extension: the extension only touches bits above 63-b
     votes = [
         F.sum(
             F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1
@@ -228,7 +263,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     wide = tok.groupBy("doc_id").agg(*votes)
     fingerprint = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s{b}") > 0, _bit_term(b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return wide.select(
         "doc_id", fingerprint.cast("long").alias("simhash")
@@ -320,13 +355,61 @@ def dedup_cluster_sizes(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_blocks(
+    sh: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash, blk, bv): the pigeonhole block explode of a
+    :func:`simhash` table — the bucketing stage of
+    :func:`simhash_pairs`, exposed so bucket-size distributions can be
+    audited directly (the blocking only prunes when buckets stay
+    small; see the ``bits`` discussion on :func:`simhash`)."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    if width == 0:
+        # every non-final block mask would be 0: all docs collide in
+        # one bucket and the "blocked" join silently degenerates to
+        # the all-pairs O(n²) scan the algorithm exists to avoid
+        raise ValueError(
+            f"simhash_pairs: bits ({bits}) must be >= max_hamming+1 "
+            f"({n_blocks}) so each pigeonhole block has >= 1 bit"
+        )
+
+    def _bv(i: int):
+        shifted = F.shiftright(F.col("simhash"), i * width)
+        if i == n_blocks - 1 and bits - i * width >= 64:
+            # final block reaches the sign bit: the sign-extended
+            # shift is injective in the block bits, so equality
+            # bucketing works unmasked (a (1<<64)-1 mask would
+            # overflow the long literal)
+            return shifted
+        mask = (1 << (bits - i * width if i == n_blocks - 1 else width)) - 1
+        return shifted.bitwiseAND(F.lit(mask))
+
+    blocks = F.array(
+        *[
+            F.struct(F.lit(i).alias("blk"), _bv(i).alias("bv"))
+            for i in range(n_blocks)
+        ]
+    )
+    return sh.select(
+        "doc_id", "simhash", F.explode(blocks).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.blk").alias("blk"),
+        F.col("bb.bv").alias("bv"),
+    )
+
+
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = 16
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): document pairs whose SimHash
     fingerprints differ in ≤ ``max_hamming`` bits — the blocked
     near-dup search of Manku et al. (WWW'07, "Detecting
-    Near-Duplicates for Web Crawling").
+    Near-Duplicates for Web Crawling"), at its 64-bit production
+    configuration by default (16-bit blocks at the default
+    ``max_hamming=3``).
 
     Pigeonhole blocking: the fingerprint splits into ``max_hamming+1``
     contiguous bit blocks; two prints within Hamming distance d must
@@ -336,29 +419,16 @@ def simhash_pairs(
     ``bit_count(a XOR b)``.  Shuffle cost: one fingerprint pass plus a
     (d+1)-way block explode and the bucket self-join, the same shape
     as MinHash banding.
+
+    Block width = ``bits // (max_hamming+1)`` bounds the blocking's
+    pruning power: expected bucket size is n / 2^width per block, so
+    64-bit prints with 16-bit blocks keep buckets near-singleton to
+    n ≈ 10⁵ docs, while the old 16-bit default (4-bit blocks, only 16
+    bucket values) degenerates to O(n²/16) candidate pairs — measured
+    in tests/test_ops_edge_cases (bucket-shrink test).
     """
-    n_blocks = max_hamming + 1
-    width = bits // n_blocks
     sh = simhash(docs, bits)
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(
-                    F.lit(
-                        (1 << (bits - i * width if i == n_blocks - 1 else width))
-                        - 1
-                    )
-                )
-                .alias("bv"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
-    banded = sh.select(
-        "doc_id", "simhash", F.explode(blocks).alias("bb")
-    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    banded = simhash_blocks(sh, max_hamming, bits)
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("ha"),

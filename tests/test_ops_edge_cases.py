@@ -637,12 +637,16 @@ def test_ivf_pq_nprobe_recall_lever(spark):
 def test_simhash_pairs_blocking_is_complete(spark):
     """The pigeonhole blocking must find EVERY pair within the Hamming
     threshold — verified against brute force over all fingerprint
-    pairs, for block counts that split 16 bits unevenly (d=2 -> 3
-    blocks of 5/5/6)."""
+    pairs, for block counts that split 64 bits unevenly (d=2 -> 3
+    blocks of 21/21/22) and for the single-block d=0 edge (the block
+    reaches the sign bit, exercising the unmasked-final-block path).
+    Prints are SIGNED 64-bit, so the brute-force XOR masks to 64 bits
+    before the popcount."""
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).where("doc_id < 120")
     prints = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    mask64 = (1 << 64) - 1
     for d in (0, 1, 2, 3):
         got = {
             (r.doc_a, r.doc_b): r.hamming
@@ -652,10 +656,61 @@ def test_simhash_pairs_blocking_is_complete(spark):
         ids = sorted(prints)
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
-                h = bin(prints[a] ^ prints[b]).count("1")
+                h = bin((prints[a] ^ prints[b]) & mask64).count("1")
                 if h <= d:
                     want[(a, b)] = h
         assert got == want, (d, len(got), len(want))
+
+
+def test_simhash_pairs_degenerate_params_raise(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(2)
+    with pytest.raises(ValueError, match="pigeonhole block"):
+        # 16 bits / (15+1) blocks -> width 1 is fine; 15+2 -> width 0
+        dedup.simhash_pairs(docs, max_hamming=16, bits=16).collect()
+    with pytest.raises(ValueError, match="bits must be"):
+        dedup.simhash(docs, bits=8)
+
+
+def test_simhash64_buckets_shrink_vs_16bit(spark):
+    """The reason 64-bit is the production default: on a 10^4-doc
+    corpus the 16-bit config (4-bit blocks at max_hamming=3, only 16
+    bucket values/block) piles ~n/16 docs into every bucket — an
+    O(n^2/16) candidate join — while 64-bit (16-bit blocks) keeps the
+    largest bucket tiny.  Docs are synthetic with pseudo-random token
+    sets so fingerprints spread uniformly.  Token text must stay
+    alphanumeric: '_' is in TOKEN_SPLIT_CHARCLASS, so a "w3_123"
+    shape would shed a 'w3' token shared by EVERY doc and correlate
+    all fingerprints."""
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}q"), F.expr(f"(id * 31 + {j * 17}) % 40000"))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+
+    def max_bucket(bits):
+        banded = dedup.simhash_blocks(
+            dedup.simhash(docs, bits), max_hamming=3, bits=bits
+        )
+        top = (
+            banded.groupBy("blk", "bv")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]
+        )
+        return top.m
+
+    m16, m64 = max_bucket(16), max_bucket(64)
+    # 16-bit: 4 blocks x 16 values -> expected ~625/bucket
+    assert m16 > 300, m16
+    # 64-bit: 4 blocks x 65536 values -> near-singleton buckets
+    assert m64 < 50, (m16, m64)
 
 
 def test_frame_sample_edges(spark):
