@@ -297,6 +297,21 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the label-partitioned IVF-PQ store under /tmp (keyed by
+    the sf dir so concurrent sfs don't clobber each other), then probe
+    it.  The write is idempotent (mode=overwrite) and the probe result
+    is bit-identical to ``ivf_pq_topk`` — shared oracle."""
+    import os as _os
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = "/tmp/coies_ivfpq_index_" + _os.path.basename(
+        _os.path.normpath(sf_dir)
+    )
+    similarity.build_ivf_pq_index(emb, idx, dim=EMB_DIM)
+    return similarity.ivf_pq_probe(spark, idx, emb, dim=EMB_DIM)
+
+
 def _q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     w = (
@@ -567,6 +582,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_residual": lambda s, d: similarity.ivf_pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM, residual=True
         ),
+        # same trained layers, but probed through a label-PARTITIONED
+        # on-disk code store: the parquet scan reads only the probed
+        # buckets (PartitionFilters — tests/test_plans.py), which is
+        # the IVF latency story at 10^10 codes; same oracle as
+        # ann_ivf_pq because results are bit-identical
+        "ann_ivf_pq_pruned": _q_ivf_pq_pruned,
         "embedding_neardup": _q_embedding_neardup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
@@ -1565,6 +1586,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_oracle(),
         "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_ivf_pq_residual": _ivf_pq_residual_oracle(),
+        # bit-identical to ann_ivf_pq by construction (same trained
+        # layers; only the code-store read is partition-pruned)
+        "ann_ivf_pq_pruned": _ivf_pq_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "rouge1_pairs": f"""
             WITH ranked AS (

@@ -721,7 +721,13 @@ def _adc_scores(
 ) -> DataFrame:
     """(query_id, target_id, sim): the shared ADC cosine scorer over
     PQ ``codes``/``cb``, optionally restricted to a ``candidates``
-    (query_id, target_id) set (the IVF-PQ bucket filter)."""
+    (query_id, target_id) set (the IVF-PQ bucket filter).
+
+    When ``candidates`` is given it joins into ``codes`` FIRST, so
+    out-of-bucket code rows are dropped before the codebook join and
+    the per-query fan-out ever see them — the ADC work is sized by the
+    probed buckets, not the corpus.  (``ivf_pq_probe`` goes further and
+    prunes the code *read* itself via label partitioning.)"""
     dsub = dim // m
     q_long = (
         _pq_sub_long(
@@ -750,17 +756,29 @@ def _adc_scores(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    parts = (
-        codes.join(F.broadcast(cb.withColumnRenamed("cid", "code")), ["sub", "code"])
-        .join(F.broadcast(q_long), "sub")
-        .where(F.col(id_col) != F.col("query_id"))
-    )
     if candidates is not None:
-        parts = parts.join(
-            F.broadcast(
-                candidates.withColumnRenamed("target_id", id_col)
-            ),
-            ["query_id", id_col],
+        parts = (
+            codes.join(
+                F.broadcast(
+                    candidates.withColumnRenamed("target_id", id_col)
+                ),
+                id_col,
+            )
+            .where(F.col(id_col) != F.col("query_id"))
+            .join(
+                F.broadcast(cb.withColumnRenamed("cid", "code")),
+                ["sub", "code"],
+            )
+            .join(F.broadcast(q_long), ["query_id", "sub"])
+        )
+    else:
+        parts = (
+            codes.join(
+                F.broadcast(cb.withColumnRenamed("cid", "code")),
+                ["sub", "code"],
+            )
+            .join(F.broadcast(q_long), "sub")
+            .where(F.col(id_col) != F.col("query_id"))
         )
     parts = parts.select(
         "query_id",
@@ -781,6 +799,201 @@ def _adc_scores(
             ).alias("sim"),
         )
     )
+
+
+def _coarse_layer(
+    embeddings: DataFrame,
+    n_clusters: int,
+    coarse_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF coarse quantizer: (labels (id, label), labelled
+    embeddings, centroid vectors (label, cv))."""
+    labels = kmeans_labels(
+        embeddings, k=n_clusters, iters=coarse_iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    # project before joining: the embeddings table may carry its own
+    # `label` column (the pre-assigned IVF partition), which must not
+    # shadow the trained coarse label
+    lab_emb = embeddings.select(id_col, vec_col).join(labels, id_col)
+    lcent = (
+        label_centroids(lab_emb, "label", vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c,
+            ).alias("cv")
+        )
+    )
+    return labels, lab_emb, lcent
+
+
+def _probe_labels(
+    embeddings: DataFrame,
+    lcent: DataFrame,
+    n_queries: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, label): each query's ``nprobe`` nearest coarse
+    buckets by cosine (ties → smallest label)."""
+    q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("label")
+    )
+    return (
+        q.crossJoin(F.broadcast(lcent))
+        .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "label")
+    )
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and MATERIALIZE an IVF-PQ index whose code store is
+    written ``partitionBy(label)`` — the on-disk layout that lets
+    ``ivf_pq_probe`` read only the probed buckets (partition pruning
+    at the parquet scan, not a post-read filter).
+
+    Layout under ``path``:
+      ``codes/label=<L>/``  (vec_id, sub, code) — the PQ codes, one
+                            parquet partition per coarse bucket
+      ``centroids/``        (label, cv) — coarse centroid vectors
+      ``codebook/``         (sub, cid, cv) — PQ codebook
+
+    At 10¹⁰ vectors the codes store is the only large artifact, and a
+    probe touches ``nprobe / n_clusters`` of it *at the file listing
+    level*; centroids and codebook stay broadcast-sized.  Same trained
+    layers as ``ivf_pq_topk`` (non-residual), so probe results are
+    bit-identical to the in-memory composition.
+    """
+    labels, _lab_emb, lcent = _coarse_layer(
+        embeddings, n_clusters, coarse_iters, id_col, vec_col
+    )
+    codes, cb = pq_codebooks(
+        embeddings, m, ksub, pq_iters, dim, id_col, vec_col
+    )
+    (
+        codes.join(labels, id_col)
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(f"{path}/codes")
+    )
+    lcent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_pq_probe(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, sim, rank): probe a ``build_ivf_pq_index``
+    store, reading ONLY the probed label partitions of the code store.
+
+    The probed label set (≤ n_queries × nprobe values) is collected
+    driver-side — one tiny action — and pushed into the codes read as
+    an IN filter over the partition column, so the parquet scan lists
+    and reads just those directories (assert: ``PartitionFilters`` in
+    the plan).  Code rows then join the per-query probe table on
+    ``label`` BEFORE the codebook join and query fan-out: each query
+    scores exactly its own buckets' members, reproducing
+    ``ivf_pq_topk``'s candidate semantics without ever materializing a
+    corpus-wide candidate list.  This is the IVF latency story the
+    in-memory composition can't give you: at 10¹⁰ codes the probe I/O
+    is nprobe/n_clusters of the store, not 100% of it.
+    """
+    lcent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    probes = _probe_labels(
+        embeddings, lcent, n_queries, nprobe, id_col, vec_col
+    )
+    probed = sorted(
+        r["label"] for r in probes.select("label").distinct().collect()
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("label").isin(probed)
+    )
+    dsub = dim // m
+    q_long = (
+        _pq_sub_long(
+            embeddings.where(F.col(id_col) < n_queries),
+            m,
+            dsub,
+            id_col,
+            vec_col,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("sv", "qsv")
+    )
+    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cvsq = F.aggregate(
+        F.transform(F.col("cv"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    parts = (
+        codes.join(F.broadcast(probes), "label")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(
+            F.broadcast(cb.withColumnRenamed("cid", "code")),
+            ["sub", "code"],
+        )
+        .join(F.broadcast(q_long), ["query_id", "sub"])
+        .select(
+            "query_id",
+            F.col(id_col).alias("target_id"),
+            dot.alias("d"),
+            cvsq.alias("csq"),
+        )
+    )
+    scored = (
+        parts.groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
+        .join(F.broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    return _rank_topk(scored, k)
 
 
 def ivf_pq_topk(
@@ -818,37 +1031,10 @@ def ivf_pq_topk(
     coarse_centroid + decoded residual.  Default False quantizes raw
     vectors (IVFPQ without residual — cheaper, one codebook context).
     """
-    labels = kmeans_labels(
-        embeddings, k=n_clusters, iters=coarse_iters, id_col=id_col,
-        vec_col=vec_col,
+    labels, lab_emb, lcent = _coarse_layer(
+        embeddings, n_clusters, coarse_iters, id_col, vec_col
     )
-    # project before joining: the embeddings table may carry its own
-    # `label` column (the pre-assigned IVF partition), which must not
-    # shadow the trained coarse label
-    lab_emb = embeddings.select(id_col, vec_col).join(labels, id_col)
-    lcent = (
-        label_centroids(lab_emb, "label", vec_col)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s.c,
-            ).alias("cv")
-        )
-    )
-    q = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("csim"), F.asc("label")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(lcent))
-        .withColumn("csim", cosine_sim(F.col("qv"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(probe_w))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "label")
-    )
+    probes = _probe_labels(embeddings, lcent, n_queries, nprobe, id_col, vec_col)
     candidates = probes.join(
         labels.withColumnRenamed(id_col, "target_id"), "label"
     ).select("query_id", "target_id")

@@ -66,6 +66,14 @@ def main() -> None:
         "same aaer dir stands in for the 'extra' corpus)",
     )
     ap.add_argument(
+        "--phrase-passes",
+        type=int,
+        default=1,
+        help="collocation passes for --phrased-corpus: 1 = bigram "
+        "PhraseTable (flagship), 2 = stacked trigram family "
+        "(AAERParserPhrases, aaer_corpus.py:105-134)",
+    )
+    ap.add_argument(
         "--gram-vec-cache",
         default=None,
         help="npz of a phrased-corpus trained model to use as the GRAM "
@@ -112,14 +120,24 @@ def main() -> None:
     phrases = None
     train_sents = sentences
     if args.phrased_corpus:
-        from coies_spark.core.embed import PhraseTable
+        from coies_spark.core.embed import PhraseTable, StackedPhraseTable
 
-        phrases = PhraseTable.train(
-            sentences,
-            min_count=cfg.phrase_min_count,
-            threshold=cfg.phrase_threshold,
-        )
-        print(f"phrased corpus: {len(phrases.merges)} merges")
+        if args.phrase_passes > 1:
+            phrases = StackedPhraseTable.train(
+                sentences,
+                passes=args.phrase_passes,
+                min_count=cfg.phrase_min_count,
+                threshold=cfg.phrase_threshold,
+            )
+            n_merges = sum(len(t.merges) for t in phrases.tables)
+        else:
+            phrases = PhraseTable.train(
+                sentences,
+                min_count=cfg.phrase_min_count,
+                threshold=cfg.phrase_threshold,
+            )
+            n_merges = len(phrases.merges)
+        print(f"phrased corpus: {n_merges} merges ({args.phrase_passes} pass)")
     import numpy as np
 
     if args.vec_cache and os.path.exists(args.vec_cache):

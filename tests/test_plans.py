@@ -171,6 +171,33 @@ def test_triples_partition_pruning(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_ivf_pq_probe_partition_pruned(spark, tmp_path):
+    """build_ivf_pq_index writes codes partitionBy(label);
+    ivf_pq_probe must read ONLY the probed label partitions (an IN
+    partition filter strictly smaller than n_clusters), and its result
+    must be bit-identical to the in-memory ivf_pq_topk composition."""
+    import re
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivf_pq_index(emb, idx, dim=64)
+    probe = similarity.ivf_pq_probe(
+        spark, idx, emb, dim=64, n_queries=2, nprobe=1
+    )
+    p = plan_of(probe, "formatted")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf, p
+    m = re.search(r"label#\d+ IN \(([^)]*)\)", pf[0])
+    assert m, pf[0]
+    probed = m.group(1).split(",")
+    # 2 queries × nprobe=1 → at most 2 of the 8 partitions are read
+    assert len(probed) <= 2, pf[0]
+    base = similarity.ivf_pq_topk(emb, dim=64, n_queries=2, nprobe=1)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
 def test_extraction_path_shuffle_count(spark):
     """Raw + tagged assembly (default union strategy): the flag-union
     collapses the parity-mode assembly to a SINGLE conditional
