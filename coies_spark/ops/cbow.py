@@ -272,23 +272,23 @@ def train_cbow(
     support either): ``"dense"`` ships every partition's full weight
     matrices through a block reduceByKey — O(n_parts × 2·V·d) shuffle
     per round regardless of what the round touched; ``"sparse"`` ships
-    only each partition's TOUCHED rows as float64 deltas straight to
-    the driver, O(Σ_p touched_p × d) — the 100-TB shape, where a
+    only each partition's TOUCHED rows as float64 deltas, keyed by
+    weight-matrix block and summed in an EXECUTOR-SIDE grouped
+    reduce, O(Σ_p touched_p × d) shuffle — the 100-TB shape, where a
     mini-epoch slice of a web corpus touches ~10⁵ rows of a 10⁷-row
     vocabulary.  MEASURED: 2.1× end-to-end (7.7→3.6 s) at V=5k,
     d=128, 8 partitions × 8 sync rounds on zipf sentences; the gap
-    widens with V/touched.  MEMORY ENVELOPE: the driver holds every
-    partition's touched deltas at once — Σ_p touched_p × d × 16 bytes
-    (two float64 matrices).  On a DENSE-touch workload (small vocab,
-    well-mixed partitions: touched_p ≈ V) that is n_parts × 2·V·d × 8
-    bytes on the DRIVER, worse than dense mode's executor-side
-    reduce — pick sparse only when round slices genuinely touch a
-    small fraction of V (many sync rounds / huge vocab), which is
-    exactly when it wins.  Deltas of float32 weights are exact in
-    float64 and
-    applied in partition order, so sparse is deterministic; it agrees
-    with dense to float32 rounding (the final-cast tie can differ by
-    1 ulp), not bit-for-bit — the shipped default stays dense.
+    widens with V/touched.  MEMORY ENVELOPE: per-partition deltas
+    meet at the shuffle's reduce tasks (each task holds one block's
+    contributions, ≤ n_parts × _BLOCK_ROWS × d × 16 bytes), and the
+    DRIVER fetches only the already-summed per-block accumulators —
+    ≤ 2·V·d × 8 bytes total, i.e. O(V·d), the same order as the
+    weights it already holds, independent of n_parts.  Deltas of
+    float32 weights are exact in float64, and the per-block fold
+    orders contributions by originating partition before summing, so
+    sparse is bit-for-bit deterministic across reruns; it agrees with dense to float32
+    rounding (the final-cast tie can differ by 1 ulp), not
+    bit-for-bit — the shipped default stays dense.
     """
     total_rounds = epochs * max(sync_per_epoch, 1)
     if total_rounds >= 100 or n_parts >= 10_000:
@@ -433,31 +433,60 @@ def train_cbow(
             s0, s1 = part_result(split_idx, it)
             w0, w1 = b_syn0.value, b_syn1.value
             # only rows the round's SGD actually moved leave the
-            # executor; a float32 difference is exact in float64
+            # executor; a float32 difference is exact in float64.
+            # Keyed by weight-matrix block so each reduce task folds
+            # ONE block's contributions — the driver never sees raw
+            # per-partition deltas.
             touched = np.flatnonzero(
                 np.any(s0 != w0, axis=1) | np.any(s1 != w1, axis=1)
             )
-            if len(touched):
-                yield (
-                    split_idx,
-                    (
-                        touched,
-                        s0[touched].astype(np.float64) - w0[touched],
-                        s1[touched].astype(np.float64) - w1[touched],
-                    ),
-                )
+            for lo in range(0, s0.shape[0], _BLOCK_ROWS):
+                ids = touched[(touched >= lo) & (touched < lo + _BLOCK_ROWS)]
+                if len(ids):
+                    yield (
+                        lo,
+                        (
+                            split_idx,
+                            ids - lo,
+                            s0[ids].astype(np.float64) - w0[ids],
+                            s1[ids].astype(np.float64) - w1[ids],
+                        ),
+                    )
+
+        dim = syn0.shape[1]
+        n_rows = syn0.shape[0]
+
+        def fold_block(kv):
+            # executor-side: sum one block's contributions in
+            # partition order (sorted by split_idx → deterministic
+            # float64 fold), return only the touched rows
+            lo, contribs = kv
+            rows = min(_BLOCK_ROWS, n_rows - lo)
+            a0 = np.zeros((rows, dim), dtype=np.float64)
+            a1 = np.zeros((rows, dim), dtype=np.float64)
+            for _, ids, d0, d1 in sorted(contribs, key=lambda c: c[0]):
+                a0[ids] += d0
+                a1[ids] += d1
+            u = np.flatnonzero(np.any(a0 != 0, axis=1) | np.any(a1 != 0, axis=1))
+            return (lo, (u, a0[u], a1[u]))
 
         if sync == "sparse":
-            # deltas applied in partition order → deterministic; both
-            # combine modes are delta-expressible (mean: W₀ + ΣΔ/n ≡
-            # ΣW_p/n because empty partitions contribute zero delta)
+            # deltas summed per block on the EXECUTORS (groupByKey →
+            # sorted fold); the driver fetches only the already-summed
+            # touched rows — O(Σ touched × d), bounded by O(V·d).
+            # Both combine modes are delta-expressible (mean: W₀ +
+            # ΣΔ/n ≡ ΣW_p/n because empty partitions contribute zero
+            # delta)
             acc0 = np.zeros(syn0.shape, dtype=np.float64)
             acc1 = np.zeros(syn1.shape, dtype=np.float64)
-            for _, (ids, d0, d1) in sorted(
-                ids_rdd.mapPartitionsWithIndex(run_sparse).collect()
+            for lo, (ids, d0, d1) in (
+                ids_rdd.mapPartitionsWithIndex(run_sparse)
+                .groupByKey()
+                .map(fold_block)
+                .collect()
             ):
-                acc0[ids] += d0
-                acc1[ids] += d1
+                acc0[lo + ids] += d0
+                acc1[lo + ids] += d1
             scale = 1.0 / n_parts if combine == "mean" else 1.0
             syn0 = (syn0.astype(np.float64) + acc0 * scale).astype(
                 np.float32
