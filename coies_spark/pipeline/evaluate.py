@@ -223,8 +223,6 @@ def grid_search_batched(
     config — main.py:56-61, 98-100 — which is exactly the driver-side
     round-trip shape to avoid at scale).
     """
-    from functools import reduce as _reduce
-
     runs: list[tuple[str, object, ExtractionConfig]] = []
     frames: list[DataFrame] = []
     for param, values in param_grid.items():
@@ -233,16 +231,7 @@ def grid_search_batched(
             scores = build_scores(build_artifacts(cfg))
             frames.append(scores.withColumn("__run", F.lit(len(runs))))
             runs.append((param, v, cfg))
-    if not frames:
-        return []
-    union = _reduce(DataFrame.unionByName, frames)
-    per_doc = union.groupBy("__run", "conv_id").agg(
-        F.avg("rouge").alias("doc_score")
-    )
-    collected = (
-        per_doc.groupBy("__run").agg(F.avg("doc_score").alias("s")).collect()
-    )
-    by_run = {r["__run"]: float(r["s"]) for r in collected}
+    by_run = _batched_corpus_scores(frames)
     return [
         {
             "param": param,
@@ -252,6 +241,24 @@ def grid_search_batched(
         }
         for i, (param, v, cfg) in enumerate(runs)
     ]
+
+
+def _batched_corpus_scores(frames: Sequence[DataFrame]) -> dict[int, float]:
+    """{run index: corpus score} for run-tagged ``score_extractions``
+    frames: union all branches, per-doc normalization + corpus mean per
+    run inside ONE plan, one collect for every run's score."""
+    from functools import reduce as _reduce
+
+    if not frames:
+        return {}
+    union = _reduce(DataFrame.unionByName, frames)
+    per_doc = union.groupBy("__run", "conv_id").agg(
+        F.avg("rouge").alias("doc_score")
+    )
+    collected = (
+        per_doc.groupBy("__run").agg(F.avg("doc_score").alias("s")).collect()
+    )
+    return {r["__run"]: float(r["s"]) for r in collected}
 
 
 def validate_with_more(
@@ -282,3 +289,43 @@ def validate_with_more(
             }
         )
     return out
+
+
+def validate_with_more_batched(
+    candidate_examples: Iterable[tuple[str, str]],
+    corpus_sentences: Sequence[Sequence[str]],
+    config: ExtractionConfig,
+    build_scores: Callable[[ExampleArtifacts], DataFrame],
+    min_entity_types: int = 3,
+) -> list[dict]:
+    """:func:`validate_with_more` with ONE Spark job for all candidate
+    examples (the :func:`grid_search_batched` union shape): each
+    qualifying example's ``score_extractions`` frame is tagged with its
+    run index and unioned, per-doc normalization + corpus mean happen
+    per run inside a single plan, and one collect fetches every
+    example's corpus score.  The reference re-runs the full pipeline
+    per candidate example (main.py:72-87) — the per-action round-trip
+    this batches away."""
+    runs: list[tuple[str, int]] = []
+    frames: list[DataFrame] = []
+    for conv_id, tagged_text in candidate_examples:
+        tagged = textproc.tagged_tokens_from_text(tagged_text)
+        n_types = len(textproc.entity_dict(tagged))
+        if n_types < min_entity_types:
+            continue
+        artifacts = build_example_artifacts(
+            tagged_text, corpus_sentences, config
+        )
+        frames.append(
+            build_scores(artifacts).withColumn("__run", F.lit(len(runs)))
+        )
+        runs.append((conv_id, n_types))
+    by_run = _batched_corpus_scores(frames)
+    return [
+        {
+            "example_conv_id": conv_id,
+            "n_entity_types": n_types,
+            "score": by_run[i],
+        }
+        for i, (conv_id, n_types) in enumerate(runs)
+    ]

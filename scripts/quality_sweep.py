@@ -42,6 +42,12 @@ def main() -> None:
     )
     ap.add_argument("--cts", default="0.9,0.95,0.99,0.995,0.999")
     ap.add_argument("--wts", default="0.6,0.8,0.9")
+    ap.add_argument(
+        "--css",
+        default="100",
+        help="context_size grid (reference main.py:56-61 sweeps 10..190); "
+        "the flagship value is 100",
+    )
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--trigrams", action="store_true",
@@ -123,11 +129,14 @@ def main() -> None:
 
     cts = [float(x) for x in args.cts.split(",")]
     wts = [float(x) for x in args.wts.split(",")]
+    css = [int(x) for x in args.css.split(",")]
     runs, score_frames, mention_frames = [], [], []
     for ct in cts:
-        for wt in wts:
+      for wt in wts:
+        for cs in css:
             cfg = ExtractionConfig(
-                dim=args.dim, context_threshold=ct, word_threshold=wt
+                dim=args.dim, context_threshold=ct, word_threshold=wt,
+                context_size=cs,
             )
             art = build_example_artifacts(
                 read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb,
@@ -145,7 +154,7 @@ def main() -> None:
                     "__run", F.lit(rid)
                 )
             )
-            runs.append({"ct": ct, "wt": wt})
+            runs.append({"ct": ct, "wt": wt, "cs": cs})
 
     from functools import reduce
 

@@ -161,6 +161,58 @@ def test_validate_with_more(spark, corpus, gold_df):
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
 
 
+def test_validate_with_more_batched_single_collect(
+    spark, corpus, gold_df, monkeypatch
+):
+    """The batched example-robustness sweep must agree with the
+    sequential validate_with_more and score all N candidates with
+    exactly ONE collect."""
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    sentences = synth.corpus_sentences(corpus)
+    candidates = [(d.conv_id, d.tagged_text) for d in corpus.test_docs[:3]]
+    convs = raw.select("conv_id").distinct()
+
+    def build_scores(art):
+        mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
+        return ev.score_extractions(mentions, gold_df, art, convs)
+
+    sequential = ev.validate_with_more(
+        spark,
+        candidates,
+        sentences,
+        FIXTURE_CONFIG,
+        lambda art: ev.evaluate_pipeline(raw, tagged, gold_df, art),
+    )
+
+    cls = type(raw)
+    n_collects = 0
+    orig = cls.collect
+
+    def counting(self, *a, **k):
+        nonlocal n_collects
+        n_collects += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    batched = ev.validate_with_more_batched(
+        candidates, sentences, FIXTURE_CONFIG, build_scores
+    )
+    monkeypatch.undo()
+
+    assert n_collects == 1
+    assert len(batched) == 3
+    for s, b in zip(sequential, batched):
+        assert s["example_conv_id"] == b["example_conv_id"]
+        assert s["n_entity_types"] == b["n_entity_types"]
+        assert b["score"] == pytest.approx(s["score"], abs=1e-9)
+    assert ev.validate_with_more_batched([], sentences, FIXTURE_CONFIG, build_scores) == []
+
+
 def test_perfect_and_random_baselines(spark, corpus, gold_df):
     """Perfect must hit the metric ceiling (1.0: gold vs gold, plus the
     absent-type credit); Random must land strictly below it and
