@@ -19,20 +19,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(df: DataFrame, buckets: int) -> Column:
-    # Salt derived from the FULL row content — genuinely deterministic:
-    # the same row hashes to the same bucket on any recomputation.
+def _salt_col(
+    df: DataFrame,
+    buckets: int,
+    salt_on: str | Sequence[str] | None = None,
+) -> Column:
+    # Salt derived from row content — genuinely deterministic: the
+    # same row hashes to the same bucket on any recomputation.
     # monotonically_increasing_id/rand would scatter better but are
     # recompute-nondeterministic, and a nondeterministic shuffle key is
     # the SPARK-23207 correctness hazard (a retried map task re-salts
     # rows that surviving reducers already fetched → lost/duplicated
-    # rows).  Rows identical in EVERY column share a bucket; for counts
-    # those collapse in the map-side partial combine anyway, and real
-    # fact rows carry distinguishing columns.
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]),
-        F.lit(buckets),
-    ).cast("int")
+    # rows).
+    #
+    # ``salt_on`` names the stable discriminator column(s) to hash —
+    # pass a persisted row id / timestamp when the fact table carries
+    # one, so byte-identical business columns can't collapse the
+    # spread (and the hash touches 1 column instead of all of them).
+    # Default (None) hashes the FULL row: rows identical in EVERY
+    # column then share a bucket — for counts those collapse in the
+    # map-side partial combine anyway, but a hot key whose rows are
+    # exact duplicates regains a single-task straggler (see
+    # salted_join docstring).
+    if salt_on is None:
+        cols = [F.col(c) for c in df.columns]
+    elif isinstance(salt_on, str):
+        cols = [F.col(salt_on)]
+    else:
+        cols = [F.col(c) for c in salt_on]
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
 
 
 def salted_join(
@@ -41,6 +56,7 @@ def salted_join(
     on: str,
     buckets: int = 8,
     how: str = "left",
+    salt_on: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join robust to hot keys on the fact side.
 
@@ -54,12 +70,13 @@ def salted_join(
     type (right/full/semi from the dim side) would return each
     unmatched dim key once per salt replica.
 
-    Known limitation (shared with ``salted_count``): the deterministic
-    salt hashes the FULL row, so fact rows that are byte-identical in
-    every column land in the SAME bucket — a hot key whose rows are
-    exact duplicates regains a single-task straggler.  Real fact rows
-    carry distinguishing columns (ids/timestamps); if yours don't,
-    persist a stable row id first and it will enter the salt hash.
+    ``salt_on``: stable discriminator column(s) for the fact-side salt
+    hash (e.g. a persisted row id).  Without it the salt hashes the
+    FULL row, so fact rows byte-identical in every column land in the
+    SAME bucket — a hot key whose rows are exact duplicates regains a
+    single-task straggler.  If no discriminating column exists at all,
+    persist a stable row id first and pass it here; do NOT salt on a
+    nondeterministic id (the SPARK-23207 hazard above).
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -70,21 +87,25 @@ def salted_join(
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    salted_fact = fact.withColumn("__salt", _salt_col(fact, buckets))
+    salted_fact = fact.withColumn("__salt", _salt_col(fact, buckets, salt_on))
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
 
 
 def salted_count(
-    df: DataFrame, keys: Sequence[str], buckets: int = 16
+    df: DataFrame,
+    keys: Sequence[str],
+    buckets: int = 16,
+    salt_on: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase count for head-heavy keys: partial count per
     (keys, salt), then final sum per keys.  Equivalent to
     ``df.groupBy(*keys).count()`` (Spark's hash agg already does
     partial map-side combine; the explicit salt additionally bounds
-    the reduce-side width of any single hot key)."""
+    the reduce-side width of any single hot key).  ``salt_on`` as in
+    :func:`salted_join`."""
     partial = (
-        df.withColumn("__salt", _salt_col(df, buckets))
+        df.withColumn("__salt", _salt_col(df, buckets, salt_on))
         .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )

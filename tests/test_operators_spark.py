@@ -46,6 +46,51 @@ class TestSalted:
                        .select("id", "v").collect()))
         assert a == b
 
+    def test_salt_on_discriminator_spreads_duplicate_rows(self, spark):
+        """Byte-identical hot-key rows collapse into ONE bucket under
+        the default full-row salt (the documented straggler limitation);
+        salting on a stable row-id discriminator spreads them across
+        buckets, and the join result is unchanged."""
+        from coies_spark.operators.salted import _salt_col
+
+        # 1000 rows of the hot key, identical in every business column
+        dup = spark.range(0, 1000).select(
+            F.lit("hot").alias("k"), F.lit("same").alias("payload"),
+            F.col("id").alias("row_id"),
+        )
+        business = dup.drop("row_id")
+        n_default = (
+            business.select(_salt_col(business, 8).alias("s"))
+            .distinct().count()
+        )
+        assert n_default == 1  # the limitation, pinned
+        n_disc = (
+            dup.select(_salt_col(dup, 8, salt_on="row_id").alias("s"))
+            .distinct().count()
+        )
+        assert n_disc == 8  # full spread across buckets
+
+        dim = spark.createDataFrame([("hot", "H")], "k string, v string")
+        plain = sorted(map(tuple, dup.join(dim, "k", "left")
+                           .select("row_id", "v").collect()))
+        salted = sorted(map(tuple,
+                            salted_join(dup, dim, "k", salt_on="row_id")
+                            .select("row_id", "v").collect()))
+        assert plain == salted
+
+    def test_salted_count_salt_on_equals_plain(self, spark):
+        df = spark.range(0, 3000).select(
+            F.when(F.col("id") % 5 < 4, "hot")
+            .otherwise((F.col("id") % 7).cast("string")).alias("k"),
+            F.col("id").alias("row_id"),
+        )
+        plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+        salted = {
+            r.k: r["count"]
+            for r in salted_count(df, ["k"], salt_on="row_id").collect()
+        }
+        assert plain == salted
+
 
 class TestConnectedComponents:
     def test_two_components(self, spark):
