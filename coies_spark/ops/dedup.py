@@ -22,11 +22,11 @@ No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_col
-from .textstats import doc_shingles
+from .textstats import doc_shingles, shingles_col
 
 
 def _md5(col) -> F.Column:
@@ -454,3 +454,60 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(docs: DataFrame, span_tokens: int = 50) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal duplicated
+    token spans — every run of text whose ``span_tokens``-token windows
+    all occur more than once in the corpus (ExactSubstr dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"; 50 tokens is that paper's production threshold).  Their
+    suffix-array formulation is single-machine; the distributed
+    equivalent used here: a window is duplicated iff its stride-1
+    ``span_tokens``-token shingle occurs >= 2 times globally (same or
+    different doc), and overlapping / exactly-adjacent duplicated
+    windows per doc merge into maximal spans.  ``span_start`` /
+    ``span_end`` are inclusive 0-based token offsets.
+
+    Plan shape (100 TB): positions carry a 32-hex md5 of the shingle,
+    not the text; the global count is a map-side-combinable groupBy
+    filtered to duplicates BEFORE the equality join back onto the
+    position list (the same inverted-index-then-join shape as
+    ``jaccard_pairs``); the island merge is one per-doc window pass.
+    Docs shorter than ``span_tokens`` cannot contain a duplicated span
+    and are pruned before shingling.
+    """
+    k = span_tokens
+    pos = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(shingles_col(k), lambda s: F.md5(F.encode(s, "utf-8")))
+            ).alias("pos", "h"),
+        )
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = pos.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+    ).drop("island")

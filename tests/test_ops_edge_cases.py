@@ -735,3 +735,108 @@ def test_frame_sample_edges(spark):
         ("m-2", 0, 0),
         ("m-5", 0, 0), ("m-5", 1, 1000), ("m-5", 2, 2000),
     ]
+
+
+class TestDuplicateSpans:
+    """ExactSubstr span dedup (Lee et al. 2022): windows that repeat
+    anywhere (same or other doc) merge into maximal spans."""
+
+    def test_cross_doc_span_and_merge(self, spark):
+        # docs 0 and 1 share tokens a..h (8 tokens); k=5 → dup windows
+        # at pos 0,1,2,3 in both docs, merging into ONE span [0, 7]
+        shared = "a b c d e f g h"
+        rows = [
+            (0, shared + " x0 y0 z0", "en", "s", 0),
+            (1, shared + " x1 y1 z1", "en", "s", 0),
+            (2, "p q r s t u v w", "en", "s", 0),   # unique: no spans
+            (3, "t0 t1", "en", "s", 0),             # shorter than k
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        from coies_spark.ops.dedup import duplicate_spans
+
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_spans(docs, span_tokens=5).collect()
+        }
+        assert got == {(0, 0, 7, 8), (1, 0, 7, 8)}
+
+    def test_intra_doc_repeat_and_distinct_islands(self, spark):
+        # one doc repeats its own 5-token phrase at pos 0 and pos 10
+        # (gap 10 > k=5): two separate maximal spans in the SAME doc
+        text = "a b c d e u1 u2 u3 u4 u5 a b c d e w1 w2 w3 w4 w5"
+        docs = spark.createDataFrame([(7, text, "en", "s", 0)], DOC_SCHEMA)
+        from coies_spark.ops.dedup import duplicate_spans
+
+        got = sorted(
+            (r.span_start, r.span_end)
+            for r in duplicate_spans(docs, span_tokens=5).collect()
+        )
+        assert got == [(0, 4), (10, 14)]
+
+    def test_empty_and_no_dup_inputs(self, spark, empty_docs, tiny_docs):
+        from coies_spark.ops.dedup import duplicate_spans
+
+        assert duplicate_spans(empty_docs).count() == 0
+        # tiny_docs: dup texts are 3 tokens < default k=50 → no spans
+        assert duplicate_spans(tiny_docs).count() == 0
+
+
+class TestTranscriptOps:
+    def test_synthesis_preserves_text(self, spark, tiny_docs):
+        """Per-row invariant from the north rule: concatenating a
+        conversation's turn texts in turn_idx order reconstructs the
+        source document byte-for-byte."""
+        from pyspark.sql import functions as F
+
+        from coies_spark.ops.transcripts import synthesize_transcripts
+
+        t = synthesize_transcripts(tiny_docs)
+        rebuilt = {
+            r.conv_id: r.full
+            for r in t.groupBy("conv_id")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "text"))
+                        ),
+                        lambda s: s.text,
+                    ),
+                ).alias("full")
+            )
+            .collect()
+        }
+        src = {f"conv-{r.doc_id}": r.text for r in tiny_docs.collect()}
+        assert rebuilt == src
+
+    def test_conversation_stats_counts(self, spark):
+        from coies_spark.ops.transcripts import conversation_stats
+
+        rows = [
+            # conv A: strict alternation, one tool call, 10 s span
+            ("A", 0, "user", "hi there", None, 100),
+            ("A", 1, "assistant", "hello hello", "search", 110),
+            # conv B: two user turns in a row = 1 violation
+            ("B", 0, "user", "x", None, 5),
+            ("B", 1, "user", "y z", None, 6),
+        ]
+        from pyspark.sql import functions as F
+
+        t = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_raw long",
+        ).withColumn("ts", F.timestamp_seconds("ts_raw"))
+        got = {
+            r.conv_id: r.asDict()
+            for r in conversation_stats(t).collect()
+        }
+        a, b = got["A"], got["B"]
+        assert (a["n_turns"], a["n_user"], a["n_assistant"]) == (2, 1, 1)
+        assert a["n_tool_calls"] == 1
+        assert a["alternation_violations"] == 0
+        assert a["duration_s"] == 10
+        assert a["avg_turn_tokens"] == 2.0
+        assert b["alternation_violations"] == 1
+        assert b["n_assistant"] == 0
