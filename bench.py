@@ -16,6 +16,8 @@ Headliners cover the engine's load-bearing paths:
 * rougel_pairs      — bit-vector LCS ROUGE-L pair scoring (Arrow UDF)
 * rwmd_pairs        — relaxed word-mover's distance pair scoring
 * curate_corpus     — fused quality+repetition+dedup+scrub+sample pass
+* duplicate_spans   — ExactSubstr span dedup (shingle count + islands)
+* conversation_stats— transcript role/alternation/tool health metrics
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
@@ -87,7 +89,14 @@ def main() -> None:
 
     from coies_spark.core.oneshot import build_example_artifacts
     from coies_spark.data import synth
-    from coies_spark.ops import curate, dedup, relational, similarity, wmd
+    from coies_spark.ops import (
+        curate,
+        dedup,
+        relational,
+        similarity,
+        transcripts,
+        wmd,
+    )
     from coies_spark.pipeline.extract import extract_mentions
     from coies_spark.pipeline.triples import conv_triples
     from coies_spark.session import get_spark
@@ -158,6 +167,16 @@ def main() -> None:
         "curate_corpus": lambda: run(
             curate.curate_corpus(
                 docs, min_quality=0.62, fractions={"en": 0.5}
+            )
+        ),
+        # ExactSubstr span dedup (Lee et al. 2022) at the bench k=20
+        "duplicate_spans": lambda: run(
+            dedup.duplicate_spans(docs, span_tokens=20)
+        ),
+        # transcript health pass over the synthesized conv table
+        "conversation_stats": lambda: run(
+            transcripts.conversation_stats(
+                transcripts.synthesize_transcripts(docs)
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
