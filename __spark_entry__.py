@@ -519,9 +519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
         "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
-        "dedup_cluster_sizes": lambda s, d: dedup.dedup_cluster_sizes(
-            _read(s, d, "documents")
-        ),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(
             _read(s, d, "documents")
         ),
@@ -548,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose windows repeat anywhere in the corpus; k=20 here (the
         # production 50 exceeds most synth docs), default is 50
         "duplicate_spans": lambda s, d: dedup.duplicate_spans(
+            _read(s, d, "documents"), span_tokens=20
+        ),
+        # the apply step: corpus with every duplicated span cut out
+        "scrub_duplicate_spans": lambda s, d: dedup.scrub_duplicate_spans(
             _read(s, d, "documents"), span_tokens=20
         ),
         # --- similarity search (embeddings) ---
@@ -621,6 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths; the rows-only kg_*_triples kernels are pinned by the
         # kg_*_digest entries at the top of this dict.
         "simhash": lambda s, d: dedup.simhash(_read(s, d, "documents")),
+        # histogram over the same bag digests bag_dedup verifies
+        "dedup_cluster_sizes": lambda s, d: dedup.dedup_cluster_sizes(
+            _read(s, d, "documents")
+        ),
         # multi-probe IVF: the recall lever (probe-1 misses neighbours
         # just across a Voronoi boundary); probes the 2 nearest buckets
         "ann_ivf_nprobe": lambda s, d: similarity.ivf_topk(
@@ -1857,6 +1862,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos)-min(pos)+20 AS BIGINT) AS span_tokens
             FROM isl GROUP BY doc_id, island
         """,
+        # the apply step of ExactSubstr dedup: anti-join covered
+        # positions, reassemble surviving tokens in pos order
+        "scrub_duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens
+                          FROM documents),
+            pos AS (
+              SELECT doc_id, i-1 AS pos, tokens[i] AS tok
+              FROM toks, unnest(range(1, len(tokens)+1)) t(i)
+            ),
+            cov AS (
+              SELECT DISTINCT s.doc_id, u.p AS pos
+              FROM (__SPANS__) s,
+                   unnest(range(s.span_start, s.span_end+1)) u(p)
+            ),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.tok FROM pos p
+              LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+              WHERE c.pos IS NULL
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_tokens
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(len(t.tokens) - coalesce(a.n_tokens, 0)
+                        AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
         # transcript synthesis (one 80-char turn per slice) + per-conv
         # health metrics; must reproduce ops/transcripts.py bit-for-bit
         "conversation_stats": """
@@ -1899,6 +1936,12 @@ def oracle_sql() -> dict[str, str]:
             FROM l GROUP BY conv_id
         """,
     }
+    # scrub_duplicate_spans composes the duplicate_spans oracle as its
+    # span source (single-sourced derivation, like simhash_pairs below)
+    sql["scrub_duplicate_spans"] = sql["scrub_duplicate_spans"].replace(
+        "__SPANS__", sql["duplicate_spans"]
+    )
+
     # simhash_pairs: semantics are exact Hamming <= d over the SAME
     # fingerprints as the simhash oracle (the pigeonhole blocking is an
     # execution strategy, not a semantic)

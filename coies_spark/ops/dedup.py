@@ -511,3 +511,58 @@ def duplicate_spans(docs: DataFrame, span_tokens: int = 50) -> DataFrame:
         (F.max("pos") + k - 1).cast("long").alias("span_end"),
         (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
     ).drop("island")
+
+
+def scrub_duplicate_spans(docs: DataFrame, span_tokens: int = 50) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed): the corpus with every
+    :func:`duplicate_spans` span CUT OUT — the apply step of Lee et
+    al. 2022's ExactSubstr dedup (they delete one copy of each
+    duplicated byte range; here every occurrence of a duplicated span
+    is dropped, the stricter variant, and ``clean_text`` is the
+    space-joined surviving tokens — span accounting is token-level, so
+    reconstruction is too).
+
+    Plan shape: spans explode into covered (doc_id, pos) pairs — an
+    equality anti-join key, NOT a range join, so no per-token interval
+    probe; surviving tokens reassemble per doc with an order-stable
+    sort_array over (pos, token) structs (collect_list order after a
+    shuffle is undefined; the sort pins it).  Docs with no duplicated
+    span pass through with ``n_removed = 0``.
+    """
+    k = span_tokens
+    toks = docs.select("doc_id", tokens_col("text").alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    covered = duplicate_spans(docs, k).select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .join(
+            docs.select(
+                "doc_id", F.size(tokens_col("text")).alias("__orig")
+            ),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("__orig") - F.coalesce("n_tokens", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

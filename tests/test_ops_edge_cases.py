@@ -840,3 +840,24 @@ class TestTranscriptOps:
         assert a["avg_turn_tokens"] == 2.0
         assert b["alternation_violations"] == 1
         assert b["n_assistant"] == 0
+
+    def test_scrub_cuts_every_span_occurrence(self, spark):
+        shared = "a b c d e f g h"
+        rows = [
+            (0, shared + " x0 y0 z0", "en", "s", 0),
+            (1, shared + " x1 y1 z1", "en", "s", 0),
+            (2, "p q r s t u v w", "en", "s", 0),  # untouched
+            (3, "", "en", "s", 0),                 # empty doc
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        from coies_spark.ops.dedup import scrub_duplicate_spans
+
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+            for r in scrub_duplicate_spans(docs, span_tokens=5).collect()
+        }
+        assert got[0] == ("x0 y0 z0", 3, 8)
+        assert got[1] == ("x1 y1 z1", 3, 8)
+        assert got[2] == ("p q r s t u v w", 8, 0)
+        assert got[3] == ("", 0, 0)
+        assert len(got) == 4
