@@ -269,7 +269,11 @@ _NEARDUP_PLANT = 300
 _NEARDUP_ID_OFFSET = 1_000_000_000
 
 
-def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted twins, spread over the session's cores
+    (the embeddings table arrives as 1-2 small files; per-vector math
+    is CPU-bound, so repartition supplies the parallelism that file
+    count would at production scale — it coalesces away under AQE)."""
     emb = _read(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -288,14 +292,39 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         ).alias("embedding"),
     )
-    # the embeddings table arrives as 1-2 small files; the 64 plane
-    # projections per vector are CPU-bound, so spread them over the
-    # session's cores (at production scale the file count supplies
-    # this parallelism and the repartition coalesces away under AQE)
     n_par = spark.sparkContext.defaultParallelism
+    return base.unionByName(twins).repartition(n_par)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup(
-        base.unionByName(twins).repartition(n_par), dim=EMB_DIM
+        _planted_corpus(spark, sf_dir), dim=EMB_DIM
     )
+
+
+# per-stratum token budget for the mixture-sampling query: below every
+# language's sf0.01 token mass, so each stratum is genuinely truncated
+_TOKEN_BUDGET = 3000
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coies_spark.functions.tokenize import tokens_col
+
+    sized = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    return sampling.token_budget_sample(
+        sized, _TOKEN_BUDGET, strata_col="lang"
+    )
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the raw embeddings table is near-orthogonal noise (max within-
+    # cluster cosine ≈ 0.51), so run over the SAME planted-twin corpus
+    # embedding_neardup verifies — semantic dups exist by construction
+    return similarity.semdedup(_planted_corpus(spark, sf_dir), eps=0.9)
 
 
 def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +664,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_residual": lambda s, d: similarity.ivf_pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM, residual=True
         ),
+        # --- r4 additions (each oracled; see check_oracle.py) ---
+        # CCNet/RefinedWeb repeated-line boilerplate rule lifted to
+        # transcript turns: the dictionary, then the scrub pass
+        "boilerplate_turns": lambda s, d: transcripts.boilerplate_turns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
+        "scrub_boilerplate_turns": lambda s, d: (
+            transcripts.scrub_boilerplate_turns(
+                transcripts.synthesize_transcripts(_read(s, d, "documents"))
+            ).select("conv_id", "turn_idx", "role", "text")
+        ),
+        # agent-behavior KG: (src_tool, precedes, dst_tool) weighted
+        # edges; tool_every=2 so sf-sized conversations produce a
+        # multi-node graph (default-cadence convs fit one call)
+        "tool_transitions": lambda s, d: transcripts.tool_transitions(
+            transcripts.synthesize_transcripts(
+                _read(s, d, "documents"), tool_every=2
+            )
+        ),
+        # per-language token-budget mixture sampling (nested prefixes)
+        "token_budget_sample": _q_token_budget,
+        # SemDeDup over the planted-twin corpus embedding_neardup uses
+        "semdedup": _q_semdedup,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -669,16 +721,46 @@ round(
 """
 
 
-def _kmeans_label_ctes(n_clusters: int, iters: int) -> list[str]:
+def _transcripts_cte(tool_every: int = 4) -> str:
+    """The transcript-synthesis CTE body (columns conv_id, turn_idx,
+    role, turn_text, tool, ts_s) — the DuckDB twin of
+    ``transcripts.synthesize_transcripts``, shared by every
+    transcript-table oracle so the synthesis can never drift between
+    them."""
+    return f"""
+              SELECT 'conv-' || CAST(doc_id AS VARCHAR) AS conv_id,
+                     i AS turn_idx,
+                     CASE WHEN i % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, CAST(i*80+1 AS INT), 80) AS turn_text,
+                     CASE WHEN i % {tool_every} = {tool_every - 1} THEN
+                       (['search','code','browse'])[CAST(i % 3 + 1 AS INT)]
+                     END AS tool,
+                     doc_id*1000 + i*7 AS ts_s
+              FROM documents,
+                   unnest(range(0, greatest(
+                     CAST(ceil(len(text)/80.0) AS BIGINT), 1))) u(i)
+    """
+
+
+def _kmeans_label_ctes(
+    n_clusters: int, iters: int, emb_sql: str | None = None
+) -> list[str]:
     """Shared coarse-quantizer CTEs (through ``labels``/``el``/
     ``lcent``) mirroring ``similarity.kmeans_labels`` + the label
     re-centroiding both ``ivf_topk`` and ``ivf_pq_topk`` perform:
     seed centroids = k smallest-id vectors, each Lloyd round =
     rounded-cosine argmax assignment (ties → smallest cid) then
-    per-dim avg rounded 6dp."""
+    per-dim avg rounded 6dp.  ``emb_sql`` overrides the input corpus
+    (must yield ``(vec_id, ev)`` with ev double[])."""
     ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+        "emb AS ("
+        + (
+            emb_sql
+            or "SELECT vec_id, list_transform(embedding,"
+            " x -> CAST(x AS DOUBLE)) AS ev FROM embeddings"
+        )
+        + ")",
         f"cent0 AS (SELECT CAST(vec_id AS INT) AS cid, ev AS cv"
         f" FROM emb ORDER BY vec_id LIMIT {n_clusters})",
     ]
@@ -1896,21 +1978,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # transcript synthesis (one 80-char turn per slice) + per-conv
         # health metrics; must reproduce ops/transcripts.py bit-for-bit
-        "conversation_stats": """
-            WITH t AS (
-              SELECT 'conv-' || CAST(doc_id AS VARCHAR) AS conv_id,
-                     i AS turn_idx,
-                     CASE WHEN i % 2 = 0 THEN 'user'
-                          ELSE 'assistant' END AS role,
-                     substr(text, CAST(i*80+1 AS INT), 80) AS turn_text,
-                     CASE WHEN i % 4 = 3 THEN
-                       (['search','code','browse'])[CAST(i % 3 + 1 AS INT)]
-                     END AS tool,
-                     doc_id*1000 + i*7 AS ts_s
-              FROM documents,
-                   unnest(range(0, greatest(
-                     CAST(ceil(len(text)/80.0) AS BIGINT), 1))) u(i)
-            ),
+        "conversation_stats": "WITH t AS ("
+        + _transcripts_cte()
+        + """),
             l AS (
               SELECT conv_id, role, tool, ts_s,
                      len(list_filter(regexp_split_to_array(
@@ -2006,4 +2076,111 @@ def oracle_sql() -> dict[str, str]:
         WHERE (CASE WHEN lang = 'en' THEN {hk} < '{t_en}'
                     ELSE TRUE END)
     """
+
+    # --- r4 additions ---------------------------------------------------
+    # boilerplate turns: CCNet repeated-line rule over synthesized
+    # transcripts; norm = lower+trim, empty turns excluded, digest =
+    # md5(norm) — identical expressions both engines
+    sql["boilerplate_turns"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        n AS (SELECT conv_id, lower(trim(turn_text)) AS norm FROM t
+              WHERE lower(trim(turn_text)) <> ''),
+        pc AS (SELECT md5(norm) AS digest, conv_id,
+                      count(*) AS n_in_conv, min(norm) AS norm_text
+               FROM n GROUP BY 1, 2)
+        SELECT digest,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(n_in_conv) AS BIGINT) AS n_turns,
+               min(norm_text) AS sample_text
+        FROM pc GROUP BY digest HAVING count(*) >= 2
+    """
+    )
+    # scrub = anti-join against the boilerplate dictionary above
+    # (composed, so the two oracles can never drift); NULL-digest
+    # (empty) turns pass through, same as the Spark anti-join
+    sql["scrub_boilerplate_turns"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        k AS (SELECT conv_id, turn_idx, role, turn_text,
+                     CASE WHEN lower(trim(turn_text)) <> ''
+                          THEN md5(lower(trim(turn_text))) END AS dg
+              FROM t),
+        bp AS (SELECT digest FROM ({sql['boilerplate_turns']}))
+        SELECT k.conv_id, k.turn_idx, k.role, k.turn_text AS text
+        FROM k LEFT JOIN bp ON k.dg = bp.digest
+        WHERE bp.digest IS NULL
+    """
+    # tool-transition edges over the tool_every=2 synthesis; the lag
+    # window runs after the non-NULL filter in both engines
+    sql["tool_transitions"] = (
+        "WITH t AS ("
+        + _transcripts_cte(tool_every=2)
+        + """),
+        c AS (SELECT tool AS dst_tool,
+                     coalesce(lag(tool) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx),
+                       '<start>') AS src_tool
+              FROM t WHERE tool IS NOT NULL),
+        e AS (SELECT src_tool, dst_tool,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY 1, 2)
+        SELECT src_tool, dst_tool, n,
+               round(CAST(n AS DOUBLE) /
+                     CAST(sum(n) OVER (PARTITION BY src_tool)
+                          AS DOUBLE), 6) AS p
+        FROM e
+    """
+    )
+    # token-budget mixture sample: ordered prefix-sum per lang over
+    # the md5-prefix shuffle order, keep while cum_before < budget
+    sql["token_budget_sample"] = f"""
+        WITH toks AS (SELECT doc_id, lang,
+                             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                      FROM documents),
+        w AS (SELECT doc_id, lang, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+              FROM toks)
+        SELECT doc_id, lang, n_tokens, cum_before
+        FROM w WHERE cum_before < {_TOKEN_BUDGET}
+    """
+    # SemDeDup: shared k-means CTEs over the planted-twin corpus, then
+    # the within-cluster smallest-id-keeper rule
+    _sd_ctes = _kmeans_label_ctes(
+        8,
+        2,
+        emb_sql=f"""
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                     AS ev
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_NEARDUP_ID_OFFSET},
+                   list_transform(range(1, {EMB_DIM}+1), i ->
+                     CAST(embedding[i] AS DOUBLE)
+                     + 0.25 * CAST(embedding[(i % {EMB_DIM}) + 1]
+                                   AS DOUBLE))
+            FROM embeddings WHERE vec_id < {_NEARDUP_PLANT}
+        """,
+    )
+    _sd_cos = _COS.format(a="a.ev", b="b.ev")
+    _sd_ctes.append(
+        f"dups AS (SELECT DISTINCT b.vec_id FROM el a"
+        f" JOIN el b ON a.label = b.label AND a.vec_id < b.vec_id"
+        f" WHERE {_sd_cos} >= 0.9)"
+    )
+    sql["semdedup"] = (
+        "WITH "
+        + ",\n".join(_sd_ctes)
+        + """
+        SELECT el.vec_id, el.label, (d.vec_id IS NULL) AS kept
+        FROM el LEFT JOIN dups d ON el.vec_id = d.vec_id
+    """
+    )
     return sql

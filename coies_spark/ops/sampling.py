@@ -108,3 +108,53 @@ def stratified_topk_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents, in deterministic hash order, until each stratum
+    has accumulated ``budget_tokens`` tokens — the mixture-building
+    move of a pretraining run ("2B tokens of code, 1B of French, …")
+    as one declarative pass.
+
+    * order inside a stratum = (md5-prefix of id, id): the same
+      reproducible shuffle ``deterministic_sample`` keys on, so the
+      selected set is independent of partitioning and engine — and
+      budgets are NESTED: the 1B-token sample is a prefix of the
+      2B-token sample.
+    * keep rule: a doc survives iff the tokens accumulated BEFORE it
+      (``cum_before``) are still under budget — so the budget is
+      always reached (the crossing doc is kept), never silently
+      undershot by a doc-sized gap.
+
+    Output adds ``cum_before`` to the kept rows for auditability.
+
+    Scale: one exchange on the stratum key, then an in-partition
+    ordered prefix-sum window.  Strata are languages/sources —
+    low-cardinality — so at 100 TB a hot stratum serializes its
+    window into one task.  The production mitigation is a two-phase
+    pass: estimate Σtokens per stratum (one agg), hash-threshold
+    prefilter to ~1.2× budget with ``deterministic_sample``'s
+    predicate (zero shuffle, and SOUND: the hash-prefix order means
+    the true prefix set is inside any threshold superset), then run
+    this exact window over the small survivor set.  The one-phase
+    form here IS the second phase; the prefilter composes in front
+    unchanged.
+    """
+    strata = F.col(strata_col) if strata_col else F.lit("_all")
+    w = (
+        Window.partitionBy(strata)
+        .orderBy(_hash_key(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(n_tokens_col).cast("long")).over(w), F.lit(0)
+    ).cast("long")
+    return docs.withColumn("cum_before", cum_before).where(
+        F.col("cum_before") < budget_tokens
+    )

@@ -1183,3 +1183,73 @@ def embedding_norm_stats(
         F.round(F.avg("n"), 6).alias("norm_mean"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    eps: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "broadcast",
+) -> DataFrame:
+    """(vec_id, label, kept): SemDeDup — semantic deduplication by
+    within-cluster cosine (Abbas et al. 2023, arXiv:2303.09540, the
+    LAION/C4 semantic-dedup recipe).  ``kmeans_labels`` partitions the
+    embedding space; inside each cluster, any pair with cosine ≥
+    ``eps`` is a semantic-duplicate pair and only one member survives.
+
+    Keeper rule (deterministic, engine-portable): a row is DROPPED
+    iff a smaller-id member of its cluster sits within ``eps`` —
+    i.e. each duplicate neighborhood keeps its smallest id.  (The
+    paper keeps a random member, or the one farthest from the
+    centroid; smallest-id is the reproducible stand-in, the same
+    determinism trade the dedup family makes throughout.)
+
+    Scale: the paper's point is that clustering makes semantic dedup
+    tractable — the O(n²) cosine matrix becomes k independent
+    O((n/k)²) blocks.  Here that is literally the plan: the pair
+    generation self-joins on ``label``, so Spark shuffles both sides
+    on the cluster id and never compares across clusters.  At 10⁹
+    embeddings, k scales with n (n/k ≈ 10⁴-10⁵ per cluster) and each
+    block is one in-partition join; the k-means stage is the already-
+    bounded ``kmeans_labels`` (one input shuffle per Lloyd round).
+
+    Returns ALL input ids with their cluster and a ``kept`` flag —
+    filter ``kept`` for the survivor corpus, ``NOT kept`` for the
+    audit trail.
+    """
+    labels = kmeans_labels(
+        embeddings, n_clusters, iters, id_col, vec_col, centroid_mode
+    )
+    labeled = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).join(labels, id_col)
+    a = labeled.select(
+        F.col("label"),
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = labeled.select(
+        F.col("label"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "label")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cosine_sim(F.col("_va"), F.col("_vb")) >= eps)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        labeled.join(
+            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "label",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -26,14 +26,16 @@ from ..functions.tokenize import tokens_col
 TURN_CHARS = 80  # synthesis: one turn per 80-char slice of the doc
 
 
-def synthesize_transcripts(docs: DataFrame) -> DataFrame:
+def synthesize_transcripts(
+    docs: DataFrame, tool_every: int = 4
+) -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts): deterministic fake
     transcript table derived from documents — each document becomes
     one conversation, sliced into ``TURN_CHARS``-character turns with
-    alternating user/assistant roles, a tool call every 4th turn, and
-    a monotone per-turn timestamp.  Pure column expressions (explode a
-    turn-index sequence, then per-row ``substring``) so a DuckDB
-    oracle reproduces every byte."""
+    alternating user/assistant roles, a tool call every
+    ``tool_every``-th turn, and a monotone per-turn timestamp.  Pure
+    column expressions (explode a turn-index sequence, then per-row
+    ``substring``) so a DuckDB oracle reproduces every byte."""
     n_turns = F.greatest(
         F.ceil(F.length("text") / TURN_CHARS), F.lit(1)
     ).cast("int")
@@ -55,7 +57,7 @@ def synthesize_transcripts(docs: DataFrame) -> DataFrame:
                 "text", F.col("turn_idx") * TURN_CHARS + 1, TURN_CHARS
             ).alias("text"),
             F.when(
-                F.col("turn_idx") % 4 == 3,
+                F.col("turn_idx") % tool_every == tool_every - 1,
                 F.element_at(
                     F.array(F.lit("search"), F.lit("code"), F.lit("browse")),
                     (F.col("turn_idx") % 3 + 1).cast("int"),
@@ -113,4 +115,121 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
         .cast("long")
         .alias("duration_s"),
+    )
+
+
+def boilerplate_turns(
+    transcripts: DataFrame, min_convs: int = 2
+) -> DataFrame:
+    """(digest, n_convs, n_turns, sample_text): normalized turn texts
+    that appear in at least ``min_convs`` DISTINCT conversations — the
+    CCNet/RefinedWeb repeated-line boilerplate rule (Wenzek et al.
+    2020 §4.1; Penedo et al. 2023) lifted from web-page lines to
+    transcript turns.  In agent transcripts these are canned
+    greetings, system banners, and templated tool preambles: exactly
+    the content a pretraining corpus over-weights if left in.
+
+    * normalization = lower + trim (the CCNet recipe); empty turns
+      are excluded (a padding slice is not boilerplate, and at web
+      scale the empty-digest group would be a mega-hot key).
+    * ``digest`` is md5 of the normalized text so downstream joins
+      move 32-byte keys, never the turn bodies.
+    * ``sample_text`` = min(normalized text) per digest — one
+      deterministic exemplar for reporting (all texts in a digest
+      group are byte-identical anyway, barring md5 collision).
+
+    Scale: one groupBy on digest (map-side combinable: the distinct
+    conv_id count is a partial-aggregatable HLL-free exact count only
+    after the shuffle, but rows per digest collapse map-side first via
+    the (digest, conv_id) pre-distinct).  Output is the boilerplate
+    dictionary — tiny relative to the corpus.
+    """
+    norm = F.trim(F.lower(F.col("text")))
+    per_conv = (
+        transcripts.where(norm != "")
+        .select(
+            F.md5(F.encode(norm, "utf-8")).alias("digest"),
+            norm.alias("norm_text"),
+            "conv_id",
+        )
+        # collapse within-conversation repeats BEFORE the count —
+        # (digest, conv_id) distinct is itself map-side combinable
+        .groupBy("digest", "conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_conv"),
+            F.min("norm_text").alias("norm_text"),
+        )
+    )
+    return (
+        per_conv.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("n_in_conv").cast("long").alias("n_turns"),
+            F.min("norm_text").alias("sample_text"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+    )
+
+
+def scrub_boilerplate_turns(
+    transcripts: DataFrame, min_convs: int = 2
+) -> DataFrame:
+    """Transcripts minus boilerplate turns: drops every turn whose
+    normalized text appears in ≥ ``min_convs`` distinct conversations
+    (see ``boilerplate_turns``).  Schema-preserving — surviving rows
+    pass through byte-identical, so the per-turn text-equality
+    invariant holds for everything kept.
+
+    Scale: LEFT ANTI join on the 32-byte digest.  The boilerplate
+    side is an aggregate output orders of magnitude smaller than the
+    corpus, so AQE converts the anti-join to a broadcast at runtime;
+    the corpus side is never re-shuffled beyond that one join.
+    """
+    bp = boilerplate_turns(transcripts, min_convs).select("digest")
+    norm = F.trim(F.lower(F.col("text")))
+    keyed = transcripts.withColumn(
+        "_digest",
+        F.when(norm != "", F.md5(F.encode(norm, "utf-8"))),
+    )
+    return keyed.join(
+        bp, keyed["_digest"] == bp["digest"], "left_anti"
+    ).drop("_digest")
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(src_tool, dst_tool, n, p): the tool-call transition graph of
+    an agent-transcript corpus — for each conversation's tool-bearing
+    turns under stable ``turn_idx`` ordering, an edge from the
+    previous tool invoked to the next one (``'<start>'`` for a
+    conversation's first tool call).  ``p`` = n / Σn over the same
+    ``src_tool``, rounded 6dp: the empirical next-tool distribution.
+
+    This is the KG-materialization move applied to agent behavior:
+    the output IS a (subj=src_tool, pred='precedes', obj=dst_tool)
+    weighted edge table, ready for the same partitioned triple sink
+    as the extraction pipeline.
+
+    Scale: one window pass keyed on conv_id (same exchange the other
+    per-conversation passes share), then a groupBy on the edge —
+    map-side combinable counts; the edge table is O(tools²), tiny.
+    The final per-src normalization is a window over that tiny table.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("tool").alias("dst_tool"),
+        F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias(
+            "src_tool"
+        ),
+    )
+    edges = calls.groupBy("src_tool", "dst_tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wsrc = Window.partitionBy("src_tool")
+    return edges.select(
+        "src_tool",
+        "dst_tool",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("p"),
     )

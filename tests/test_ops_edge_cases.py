@@ -861,3 +861,153 @@ class TestTranscriptOps:
         assert got[2] == ("p q r s t u v w", 8, 0)
         assert got[3] == ("", 0, 0)
         assert len(got) == 4
+
+
+class TestBoilerplateTurns:
+    @pytest.fixture(scope="class")
+    def turns(self, spark):
+        rows = [
+            # "hello!" (modulo case/space) appears in 3 convs — twice
+            # in A; "rare" turns are conv-local; C's is empty
+            ("A", 0, "user", "Hello!", None),
+            ("A", 1, "assistant", "rare a", None),
+            ("A", 2, "user", "hello!", None),
+            ("B", 0, "user", "  hello!  ", None),
+            ("B", 1, "assistant", "rare b", None),
+            ("C", 0, "user", "hello!", None),
+            ("C", 1, "assistant", "", None),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        )
+
+    def test_dictionary_counts(self, spark, turns):
+        from coies_spark.ops.transcripts import boilerplate_turns
+
+        got = boilerplate_turns(turns, min_convs=2).collect()
+        assert len(got) == 1
+        (row,) = got
+        assert row.sample_text == "hello!"
+        assert row.n_convs == 3   # distinct conversations
+        assert row.n_turns == 4   # total occurrences (A has 2)
+
+    def test_scrub_drops_only_boilerplate(self, spark, turns):
+        from coies_spark.ops.transcripts import scrub_boilerplate_turns
+
+        kept = scrub_boilerplate_turns(turns, min_convs=2).collect()
+        texts = sorted(r.text for r in kept)
+        # boilerplate gone; rare turns byte-identical; empty turn kept
+        assert texts == ["", "rare a", "rare b"]
+
+    def test_min_convs_threshold(self, spark, turns):
+        from coies_spark.ops.transcripts import boilerplate_turns
+
+        # at min_convs=4 nothing qualifies (hello! spans 3 convs)
+        assert boilerplate_turns(turns, min_convs=4).count() == 0
+
+
+def test_tool_transitions_edges_and_probabilities(spark):
+    from coies_spark.ops.transcripts import tool_transitions
+
+    rows = [
+        # conv A tool sequence: search -> code -> search
+        ("A", 0, "user", "t", None),
+        ("A", 1, "assistant", "t", "search"),
+        ("A", 2, "user", "t", None),
+        ("A", 3, "assistant", "t", "code"),
+        ("A", 5, "assistant", "t", "search"),
+        # conv B: search only; C: no tools at all
+        ("B", 0, "assistant", "t", "search"),
+        ("C", 0, "user", "t", None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string",
+    )
+    got = {
+        (r.src_tool, r.dst_tool): (r.n, r.p)
+        for r in tool_transitions(t).collect()
+    }
+    assert got[("<start>", "search")] == (2, 1.0)  # A and B entries
+    assert got[("search", "code")] == (1, 1.0)
+    assert got[("code", "search")] == (1, 1.0)
+    assert len(got) == 3
+    # probabilities normalize per src_tool
+    import collections
+
+    per_src = collections.defaultdict(float)
+    for (src, _), (_, p) in got.items():
+        per_src[src] += p
+    assert all(abs(v - 1.0) < 1e-9 for v in per_src.values())
+
+
+class TestTokenBudgetSample:
+    @pytest.fixture(scope="class")
+    def sized(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de", 10 + i) for i in range(40)]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_tokens bigint"
+        )
+
+    def test_budget_reached_not_undershot(self, spark, sized):
+        from coies_spark.ops.sampling import token_budget_sample
+
+        got = token_budget_sample(sized, 100, strata_col="lang").collect()
+        import collections
+
+        tot = collections.defaultdict(int)
+        for r in got:
+            tot[r.lang] += r.n_tokens
+        # every stratum crosses the budget (the crossing doc is kept)
+        # but by less than one doc's width
+        assert all(v >= 100 for v in tot.values())
+        assert all(v < 100 + 10 + 40 for v in tot.values())
+
+    def test_budgets_are_nested(self, spark, sized):
+        from coies_spark.ops.sampling import token_budget_sample
+
+        small = {
+            r.doc_id
+            for r in token_budget_sample(
+                sized, 60, strata_col="lang"
+            ).collect()
+        }
+        large = {
+            r.doc_id
+            for r in token_budget_sample(
+                sized, 150, strata_col="lang"
+            ).collect()
+        }
+        assert small < large
+
+    def test_budget_zero_and_unstratified(self, spark, sized):
+        from coies_spark.ops.sampling import token_budget_sample
+
+        first = token_budget_sample(sized, 1).collect()
+        # budget 1: exactly one doc globally (cum_before=0 < 1)
+        assert len(first) == 1 and first[0].cum_before == 0
+
+
+def test_semdedup_keeps_smallest_id_per_neighborhood(spark):
+    from coies_spark.ops.similarity import semdedup
+
+    # two tight duplicate groups + one singleton, ids interleaved so
+    # the keeper rule (smallest id survives) is actually exercised
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+        (9, [0.998, 0.02, 0.0, 0.0]),   # dup of 0 and 5
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.0, 0.999, 0.01, 0.0]),   # dup of 2
+        (3, [0.0, 0.0, 0.0, 1.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {r.vec_id: r.kept for r in semdedup(emb, n_clusters=3, eps=0.97).collect()}
+    assert len(got) == 6
+    assert got[0] and got[2] and got[3]
+    assert not got[5] and not got[9] and not got[7]

@@ -283,3 +283,70 @@ def test_curate_corpus_two_scans(spark):
     p = plan_of(curate.curate_corpus(docs, fractions={"en": 0.5}))
     assert p.count("FileScan") == 2, p
     assert "CartesianProduct" not in p
+
+
+def test_semdedup_pair_join_is_label_equi_join(spark):
+    """SemDeDup's whole scale story is that the O(n²) cosine matrix
+    becomes k independent blocks: the pair generation must be an
+    equi-join on the cluster label — never a cartesian across
+    clusters.  (The k-means stage's centroid broadcast is the one
+    sanctioned nested-loop join; the pair join itself must hash or
+    sort-merge on label.)"""
+    from coies_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    p = plan_of(similarity.semdedup(emb))
+    assert "CartesianProduct" not in p
+    # exactly the kmeans centroid broadcasts, no pair-stage NL join:
+    # every BroadcastNestedLoopJoin in the plan carries the tiny
+    # centroid table (BuildRight), never two corpus sides
+    import re
+
+    pair_joins = [
+        ln
+        for ln in p.splitlines()
+        if "Join" in ln and "label" in ln.lower()
+    ]
+    assert any(
+        "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln
+        or "BroadcastHashJoin" in ln
+        for ln in pair_joins
+    ), p
+
+
+def test_scrub_boilerplate_is_anti_join_on_digest(spark):
+    """The scrub pass must LEFT ANTI join the corpus against the tiny
+    boilerplate dictionary on the 32-byte digest — the corpus body
+    must never be the join key and the corpus must never be joined to
+    itself row-by-row."""
+    from coies_spark.ops import transcripts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = transcripts.synthesize_transcripts(docs)
+    p = plan_of(transcripts.scrub_boilerplate_turns(t))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_token_budget_sample_single_exchange(spark):
+    """One exchange on the stratum key feeding an in-partition
+    prefix-sum window — no join, no second shuffle."""
+    from coies_spark.functions.tokenize import tokens_col
+    from coies_spark.ops import sampling
+
+    sized = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    p = plan_of(
+        sampling.token_budget_sample(sized, 1000, strata_col="lang")
+    )
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
