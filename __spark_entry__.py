@@ -329,14 +329,19 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the label-partitioned IVF-PQ store under /tmp (keyed by
-    the sf dir so concurrent sfs don't clobber each other), then probe
-    it.  The write is idempotent (mode=overwrite) and the probe result
-    is bit-identical to ``ivf_pq_topk`` — shared oracle."""
+    the sf dir AND the Spark application id, so concurrent runs — two
+    harness processes on the same sf included — never clobber each
+    other's store mid-read), then probe it.  The write is idempotent
+    (mode=overwrite) and the probe result is bit-identical to
+    ``ivf_pq_topk`` — shared oracle."""
     import os as _os
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = "/tmp/coies_ivfpq_index_" + _os.path.basename(
-        _os.path.normpath(sf_dir)
+    idx = (
+        "/tmp/coies_ivfpq_index_"
+        + _os.path.basename(_os.path.normpath(sf_dir))
+        + "_"
+        + spark.sparkContext.applicationId
     )
     similarity.build_ivf_pq_index(emb, idx, dim=EMB_DIM)
     return similarity.ivf_pq_probe(spark, idx, emb, dim=EMB_DIM)

@@ -708,6 +708,76 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _adc_query_side(
+    embeddings: DataFrame,
+    m: int,
+    dsub: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(q_long, q_norm): the exact-query side every ADC scorer shares —
+    per-query sub-vectors keyed (query_id, sub) and the exact L2 norm
+    (the query is never quantized in ADC)."""
+    q_long = (
+        _pq_sub_long(
+            embeddings.where(F.col(id_col) < n_queries),
+            m,
+            dsub,
+            id_col,
+            vec_col,
+        )
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("sv", "qsv")
+    )
+    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    return q_long, q_norm
+
+
+def _adc_cosine(
+    parts: DataFrame, id_col: str, q_norm: DataFrame, code_col: str = "cv"
+) -> DataFrame:
+    """(query_id, target_id, sim): fold joined (qsv, ``code_col``)
+    sub-vector rows into the ADC cosine — the ONE implementation of
+    the scorer arithmetic (per-sub dot + ‖code‖², summed per target,
+    4dp-rounded try_divide), shared by the in-memory, candidate-
+    filtered, partition-pruned, and residual paths so their
+    bit-identity contract is enforced by construction rather than by
+    parallel copies."""
+    dot = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col(code_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cvsq = F.aggregate(
+        F.transform(F.col(code_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    folded = parts.select(
+        "query_id",
+        F.col(id_col).alias("target_id"),
+        dot.alias("d"),
+        cvsq.alias("csq"),
+    )
+    return (
+        folded.groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
+        .join(F.broadcast(q_norm), "query_id")
+        .select(
+            "query_id",
+            "target_id",
+            F.round(
+                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+
+
 def _adc_scores(
     embeddings: DataFrame,
     codes: DataFrame,
@@ -729,32 +799,8 @@ def _adc_scores(
     probed buckets, not the corpus.  (``ivf_pq_probe`` goes further and
     prunes the code *read* itself via label partitioning.)"""
     dsub = dim // m
-    q_long = (
-        _pq_sub_long(
-            embeddings.where(F.col(id_col) < n_queries),
-            m,
-            dsub,
-            id_col,
-            vec_col,
-        )
-        .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("sv", "qsv")
-    )
-    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qsv"), F.col("cv"), lambda a, b: a * b
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cvsq = F.aggregate(
-        F.transform(F.col("cv"), lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    q_long, q_norm = _adc_query_side(
+        embeddings, m, dsub, n_queries, id_col, vec_col
     )
     if candidates is not None:
         parts = (
@@ -780,25 +826,7 @@ def _adc_scores(
             .join(F.broadcast(q_long), "sub")
             .where(F.col(id_col) != F.col("query_id"))
         )
-    parts = parts.select(
-        "query_id",
-        F.col(id_col).alias("target_id"),
-        dot.alias("d"),
-        cvsq.alias("csq"),
-    )
-    return (
-        parts.groupBy("query_id", "target_id")
-        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
-        .join(F.broadcast(q_norm), "query_id")
-        .select(
-            "query_id",
-            "target_id",
-            F.round(
-                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
-                4,
-            ).alias("sim"),
-        )
-    )
+    return _adc_cosine(parts, id_col, q_norm)
 
 
 def _coarse_layer(
@@ -939,31 +967,8 @@ def ivf_pq_probe(
     codes = spark.read.parquet(f"{path}/codes").where(
         F.col("label").isin(probed)
     )
-    dsub = dim // m
-    q_long = (
-        _pq_sub_long(
-            embeddings.where(F.col(id_col) < n_queries),
-            m,
-            dsub,
-            id_col,
-            vec_col,
-        )
-        .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("sv", "qsv")
-    )
-    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qsv"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cvsq = F.aggregate(
-        F.transform(F.col("cv"), lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    q_long, q_norm = _adc_query_side(
+        embeddings, m, dim // m, n_queries, id_col, vec_col
     )
     parts = (
         codes.join(F.broadcast(probes), "label")
@@ -973,27 +978,8 @@ def ivf_pq_probe(
             ["sub", "code"],
         )
         .join(F.broadcast(q_long), ["query_id", "sub"])
-        .select(
-            "query_id",
-            F.col(id_col).alias("target_id"),
-            dot.alias("d"),
-            cvsq.alias("csq"),
-        )
     )
-    scored = (
-        parts.groupBy("query_id", "target_id")
-        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
-        .join(F.broadcast(q_norm), "query_id")
-        .select(
-            "query_id",
-            "target_id",
-            F.round(
-                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
-                4,
-            ).alias("sim"),
-        )
-    )
-    return _rank_topk(scored, k)
+    return _rank_topk(_adc_cosine(parts, id_col, q_norm), k)
 
 
 def ivf_pq_topk(
@@ -1086,20 +1072,8 @@ def _adc_scores_residual(
     coarse_centroid(label) + decoded residual codeword, per subspace;
     the query stays exact."""
     dsub = dim // m
-    q_long = (
-        _pq_sub_long(
-            embeddings.where(F.col(id_col) < n_queries),
-            m,
-            dsub,
-            id_col,
-            vec_col,
-        )
-        .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("sv", "qsv")
-    )
-    q_norm = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    q_long, q_norm = _adc_query_side(
+        embeddings, m, dsub, n_queries, id_col, vec_col
     )
     # coarse centroid subvectors: (label, sub, ccsv)
     lc_sub = lcent.select(
@@ -1122,34 +1096,8 @@ def _adc_scores_residual(
         .join(F.broadcast(lc_sub), ["label", "sub"])
         .join(F.broadcast(q_long), ["query_id", "sub"])
         .withColumn("av", approx)
-        .select(
-            "query_id",
-            F.col(id_col).alias("target_id"),
-            F.aggregate(
-                F.zip_with(F.col("qsv"), F.col("av"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            F.aggregate(
-                F.transform(F.col("av"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("csq"),
-        )
     )
-    return (
-        parts.groupBy("query_id", "target_id")
-        .agg(F.sum("d").alias("num"), F.sqrt(F.sum("csq")).alias("tnorm"))
-        .join(F.broadcast(q_norm), "query_id")
-        .select(
-            "query_id",
-            "target_id",
-            F.round(
-                F.try_divide(F.col("num"), F.col("qnorm") * F.col("tnorm")),
-                4,
-            ).alias("sim"),
-        )
-    )
+    return _adc_cosine(parts, id_col, q_norm, code_col="av")
 
 
 def embedding_norm_stats(

@@ -236,7 +236,7 @@ def grid_search_batched(
         {
             "param": param,
             "value": v,
-            "score": by_run[i],
+            "score": by_run.get(i, float("nan")),
             "config": json.dumps(asdict(cfg), sort_keys=True),
         }
         for i, (param, v, cfg) in enumerate(runs)
@@ -246,7 +246,11 @@ def grid_search_batched(
 def _batched_corpus_scores(frames: Sequence[DataFrame]) -> dict[int, float]:
     """{run index: corpus score} for run-tagged ``score_extractions``
     frames: union all branches, per-doc normalization + corpus mean per
-    run inside ONE plan, one collect for every run's score."""
+    run inside ONE plan, one collect for every run's score.
+
+    A run whose frame contributes ZERO rows (empty seeds, empty corpus)
+    is absent from the result — callers read with ``.get(i, nan)`` so
+    one empty run can never fail the whole sweep."""
     from functools import reduce as _reduce
 
     if not frames:
@@ -325,7 +329,7 @@ def validate_with_more_batched(
         {
             "example_conv_id": conv_id,
             "n_entity_types": n_types,
-            "score": by_run[i],
+            "score": by_run.get(i, float("nan")),
         }
         for i, (conv_id, n_types) in enumerate(runs)
     ]

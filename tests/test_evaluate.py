@@ -5,6 +5,7 @@ entry points run end-to-end."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from coies_spark.core.metrics import mention_score
 from coies_spark.core.oneshot import oracle_extract_doc
@@ -240,3 +241,41 @@ def test_perfect_and_random_baselines(spark, corpus, gold_df):
         ev.score_extractions(r1, gold_df, art, convs)
     )
     assert 0.0 <= random_score < perfect
+
+
+def test_batched_sweeps_survive_an_empty_run(spark, corpus, gold_df):
+    """A candidate whose scores frame contributes zero rows must yield
+    score=NaN for THAT run without failing the others (regression: the
+    comprehension previously raised KeyError on the missing run id)."""
+    import math
+
+    raw = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=True)
+    )
+    tagged = spark.createDataFrame(
+        synth.transcripts_frame(corpus.all_docs, use_raw=False)
+    )
+    sentences = synth.corpus_sentences(corpus)
+    candidates = [(d.conv_id, d.tagged_text) for d in corpus.test_docs[:2]]
+    convs = raw.select("conv_id").distinct()
+    empty_for = {candidates[0][0]}
+    seen: list[str] = []
+
+    def build_scores(art):
+        # first qualifying candidate gets an EMPTY frame; the rest
+        # score normally
+        mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
+        scores = ev.score_extractions(mentions, gold_df, art, convs)
+        idx = len(seen)
+        seen.append("x")
+        if candidates[idx][0] in empty_for:
+            return scores.where(F.lit(False))
+        return scores
+
+    out = ev.validate_with_more_batched(
+        candidates, sentences, FIXTURE_CONFIG, build_scores
+    )
+    assert len(out) == 2
+    by_conv = {r["example_conv_id"]: r["score"] for r in out}
+    assert math.isnan(by_conv[candidates[0][0]])
+    assert not math.isnan(by_conv[candidates[1][0]])
