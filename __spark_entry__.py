@@ -36,6 +36,7 @@ from coies_spark.operators.graph import pagerank as graph_pagerank
 from coies_spark.ops import (
     curate,
     dedup,
+    dsir,
     multimodal,
     relational,
     sampling,
@@ -692,6 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget,
         # SemDeDup over the planted-twin corpus embedding_neardup uses
         "semdedup": _q_semdedup,
+        # DSIR data selection: top-100 docs most like the English
+        # slice by hashed-n-gram importance weight
+        "dsir_select": lambda s, d: dsir.dsir_select(
+            _read(s, d, "documents"), F.col("lang") == "en", 100
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -2188,4 +2194,47 @@ def oracle_sql() -> dict[str, str]:
         FROM el LEFT JOIN dups d ON el.vec_id = d.vec_id
     """
     )
+    # DSIR: hashed-n-gram (uni+bi) counts into 256 md5-hex-pair
+    # buckets, smoothed target/raw bag-of-words, 9dp log-ratio table,
+    # exact decimal(28,12) per-doc sum — every stage mirrors
+    # ops/dsir.py expression-for-expression
+    sql["dsir_select"] = f"""
+        WITH f AS (SELECT doc_id AS id, text,
+                          (lang = 'en') AS is_t FROM documents),
+        tk AS (SELECT id, is_t, {_TOKS} AS tokens FROM f),
+        grams AS (
+          SELECT id, is_t, g
+          FROM tk, unnest(list_concat(tokens,
+            list_transform(range(1, greatest(len(tokens)-1, 0)+1),
+                           i -> tokens[i] || ' ' || tokens[i+1])))
+            t(g)
+        ),
+        counts AS (
+          SELECT id, is_t, substr(md5(g), 1, 2) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM grams GROUP BY 1, 2, 3
+        ),
+        pb AS (SELECT bucket,
+                      sum(CASE WHEN is_t THEN n ELSE 0 END) AS t,
+                      sum(n) AS r
+               FROM counts GROUP BY 1),
+        tot AS (SELECT sum(t) AS tt, sum(r) AS rt FROM pb),
+        ratio AS (
+          SELECT bucket,
+                 round(ln(CAST(t+1 AS DOUBLE) / CAST(tt+256 AS DOUBLE))
+                     - ln(CAST(r+1 AS DOUBLE) / CAST(rt+256 AS DOUBLE)),
+                       9) AS ratio
+          FROM pb, tot
+        ),
+        w AS (
+          SELECT id,
+                 round(CAST(sum(CAST(n * ratio AS DECIMAL(28,12)))
+                            AS DOUBLE), 9) AS logw
+          FROM counts JOIN ratio USING (bucket) GROUP BY id
+        )
+        SELECT id, logw,
+               CAST(row_number() OVER (ORDER BY logw DESC, id ASC)
+                    AS INT) AS rank
+        FROM w ORDER BY logw DESC, id ASC LIMIT 100
+    """
     return sql

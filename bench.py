@@ -18,6 +18,10 @@ Headliners cover the engine's load-bearing paths:
 * curate_corpus     — fused quality+repetition+dedup+scrub+sample pass
 * duplicate_spans   — ExactSubstr span dedup (shingle count + islands)
 * conversation_stats— transcript role/alternation/tool health metrics
+* scrub_boilerplate — CCNet repeated-line rule on transcript turns
+                      (digest dictionary + anti-join scrub)
+* semdedup          — SemDeDup semantic dedup (k-means blocks +
+                      within-cluster cosine) over the planted corpus
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
@@ -106,6 +110,7 @@ def main() -> None:
         _q_agg_pricing,
         _q_embedding_neardup,
         _q_join_revenue,
+        _q_semdedup,
     )
 
     spark = get_spark("coies-bench", cores=args.cores)
@@ -179,6 +184,15 @@ def main() -> None:
                 transcripts.synthesize_transcripts(docs)
             )
         ),
+        # boilerplate-turn scrub (CCNet repeated-line rule)
+        "scrub_boilerplate": lambda: run(
+            transcripts.scrub_boilerplate_turns(
+                transcripts.synthesize_transcripts(docs)
+            )
+        ),
+        # SemDeDup over the planted-twin corpus (same input as the
+        # embedding_neardup headliner — the >= 0.9 regime exists)
+        "semdedup": lambda: run(_q_semdedup(spark, sf_dir)),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
         "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
         "sessionize": lambda: run(relational.sessionize(events)),

@@ -1011,3 +1011,63 @@ def test_semdedup_keeps_smallest_id_per_neighborhood(spark):
     assert len(got) == 6
     assert got[0] and got[2] and got[3]
     assert not got[5] and not got[9] and not got[7]
+
+
+class TestDsir:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = (
+            # target-looking docs share the "spark shuffle" vocabulary
+            [(i, "spark shuffle join spark shuffle", "en", "s", 0) for i in range(5)]
+            # off-target docs use disjoint vocabulary
+            + [(10 + i, "mango papaya guava mango papaya", "de", "s", 0) for i in range(5)]
+            # a raw doc that LOOKS like the target but isn't labeled
+            + [(20, "spark shuffle join", "de", "s", 0), (21, "", "de", "s", 0)]
+        )
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def test_weights_rank_target_alike_docs_first(self, spark, corpus):
+        from coies_spark.ops.dsir import dsir_logweights
+
+        w = {
+            r.id: r.logw
+            for r in dsir_logweights(corpus, F.col("lang") == "en").collect()
+        }
+        # the unlabeled target-vocabulary doc outranks every off-target doc
+        assert all(w[20] > w[10 + i] for i in range(5))
+        # and the target docs themselves score highest
+        assert min(w[i] for i in range(5)) > max(w[10 + i] for i in range(5))
+        # empty doc contributes no grams -> absent from the ranking
+        assert 21 not in w
+
+    def test_select_is_deterministic_across_partitioning(self, spark, corpus):
+        from coies_spark.ops.dsir import dsir_select
+
+        a = dsir_select(corpus, F.col("lang") == "en", 6).collect()
+        b = dsir_select(
+            corpus.repartition(7), F.col("lang") == "en", 6
+        ).collect()
+        assert [(r.id, r.logw, r.rank) for r in a] == [
+            (r.id, r.logw, r.rank) for r in b
+        ]
+        assert [r.rank for r in a] == list(range(1, 7))
+
+
+def test_dsir_plan_shape(spark):
+    """One corpus-sized exchange (the (id,bucket) count groupBy with a
+    map-side partial), ratio table broadcast back, top-k via
+    TakeOrdered — never a corpus-wide sort or a corpus-to-corpus
+    join."""
+    from coies_spark.ops.dsir import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = dsir_select(docs, F.col("lang") == "en", 10)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p          # map-side combine on the counts
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 1  # ratio table broadcast
