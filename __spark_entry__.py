@@ -32,6 +32,7 @@ from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
 from coies_spark.data import synth
 from coies_spark.operators.salted import salted_count
 from coies_spark.operators.graph import connected_components_star
+from coies_spark.operators.graph import cooccurrence_edges as graph_cooccurrence
 from coies_spark.operators.graph import pagerank as graph_pagerank
 from coies_spark.ops import (
     curate,
@@ -346,6 +347,26 @@ def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     similarity.build_ivf_pq_index(emb, idx, dim=EMB_DIM)
     return similarity.ivf_pq_probe(spark, idx, emb, dim=EMB_DIM)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sides = {
+        et: ev.where(F.col("event_type") == et).select(
+            "event_id", "user_id", us.alias("us"), "value"
+        )
+        for et in ("purchase", "click")
+    }
+    return relational.asof_join(
+        sides["purchase"],
+        sides["click"],
+        key="user_id",
+        left_ts="us",
+        right_ts="us",
+        right_cols=("event_id", "value"),
+        right_id="event_id",
+    )
 
 
 def _q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slice by hashed-n-gram importance weight
         "dsir_select": lambda s, d: dsir.dsir_select(
             _read(s, d, "documents"), F.col("lang") == "en", 100
+        ),
+        # point-in-time-correct lookup: each purchase gains the user's
+        # latest at-or-before click (union-window as-of join)
+        "asof_join_events": _q_asof_join,
+        # entity co-occurrence KG edges over the tagged-span parse
+        "entity_cooccurrence": lambda s, d: graph_cooccurrence(
+            _q_entity_spans(s, d), "doc_id", "mention"
         ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
@@ -2236,5 +2264,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY logw DESC, id ASC)
                     AS INT) AS rank
         FROM w ORDER BY logw DESC, id ASC LIMIT 100
+    """
+    # as-of join, mirrored union-window form.  The payload carries
+    # column-wise here (the events table has no NULL payload fields —
+    # asserted by the generator; the Spark side carries a struct so a
+    # null FIELD would still match, which column-wise carry cannot
+    # express in this dialect)
+    sql["asof_join_events"] = """
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+                   FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+              FROM events WHERE event_type = 'click'),
+        u AS (
+          SELECT user_id, us, 1 AS side, NULL::BIGINT AS tb,
+                 event_id, value,
+                 NULL::BIGINT AS p_eid, NULL::DOUBLE AS p_val
+          FROM l
+          UNION ALL
+          SELECT user_id, us, 0, event_id, NULL, NULL, event_id, value
+          FROM r
+        ),
+        m AS (
+          SELECT *,
+                 last_value(p_eid IGNORE NULLS) OVER w AS r_event_id,
+                 last_value(p_val IGNORE NULLS) OVER w AS r_value
+          FROM u WINDOW w AS (
+            PARTITION BY user_id ORDER BY us ASC, side ASC, tb ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, us, value, r_event_id, r_value
+        FROM m WHERE side = 1
+    """
+    # entity co-occurrence edges composed from the tagged-span oracle
+    # (single-sourced parse), canonical a<b pairs, per-doc cap 64
+    sql["entity_cooccurrence"] = f"""
+        WITH sp AS (SELECT DISTINCT doc_id, mention
+                    FROM ({sql['entity_spans_tagged']})),
+        rk AS (SELECT doc_id, mention, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY mention ASC) AS rk
+               FROM sp),
+        v AS (SELECT doc_id, mention FROM rk WHERE rk <= 64)
+        SELECT a.mention AS a, b.mention AS b,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM v a JOIN v b
+          ON a.doc_id = b.doc_id AND a.mention < b.mention
+        GROUP BY 1, 2
     """
     return sql

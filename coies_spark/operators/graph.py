@@ -22,7 +22,7 @@ every few rounds so plans don't grow unboundedly (SURVEY.md §7 risk 5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -240,3 +240,53 @@ def pagerank(
             )
         )
     return pr
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_per_group: int = 64,
+) -> DataFrame:
+    """(a, b, n_groups): undirected co-occurrence edges between
+    distinct values that share a group — entities per document, tools
+    per conversation, authors per thread.  This is the KG
+    "relatedness" materialization: the output is a weighted
+    (subj, cooccurs_with, obj) edge table ready for the partitioned
+    triple sink, PageRank, or connected components.
+
+    * values are DISTINCT within a group and edges are canonical
+      (``a < b``), so a value pair counts once per group;
+    * ``max_per_group`` caps the per-group fan-out: groups keep their
+      ``max_per_group`` smallest values (deterministic rank) and the
+      rest drop out.  A web-scale hub group (a crawl page listing 10⁵
+      entities) would otherwise emit O(10¹⁰) pairs from one row — the
+      cap bounds every group at max_per_group²/2 edges and is the
+      documented fidelity/scale trade (raise it, never remove it).
+
+    Scale: distinct + rank + self-join all key on ``group_col``, so
+    the whole operator is ONE exchange on the group followed by
+    in-partition work; the pair count groupBy is map-side combinable.
+    """
+    if max_per_group < 2:
+        raise ValueError("cooccurrence_edges: max_per_group must be >= 2")
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col))
+    vals = (
+        df.select(group_col, value_col)
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )
+    a = vals.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("a")
+    )
+    b = vals.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("b")
+    )
+    return (
+        a.join(b, "_g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    )

@@ -267,3 +267,74 @@ def rougel_pairs(docs: DataFrame) -> DataFrame:
             )
 
     return joined.mapInPandas(kernel, ROUGEL_SCHEMA)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    right_id: str = "event_id",
+    prefix: str = "r_",
+) -> DataFrame:
+    """LEFT AS-OF join: every ``left`` row gains the ``right_cols`` of
+    the LATEST ``right`` row with ``right_ts <= left_ts`` on the same
+    ``key`` (NULLs when no prior right row exists) — the
+    point-in-time-correct lookup feature stores and event attribution
+    need, which a naive range join turns into a per-key cross product.
+
+    Implementation is the union-window pattern: tag right rows side=0
+    and left rows side=1, union them, and carry the right payload
+    forward with ``last(payload, ignorenulls=True)`` over
+    (key ORDER BY ts, side, right_id ROWS UNBOUNDED PRECEDING..CURRENT).
+    Ordering gives the exact as-of semantics by construction:
+
+    * a right row at the same timestamp as a left row sorts FIRST
+      (side 0 < 1), so ``<=`` ties match;
+    * among right rows tied on (key, ts), the largest ``right_id``
+      sorts last and wins — a deterministic, engine-portable tiebreak;
+    * left rows carry NULL payload, so they never shadow a right row.
+
+    Scale: ONE shuffle on the key (the union is append-only, the
+    window is in-partition), vs. the range-join alternative's per-key
+    O(|L|·|R|) candidate blow-up.  Payload travels as a struct, so a
+    right row whose payload FIELDS are null still matches (the struct
+    itself is non-null) — column-wise carrying would skip it.
+    """
+    pay = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_id).alias("_tb"),
+        pay.alias("_pay"),
+    )
+    tb_type = r.schema["_tb"].dataType
+    pay_type = r.schema["_pay"].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        lrow.alias("_lrow"),
+    )
+    lrow_type = l.schema["_lrow"].dataType
+    u = l.unionByName(
+        r.withColumn("_lrow", F.lit(None).cast(lrow_type))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_m", F.last("_pay", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    return matched.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(prefix + c) for c in right_cols],
+    )

@@ -1071,3 +1071,100 @@ def test_dsir_plan_shape(spark):
     assert "partial_count" in p          # map-side combine on the counts
     assert "CartesianProduct" not in p
     assert p.count("BroadcastExchange") >= 1  # ratio table broadcast
+
+
+class TestAsofJoin:
+    def test_semantics_ties_and_misses(self, spark):
+        from coies_spark.ops.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(100, 1, 50), (101, 1, 25), (102, 2, 5)],
+            "event_id bigint, user_id bigint, us bigint",
+        )
+        right = spark.createDataFrame(
+            [
+                (7, 1, 50, 0.5),   # same-ts as left 100 -> <= matches
+                (8, 1, 50, 0.9),   # tie on (key, ts): larger id wins
+                (3, 1, 20, 0.1),
+                (9, 2, 6, 0.2),    # after left 102 -> no match
+            ],
+            "event_id bigint, user_id bigint, us bigint, value double",
+        )
+        out = {
+            r.event_id: (r.r_event_id, r.r_value)
+            for r in asof_join(
+                left, right, "user_id", left_ts="us", right_ts="us",
+                right_cols=("event_id", "value"), right_id="event_id",
+            ).collect()
+        }
+        assert out[100] == (8, 0.9)       # tie matches, largest id wins
+        assert out[101] == (3, 0.1)       # latest prior, not a later one
+        assert out[102] == (None, None)   # nothing at-or-before
+        assert len(out) == 3              # every left row survives
+
+    def test_null_payload_field_still_matches(self, spark):
+        from coies_spark.ops.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 1, 100)], "event_id bigint, user_id bigint, us bigint"
+        )
+        right = spark.createDataFrame(
+            [(5, 1, 40, 1.0), (6, 1, 60, None)],
+            "event_id bigint, user_id bigint, us bigint, value double",
+        )
+        (row,) = asof_join(
+            left, right, "user_id", left_ts="us", right_ts="us",
+            right_cols=("event_id", "value"), right_id="event_id",
+        ).collect()
+        # the struct payload carries the NEWER row even though its
+        # value field is NULL (column-wise carry would resurrect 1.0)
+        assert (row.r_event_id, row.r_value) == (6, None)
+
+    def test_single_shuffle_plan(self, spark):
+        from coies_spark.ops.relational import asof_join
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = asof_join(
+            ev, ev, "user_id", right_cols=("value",), right_id="event_id"
+        )
+        p = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple")
+        )
+        assert p.count("Exchange") == 1
+        assert "Join" not in p  # the union-window form, not a join
+
+
+class TestCooccurrenceEdges:
+    def test_counts_distinct_and_canonical(self, spark):
+        from coies_spark.operators.graph import cooccurrence_edges
+
+        rows = [
+            (1, "b"), (1, "a"), (1, "a"),   # within-group dup collapses
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "c"),                        # singleton group: no edges
+        ]
+        df = spark.createDataFrame(rows, "g bigint, v string")
+        got = {
+            (r.a, r.b): r.n_groups
+            for r in cooccurrence_edges(df, "g", "v").collect()
+        }
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_cap_bounds_hub_groups(self, spark):
+        from coies_spark.operators.graph import cooccurrence_edges
+
+        rows = [(1, f"v{i:03d}") for i in range(10)]
+        df = spark.createDataFrame(rows, "g bigint, v string")
+        got = cooccurrence_edges(df, "g", "v", max_per_group=4).collect()
+        # only the 4 smallest values survive -> C(4,2) edges
+        assert len(got) == 6
+        kept = {x for r in got for x in (r.a, r.b)}
+        assert kept == {"v000", "v001", "v002", "v003"}
+
+    def test_degenerate_cap_raises(self, spark):
+        from coies_spark.operators.graph import cooccurrence_edges
+
+        df = spark.createDataFrame([(1, "a")], "g bigint, v string")
+        with pytest.raises(ValueError):
+            cooccurrence_edges(df, "g", "v", max_per_group=1)
