@@ -520,10 +520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "multimodal_features": _q_multimodal,
-        # video frame-sampling plan: pure column math, no decode
-        "frame_samples": lambda s, d: multimodal.frame_sample(
-            multimodal.synthesize_media(_read(s, d, "documents"))
-        ),
         # --- text analysis (documents) ---
         "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
         "quality_scores": lambda s, d: textstats.quality_scores(
@@ -552,14 +548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"en": 0.3, "zh": 1.0},
             default=0.6,
         ),
-        # fixed-SIZE twin: exactly 20 docs per language by hash order
-        "stratified_topk_sample": lambda s, d: sampling.stratified_topk_sample(
-            _read(s, d, "documents"), k=20
+        # DSIR data selection: top-100 docs most like the English
+        # slice by hashed-n-gram importance weight
+        "dsir_select": lambda s, d: dsir.dsir_select(
+            _read(s, d, "documents"), F.col("lang") == "en", 100
         ),
         "language_id": lambda s, d: textstats.language_id(
-            _read(s, d, "documents")
-        ),
-        "language_id_chargram": lambda s, d: textstats.language_id_chargram(
             _read(s, d, "documents")
         ),
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
@@ -581,7 +575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(
             _read(s, d, "documents")
         ),
-        "lsh_unique_docs": _q_lsh_unique,
         # decontamination: every 43rd doc stands in for the benchmark
         # suite; n=3 (not the production n=8) because the synthetic
         # 30-word vocabulary makes 8-gram collisions vanish
@@ -643,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_ivf_pq because results are bit-identical
         "ann_ivf_pq_pruned": _q_ivf_pq_pruned,
         "embedding_neardup": _q_embedding_neardup,
+        # SemDeDup over the planted-twin corpus embedding_neardup uses
+        "semdedup": _q_semdedup,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
             _read(s, d, "documents")
@@ -662,6 +657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": lambda s, d: transcripts.conversation_stats(
             transcripts.synthesize_transcripts(_read(s, d, "documents"))
         ),
+        # CCNet/RefinedWeb repeated-line boilerplate rule lifted to
+        # transcript turns (anti-join against the digest dictionary)
+        "scrub_boilerplate_turns": lambda s, d: (
+            transcripts.scrub_boilerplate_turns(
+                transcripts.synthesize_transcripts(_read(s, d, "documents"))
+            ).select("conv_id", "turn_idx", "role", "text")
+        ),
+        # point-in-time-correct lookup: each purchase gains the user's
+        # latest at-or-before click (union-window as-of join)
+        "asof_join_events": _q_asof_join,
         "agg_pricing": _q_agg_pricing,
         "join_revenue": _q_join_revenue,
         "topk_orders": _q_topk_orders,
@@ -691,16 +696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_residual": lambda s, d: similarity.ivf_pq_topk(
             _read(s, d, "embeddings"), dim=EMB_DIM, residual=True
         ),
-        # --- r4 additions (each oracled; see check_oracle.py) ---
-        # CCNet/RefinedWeb repeated-line boilerplate rule lifted to
-        # transcript turns: the dictionary, then the scrub pass
+        # --- r4 additions still oracled, parked as variants ---
+        # the boilerplate DICTIONARY (scrub_boilerplate_turns in the
+        # window recomputes and re-verifies it as its anti-join side)
         "boilerplate_turns": lambda s, d: transcripts.boilerplate_turns(
             transcripts.synthesize_transcripts(_read(s, d, "documents"))
-        ),
-        "scrub_boilerplate_turns": lambda s, d: (
-            transcripts.scrub_boilerplate_turns(
-                transcripts.synthesize_transcripts(_read(s, d, "documents"))
-            ).select("conv_id", "turn_idx", "role", "text")
         ),
         # agent-behavior KG: (src_tool, precedes, dst_tool) weighted
         # edges; tool_every=2 so sf-sized conversations produce a
@@ -712,20 +712,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-language token-budget mixture sampling (nested prefixes)
         "token_budget_sample": _q_token_budget,
-        # SemDeDup over the planted-twin corpus embedding_neardup uses
-        "semdedup": _q_semdedup,
-        # DSIR data selection: top-100 docs most like the English
-        # slice by hashed-n-gram importance weight
-        "dsir_select": lambda s, d: dsir.dsir_select(
-            _read(s, d, "documents"), F.col("lang") == "en", 100
-        ),
-        # point-in-time-correct lookup: each purchase gains the user's
-        # latest at-or-before click (union-window as-of join)
-        "asof_join_events": _q_asof_join,
         # entity co-occurrence KG edges over the tagged-span parse
         "entity_cooccurrence": lambda s, d: graph_cooccurrence(
             _q_entity_spans(s, d), "doc_id", "mention"
         ),
+        # --- parameter variants demoted from the window (r4 rotation:
+        # the window admits scrub_boilerplate_turns, semdedup,
+        # dsir_select, asof_join_events in their place) ---
+        # video frame-sampling plan: pure column math, no decode
+        # (variant of multimodal_features' Arrow feature pass)
+        "frame_samples": lambda s, d: multimodal.frame_sample(
+            multimodal.synthesize_media(_read(s, d, "documents"))
+        ),
+        # fixed-SIZE twin of stratified_sample: 20 docs/lang by hash
+        "stratified_topk_sample": lambda s, d: sampling.stratified_topk_sample(
+            _read(s, d, "documents"), k=20
+        ),
+        # char-n-gram featurization variant of language_id
+        "language_id_chargram": lambda s, d: textstats.language_id_chargram(
+            _read(s, d, "documents")
+        ),
+        # survivor set derived from minhash_lsh_pairs' candidate graph
+        "lsh_unique_docs": _q_lsh_unique,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
