@@ -1,0 +1,244 @@
+"""Knowledge-graph analytics over evidence and triple tables.
+
+The extraction pipeline (``pipeline.extract`` → ``pipeline.triples``)
+materializes (subj, pred, obj) triples; this module adds the KG-side
+operators a transcript corpus needs AFTER extraction — the evidence →
+belief layer of the north rule's "graph materialize" stage:
+
+* :func:`mention_evidence` — dictionary-match evidence rows over the
+  transcript table (the SQL-expressible contains-join complement of
+  the Arrow-kernel context detector in ``pipeline.extract``);
+* :func:`temporal_triples` — SCD-2 validity intervals: for each
+  (subj, pred) the history of ``obj`` values over evidence time,
+  with ``valid_from``/``valid_to`` and a current-version flag;
+* :func:`triple_confidence` — noisy-OR evidence combination: n
+  independent detections with scores s_i yield
+  confidence 1 - Π(1 - s_i);
+* :func:`khop_reachability` — min-hop distance ≤ k between entities
+  via unrolled frontier expansion over a directed edge table;
+* :func:`entity_degrees` — per-entity in/out degree and predicate
+  diversity, the KG monitoring gauge (hot-entity skew shows up here
+  first — the salted-join/AQE trigger of the north rule).
+
+Scale shapes (10¹²-turn corpus):
+
+* evidence matching broadcasts the dictionary and evaluates a
+  codegen'd ``instr`` per (turn, surface) — O(|dict|) comparisons per
+  turn, all JVM-side.  That is the right plan to ~10⁴ surfaces; past
+  that, switch to the Arrow-kernel detector (``detect_mentions``)
+  whose per-batch Aho-Corasick-style scan amortizes the dictionary.
+* temporal/confidence aggregation shuffles once on (subj, pred) /
+  (subj, pred, obj) — map-side combinable for the counts, a single
+  window pass for the intervals.  Head-heavy predicates spread
+  because the key includes subj.
+* k-hop expansion shuffles on the join key each round (k-1 joins
+  total, k is small and fixed); every round is ``distinct``-bounded
+  so a dense hub cannot re-emit the same pair twice.  Edge tables
+  from :func:`coies_spark.operators.graph.cooccurrence_edges` are
+  canonical (a < b), hence acyclic — the expansion terminates and the
+  DuckDB recursive-CTE oracle is safe from cycle blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mention_evidence(
+    transcripts: DataFrame, dictionary: DataFrame
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, obj, ts, score): one evidence row per
+    (turn, dictionary surface) whose lowercased turn text contains the
+    surface.
+
+    ``dictionary`` is a small (surface, pred) table — surfaces are
+    matched with ``instr`` on the lowercased text, so the join is a
+    broadcast nested loop whose predicate stays inside whole-stage
+    codegen (no Python).  ``score`` is a deterministic position decay
+    ``round(1 / (2 + turn_idx), 6)`` — earlier turns carry more
+    weight, and the value stays strictly inside (0, 0.5] so the
+    noisy-OR combiner never hits log(0).
+    """
+    return (
+        transcripts.join(
+            F.broadcast(dictionary),
+            F.instr(F.lower(F.col("text")), F.col("surface")) > 0,
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pred",
+            F.col("surface").alias("obj"),
+            "ts",
+            F.round(F.lit(1.0) / (F.col("turn_idx") + 2), 6).alias("score"),
+        )
+    )
+
+
+def temporal_triples(evidence: DataFrame) -> DataFrame:
+    """(subj, pred, obj, version, valid_from, valid_to, is_current):
+    SCD-2 validity intervals per (subj, pred).
+
+    Evidence rows (subj, pred, obj, ts — ts in epoch seconds) are
+    ordered by (ts, obj); consecutive runs of the same ``obj`` become
+    one version whose ``valid_from`` is the run's first ts and whose
+    ``valid_to`` is the next version's ``valid_from`` (NULL for the
+    open current version).  The obj tiebreak makes same-timestamp
+    evidence deterministic across engines.
+
+    One exchange on (subj, pred) serves both window passes and the
+    run groupBy — change detection, run numbering, interval close-out
+    all happen inside the same partitioning, so the whole history
+    build costs a single shuffle at any corpus size.
+    """
+    w = Window.partitionBy("subj", "pred").orderBy("ts", "obj")
+    runs = (
+        evidence.select(
+            "subj",
+            "pred",
+            "obj",
+            "ts",
+            F.when(
+                F.lag("obj").over(w).isNull()
+                | (F.lag("obj").over(w) != F.col("obj")),
+                1,
+            )
+            .otherwise(0)
+            .alias("chg"),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("subj", "pred", "version", "obj")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("subj", "pred").orderBy("version")
+    return runs.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("version").cast("long").alias("version"),
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.lead("valid_from").over(w2).cast("long").alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def triple_confidence(evidence: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_evidence, first_ts, last_ts, confidence):
+    noisy-OR combination of independent evidence scores.
+
+    confidence = 1 - Π(1 - s_i), computed as
+    ``1 - exp(Σ ln(1 - s_i))`` so the product is a map-side-combinable
+    SUM (no ordered fold).  Scores are clamped to ≤ 1 - 1e-6 before
+    the log so a perfect-score detection cannot produce log(0) (Spark
+    would yield NULL, DuckDB -inf — the clamp keeps both engines on
+    the same finite value).  Rounded 6dp for cross-engine float
+    stability; one map-side-combinable shuffle on the triple key.
+    """
+    s = F.least(F.col("score"), F.lit(1.0 - 1e-6))
+    return (
+        evidence.select(
+            "subj", "pred", "obj", "ts", F.log(F.lit(1.0) - s).alias("lg")
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evidence"),
+            F.min("ts").cast("long").alias("first_ts"),
+            F.max("ts").cast("long").alias("last_ts"),
+            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
+        )
+    )
+
+
+def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
+    """(src, dst, hops): every ordered pair reachable in ≤ ``k`` hops,
+    with the MINIMUM hop count.
+
+    Unrolled frontier expansion (the PageRank/k-means in-plan loop
+    pattern): round i joins round i-1's frontier to the edge table,
+    each frontier is ``distinct``-bounded so dense hubs cannot emit a
+    pair twice, and the final groupBy takes the min hop count across
+    rounds.  k-1 equi-joins on the frontier's dst — each a single
+    hash-shuffle; k is small and fixed, so the whole plan stays one
+    Catalyst job with no driver iteration.
+
+    The edge table is treated as DIRECTED.  Canonical co-occurrence
+    edges (a < b) form a DAG, which also makes the DuckDB
+    recursive-CTE oracle cycle-safe.
+    """
+    if k < 1:
+        raise ValueError("khop_reachability: k must be >= 1")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hop = e.select("src", "dst", F.lit(1).alias("hops"))
+    frontier = hop
+    for i in range(2, k + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.lit(i).alias("hops"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        hop = hop.unionByName(nxt)
+        frontier = nxt
+    return (
+        hop.groupBy("src", "dst")
+        .agg(F.min("hops").cast("long").alias("hops"))
+    )
+
+
+def entity_degrees(triples: DataFrame) -> DataFrame:
+    """(entity, out_degree, in_degree, n_preds): KG degree gauge.
+
+    out_degree counts distinct (pred, obj) per subject, in_degree
+    distinct (subj, pred) per object, n_preds the distinct predicates
+    the entity participates in on either side.  Two map-side-
+    combinable aggregations unioned then re-aggregated — the union
+    key (entity) spreads hot entities across tasks, and the output IS
+    the table to watch for the skew that should flip a downstream
+    join to salted/AQE handling.
+    """
+    out_d = (
+        triples.select(F.col("subj").alias("entity"), "pred", "obj")
+        .distinct()
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+            F.collect_set("pred").alias("preds"),
+        )
+        .select("entity", "out_degree", F.lit(0).cast("long").alias("in_degree"), "preds")
+    )
+    in_d = (
+        triples.select(F.col("obj").alias("entity"), "pred", "subj")
+        .distinct()
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("in_degree"),
+            F.collect_set("pred").alias("preds"),
+        )
+        .select("entity", F.lit(0).cast("long").alias("out_degree"), "in_degree", "preds")
+    )
+    return (
+        out_d.unionByName(in_d)
+        .groupBy("entity")
+        .agg(
+            F.sum("out_degree").cast("long").alias("out_degree"),
+            F.sum("in_degree").cast("long").alias("in_degree"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("preds"))))
+            .cast("long")
+            .alias("n_preds"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""N-gram language-model perplexity filtering (CCNet-style).
+
+Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") rank web documents by the perplexity
+of a language model trained on a trusted corpus and keep the
+low-perplexity head.  This module is that filter as pure DataFrame
+algebra: a bigram LM with stupid-backoff smoothing (Brants et al.
+2007, "Large Language Models in Machine Translation" — THE n-gram
+scheme built for distributed count tables, no normalization pass)
+trained on a deterministic slice of the corpus, then every document
+scored and bucketed head/middle/tail.
+
+Model (α = backoff factor, add-one unigram smoothing for OOV):
+
+    p(w2 | w1) = c(w1 w2) / c(w1)                   if c(w1 w2) > 0
+               = α · (c(w2) + 1) / (N + V)          otherwise
+
+Scale shapes (10¹²-token corpus):
+
+* counts are two map-side-combinable groupBys (unigram, bigram) over
+  an exploded token stream — the classic distributed-LM build, no
+  driver state;
+* bigram assembly is posexplode + one ``lead`` window keyed on
+  doc_id — a document's tokens land in one partition (documents are
+  bounded), and the same exchange serves the final per-doc
+  aggregation;
+* scoring joins the corpus bigram stream to the count tables on
+  token keys — shuffle hash joins, map-side combinable at no point
+  wider than the observed-bigram table.  At web scale, hash the
+  token strings to 64-bit ids first (xxhash64) to shrink shuffle
+  width, and bucket the count tables by token so repeated scoring
+  runs skip the exchange;
+* only the 1-row (N, V) totals are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w1, w2): the token bigram stream.  posexplode
+    evaluates the tokenizer ONCE per document (never a higher-order
+    lambda over a computed column — the measured O(len²) Catalyst
+    re-evaluation trap); ``lead`` pairs each token with its
+    successor inside a single doc_id-keyed window pass."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    alpha: float = 0.4,
+    train_mod: int = 2,
+    head_ppl: float = 30.0,
+    tail_ppl: float = 60.0,
+) -> DataFrame:
+    """(doc_id, n_scored, n_backoff, nll, ppl, bucket): per-document
+    bigram-LM perplexity and the CCNet head/middle/tail bucket.
+
+    The LM trains on the deterministic corpus slice
+    ``doc_id % train_mod == 0`` (CCNet trains on trusted text and
+    scores the crawl; the held-out slice here makes the backoff path
+    real — self-scoring a corpus with its own counts would never
+    back off).  ``n_backoff`` counts positions scored by the unigram
+    backoff — the OOV-pressure gauge.  Documents with fewer than two
+    tokens have no bigram and drop out (both engines agree).
+
+    ``nll`` is the mean negative log-likelihood per scored position,
+    ``ppl = exp(nll)``; both rounded 6dp for cross-engine float
+    stability.  Buckets use FIXED thresholds (head < ``head_ppl`` ≤
+    middle ≤ ``tail_ppl`` < tail): corpus-quantile cutoffs à la CCNet
+    are one extra ``approx_percentile`` pass, but fixed cuts keep the
+    operator deterministic across engines and runs.
+    """
+    big = _doc_bigrams(docs)
+    train = big.where(F.col("doc_id") % train_mod == 0)
+
+    uni = (
+        train.groupBy(F.col("w1").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # unigram counts over w1 positions = every token except each
+    # doc's last; the same stream feeds numerator and denominator so
+    # p(w2|w1) stays a true conditional
+    bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    totals = uni.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("v")
+    )
+
+    scored = (
+        big.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.log(F.col("c12") / F.col("c1")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(alpha)
+                    * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    / (F.col("n_tokens") + F.col("v"))
+                )
+            )
+            .alias("logp"),
+            F.col("c12").isNull().cast("int").alias("backoff"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("backoff").cast("long").alias("n_backoff"),
+        F.avg("logp").alias("avg_lp"),
+    )
+    # bucket cuts on the ROUNDED ppl so a value sitting within float
+    # noise of a threshold buckets identically in every engine
+    ppl = F.round(F.exp(-F.col("avg_lp")), 6)
+    return agg.select(
+        "doc_id",
+        "n_scored",
+        "n_backoff",
+        F.round(-F.col("avg_lp"), 6).alias("nll"),
+        ppl.alias("ppl"),
+        F.when(ppl < head_ppl, "head")
+        .when(ppl <= tail_ppl, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

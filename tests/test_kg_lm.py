@@ -1,0 +1,228 @@
+"""Unit tests for the KG evidence→belief layer (ops.kg) and the
+CCNet-style bigram-LM perplexity filter (ops.lm)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.ops import kg, lm
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# temporal_triples
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = "subj string, pred string, obj string, ts long"
+
+
+def test_temporal_triples_intervals(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1: a a b a  → three versions
+            ("u1", "p", "a", 10),
+            ("u1", "p", "a", 20),
+            ("u1", "p", "b", 30),
+            ("u1", "p", "a", 40),
+            # u2: single run
+            ("u2", "p", "x", 5),
+        ],
+        EV_SCHEMA,
+    )
+    rows = {
+        (r.subj, r.version): r
+        for r in kg.temporal_triples(ev).collect()
+    }
+    assert len(rows) == 4
+    v1, v2, v3 = rows[("u1", 1)], rows[("u1", 2)], rows[("u1", 3)]
+    assert (v1.obj, v1.valid_from, v1.valid_to, v1.is_current) == (
+        "a", 10, 30, False)
+    assert (v2.obj, v2.valid_from, v2.valid_to, v2.is_current) == (
+        "b", 30, 40, False)
+    assert (v3.obj, v3.valid_from, v3.valid_to, v3.is_current) == (
+        "a", 40, None, True)
+    u2 = rows[("u2", 1)]
+    assert (u2.obj, u2.valid_from, u2.valid_to, u2.is_current) == (
+        "x", 5, None, True)
+
+
+def test_temporal_triples_same_ts_tiebreak(spark):
+    # equal timestamps order by obj → 'a' run then 'b' run, always
+    ev = spark.createDataFrame(
+        [("u", "p", "b", 7), ("u", "p", "a", 7)], EV_SCHEMA
+    )
+    out = kg.temporal_triples(ev).orderBy("version").collect()
+    assert [(r.obj, r.version) for r in out] == [("a", 1), ("b", 2)]
+    assert out[0].valid_to == 7 and out[1].is_current
+
+
+# ---------------------------------------------------------------------------
+# triple_confidence
+# ---------------------------------------------------------------------------
+
+
+def test_triple_confidence_noisy_or(spark):
+    ev = spark.createDataFrame(
+        [
+            ("s", "p", "o", 1, 0.5),
+            ("s", "p", "o", 9, 0.25),
+            ("s", "p", "o2", 4, 0.1),
+        ],
+        EV_SCHEMA + ", score double",
+    )
+    out = {r.obj: r for r in kg.triple_confidence(ev).collect()}
+    o = out["o"]
+    assert o.n_evidence == 2 and (o.first_ts, o.last_ts) == (1, 9)
+    assert o.confidence == pytest.approx(1 - 0.5 * 0.75, abs=1e-6)
+    assert out["o2"].confidence == pytest.approx(0.1, abs=1e-6)
+
+
+def test_triple_confidence_clamps_perfect_score(spark):
+    # score = 1.0 must not produce log(0) → NULL; clamp keeps it ~1
+    ev = spark.createDataFrame([("s", "p", "o", 1, 1.0)],
+                               EV_SCHEMA + ", score double")
+    [r] = kg.triple_confidence(ev).collect()
+    assert r.confidence is not None and r.confidence >= 0.999999
+
+
+# ---------------------------------------------------------------------------
+# khop_reachability
+# ---------------------------------------------------------------------------
+
+
+def test_khop_min_hops_on_chain(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src string, dst string",
+    )
+    out = {(r.src, r.dst): r.hops for r in
+           kg.khop_reachability(e, k=3).collect()}
+    # a→c is reachable in 2 hops but the DIRECT edge wins (min)
+    assert out[("a", "c")] == 1
+    assert out[("a", "d")] == 2  # a→c→d beats a→b→c→d
+    assert out[("b", "d")] == 2
+    assert out[("a", "b")] == 1
+    assert ("d", "a") not in out
+
+
+def test_khop_k1_is_edge_set(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "b")], "src string, dst string"
+    )
+    out = kg.khop_reachability(e, k=1).collect()
+    # dedup + self-loop filter
+    assert [(r.src, r.dst, r.hops) for r in out] == [("a", "b", 1)]
+    with pytest.raises(ValueError):
+        kg.khop_reachability(e, k=0)
+
+
+# ---------------------------------------------------------------------------
+# entity_degrees / mention_evidence
+# ---------------------------------------------------------------------------
+
+
+def test_entity_degrees(spark):
+    tr = spark.createDataFrame(
+        [
+            ("s1", "p1", "o1"),
+            ("s1", "p1", "o2"),
+            ("s1", "p2", "o1"),
+            ("s2", "p1", "o1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.entity: r for r in kg.entity_degrees(tr).collect()}
+    assert (out["s1"].out_degree, out["s1"].in_degree,
+            out["s1"].n_preds) == (3, 0, 2)
+    assert (out["o1"].out_degree, out["o1"].in_degree,
+            out["o1"].n_preds) == (0, 3, 2)
+    assert (out["s2"].out_degree, out["o2"].in_degree) == (1, 1)
+
+
+def test_mention_evidence_contains_match(spark):
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "we ran a Table Scan today", None, None),
+            ("c1", 1, "assistant", "nothing relevant", None, None),
+            ("c2", 2, "user", "table scan and hash join", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = spark.createDataFrame(
+        [("table scan", "mentions_op"), ("hash join", "mentions_op")],
+        ["surface", "pred"],
+    )
+    out = kg.mention_evidence(t, d).collect()
+    got = {(r.conv_id, r.obj) for r in out}
+    # case-insensitive contains; no match on the clean turn
+    assert got == {("c1", "table scan"), ("c2", "table scan"),
+                   ("c2", "hash join")}
+    s = {r.conv_id: r.score for r in out if r.obj == "table scan"}
+    assert s["c1"] == pytest.approx(0.5) and s["c2"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_hand_computed(spark):
+    # train slice = doc 0 only (train_mod=2): bigrams of "a b a b c"
+    #   c(a b)=2  c(b a)=1  c(b c)=1 ; unigram-over-w1: a:2 b:2
+    #   N=4, V=2
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c d")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in
+           lm.lm_perplexity(docs, alpha=0.4, train_mod=2).collect()}
+
+    d0 = out[0]
+    # scored: (a,b)=ln(2/2)=0, (b,a)=ln(1/2), (a,b)=0, (b,c)=ln(1/2)
+    exp_nll0 = -(0 + math.log(0.5) + 0 + math.log(0.5)) / 4
+    assert d0.n_scored == 4 and d0.n_backoff == 0
+    assert d0.nll == pytest.approx(exp_nll0, abs=1e-6)
+    assert d0.ppl == pytest.approx(math.exp(exp_nll0), abs=1e-5)
+
+    d1 = out[1]
+    # (a,b) seen → ln(1); (b,c) seen → ln(1/2);
+    # (c,d): unseen bigram, d OOV → ln(0.4 * (0+1) / (4+2))
+    back = math.log(0.4 * 1 / 6)
+    exp_nll1 = -(0 + math.log(0.5) + back) / 3
+    assert d1.n_scored == 3 and d1.n_backoff == 1
+    assert d1.nll == pytest.approx(exp_nll1, abs=1e-6)
+
+
+def test_lm_perplexity_buckets_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b a b"), (1, "a b"), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           lm.lm_perplexity(docs, head_ppl=1.5, tail_ppl=3.0).collect()}
+    # <2-token docs produce no bigram and drop out
+    assert set(out) == {0, 1}
+    assert out[0].bucket in {"head", "middle", "tail"}
+    # doc 0 is pure training text → ppl close to the bigram entropy
+    assert out[0].ppl < 3.0
+
+
+def test_lm_perplexity_plan_shapes(spark):
+    """Scale guards: totals are broadcast (no shuffled join for the
+    1-row table) and the count aggregations run map-side partials."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], ["doc_id", "text"]
+    )
+    df = lm.lm_perplexity(docs)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
