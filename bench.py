@@ -22,6 +22,8 @@ Headliners cover the engine's load-bearing paths:
                       (digest dictionary + anti-join scrub)
 * semdedup          — SemDeDup semantic dedup (k-means blocks +
                       within-cluster cosine) over the planted corpus
+* lm_perplexity     — CCNet-style bigram-LM perplexity filter
+* temporal_triples  — SCD-2 validity intervals over the event stream
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
@@ -96,6 +98,7 @@ def main() -> None:
     from coies_spark.ops import (
         curate,
         dedup,
+        lm,
         relational,
         similarity,
         transcripts,
@@ -111,6 +114,7 @@ def main() -> None:
         _q_embedding_neardup,
         _q_join_revenue,
         _q_semdedup,
+        _q_temporal_triples,
     )
 
     spark = get_spark("coies-bench", cores=args.cores)
@@ -193,6 +197,12 @@ def main() -> None:
         # SemDeDup over the planted-twin corpus (same input as the
         # embedding_neardup headliner — the >= 0.9 regime exists)
         "semdedup": lambda: run(_q_semdedup(spark, sf_dir)),
+        # CCNet-style bigram-LM perplexity filter (train slice counts
+        # + token-keyed scoring joins + per-doc aggregation)
+        "lm_perplexity": lambda: run(lm.lm_perplexity(docs)),
+        # SCD-2 validity intervals over the event stream (the KG
+        # evidence→belief layer's window-pass workhorse)
+        "temporal_triples": lambda: run(_q_temporal_triples(spark, sf_dir)),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
         "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
         "sessionize": lambda: run(relational.sessionize(events)),

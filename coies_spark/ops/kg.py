@@ -173,10 +173,16 @@ def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
     """
     if k < 1:
         raise ValueError("khop_reachability: k must be >= 1")
+    # the edge set is referenced by every unrolled round (round i's
+    # frontier joins it again) — the lazy localCheckpoint materializes
+    # it once instead of re-deriving its upstream lineage (dictionary
+    # match, co-occurrence build) per reference, the same lineage-cut
+    # pattern as operators.graph.connected_components
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hop = e.select("src", "dst", F.lit(1).alias("hops"))
     frontier = hop
