@@ -321,3 +321,70 @@ def test_stream_curate_matches_batch_gates(spark, tmp_path):
     assert 100 not in got and 0 in got  # first arrival survives
     assert all("<EMAIL>" in r.scrubbed for r in got.values())
     assert all("example.com" not in r.scrubbed for r in got.values())
+
+
+def test_stream_triple_confidence_matches_batch(spark, tmp_path):
+    """Windowed streaming noisy-OR equals the batch triple_confidence
+    run per window bucket: same clamp, same sum-of-logs expression."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.ops import kg
+    from coies_spark.streaming.kg import stream_triple_confidence
+
+    rows = []
+    for i in range(40):
+        # two one-hour windows; triples repeat within and across
+        rows.append((
+            f"s{i % 3}", "p", f"o{i % 4}",
+            f"2024-01-01 {i // 20:02d}:{i % 20:02d}:00",
+            0.1 + 0.02 * (i % 9),
+        ))
+    rows.append(("s0", "p", "o0", "2024-01-01 00:05:00", 1.0))  # clamp
+    # late sentinel: advances the watermark so both data windows close
+    # before availableNow terminates (its own window never emits)
+    rows.append(("zz", "p", "zz", "2024-01-01 05:00:00", 0.5))
+    ev = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts string, "
+              "score double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    in_dir = tmp_path / "evdrops"
+    ev.coalesce(2).write.parquet(str(in_dir))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(in_dir))
+    q = (
+        stream_triple_confidence(stream, watermark="0 seconds",
+                                 window="1 hour")
+        .writeStream.format("memory")
+        .queryName("beliefs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.subj, r.obj): (r.n_evidence, r.confidence)
+        for r in spark.sql("select * from beliefs").collect()
+    }
+
+    # batch twin: fold the window bucket into subj, run the batch op
+    bucketed = (
+        ev.withColumn("w", F.window("ts", "1 hour"))
+        .select(
+            F.concat_ws("|", F.col("w.start").cast("string"), "subj")
+            .alias("subj"),
+            "pred",
+            "obj",
+            F.unix_timestamp("ts").alias("ts"),
+            "score",
+        )
+    )
+    want = {}
+    for r in kg.triple_confidence(bucketed).collect():
+        ws, subj = r.subj.split("|")
+        if subj != "zz":  # sentinel window stays open, never emits
+            want[(ws, subj, r.obj)] = (r.n_evidence, r.confidence)
+    assert got == want
+    # the clamped perfect-score row (window 00) stayed finite
+    key = ("2024-01-01 00:00:00", "s0", "o0")
+    assert got[key][1] is not None and got[key][1] >= 0.999999
