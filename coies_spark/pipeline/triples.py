@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.oneshot import ExampleArtifacts
+from ..ops.kg import entity_degrees, temporal_triples, triple_confidence
 from .canonicalize import canonicalize
 from .checkpoint import StageRunner
 from .extract import assemble_docs, detect_mentions
@@ -68,6 +69,7 @@ def run_pipeline(
     tagged_transcripts: Optional[DataFrame] = None,
     linking_strategy: str = "broadcast",
     assemble_strategy: str = "union",
+    with_beliefs: bool = False,
 ) -> StageRunner:
     """Full checkpointed run; returns the StageRunner (stage dfs +
     metrics).  Fingerprint covers the extraction config so changing any
@@ -76,6 +78,12 @@ def run_pipeline(
     ``assemble_strategy="join"`` keeps assembly shuffle-free over
     co-bucketed input tables (sources/bucketed.py); the default union
     strategy is one shuffle and right for unbucketed input.
+
+    ``with_beliefs=True`` appends the evidence→belief stages
+    (``ops.kg``): per-mention evidence rows timestamped with their
+    conversation's last turn, noisy-OR triple confidences, SCD-2
+    temporal validity intervals, and the entity-degree skew gauge —
+    each its own resumable snapshot.
     """
     runner = StageRunner(
         spark,
@@ -109,10 +117,57 @@ def run_pipeline(
             lambda: materialize_triples(canonical),
             partition_by=["pred"],
         )
+        subj_rows = canonical.select(
+            F.col("canonical_id").alias("subj"),
+            "pred",
+            "obj",
+            "score",
+            "conv_id",
+        )
     else:
         runner.stage(
             "s5_triples",
             lambda: conv_triples(mentions),
             partition_by=["pred"],
         )
+        subj_rows = mentions.select(
+            F.col("conv_id").alias("subj"), "pred", "obj", "score", "conv_id"
+        )
+    if with_beliefs:
+        evidence = runner.stage(
+            "s6_evidence", lambda: mention_evidence_rows(transcripts, subj_rows)
+        )
+        runner.stage(
+            "s7_beliefs",
+            lambda: triple_confidence(evidence),
+            partition_by=["pred"],
+        )
+        runner.stage(
+            "s8_temporal",
+            lambda: temporal_triples(evidence),
+            partition_by=["pred"],
+        )
+        runner.stage(
+            "s9_degrees",
+            lambda: entity_degrees(evidence.select("subj", "pred", "obj")),
+        )
     return runner
+
+
+def mention_evidence_rows(
+    transcripts: DataFrame, subj_rows: DataFrame
+) -> DataFrame:
+    """(subj, pred, obj, ts, score): detection rows timestamped with
+    their conversation's LAST turn — the moment the conversation (and
+    hence its evidence) completed.
+
+    The per-conv timestamp aggregation and the evidence join both key
+    on conv_id — the same exchange the upstream stages already use, so
+    at 10¹²-turn scale this is one co-keyed shuffle join (the per-conv
+    table has 10⁹-ish rows: never broadcast it)."""
+    conv_ts = transcripts.groupBy("conv_id").agg(
+        F.max(F.col("ts").cast("timestamp")).cast("long").alias("ts")
+    )
+    return subj_rows.join(conv_ts, "conv_id").select(
+        "subj", "pred", "obj", "ts", "score"
+    )

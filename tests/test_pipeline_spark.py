@@ -409,3 +409,66 @@ class TestCurationRun:
         )
         assert not runner3.results["curated"].skipped
         assert c3.count() < n1  # tighter floor keeps fewer docs
+
+
+class TestBeliefStages:
+    def test_belief_stages_run_and_resume(self, spark, spark_transcripts,
+                                          artifacts, tmp_path):
+        from pyspark.sql import functions as F
+
+        from coies_spark.data import synth
+
+        raw, tagged = spark_transcripts
+        dictionary = build_dictionary(
+            spark,
+            [(m, f"E{c}") for c, m in enumerate(synth.COMP_POOL)]
+            + [(m, f"I{c}") for c, m in enumerate(synth.ITEM_POOL)],
+        )
+        work = str(tmp_path / "beliefs")
+        r1 = run_pipeline(spark, raw, artifacts, work,
+                          dictionary=dictionary,
+                          tagged_transcripts=tagged, with_beliefs=True)
+        for st in ("s6_evidence", "s7_beliefs", "s8_temporal",
+                   "s9_degrees"):
+            assert st in r1.results and not r1.results[st].skipped
+
+        beliefs = r1.results["s7_beliefs"].df
+        rows = beliefs.collect()
+        assert rows and all(
+            r.confidence is not None and 0.0 < r.confidence <= 1.0
+            for r in rows
+        )
+        # n_evidence sums to the evidence row count
+        n_ev = r1.results["s6_evidence"].df.count()
+        assert sum(r.n_evidence for r in rows) == n_ev
+
+        temporal = r1.results["s8_temporal"].df
+        # SCD-2 invariant: exactly one open (current) version per
+        # (subj, pred), and versions are contiguous from 1
+        per_key = (
+            temporal.groupBy("subj", "pred")
+            .agg(
+                F.sum(F.col("is_current").cast("int")).alias("n_open"),
+                F.max("version").alias("vmax"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert per_key and all(
+            r.n_open == 1 and r.vmax == r.n for r in per_key
+        )
+
+        degrees = {r.entity: r for r in
+                   r1.results["s9_degrees"].df.collect()}
+        # every evidence subject appears with out-degree > 0
+        subjs = {r.subj for r in
+                 r1.results["s6_evidence"].df.select("subj").collect()}
+        assert all(degrees[s].out_degree > 0 for s in subjs)
+
+        # second run resumes every stage from its snapshot
+        r2 = run_pipeline(spark, raw, artifacts, work,
+                          dictionary=dictionary,
+                          tagged_transcripts=tagged, with_beliefs=True)
+        assert all(r.skipped for r in r2.results.values())
+        assert sorted(map(tuple, r2.results["s7_beliefs"].df.collect())) \
+            == sorted(map(tuple, beliefs.collect()))
