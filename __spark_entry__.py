@@ -569,6 +569,23 @@ def _q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.entity_degrees(triples)
 
 
+def _q_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-free alias discovery over the corpus token
+    vocabulary: affix-blocked Levenshtein ≤ 2 pairs.  Truncated twins
+    (last char dropped from every 4+-char token) are planted in-query
+    — the planted-corpus pattern — so the verify stage always sees
+    true dist-1 aliases, not just whatever the clean vocabulary
+    happens to contain."""
+    from coies_spark.functions.tokenize import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    surf = docs.select(F.explode(tokens_col("text")).alias("surface"))
+    planted = surf.where(F.length("surface") > 3).select(
+        F.expr("left(surface, length(surface) - 1)").alias("surface")
+    )
+    return kg.alias_candidates(surf.unionByName(planted), max_dist=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline ---
@@ -792,6 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG degree gauge over the same evidence triples
         # triple_confidence verifies (hot-entity skew monitor)
         "kg_entity_degrees": _q_entity_degrees,
+        # dictionary-free alias discovery: affix-blocked Levenshtein
+        # pairs over the corpus token vocabulary (feeds canonicalize
+        # as extra alias edges)
+        "alias_candidates": _q_alias_candidates,
         # --- r4 additions still oracled, parked as variants ---
         # the boilerplate DICTIONARY (scrub_boilerplate_turns in the
         # window recomputes and re-verifies it as its anti-join side)
@@ -2480,6 +2501,30 @@ def oracle_sql() -> dict[str, str]:
                p.n_preds
         FROM p LEFT JOIN o ON p.entity = o.entity
                LEFT JOIN i ON p.entity = i.entity
+    """
+    # affix-blocked Levenshtein alias pairs (left/right affixes keep
+    # short-surface semantics identical across engines)
+    sql["alias_candidates"] = f"""
+        WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+        s0 AS (SELECT w FROM (SELECT unnest(ts) AS w FROM t)),
+        su AS (
+          SELECT w FROM s0
+          UNION ALL
+          SELECT left(w, len(w) - 1) FROM s0 WHERE len(w) > 3
+        ),
+        s AS (SELECT DISTINCT w AS s FROM su
+              WHERE w IS NOT NULL AND len(w) > 0),
+        b AS (
+          SELECT left(s, 2) AS blk, s FROM s
+          UNION ALL
+          SELECT right(s, 2) AS blk, s FROM s
+        ),
+        cand AS (
+          SELECT DISTINCT l.s AS a, r.s AS b
+          FROM b l JOIN b r ON l.blk = r.blk AND l.s < r.s
+        )
+        SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(a, b) <= 2
     """
     # SCD-2 validity intervals over the event stream (obj tiebreak
     # makes same-timestamp evidence deterministic in both engines)

@@ -206,6 +206,59 @@ def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def alias_candidates(
+    surfaces: DataFrame,
+    col: str = "surface",
+    max_dist: int = 2,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """(a, b, dist): surface pairs within Levenshtein distance
+    ``max_dist`` — dictionary-free alias discovery (typos, truncations,
+    OCR noise) feeding :func:`coies_spark.pipeline.canonicalize` as
+    extra alias edges.
+
+    Blocked, never all-pairs: a candidate pair must share its first
+    ``prefix_len`` characters OR its last ``prefix_len`` characters
+    (two equality self-joins on the block key, unioned).  The blocking
+    is the standard recall/scale trade — an edit inside BOTH affixes
+    escapes it (production recovers those with more blocking passes,
+    e.g. sorted-neighborhood keys); every blocked candidate is then
+    verified with the exact JVM ``levenshtein``.  Shuffle cost: two
+    hash joins on short block keys + one distinct — the same shape as
+    LSH banding, with bucket size bounded by affix cardinality.
+
+    Canonical output (a < b), one row per pair (a pair blocked by both
+    affixes dedups), ``dist >= 1`` (identical strings are one surface,
+    not an alias pair).
+    """
+    if max_dist < 1:
+        raise ValueError("alias_candidates: max_dist must be >= 1")
+    s = surfaces.select(F.col(col).alias("s")).where(
+        F.col("s").isNotNull() & (F.length("s") > 0)
+    ).distinct()
+    pairs = None
+    # left/right (not negative-start substring): both return the whole
+    # string when it is shorter than the affix, identically in every
+    # engine — single-char surfaces block on themselves
+    for key in (
+        F.expr(f"left(s, {int(prefix_len)})"),
+        F.expr(f"right(s, {int(prefix_len)})"),
+    ):
+        blocked = s.select(key.alias("blk"), "s")
+        cand = (
+            blocked.alias("l")
+            .join(blocked.alias("r"), "blk")
+            .where(F.col("l.s") < F.col("r.s"))
+            .select(F.col("l.s").alias("a"), F.col("r.s").alias("b"))
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return (
+        pairs.distinct()
+        .select("a", "b", F.levenshtein("a", "b").cast("long").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def entity_degrees(triples: DataFrame) -> DataFrame:
     """(entity, out_degree, in_degree, n_preds): KG degree gauge.
 

@@ -226,3 +226,79 @@ def test_lm_perplexity_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# alias_candidates
+# ---------------------------------------------------------------------------
+
+
+def test_alias_candidates_blocked_pairs(spark):
+    surf = spark.createDataFrame(
+        [("acme holdings",), ("acme holding",), ("acme hldings",),
+         ("zenith",), ("zenith!",), ("unrelated",), ("a",)],
+        ["surface"],
+    )
+    out = {(r.a, r.b): r.dist for r in
+           kg.alias_candidates(surf, max_dist=2).collect()}
+    assert out[("acme holding", "acme holdings")] == 1
+    assert out[("acme hldings", "acme holdings")] == 1
+    assert out[("zenith", "zenith!")] == 1
+    # dist 2 via two edits, shared prefix block
+    assert out[("acme hldings", "acme holding")] == 2
+    assert not any("unrelated" in k for k in out)
+    # canonical ordering + no self pairs
+    assert all(a < b for a, b in out)
+
+
+def test_alias_candidates_blocking_miss_documented(spark):
+    # edits inside BOTH affixes escape the blocking (documented trade)
+    surf = spark.createDataFrame([("xxcorexx",), ("yycoreyy",)], ["surface"])
+    assert kg.alias_candidates(surf, max_dist=2).count() == 0
+    with pytest.raises(ValueError):
+        kg.alias_candidates(surf, max_dist=0)
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The north rule names AQE skew-join handling for hot entities:
+    force a skewed shuffle join and assert AQE actually splits the
+    hot partition (skew=true in the executed adaptive plan)."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    import pyspark.sql.functions as F
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # one hot entity carries ~90% of the fact rows
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, "hot-entity")
+            .otherwise(F.concat(F.lit("e"), F.col("id")))
+            .alias("subj"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(50_000).select(
+            F.when(F.col("id") == 0, "hot-entity")
+            .otherwise(F.concat(F.lit("e"), F.col("id")))
+            .alias("subj"),
+            F.col("id").alias("meta"),
+        )
+        # collect on THE SAME DataFrame whose query execution we
+        # inspect (count() would spawn its own execution and leave
+        # this one un-finalized)
+        joined = fact.join(dim, "subj").select("meta")
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
