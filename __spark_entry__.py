@@ -331,22 +331,42 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(_planted_corpus(spark, sf_dir), eps=0.9)
 
 
+_IVFPQ_CLEANUP: set[str] = set()
+
+
 def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the label-partitioned IVF-PQ store under /tmp (keyed by
     the sf dir AND the Spark application id, so concurrent runs — two
     harness processes on the same sf included — never clobber each
     other's store mid-read), then probe it.  The write is idempotent
     (mode=overwrite) and the probe result is bit-identical to
-    ``ivf_pq_topk`` — shared oracle."""
+    ``ivf_pq_topk`` — shared oracle.
+
+    Disk hygiene: this process's store is removed at interpreter exit
+    (the probe DataFrame reads it lazily, so removal must wait until
+    after the session's last action), and stale sibling stores left by
+    crashed runs are swept at build time."""
+    import atexit as _atexit
+    import glob as _glob
     import os as _os
+    import shutil as _shutil
+    import time as _time
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = (
-        "/tmp/coies_ivfpq_index_"
-        + _os.path.basename(_os.path.normpath(sf_dir))
-        + "_"
-        + spark.sparkContext.applicationId
+    base = "/tmp/coies_ivfpq_index_" + _os.path.basename(
+        _os.path.normpath(sf_dir)
     )
+    idx = base + "_" + spark.sparkContext.applicationId
+    for old in _glob.glob(base + "_*"):
+        try:
+            stale = _time.time() - _os.path.getmtime(old) > 6 * 3600
+        except OSError:
+            stale = False
+        if old != idx and stale:
+            _shutil.rmtree(old, ignore_errors=True)
+    if idx not in _IVFPQ_CLEANUP:
+        _IVFPQ_CLEANUP.add(idx)
+        _atexit.register(_shutil.rmtree, idx, ignore_errors=True)
     similarity.build_ivf_pq_index(emb, idx, dim=EMB_DIM)
     return similarity.ivf_pq_probe(spark, idx, emb, dim=EMB_DIM)
 

@@ -370,7 +370,7 @@ def simhash_blocks(
         # one bucket and the "blocked" join silently degenerates to
         # the all-pairs O(n²) scan the algorithm exists to avoid
         raise ValueError(
-            f"simhash_pairs: bits ({bits}) must be >= max_hamming+1 "
+            f"simhash_blocks: bits ({bits}) must be >= max_hamming+1 "
             f"({n_blocks}) so each pigeonhole block has >= 1 bit"
         )
 

@@ -20,6 +20,7 @@ Usage: python scripts/quality_sweep.py --vec-cache V.npz
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -131,30 +132,28 @@ def main() -> None:
     wts = [float(x) for x in args.wts.split(",")]
     css = [int(x) for x in args.css.split(",")]
     runs, score_frames, mention_frames = [], [], []
-    for ct in cts:
-      for wt in wts:
-        for cs in css:
-            cfg = ExtractionConfig(
-                dim=args.dim, context_threshold=ct, word_threshold=wt,
-                context_size=cs,
+    for ct, wt, cs in itertools.product(cts, wts, css):
+        cfg = ExtractionConfig(
+            dim=args.dim, context_threshold=ct, word_threshold=wt,
+            context_size=cs,
+        )
+        art = build_example_artifacts(
+            read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb,
+            gram_emb=gram_emb,
+        )
+        mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
+        rid = len(runs)
+        mention_frames.append(
+            mentions.groupBy().count().select(
+                F.lit(rid).alias("__run"), F.col("count").alias("n")
             )
-            art = build_example_artifacts(
-                read_ref(EXAMPLE), [], cfg, phrases=phrases, emb=emb,
-                gram_emb=gram_emb,
+        )
+        score_frames.append(
+            score_extractions(mentions, gold, art, convs).withColumn(
+                "__run", F.lit(rid)
             )
-            mentions = extract_mentions(raw, art, tagged_transcripts=tagged)
-            rid = len(runs)
-            mention_frames.append(
-                mentions.groupBy().count().select(
-                    F.lit(rid).alias("__run"), F.col("count").alias("n")
-                )
-            )
-            score_frames.append(
-                score_extractions(mentions, gold, art, convs).withColumn(
-                    "__run", F.lit(rid)
-                )
-            )
-            runs.append({"ct": ct, "wt": wt, "cs": cs})
+        )
+        runs.append({"ct": ct, "wt": wt, "cs": cs})
 
     from functools import reduce
 
