@@ -34,6 +34,7 @@ from coies_spark.operators.salted import salted_count
 from coies_spark.operators.graph import connected_components_star
 from coies_spark.operators.graph import cooccurrence_edges as graph_cooccurrence
 from coies_spark.operators.graph import pagerank as graph_pagerank
+from coies_spark.operators.graph import triangle_counts as graph_triangles
 from coies_spark.ops import (
     curate,
     dedup,
@@ -871,6 +872,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # survivor set derived from minhash_lsh_pairs' candidate graph
         "lsh_unique_docs": _q_lsh_unique,
+        # --- r4 second batch (oracled; outside the 50-entry driver
+        # window, verified by scripts/check_oracle.py) ---
+        # degree-oriented triangle counting + local clustering
+        # coefficient over the near-dup candidate graph: lcc separates
+        # duplicate CLIQUES (templates) from LSH-collision hubs
+        "triangle_counts": lambda s, d: graph_triangles(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # per-predicate schema induction (functionality gauges decide
+        # which predicates need the salted/AQE path)
+        "predicate_profile": lambda s, d: kg.predicate_profile(
+            _kg_evidence(s, d).select("subj", "pred", "obj")
+        ),
+        # MOSS winnowing fingerprint selection (array-side, 0 shuffles)
+        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
+            _read(s, d, "documents")
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -2625,5 +2645,90 @@ def oracle_sql() -> dict[str, str]:
                     WHEN round(exp(-avg_lp), 6) <= 60.0 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM agg
+    """
+
+    # --- r4 second batch ------------------------------------------------
+    # triangle_counts: the triangle SET is orientation-invariant, so
+    # the twin enumerates with the simple a<b<c ordering while the
+    # engine uses degree orientation — same triangles, same counts.
+    # Edge set composed from the minhash_lsh_pairs oracle (the same
+    # single-sourcing as pagerank_neardup).
+    sql["triangle_counts"] = f"""
+        WITH e0 AS (SELECT doc_a AS a, doc_b AS b
+                    FROM ({sql['minhash_lsh_pairs']})),
+        canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                  FROM e0 WHERE a <> b),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT a AS node FROM canon
+                  UNION ALL SELECT b FROM canon) u GROUP BY 1),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM canon e1
+                JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                 SELECT x AS node FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) u GROUP BY 1)
+        SELECT d.node, d.deg,
+               CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.deg >= 2
+                    THEN round(2.0 * coalesce(pn.triangles, 0)
+                               / (d.deg * (d.deg - 1)), 9)
+                    ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """
+
+    # predicate_profile: modal object via row_number over (n DESC,
+    # obj DESC) = the engine's max_by(obj, struct(n, obj))
+    sql["predicate_profile"] = f"""
+        WITH {kg_ev},
+        tr AS (SELECT DISTINCT subj, pred, obj FROM ev),
+        c AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+                     CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                     CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+              FROM tr GROUP BY 1),
+        po AS (SELECT pred, obj, count(*) AS n FROM tr GROUP BY 1, 2),
+        md AS (SELECT pred, obj AS top_obj, n AS top_n FROM (
+                 SELECT pred, obj, n, row_number() OVER (
+                   PARTITION BY pred ORDER BY n DESC, obj DESC) AS rk
+                 FROM po) r WHERE rk = 1)
+        SELECT c.pred, c.n_triples, c.n_subj, c.n_obj,
+               round(c.n_subj * 1.0 / c.n_triples, 6) AS functionality,
+               round(c.n_obj * 1.0 / c.n_triples, 6)
+                 AS inverse_functionality,
+               md.top_obj,
+               round(md.top_n * 1.0 / c.n_triples, 6) AS top_obj_share
+        FROM c JOIN md ON c.pred = md.pred
+    """
+
+    # winnow_fingerprints (k=3, w=4): same arithmetic encoding as the
+    # engine — key = hash32·2^20 + (2^20−1−pos0); n_fp/min/digest are
+    # order-invariant so list_distinct ordering differences don't
+    # matter.  Spark's transform index is 0-based, range() here is
+    # 1-based, hence the (i − 1).
+    sql["winnow_fingerprints"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+        sh AS (SELECT doc_id, list_transform(
+                 range(1, greatest(len(tokens) - 2, 1) + 1),
+                 i -> array_to_string(tokens[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 AS shingles
+               FROM toks),
+        ks AS (SELECT doc_id, list_transform(
+                 range(1, len(shingles) + 1),
+                 i -> CAST(('0x' || substr(
+                        md5(shingles[CAST(i AS INT)]), 1, 8)) AS BIGINT)
+                      * 1048576 + (1048575 - (i - 1))) AS keys
+               FROM sh),
+        win AS (SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(keys) - least(4, len(keys)) + 2),
+                  p -> list_min(keys[CAST(p AS INT):
+                                CAST(p + least(4, len(keys)) - 1 AS INT)])))
+                  AS picked
+                FROM ks)
+        SELECT doc_id, CAST(len(picked) AS BIGINT) AS n_fp,
+               CAST(list_min(picked) AS BIGINT) AS fp_min,
+               CAST(list_sum(list_transform(picked, x -> x // 1048576))
+                 AS BIGINT) AS fp_digest
+        FROM win
     """
     return sql

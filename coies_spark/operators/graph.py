@@ -242,6 +242,98 @@ def pagerank(
     return pr
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, deg, triangles, lcc): per-node triangle participation and
+    local clustering coefficient over the UNDIRECTED simple graph.
+
+    On a near-dup candidate graph, triangle-dense nodes are members of
+    tightly-knit duplicate cliques (template/boilerplate families),
+    while triangle-free high-degree nodes are LSH-collision hubs —
+    the ratio (lcc) separates the two, which a bare degree gauge
+    (``entity_degrees``) cannot.
+
+    Algorithm: degree orientation (Cohen's MapReduce triangle
+    enumeration / compact-forward).  Each canonical edge {a, b} is
+    oriented from its lower-(deg, id) endpoint to the higher one, so
+    every node's out-degree is O(√m) on any graph; wedges are built by
+    self-joining the oriented list on the common SOURCE and closed
+    against the canonical edge set.  A hub of degree h therefore
+    contributes O(√m·√m) wedge candidates instead of the O(h²) a
+    naive a<b orientation pays when node ids correlate with degree —
+    the difference between hours and minutes on a web-scale candidate
+    graph with 10⁶-degree boilerplate hubs.
+
+    Shuffle budget: deg groupBy (1) + two node-keyed orientation joins
+    (AQE broadcasts deg when small) + wedge self-join on the pivot (1)
+    + closure join on the candidate pair (1) + count groupBy (1) —
+    all keyed, no cartesian anywhere (plan-tested).
+
+    The triangle SET is orientation-invariant, so the DuckDB twin can
+    enumerate with the simpler a<b<c ordering and match exactly.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb"))
+    lower_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        canon,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+    ).select("u", "x", "y")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+            "triangles"
+        ),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def cooccurrence_edges(
     df: DataFrame,
     group_col: str,

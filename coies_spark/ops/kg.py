@@ -259,6 +259,67 @@ def alias_candidates(
     )
 
 
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_subj, n_obj, functionality,
+    inverse_functionality, top_obj, top_obj_share): per-predicate
+    schema induction over a (subj, pred, obj) table.
+
+    ``functionality`` = n_distinct_subj / n_distinct_triples — 1.0
+    means each subject asserts the predicate at most once (a
+    functional / 1:1-ish property, safe to use as a merge key in
+    entity resolution); values near 0 mean head-heavy 1:N fan-out —
+    exactly the predicates the north rule's salted-aggregation path
+    exists for, so this gauge is what decides WHICH predicates get
+    salted.  ``inverse_functionality`` is the object-side mirror
+    (near-1.0 ⇒ obj values are identifying — candidate linking keys).
+    ``top_obj``/``top_obj_share`` expose degenerate predicates whose
+    evidence collapses onto one value (extraction-bug tripwire).
+
+    Plan: one distinct on (subj, pred, obj) then two pred-keyed
+    aggregations (counts + modal object via max-by on (count, obj))
+    — map-side combinable, one exchange on pred each; no windows, no
+    Python.  Predicate cardinality is tiny relative to the corpus, so
+    the final frames are dashboard-sized at any input scale.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    counts = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+    # modal object per predicate: count per (pred, obj), then max_by
+    # over a deterministic (count, obj) order — obj DESC on ties so
+    # the winner is engine-portable
+    per_obj = t.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    modal = per_obj.groupBy("pred").agg(
+        F.max_by(
+            F.col("obj"), F.struct(F.col("n"), F.col("obj"))
+        ).alias("top_obj"),
+        F.max("n").cast("long").alias("_top_n"),
+    )
+    return (
+        counts.join(modal, "pred")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            F.round(F.col("n_subj") / F.col("n_triples"), 6).alias(
+                "functionality"
+            ),
+            F.round(F.col("n_obj") / F.col("n_triples"), 6).alias(
+                "inverse_functionality"
+            ),
+            "top_obj",
+            F.round(F.col("_top_n") / F.col("n_triples"), 6).alias(
+                "top_obj_share"
+            ),
+        )
+    )
+
+
 def entity_degrees(triples: DataFrame) -> DataFrame:
     """(entity, out_degree, in_degree, n_preds): KG degree gauge.
 

@@ -299,6 +299,75 @@ def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, n_fp, fp_min, fp_digest): MOSS winnowing fingerprints
+    (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD'03).
+
+    Every window of ``w`` consecutive ``k``-token shingle hashes
+    selects its minimum; ties break to the RIGHTMOST minimal hash
+    (robust winnowing), so two documents sharing a run of text select
+    the SAME (hash, offset-aligned) fingerprints — the guarantee that
+    makes the selected set a plagiarism/overlap index, which the
+    1-of-document ``doc_fingerprint`` cannot provide.  Documents with
+    fewer than ``w`` shingles form one whole-document window.
+
+    Selection is encoded arithmetically so one ``array_min`` does the
+    (hash asc, position desc) tie-break: key = hash·2²⁰ + (2²⁰−1−pos)
+    (hash is the portable 32-bit md5 prefix, so keys stay < 2⁵²).
+    The windowed min is a ``zip_with`` fold against ``w−1`` shifted
+    suffix slices — the same O(len·w) no-lambda-recompute shape as
+    :func:`shingles_col` (the per-index ``transform``+``slice`` form
+    is O(len²) on web-length docs; see that docstring's measurement).
+    Everything is array-side per row: ZERO shuffles, no Python, and
+    the per-doc output is 3 scalars (count, min, digest-sum of the
+    selected distinct (hash, pos) keys), so the operator composes
+    with any downstream join without fan-out.
+    """
+    if w < 1 or k < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    m = 1 << 20  # position field width; docs cap at 2^20 shingles
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    sh = t.select("doc_id", shingles_col(k).alias("sh"))
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s, i: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "long"
+            )
+            * m
+            + (m - 1 - i),
+        ).alias("keys"),
+    )
+    keys = F.col("keys")
+    acc = keys
+    for shift in range(1, w):
+        # min against the suffix shifted by `shift`; slice args are
+        # evaluated once per row (they are operator arguments, not
+        # lambda-body references), keeping the fold O(len·w)
+        acc = F.zip_with(
+            acc,
+            F.slice(keys, shift + 1, F.greatest(F.size(keys) - shift, F.lit(1))),
+            lambda x, y: F.least(x, F.coalesce(y, x)),
+        )
+    n_h = F.size(keys)
+    w_eff = F.least(F.lit(w), n_h)
+    picked = F.array_distinct(F.slice(acc, 1, n_h - w_eff + 1))
+    return hashed.select(
+        "doc_id",
+        F.size(picked).cast("long").alias("n_fp"),
+        F.array_min(picked).cast("long").alias("fp_min"),
+        F.aggregate(
+            picked,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.floor(x / m).cast("long"),
+        ).alias("fp_digest"),
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality filters (Rae et al. 2021,
     "Scaling Language Models", §A1.1 quality heuristics), adapted from

@@ -224,3 +224,64 @@ class TestPageRank:
         pr = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
         # symmetric pairs: uniform pr everywhere
         assert len(set(pr.values())) == 1 and len(pr) == 4
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        from coies_spark.operators.graph import triangle_counts
+
+        # triangle a-b-c plus pendant c-d
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+            "src string, dst string",
+        )
+        got = {
+            r.node: (r.deg, r.triangles, r.lcc)
+            for r in triangle_counts(edges).collect()
+        }
+        assert got == {
+            "a": (2, 1, 1.0),
+            "b": (2, 1, 1.0),
+            "c": (3, 1, round(2 * 1 / (3 * 2), 9)),
+            "d": (1, 0, 0.0),
+        }
+
+    def test_star_hub_has_no_triangles(self, spark):
+        from coies_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [("hub", f"leaf{i}") for i in range(6)],
+            "src string, dst string",
+        )
+        got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 7
+
+    def test_direction_and_duplicates_are_ignored(self, spark):
+        from coies_spark.operators.graph import triangle_counts
+
+        a = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+        )
+        b = spark.createDataFrame(
+            [("b", "a"), ("b", "a"), ("c", "b"), ("c", "a"), ("a", "c")],
+            "src string, dst string",
+        )
+        ra = sorted(map(tuple, triangle_counts(a).collect()))
+        rb = sorted(map(tuple, triangle_counts(b).collect()))
+        assert ra == rb
+        assert all(t == 1 for (_, _, t, _) in ra)
+
+    def test_k4_counts(self, spark):
+        from coies_spark.operators.graph import triangle_counts
+        from itertools import combinations
+
+        # complete graph K4: every node is in C(3,2)=3 triangles, lcc=1
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{j}") for i, j in combinations(range(4), 2)],
+            "src string, dst string",
+        )
+        rows = triangle_counts(edges).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert (r.deg, r.triangles, r.lcc) == (3, 3, 1.0)

@@ -1168,3 +1168,130 @@ class TestCooccurrenceEdges:
         df = spark.createDataFrame([(1, "a")], "g bigint, v string")
         with pytest.raises(ValueError):
             cooccurrence_edges(df, "g", "v", max_per_group=1)
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _expected(text, k=3, w=4):
+        """Brute-force single-node winnowing twin (robust winnowing:
+        window min with rightmost tie-break, arithmetic encoding)."""
+        import hashlib
+
+        from coies_spark.core.textproc import tokenize
+
+        toks = tokenize(text.lower())
+        if len(toks) >= k:
+            sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            sh = [" ".join(toks)]
+        m = 1 << 20
+        keys = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) * m
+            + (m - 1 - i)
+            for i, s in enumerate(sh)
+        ]
+        weff = min(w, len(keys))
+        picked = {
+            min(keys[p : p + weff]) for p in range(len(keys) - weff + 1)
+        }
+        return (
+            len(picked),
+            min(picked),
+            sum(x // m for x in picked),
+        )
+
+    def test_matches_single_node_twin(self, spark, tiny_docs):
+        got = {
+            r.doc_id: (r.n_fp, r.fp_min, r.fp_digest)
+            for r in textstats.winnow_fingerprints(tiny_docs).collect()
+        }
+        texts = {
+            r.doc_id: r.text for r in tiny_docs.select("doc_id", "text").collect()
+        }
+        assert set(got) == set(texts)
+        for doc_id, text in texts.items():
+            assert got[doc_id] == self._expected(text), doc_id
+
+    def test_shared_run_selects_shared_hashes(self, spark):
+        # two docs sharing a long token run must share fingerprint
+        # hashes from inside the run (the winnowing guarantee)
+        run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(0, f"intro words {run}"), (1, f"{run} closing other text")],
+            "doc_id bigint, text string",
+        )
+        import hashlib
+
+        m = 1 << 20
+        rows = {
+            r.doc_id: r
+            for r in textstats.winnow_fingerprints(docs).collect()
+        }
+        # recompute hash sets (positions differ, hashes overlap)
+        def hashes(text, k=3, w=4):
+            from coies_spark.core.textproc import tokenize
+
+            toks = tokenize(text.lower())
+            sh = [
+                " ".join(toks[i : i + k])
+                for i in range(len(toks) - k + 1)
+            ]
+            keys = [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) * m
+                + (m - 1 - i)
+                for i, s in enumerate(sh)
+            ]
+            weff = min(w, len(keys))
+            return {
+                min(keys[p : p + weff]) // m
+                for p in range(len(keys) - weff + 1)
+            }
+
+        h0, h1 = hashes("intro words " + run), hashes(run + " closing other text")
+        assert h0 & h1, "shared run must produce shared fingerprints"
+        assert rows[0].n_fp == len(h0) or rows[0].n_fp >= len(h0)
+
+    def test_empty_input(self, spark, empty_docs):
+        assert textstats.winnow_fingerprints(empty_docs).count() == 0
+
+    def test_rejects_bad_params(self, spark, tiny_docs):
+        with pytest.raises(ValueError):
+            textstats.winnow_fingerprints(tiny_docs, k=0)
+
+
+class TestPredicateProfile:
+    def test_known_profiles(self, spark):
+        from coies_spark.ops import kg
+
+        triples = spark.createDataFrame(
+            [
+                ("s1", "name", "a"),
+                ("s2", "name", "b"),
+                ("s3", "name", "b"),
+                ("s1", "likes", "x"),
+                ("s1", "likes", "y"),
+                ("s2", "likes", "x"),
+                ("s1", "likes", "x"),  # duplicate assertion drops out
+            ],
+            "subj string, pred string, obj string",
+        )
+        got = {r.pred: r for r in kg.predicate_profile(triples).collect()}
+        name = got["name"]
+        assert (name.n_triples, name.n_subj, name.n_obj) == (3, 3, 2)
+        assert name.functionality == 1.0
+        assert name.inverse_functionality == round(2 / 3, 6)
+        assert (name.top_obj, name.top_obj_share) == ("b", round(2 / 3, 6))
+        likes = got["likes"]
+        assert (likes.n_triples, likes.n_subj, likes.n_obj) == (3, 2, 2)
+        assert likes.functionality == round(2 / 3, 6)
+        assert (likes.top_obj, likes.top_obj_share) == ("x", round(2 / 3, 6))
+
+    def test_modal_tie_breaks_to_larger_obj(self, spark):
+        from coies_spark.ops import kg
+
+        triples = spark.createDataFrame(
+            [("s1", "p", "aa"), ("s2", "p", "zz")],
+            "subj string, pred string, obj string",
+        )
+        row = kg.predicate_profile(triples).collect()[0]
+        assert row.top_obj == "zz"  # (count, obj) max → obj desc on ties

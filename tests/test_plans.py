@@ -350,3 +350,28 @@ def test_token_budget_sample_single_exchange(spark):
     )
     assert p.count("Exchange") == 1
     assert "Join" not in p
+
+
+def test_triangle_counts_no_cartesian(spark):
+    from coies_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    p = plan_of(triangle_counts(edges))
+    # every join is keyed (wedge pivot / closure pair / degree node);
+    # a cartesian or unkeyed nested loop would be the O(n^2) failure
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnow_fingerprints_zero_shuffles(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(textstats.winnow_fingerprints(docs))
+    # the whole selection is array-side per row: no exchange at all,
+    # and only (doc_id, text) reach the scan
+    assert "Exchange" not in p
+    pf = plan_of(textstats.winnow_fingerprints(docs), "formatted")
+    read = [l for l in pf.splitlines() if "ReadSchema" in l]
+    assert read and "doc_id" in read[0] and "text" in read[0]
+    assert "lang" not in read[0]
