@@ -607,6 +607,45 @@ def _q_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.alias_candidates(surf.unionByName(planted), max_dist=2)
 
 
+def _q_belief_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-windowed noisy-OR beliefs over the event stream, folded
+    into the all-time view by ``kg.merge_beliefs`` — the batch
+    compaction of ``streaming.kg.stream_triple_confidence``'s
+    per-window emissions.  The per-window stage is the exact windowed
+    expression the stream runs; the merge stage exercises the
+    associative miss-mass fold (confidence in → confidence out)."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit("did_event").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        F.round(
+            F.lit(1.0) / (F.lit(2) + F.col("user_id") % 5), 6
+        ).alias("score"),
+    )
+    s = F.least(F.col("score"), F.lit(1.0 - 1e-6))
+    windows = (
+        ev.select(
+            "subj",
+            "pred",
+            "obj",
+            "ts",
+            F.floor(F.col("ts") / F.lit(86400000000)).alias("day"),
+            F.log(F.lit(1.0) - s).alias("lg"),
+        )
+        .groupBy("day", "subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evidence"),
+            F.min("ts").cast("long").alias("first_ts"),
+            F.max("ts").cast("long").alias("last_ts"),
+            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias(
+                "confidence"
+            ),
+        )
+    )
+    return kg.merge_beliefs(windows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline ---
@@ -891,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
             _read(s, d, "documents")
         ),
+        # daily-window noisy-OR beliefs compacted into the all-time
+        # view (merge_beliefs: the streaming layer's batch fold —
+        # associative over miss-mass, so compaction is incremental)
+        "belief_compaction": _q_belief_compaction,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -2730,5 +2773,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(picked, x -> x // 1048576))
                  AS BIGINT) AS fp_digest
         FROM win
+    """
+
+    # belief_compaction: the same two-stage rounding as the engine
+    # (6dp per window, then 6dp after the merge), so the fold matches
+    # bit-for-bit despite the intermediate rounding
+    sql["belief_compaction"] = """
+        WITH ev AS (
+          SELECT CAST(user_id AS VARCHAR) AS subj,
+                 'did_event' AS pred,
+                 event_type AS obj,
+                 epoch_us(ts) AS ts,
+                 round(1.0 / (2 + user_id % 5), 6) AS score
+          FROM events),
+        w AS (
+          SELECT CAST(floor(ts / 86400000000) AS BIGINT) AS day,
+                 subj, pred, obj,
+                 CAST(count(*) AS BIGINT) AS n_evidence,
+                 CAST(min(ts) AS BIGINT) AS first_ts,
+                 CAST(max(ts) AS BIGINT) AS last_ts,
+                 round(1 - exp(sum(ln(1 - least(score, 1 - 1e-6)))), 6)
+                   AS confidence
+          FROM ev GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(n_evidence) AS BIGINT) AS n_evidence,
+               CAST(min(first_ts) AS BIGINT) AS first_ts,
+               CAST(max(last_ts) AS BIGINT) AS last_ts,
+               round(1 - exp(sum(ln(1 - least(confidence,
+                 1 - 1e-9)))), 6) AS confidence
+        FROM w GROUP BY 1, 2, 3
     """
     return sql

@@ -155,6 +155,62 @@ def triple_confidence(evidence: DataFrame) -> DataFrame:
     )
 
 
+def merge_beliefs(snapshots: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_windows, n_evidence, first_ts, last_ts,
+    confidence): compact per-window belief rows into the all-time
+    view — the batch fold the streaming layer's docstring promises
+    (``streaming.kg.stream_triple_confidence`` emits one belief row
+    per closed window; this merges them).
+
+    Noisy-OR is associative over its miss-mass: a window with
+    confidence c contributes miss-mass (1 − c), so the all-time
+    confidence is ``1 − Π_w (1 − c_w)`` — computed, like
+    :func:`triple_confidence`, as a map-side-combinable SUM of
+    ``ln(1 − c_w)`` (clamped against log(0)).  Because each input row
+    already folds ITS window's evidence, compaction cost scales with
+    the number of (window, triple) rows, not the raw evidence volume
+    — re-running compaction after each streaming batch touches only
+    snapshot-sized data.  The output shape is itself a valid input
+    (confidence in, confidence out), so compaction is INCREMENTAL:
+    merge_beliefs(old_compacted ∪ new_windows) = the updated view,
+    which is the resume/upsert story for the belief store.
+
+    Input columns: subj, pred, obj, n_evidence, confidence, plus
+    optional first_ts/last_ts (absent → NULL bounds).  6dp rounding
+    per stage matches the per-window rounding, so a DuckDB twin
+    running the same two-stage computation matches bit-for-bit.
+    """
+    cols = set(snapshots.columns)
+    first_ts = (
+        F.col("first_ts")
+        if "first_ts" in cols
+        else F.lit(None).cast("long")
+    )
+    last_ts = (
+        F.col("last_ts") if "last_ts" in cols else F.lit(None).cast("long")
+    )
+    c = F.least(F.col("confidence"), F.lit(1.0 - 1e-9))
+    return (
+        snapshots.select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("n_evidence").cast("long").alias("n_evidence"),
+            first_ts.alias("first_ts"),
+            last_ts.alias("last_ts"),
+            F.log(F.lit(1.0) - c).alias("lg"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n_evidence").cast("long").alias("n_evidence"),
+            F.min("first_ts").cast("long").alias("first_ts"),
+            F.max("last_ts").cast("long").alias("last_ts"),
+            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
+        )
+    )
+
+
 def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
     """(src, dst, hops): every ordered pair reachable in ≤ ``k`` hops,
     with the MINIMUM hop count.

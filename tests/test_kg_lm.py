@@ -302,3 +302,105 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# merge_beliefs (belief compaction)
+# ---------------------------------------------------------------------------
+
+SNAP_SCHEMA = (
+    "subj string, pred string, obj string, n_evidence long, "
+    "first_ts long, last_ts long, confidence double"
+)
+
+
+def test_merge_beliefs_noisy_or_fold(spark):
+    snaps = spark.createDataFrame(
+        [
+            ("s", "p", "o", 2, 10, 20, 0.5),
+            ("s", "p", "o", 3, 30, 40, 0.25),
+            ("s", "p", "other", 1, 5, 5, 0.4),
+        ],
+        SNAP_SCHEMA,
+    )
+    rows = {r.obj: r for r in kg.merge_beliefs(snaps).collect()}
+    o = rows["o"]
+    assert (o.n_windows, o.n_evidence, o.first_ts, o.last_ts) == (
+        2, 5, 10, 40,
+    )
+    assert o.confidence == round(1 - 0.5 * 0.75, 6)
+    assert rows["other"].n_windows == 1
+    assert rows["other"].confidence == 0.4
+
+
+def test_merge_beliefs_is_incremental(spark):
+    """merge(old_compacted ∪ new_windows) == merge(all windows):
+    the upsert/resume property of the belief store."""
+    windows = [
+        ("s", "p", "o", 2, 10, 20, 0.5),
+        ("s", "p", "o", 3, 30, 40, 0.25),
+        ("s", "p", "o", 1, 50, 60, 0.125),
+    ]
+    all_at_once = kg.merge_beliefs(
+        spark.createDataFrame(windows, SNAP_SCHEMA)
+    ).collect()[0]
+    old = kg.merge_beliefs(
+        spark.createDataFrame(windows[:2], SNAP_SCHEMA)
+    )
+    # the compacted view feeds back in: confidence in, confidence out
+    merged = kg.merge_beliefs(
+        old.unionByName(
+            spark.createDataFrame(windows[2:], SNAP_SCHEMA).withColumn(
+                "n_windows", F.lit(1).cast("long")
+            ).select(old.columns)
+        )
+    ).collect()[0]
+    assert merged.n_evidence == all_at_once.n_evidence == 6
+    assert merged.first_ts == 10 and merged.last_ts == 60
+    # one intermediate 6dp rounding step: equal to 1e-6
+    assert abs(merged.confidence - all_at_once.confidence) <= 1e-6
+    assert all_at_once.confidence == round(
+        1 - (1 - 0.5) * (1 - 0.25) * (1 - 0.125), 6
+    )
+
+
+def test_merge_beliefs_matches_stream_then_fold(spark):
+    """Batch triple_confidence over all evidence ≡ window-then-merge
+    (up to the intermediate 6dp rounding)."""
+    ev_rows = [
+        ("s", "p", "o", t, 0.2 + 0.05 * (t % 4)) for t in range(1, 9)
+    ]
+    ev = spark.createDataFrame(
+        ev_rows, "subj string, pred string, obj string, ts long, score double"
+    )
+    direct = kg.triple_confidence(ev).collect()[0]
+    s = F.least(F.col("score"), F.lit(1.0 - 1e-6))
+    windows = (
+        ev.withColumn("w", F.col("ts") % 2)
+        .select(
+            "w", "subj", "pred", "obj", "ts",
+            F.log(F.lit(1.0) - s).alias("lg"),
+        )
+        .groupBy("w", "subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evidence"),
+            F.min("ts").cast("long").alias("first_ts"),
+            F.max("ts").cast("long").alias("last_ts"),
+            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
+        )
+    )
+    folded = kg.merge_beliefs(windows).collect()[0]
+    assert folded.n_evidence == direct.n_evidence == 8
+    assert folded.first_ts == direct.first_ts
+    assert folded.last_ts == direct.last_ts
+    assert abs(folded.confidence - direct.confidence) < 2e-6
+
+
+def test_merge_beliefs_without_ts_columns(spark):
+    snaps = spark.createDataFrame(
+        [("s", "p", "o", 2, 0.5), ("s", "p", "o", 1, 0.5)],
+        "subj string, pred string, obj string, n_evidence long, confidence double",
+    )
+    row = kg.merge_beliefs(snaps).collect()[0]
+    assert row.first_ts is None and row.last_ts is None
+    assert row.confidence == 0.75
