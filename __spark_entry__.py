@@ -34,6 +34,8 @@ from coies_spark.operators.salted import salted_count
 from coies_spark.operators.graph import connected_components_star
 from coies_spark.operators.graph import cooccurrence_edges as graph_cooccurrence
 from coies_spark.operators.graph import pagerank as graph_pagerank
+from coies_spark.operators.graph import kcore as graph_kcore
+from coies_spark.operators.graph import label_propagation as graph_lpa
 from coies_spark.operators.graph import triangle_counts as graph_triangles
 from coies_spark.ops import (
     curate,
@@ -934,6 +936,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # view (merge_beliefs: the streaming layer's batch fold —
         # associative over miss-mass, so compaction is incremental)
         "belief_compaction": _q_belief_compaction,
+        # offset-based sequence packing: turns → ~64-token training
+        # chunks, split at token offsets, order-deterministic text
+        "pack_turns": lambda s, d: transcripts.pack_turns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
+        # deterministic sync LPA communities over the candidate graph
+        # (separates template families CC merges through one collision)
+        "label_propagation": lambda s, d: graph_lpa(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # 2-core of the candidate graph: strips LSH-collision pendants,
+        # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
+        "kcore": lambda s, d: graph_kcore(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            k=2,
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -2804,4 +2826,86 @@ def oracle_sql() -> dict[str, str]:
                  1 - 1e-9)))), 6) AS confidence
         FROM w GROUP BY 1, 2, 3
     """
+
+    # pack_turns: the exclusive prefix sum + floor(offset/budget)
+    # chunking, chunk text via ORDER BY turn_idx string_agg = the
+    # engine's array_sort(collect_list(struct)) reassembly
+    sql["pack_turns"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tok AS (
+          SELECT conv_id, turn_idx, turn_text,
+                 CAST(len(list_filter(regexp_split_to_array(
+                   lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                   x -> x <> '')) AS BIGINT) AS n_toks
+          FROM t),
+        off AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 CAST(floor(coalesce(sum(n_toks) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) / 64) AS BIGINT) AS chunk_id
+          FROM tok)
+        SELECT conv_id, chunk_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(min(turn_idx) AS BIGINT) AS first_turn,
+               CAST(max(turn_idx) AS BIGINT) AS last_turn,
+               string_agg(turn_text, ' ' ORDER BY turn_idx)
+                 AS packed_text
+        FROM off GROUP BY 1, 2
+    """
+    )
+
+    # label_propagation: 3 unrolled sync rounds over the same edge set
+    # as the minhash_lsh_pairs oracle; per-round argmax = row_number
+    # over (cnt DESC, label ASC) = the engine's min_by struct order
+    lpa_ctes = [
+        f"e AS (SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']}))",
+        "sym AS (SELECT DISTINCT a, b FROM ("
+        " SELECT doc_a AS a, doc_b AS b FROM e"
+        " UNION ALL SELECT doc_b, doc_a FROM e) u WHERE a <> b)",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for it in range(1, 4):
+        lpa_ctes.append(
+            f"c{it} AS (SELECT s.b AS node, l.label,"
+            f" count(*) AS cnt FROM sym s"
+            f" JOIN l{it - 1} l ON l.node = s.a GROUP BY 1, 2)"
+        )
+        lpa_ctes.append(
+            f"l{it} AS (SELECT node, label FROM ("
+            f" SELECT node, label, row_number() OVER ("
+            f" PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk"
+            f" FROM c{it}) r WHERE rk = 1)"
+        )
+    sql["label_propagation"] = (
+        "WITH " + ",\n".join(lpa_ctes) + " SELECT node, label FROM l3"
+    )
+
+    # kcore: 8 unrolled peel rounds (drop deg<2 nodes + their edges)
+    # over the same candidate edge set; a converged round is a no-op,
+    # so the unroll equals the engine's fixed-rounds contract exactly
+    kcore_ctes = [
+        f"e AS (SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']}))",
+        "s0 AS (SELECT DISTINCT a, b FROM ("
+        " SELECT doc_a AS a, doc_b AS b FROM e"
+        " UNION ALL SELECT doc_b, doc_a FROM e) u WHERE a <> b)",
+    ]
+    for it in range(1, 9):
+        kcore_ctes.append(
+            f"v{it} AS (SELECT a AS node FROM s{it - 1}"
+            f" GROUP BY 1 HAVING count(*) >= 2)"
+        )
+        kcore_ctes.append(
+            f"s{it} AS (SELECT s.a, s.b FROM s{it - 1} s"
+            f" JOIN v{it} x ON x.node = s.a"
+            f" JOIN v{it} y ON y.node = s.b)"
+        )
+    sql["kcore"] = (
+        "WITH " + ",\n".join(kcore_ctes)
+        + " SELECT a AS node, CAST(count(*) AS BIGINT) AS deg"
+        + " FROM s8 GROUP BY 1 HAVING count(*) >= 2"
+    )
     return sql

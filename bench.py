@@ -18,6 +18,10 @@ Headliners cover the engine's load-bearing paths:
 * curate_corpus     — fused quality+repetition+dedup+scrub+sample pass
 * duplicate_spans   — ExactSubstr span dedup (shingle count + islands)
 * conversation_stats— transcript role/alternation/tool health metrics
+* pack_turns        — offset-based sequence packing into ~64-token
+                      training chunks (order-deterministic reassembly)
+* winnow_fingerprints — MOSS winnowing selection (array-side, 0
+                      shuffles)
 * scrub_boilerplate — CCNet repeated-line rule on transcript turns
                       (digest dictionary + anti-join scrub)
 * semdedup          — SemDeDup semantic dedup (k-means blocks +
@@ -101,6 +105,7 @@ def main() -> None:
         lm,
         relational,
         similarity,
+        textstats,
         transcripts,
         wmd,
     )
@@ -187,6 +192,16 @@ def main() -> None:
             transcripts.conversation_stats(
                 transcripts.synthesize_transcripts(docs)
             )
+        ),
+        # offset-based sequence packing (turns → ~64-token chunks)
+        "pack_turns": lambda: run(
+            transcripts.pack_turns(
+                transcripts.synthesize_transcripts(docs)
+            )
+        ),
+        # MOSS winnowing fingerprints (array-side, zero shuffles)
+        "winnow_fingerprints": lambda: run(
+            textstats.winnow_fingerprints(docs)
         ),
         # boilerplate-turn scrub (CCNet repeated-line rule)
         "scrub_boilerplate": lambda: run(

@@ -118,6 +118,75 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def pack_turns(
+    transcripts: DataFrame, budget_tokens: int = 64
+) -> DataFrame:
+    """(conv_id, chunk_id, n_turns, n_tokens, first_turn, last_turn,
+    packed_text): offset-based sequence packing — each conversation's
+    turns, in stable turn order, are grouped into training chunks of
+    ~``budget_tokens`` engine-tokenizer tokens.
+
+    A turn belongs to chunk ``floor(token_offset / budget)`` where
+    ``token_offset`` is the cumulative token count of all PRECEDING
+    turns — i.e. chunks split at fixed token offsets, never mid-turn.
+    A chunk can therefore overflow the budget by up to (its last
+    turn's length − 1) tokens; that is the standard streaming
+    approximation of first-fit packing, whose exact form needs
+    sequential bin state that cannot be expressed as a distributed
+    prefix sum.  Short conversations yield one chunk; empty turns
+    cost 0 tokens and ride along.
+
+    ``packed_text`` reassembles the chunk's turns in turn order via
+    ``array_sort(collect_list(struct(turn_idx, text)))`` — order-
+    deterministic under any task ordering, matching DuckDB's
+    ``string_agg(... ORDER BY turn_idx)``.
+
+    Plan: one window pass (the exclusive prefix sum) and one groupBy.
+    Both key on conv_id (the groupBy adds chunk_id), so at 10¹² turns
+    this is the same conv_id-clustered shape as turn assembly — on
+    the bucketed transcript layout the window's exchange is satisfied
+    by the storage layout and the whole pack costs one shuffle.
+    """
+    if budget_tokens < 1:
+        raise ValueError("pack_turns: budget_tokens must be >= 1")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+    )
+    offs = toks.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+            / F.lit(budget_tokens)
+        ).cast("long"),
+    )
+    return (
+        offs.groupBy("conv_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+            F.max("turn_idx").cast("long").alias("last_turn"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+    )
+
+
 def boilerplate_turns(
     transcripts: DataFrame, min_convs: int = 2
 ) -> DataFrame:

@@ -285,3 +285,90 @@ class TestTriangleCounts:
         assert len(rows) == 4
         for r in rows:
             assert (r.deg, r.triangles, r.lcc) == (3, 3, 1.0)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_bridge(self, spark):
+        from coies_spark.operators.graph import label_propagation
+        from itertools import combinations
+
+        # two 4-cliques joined by ONE bridge edge: one component,
+        # but LPA keeps two communities
+        left = [(f"a{i}", f"a{j}") for i, j in combinations(range(4), 2)]
+        right = [(f"b{i}", f"b{j}") for i, j in combinations(range(4), 2)]
+        edges = spark.createDataFrame(
+            left + right + [("a0", "b0")], "src string, dst string"
+        )
+        got = {r.node: r.label for r in label_propagation(edges).collect()}
+        assert len(got) == 8
+        left_labels = {got[f"a{i}"] for i in range(4)}
+        right_labels = {got[f"b{i}"] for i in range(4)}
+        assert len(left_labels) == 1 and len(right_labels) == 1
+        assert left_labels != right_labels
+
+    def test_deterministic_across_runs(self, spark):
+        from coies_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y")],
+            "src string, dst string",
+        ).repartition(7)
+        r1 = sorted(map(tuple, label_propagation(edges).collect()))
+        r2 = sorted(
+            map(tuple, label_propagation(edges.repartition(3)).collect())
+        )
+        assert r1 == r2
+
+    def test_min_tiebreak(self, spark):
+        from coies_spark.operators.graph import label_propagation
+
+        # path a-b-c after 1 round: b sees {a, c} equally -> min label a
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        got = {
+            r.node: r.label
+            for r in label_propagation(edges, iters=1).collect()
+        }
+        assert got["b"] == "a"
+
+
+class TestKCore:
+    def test_clique_with_pendants(self, spark):
+        from coies_spark.operators.graph import kcore
+        from itertools import combinations
+
+        # 4-clique plus a pendant chain p0-p1-p2 hanging off a0:
+        # 2-core = the clique alone (the chain peels in cascades)
+        edges = [(f"a{i}", f"a{j}") for i, j in combinations(range(4), 2)]
+        edges += [("a0", "p0"), ("p0", "p1"), ("p1", "p2")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.deg for r in kcore(df, k=2).collect()}
+        assert got == {f"a{i}": 3 for i in range(4)}
+
+    def test_k3_empty_on_cycle(self, spark):
+        from coies_spark.operators.graph import kcore
+
+        # a 4-cycle is a 2-core but has no 3-core
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        assert kcore(df, k=3).count() == 0
+        got = {r.node: r.deg for r in kcore(df, k=2).collect()}
+        assert got == {n: 2 for n in "abcd"}
+
+    def test_cascade_needs_rounds(self, spark):
+        from coies_spark.operators.graph import kcore
+
+        # chain c0-..-c5: 2-core is empty, but peeling eats one node
+        # per round from each end; rounds=1 leaves the middle
+        edges = [(f"c{i}", f"c{i+1}") for i in range(5)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        assert kcore(df, k=2, rounds=1).count() > 0
+        assert kcore(df, k=2, rounds=3).count() == 0
+
+    def test_rejects_bad_k(self, spark):
+        from coies_spark.operators.graph import kcore
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            kcore(df, k=0)

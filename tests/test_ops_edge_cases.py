@@ -1295,3 +1295,56 @@ class TestPredicateProfile:
         )
         row = kg.predicate_profile(triples).collect()[0]
         assert row.top_obj == "zz"  # (count, obj) max → obj desc on ties
+
+
+class TestPackTurns:
+    @staticmethod
+    def _mk(spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    def test_offset_chunking(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # 3-token turns, budget 6: offsets 0,3,6,9 -> chunks 0,0,1,1
+        rows = [("c", i, "one two three") for i in range(4)]
+        got = {
+            r.chunk_id: r
+            for r in tr.pack_turns(self._mk(spark, rows), 6).collect()
+        }
+        assert set(got) == {0, 1}
+        for cid, r in got.items():
+            assert (r.n_turns, r.n_tokens) == (2, 6)
+            assert r.packed_text == "one two three one two three"
+        assert (got[0].first_turn, got[0].last_turn) == (0, 1)
+        assert (got[1].first_turn, got[1].last_turn) == (2, 3)
+
+    def test_overflow_turn_stays_whole(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # second turn starts at offset 2 (< budget 4) and is 5 tokens
+        # long: it stays whole in chunk 0 (split at offsets, not
+        # mid-turn), overflowing the budget
+        rows = [("c", 0, "a b"), ("c", 1, "c d e f g"), ("c", 2, "h")]
+        got = {
+            r.chunk_id: r
+            for r in tr.pack_turns(self._mk(spark, rows), 4).collect()
+        }
+        assert got[0].n_tokens == 7 and got[0].n_turns == 2
+        assert got[1].packed_text == "h"
+
+    def test_turn_order_is_stable(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = [("c", i, f"tok{i}") for i in reversed(range(8))]
+        df = self._mk(spark, rows).repartition(5)
+        got = tr.pack_turns(df, 100).collect()
+        assert len(got) == 1
+        assert got[0].packed_text == " ".join(f"tok{i}" for i in range(8))
+
+    def test_rejects_bad_budget(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        with pytest.raises(ValueError):
+            tr.pack_turns(self._mk(spark, [("c", 0, "x")]), 0)
