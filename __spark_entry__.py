@@ -2886,20 +2886,24 @@ def oracle_sql() -> dict[str, str]:
 
     # kcore: 8 unrolled peel rounds (drop deg<2 nodes + their edges)
     # over the same candidate edge set; a converged round is a no-op,
-    # so the unroll equals the engine's fixed-rounds contract exactly
+    # so the unroll equals the engine's fixed-rounds contract exactly.
+    # Every round CTE is MATERIALIZED: s{it} references s{it-1} twice
+    # (degree filter + edge filter), so inlining would blow up 2^rounds
+    # copies of the base scan and exhaust file handles.
     kcore_ctes = [
-        f"e AS (SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']}))",
-        "s0 AS (SELECT DISTINCT a, b FROM ("
+        "e AS MATERIALIZED "
+        f"(SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']}))",
+        "s0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
         " SELECT doc_a AS a, doc_b AS b FROM e"
         " UNION ALL SELECT doc_b, doc_a FROM e) u WHERE a <> b)",
     ]
     for it in range(1, 9):
         kcore_ctes.append(
-            f"v{it} AS (SELECT a AS node FROM s{it - 1}"
+            f"v{it} AS MATERIALIZED (SELECT a AS node FROM s{it - 1}"
             f" GROUP BY 1 HAVING count(*) >= 2)"
         )
         kcore_ctes.append(
-            f"s{it} AS (SELECT s.a, s.b FROM s{it - 1} s"
+            f"s{it} AS MATERIALIZED (SELECT s.a, s.b FROM s{it - 1} s"
             f" JOIN v{it} x ON x.node = s.a"
             f" JOIN v{it} y ON y.node = s.b)"
         )

@@ -242,6 +242,104 @@ def pagerank(
     return pr
 
 
+def label_propagation(
+    edges: DataFrame, iters: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, label): synchronous label propagation (Raghavan et al.
+    2007) over the undirected graph, ``iters`` unrolled rounds.
+
+    Each round every node adopts the MODE of its neighbors' labels,
+    ties broken to the smallest label — fully deterministic (the
+    async/random-order variants of LPA are not), so the same input
+    yields the same communities on any engine, partitioning, or task
+    order, and a DuckDB twin can unroll the identical rounds.  A fixed
+    round count also sidesteps sync-LPA's bipartite oscillation:
+    whatever state round ``iters`` reaches IS the answer.
+
+    Communities differ from connected components: a sparse bridge
+    between two dense near-dup clusters keeps them ONE component but
+    (usually) two LPA labels — on candidate graphs this separates
+    template families that CC would merge through one chance collision.
+
+    Cost: 2 shuffles per round (label join keyed on the edge source,
+    then the (node, label) count + per-node argmax — the argmax is a
+    map-side-combinable min_by, not a window sort).  Same shape as
+    :func:`pagerank`; lineage cut every other round.
+    """
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for it in range(iters):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
+        )
+        if (it + 1) % 2 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, deg): the nodes surviving ``rounds`` peeling rounds of
+    k-core decomposition over the undirected simple graph, with their
+    degree inside the surviving subgraph.
+
+    One peel round drops every node whose current degree is < k and
+    every edge touching a dropped node; the k-core is this process's
+    fixpoint (Seidman 1983, "Network structure and minimum degree").
+    A fixed unrolled round count keeps the operator a single
+    declarative plan with NO driver loop or convergence action — and
+    because a converged round is a no-op, any ``rounds`` at or past
+    convergence yields the exact core, identically on any engine
+    (same contract as :func:`label_propagation`; a DuckDB twin
+    unrolls the same rounds).  Peeling cannot cascade more than
+    ``rounds`` hops per plan, so callers with adversarial long-chain
+    graphs compose calls or raise ``rounds``.
+
+    On a near-dup candidate graph the 2-core strips LSH-collision
+    pendants (pairs that matched once, by chance) while keeping
+    duplicate cliques — a cheaper, composable precursor to
+    :func:`triangle_counts` hub/clique separation.
+
+    Cost per round: one degree groupBy + two endpoint semi-joins
+    (all keyed on node; AQE broadcasts the shrinking degree frame as
+    soon as it fits).  Lineage cut every other round.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    for it in range(rounds):
+        alive = (
+            sym.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        sym = sym.join(
+            alive.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        if (it + 1) % 2 == 0:
+            sym = sym.localCheckpoint(eager=False)
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") >= k)
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
