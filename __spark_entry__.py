@@ -737,6 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: dedup.lsh_candidate_pairs(
             _read(s, d, "documents")
         ),
+        # incremental ingest screen: the doc_id%4==0 slice plays the
+        # arriving batch, the rest the accepted corpus's band index
+        "incremental_neardup": lambda s, d: dedup.incremental_neardup(
+            _read(s, d, "documents").where("doc_id % 4 != 0"),
+            _read(s, d, "documents").where("doc_id % 4 = 0"),
+        ),
         # decontamination: every 43rd doc stands in for the benchmark
         # suite; n=3 (not the production n=8) because the synthetic
         # 30-word vocabulary makes 8-gram collisions vanish
@@ -1826,6 +1832,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
             GROUP BY 1,2
+        """,
+        "incremental_neardup": f"""
+            WITH {_SHINGLES},
+            mh AS (
+              SELECT doc_id, h,
+                     min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+              FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+            bands AS (
+              SELECT doc_id, h//2 AS band,
+                     string_agg(minhash, ',' ORDER BY h) AS band_key
+              FROM mh GROUP BY 1,2),
+            idx AS (SELECT band, band_key, doc_id AS corpus_doc
+                    FROM bands WHERE doc_id % 4 <> 0),
+            probe AS (SELECT doc_id, band, band_key
+                      FROM bands WHERE doc_id % 4 = 0)
+            SELECT p.doc_id,
+                   min(i.corpus_doc) IS NULL AS is_new,
+                   CAST(min(i.corpus_doc) AS BIGINT) AS dup_of
+            FROM probe p LEFT JOIN idx i
+              ON p.band = i.band AND p.band_key = i.band_key
+            GROUP BY 1
         """,
         "lsh_unique_docs": f"""
             WITH {_SHINGLES},

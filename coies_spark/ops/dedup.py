@@ -153,21 +153,21 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """(doc_a, doc_b): near-duplicate candidates — pairs agreeing on at
-    least one LSH band (band = ``band_size`` consecutive minhashes).
+    """(doc_id, band, band_key): the LSH band index rows — band =
+    ``band_size`` consecutive minhashes comma-joined in seed order,
+    assembled from the wide signature (one row per doc per band).
 
-    The banded-signature equality join replaces the all-pairs cross
-    join: cost is Σ bucket² over buckets, bounded in practice because a
-    full band collision already implies high similarity.  Band keys are
-    assembled from the wide signature row (comma-joined minhashes in
-    seed order), so the whole candidate generation is one shuffle (the
-    signature aggregation) plus the bucket self-join.
+    This IS the persistable index: at production scale it is written
+    once, bucketed by (band, band_key), and reused by both the batch
+    self-join (:func:`lsh_candidate_pairs`) and the ingest screen
+    (:func:`incremental_neardup`) — signatures are never recomputed
+    for the accepted corpus.
     """
     wide = minhash_signatures_wide(docs, n, num_hashes)
     bands = [
@@ -186,9 +186,78 @@ def lsh_candidate_pairs(
         )
         for b in range((num_hashes + band_size - 1) // band_size)
     ]
-    banded = wide.select(
+    return wide.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+
+
+def incremental_neardup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_id, is_new, dup_of): screen an ingest BATCH against the
+    already-accepted CORPUS — the incremental form of MinHash+LSH
+    dedup that continuous 100-TB ingestion needs.  A batch doc is a
+    near-dup when it agrees with any corpus doc on at least one LSH
+    band; ``dup_of`` is the smallest such corpus doc_id (NULL when
+    new), so re-screens are deterministic on any engine/partitioning.
+
+    Why incremental beats re-running the self-join: the probe costs
+    O(|batch| + collisions) — the corpus contributes only its
+    (persisted) band index rows, and corpus×corpus pairs are never
+    formed.  At production the index is written once bucketed by
+    (band, band_key) (see :func:`band_keys`), so the probe join's
+    corpus side needs no exchange; template/boilerplate band keys
+    make the join skew-prone, which AQE skew split handles (the min
+    aggregate is map-side combinable regardless).  Intra-batch
+    duplicates are NOT flagged here — run the standard self-join
+    within the (much smaller) batch for that.
+
+    Every batch doc appears in the output exactly once — docs shorter
+    than ``n`` tokens carry one truncated shingle (the
+    :func:`~coies_spark.ops.textstats.shingles_col` convention), so
+    even they get a signature row.
+    """
+    idx = band_keys(corpus, n, num_hashes, band_size).select(
+        "band", "band_key", F.col("doc_id").alias("__corpus_doc")
+    )
+    probe = band_keys(batch, n, num_hashes, band_size)
+    return (
+        probe.join(idx, ["band", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(F.min("__corpus_doc").alias("dup_of"))
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("is_new"),
+            "dup_of",
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b): near-duplicate candidates — pairs agreeing on at
+    least one LSH band (band = ``band_size`` consecutive minhashes).
+
+    The banded-signature equality join replaces the all-pairs cross
+    join: cost is Σ bucket² over buckets, bounded in practice because a
+    full band collision already implies high similarity.  Band keys are
+    assembled from the wide signature row (comma-joined minhashes in
+    seed order), so the whole candidate generation is one shuffle (the
+    signature aggregation) plus the bucket self-join.
+    """
+    banded = band_keys(docs, n, num_hashes, band_size)
     x = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     y = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (

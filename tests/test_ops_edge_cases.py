@@ -1348,3 +1348,71 @@ class TestPackTurns:
 
         with pytest.raises(ValueError):
             tr.pack_turns(self._mk(spark, [("c", 0, "x")]), 0)
+
+
+class TestIncrementalNeardup:
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_batch_dup_points_at_min_corpus_doc(self, spark):
+        from coies_spark.ops import dedup
+
+        text = "alpha beta gamma delta epsilon zeta"
+        corpus = self._docs(spark, [(7, text), (3, text),
+                                    (5, "totally different words here")])
+        batch = self._docs(spark, [(100, text),
+                                   (101, "nothing shares these tokens")])
+        got = {r.doc_id: r for r in
+               dedup.incremental_neardup(corpus, batch).collect()}
+        assert got[100].is_new is False and got[100].dup_of == 3
+        assert got[101].is_new is True and got[101].dup_of is None
+
+    def test_intra_batch_dups_not_flagged(self, spark):
+        from coies_spark.ops import dedup
+
+        corpus = self._docs(spark, [(1, "unrelated corpus text entirely")])
+        twin = "same words in both batch documents exactly"
+        batch = self._docs(spark, [(10, twin), (11, twin)])
+        got = {r.doc_id: r.is_new for r in
+               dedup.incremental_neardup(corpus, batch).collect()}
+        # both are new vs the CORPUS; intra-batch dedup is the
+        # self-join's job (documented contract)
+        assert got == {10: True, 11: True}
+
+    def test_short_docs_get_truncated_shingle_rows(self, spark):
+        from coies_spark.ops import dedup
+
+        # shorter-than-n docs carry one truncated shingle (the
+        # shingles_col convention), so they still appear — and two
+        # identical short docs still collide
+        corpus = self._docs(spark, [(1, "long enough corpus text"),
+                                    (2, "ab")])
+        batch = self._docs(spark, [(10, "ab"), (11, "x y z w words")])
+        got = {r.doc_id: r for r in
+               dedup.incremental_neardup(corpus, batch).collect()}
+        assert set(got) == {10, 11}
+        assert got[10].is_new is False and got[10].dup_of == 2
+        assert got[11].is_new is True
+
+    def test_matches_self_join_semantics(self, spark):
+        from coies_spark.ops import dedup
+
+        # any (batch, corpus) collision found by the full self-join
+        # must be found by the incremental screen, and vice versa
+        rows = [(i, f"shared prefix words tail{i % 3}") for i in range(12)]
+        docs = self._docs(spark, rows)
+        corpus = docs.where("doc_id % 4 != 0")
+        batch = docs.where("doc_id % 4 = 0")
+        pairs = dedup.lsh_candidate_pairs(docs)
+        want_dup = {
+            b: True
+            for (a, b) in [
+                (r.doc_a, r.doc_b) for r in pairs.collect()
+            ] + [(r.doc_b, r.doc_a) for r in pairs.collect()]
+            if b % 4 == 0 and a % 4 != 0
+        }
+        got = {r.doc_id: not r.is_new for r in
+               dedup.incremental_neardup(corpus, batch).collect()}
+        for doc_id, dup in got.items():
+            assert dup == want_dup.get(doc_id, False), doc_id
