@@ -678,6 +678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # noisy-OR evidence combination over transcript dictionary
         # mentions: confidence = 1 - Π(1 - s_i) as a map-side SUM
         "triple_confidence": _q_triple_confidence,
+        # functional-predicate conflicts over the belief table, with
+        # deterministic latest-strongest resolution + triage margin
+        "functional_conflicts": lambda s, d: kg.functional_conflicts(
+            kg.triple_confidence(_kg_evidence(s, d))
+        ),
         # min-hop ≤3 reachability over the entity co-occurrence DAG
         # (unrolled frontier joins; DuckDB twin is a recursive CTE)
         "kg_reachability": _q_kg_reachability,
@@ -2614,6 +2619,38 @@ def oracle_sql() -> dict[str, str]:
                round(1 - exp(sum(ln(1 - least(score, 0.999999)))), 6)
                  AS confidence
         FROM ev GROUP BY 1, 2, 3
+    """
+    # functional-predicate conflicts: rank objects per (subj, pred) by
+    # (confidence DESC, last_ts DESC, obj ASC) over the belief rows,
+    # keep groups with >= 2 objects — same two-stage rounding as the
+    # engine (confidence 6dp per belief row, margin 6dp after)
+    sql["functional_conflicts"] = f"""
+        WITH {kg_ev}
+        , b AS (
+          SELECT subj, pred, obj,
+                 CAST(count(*) AS BIGINT) AS n_evidence,
+                 CAST(max(ts) AS BIGINT) AS last_ts,
+                 round(1 - exp(sum(ln(1 - least(score, 0.999999)))), 6)
+                   AS confidence
+          FROM ev GROUP BY 1, 2, 3),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY subj, pred
+                 ORDER BY confidence DESC, last_ts DESC, obj ASC) AS rk
+          FROM b),
+        a AS (
+          SELECT subj, pred,
+                 CAST(count(*) AS BIGINT) AS n_objs,
+                 CAST(sum(n_evidence) AS BIGINT) AS total_evidence,
+                 max(CASE WHEN rk = 1 THEN obj END) AS winner_obj,
+                 max(CASE WHEN rk = 1 THEN confidence END) AS winner_conf,
+                 max(CASE WHEN rk = 2 THEN obj END) AS runner_up_obj,
+                 max(CASE WHEN rk = 2 THEN confidence END)
+                   AS runner_up_conf
+          FROM r GROUP BY 1, 2)
+        SELECT subj, pred, n_objs, total_evidence, winner_obj,
+               winner_conf, runner_up_obj, runner_up_conf,
+               round(winner_conf - runner_up_conf, 6) AS margin
+        FROM a WHERE n_objs >= 2
     """
     sql["kg_entity_degrees"] = f"""
         WITH {kg_ev},

@@ -211,6 +211,66 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
     )
 
 
+def functional_conflicts(beliefs: DataFrame) -> DataFrame:
+    """(subj, pred, n_objs, total_evidence, winner_obj, winner_conf,
+    runner_up_obj, runner_up_conf, margin): conflicting object values
+    for predicates treated as FUNCTIONAL (one true obj per subj), with
+    a deterministic latest-strongest resolution.
+
+    Input is a belief table — one row per (subj, pred, obj) with
+    ``n_evidence``, ``last_ts``, ``confidence`` (the
+    :func:`triple_confidence` / :func:`merge_beliefs` output shape).
+    A (subj, pred) with ≥ 2 distinct objects is a conflict; the
+    resolution ranks objects by (confidence DESC, last_ts DESC,
+    obj ASC) — strongest belief wins, recency breaks belief ties,
+    lexicographic obj pins exact ties, so the winner is identical on
+    any engine and partitioning.  ``margin`` (winner − runner-up
+    confidence, 6dp) is the triage signal: near-zero margins are the
+    rows a human or a stronger model should adjudicate; large margins
+    are safe to auto-resolve.
+
+    Which predicates ARE functional is a policy input —
+    :func:`predicate_profile`'s functionality gauge is the measured
+    basis; filter ``pred`` upstream accordingly.
+
+    One exchange: the rank window and the conditional aggregation
+    share the (subj, pred) partitioning.  Per-(subj, pred) groups are
+    object-cardinality-sized (tiny), so head-heavy predicates spread
+    across subjects and no salting is needed.
+    """
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("confidence"), F.desc("last_ts"), F.asc("obj")
+    )
+    ranked = beliefs.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objs"),
+        F.sum("n_evidence").cast("long").alias("total_evidence"),
+        F.max(F.when(F.col("rk") == 1, F.col("obj"))).alias("winner_obj"),
+        F.max(F.when(F.col("rk") == 1, F.col("confidence"))).alias(
+            "winner_conf"
+        ),
+        F.max(F.when(F.col("rk") == 2, F.col("obj"))).alias(
+            "runner_up_obj"
+        ),
+        F.max(F.when(F.col("rk") == 2, F.col("confidence"))).alias(
+            "runner_up_conf"
+        ),
+    )
+    return agg.where(F.col("n_objs") >= 2).select(
+        "subj",
+        "pred",
+        "n_objs",
+        "total_evidence",
+        "winner_obj",
+        "winner_conf",
+        "runner_up_obj",
+        "runner_up_conf",
+        F.round(
+            F.col("winner_conf") - F.col("runner_up_conf"), 6
+        ).alias("margin"),
+    )
+
+
 def khop_reachability(edges: DataFrame, k: int = 3) -> DataFrame:
     """(src, dst, hops): every ordered pair reachable in ≤ ``k`` hops,
     with the MINIMUM hop count.

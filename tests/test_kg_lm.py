@@ -404,3 +404,50 @@ def test_merge_beliefs_without_ts_columns(spark):
     row = kg.merge_beliefs(snaps).collect()[0]
     assert row.first_ts is None and row.last_ts is None
     assert row.confidence == 0.75
+
+
+def test_functional_conflicts_resolution_order(spark):
+    # subj s1/pred born_in has three objs: confidence ranks first,
+    # last_ts breaks the belief tie, obj asc would break exact ties
+    beliefs = spark.createDataFrame(
+        [
+            ("s1", "born_in", "paris", 3, 100, 0.9),
+            ("s1", "born_in", "london", 2, 200, 0.8),
+            ("s1", "born_in", "rome", 1, 300, 0.8),
+            ("s2", "born_in", "oslo", 5, 100, 0.99),  # no conflict
+        ],
+        "subj string, pred string, obj string, n_evidence long,"
+        " last_ts long, confidence double",
+    )
+    rows = kg.functional_conflicts(beliefs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.subj, r.pred, r.n_objs, r.total_evidence) == (
+        "s1", "born_in", 3, 6)
+    assert (r.winner_obj, r.winner_conf) == ("paris", 0.9)
+    # 0.8 tie between london/rome: later last_ts (rome) wins rank 2
+    assert r.runner_up_obj == "rome"
+    assert abs(r.margin - 0.1) < 1e-9
+
+
+def test_functional_conflicts_exact_tie_breaks_on_obj(spark):
+    beliefs = spark.createDataFrame(
+        [
+            ("s", "p", "bbb", 1, 50, 0.7),
+            ("s", "p", "aaa", 1, 50, 0.7),
+        ],
+        "subj string, pred string, obj string, n_evidence long,"
+        " last_ts long, confidence double",
+    )
+    r = kg.functional_conflicts(beliefs).collect()[0]
+    assert r.winner_obj == "aaa" and r.runner_up_obj == "bbb"
+    assert r.margin == 0.0
+
+
+def test_functional_conflicts_empty_when_functional(spark):
+    beliefs = spark.createDataFrame(
+        [("s1", "p", "x", 1, 1, 0.5), ("s2", "p", "y", 1, 1, 0.5)],
+        "subj string, pred string, obj string, n_evidence long,"
+        " last_ts long, confidence double",
+    )
+    assert kg.functional_conflicts(beliefs).count() == 0
