@@ -732,6 +732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
             _read(s, d, "documents")
         ),
+        # BM25 retrieval: global top-k via distributed TakeOrdered,
+        # never a single-partition rank window over the corpus
+        "bm25_topk": lambda s, d: textstats.bm25_topk(
+            _read(s, d, "documents"), ["scan", "vector", "stream"]
+        ),
         "json_event_sums": _q_json_events,
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
@@ -1758,6 +1763,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
               FROM scored) WHERE rank <= 3
+        """,
+        "bm25_topk": f"""
+            WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl
+                          FROM documents),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+                     SELECT doc_id, unnest({_TOKS}) AS tok
+                     FROM documents) u
+                   WHERE tok IN ('scan', 'vector', 'stream')
+                   GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT doc_id, round(sum(round(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                     9)), 6) AS score
+              FROM tf JOIN df USING(tok) JOIN lens USING(doc_id)
+                   CROSS JOIN stats
+              GROUP BY 1)
+            SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT doc_id, score, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored) r WHERE rank <= 10
         """,
         "json_event_sums": """
             SELECT event_type,

@@ -288,6 +288,81 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """(doc_id, score, rank): the ``topk`` documents by BM25 against a
+    bag-of-terms query (Robertson-Spärck Jones; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf, which is non-negative
+    for any df).
+
+    Per (doc, term): idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    rounded 9dp; the per-doc sum re-rounds to 6dp, so scores — and the
+    (score DESC, doc_id ASC) ranking built on them — are bit-identical
+    across engines (the PageRank two-stage rounding convention).
+
+    Plan: the exploded token stream is filtered to the query terms
+    BEFORE any aggregation (an isin literal filter, pushed into the
+    scan projection), so tf/df aggregate over corpus-frequency-of-
+    query-terms rows, not the corpus; N and avgdl are one broadcast
+    1-row aggregate.  The global top-k is ``orderBy().limit(topk)`` —
+    Spark's distributed TakeOrdered, NOT a single-partition rank
+    window over the corpus — with the rank assigned afterwards on the
+    k-row result.  Two corpus scans (doc lengths; query-term tf).
+    """
+    if not query:
+        raise ValueError("bm25_topk: query must be non-empty")
+    lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col("text")).alias("tok")
+        )
+        .where(F.col("tok").isin(list(query)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                ),
+                9,
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "score", "rank")
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """Rolling-shingle fingerprint: the minimum shingle digest per
     document (winnowing-style 1-of-document selection) plus the

@@ -1416,3 +1416,50 @@ class TestIncrementalNeardup:
                dedup.incremental_neardup(corpus, batch).collect()}
         for doc_id, dup in got.items():
             assert dup == want_dup.get(doc_id, False), doc_id
+
+
+class TestBM25:
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_score(self, spark):
+        import math
+        from coies_spark.ops import textstats
+
+        # 2 docs, query {"cat"}: doc 1 has tf=2 dl=4, doc 2 tf=0 dl=2
+        docs = self._docs(spark, [(1, "cat cat dog bird"), (2, "dog bird")])
+        rows = textstats.bm25_topk(docs, ["cat"], topk=5).collect()
+        assert [r.doc_id for r in rows] == [1]
+        n, df, tf, dl, avgdl = 2, 1, 2, 4, 3.0
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        want = round(round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            9), 6)
+        assert rows[0].score == want and rows[0].rank == 1
+
+    def test_multi_term_sum_and_order(self, spark):
+        from coies_spark.ops import textstats
+
+        docs = self._docs(spark, [
+            (1, "cat dog"), (2, "cat cat cat"), (3, "fish only here"),
+        ])
+        rows = textstats.bm25_topk(docs, ["cat", "dog"], topk=2).collect()
+        assert len(rows) == 2
+        # doc 1 matches both terms; dog is rarer (df=1 vs df=2)
+        assert rows[0].doc_id == 1 and rows[0].rank == 1
+        assert rows[1].doc_id == 2 and rows[1].rank == 2
+        assert rows[0].score > rows[1].score
+
+    def test_rejects_empty_query(self, spark):
+        from coies_spark.ops import textstats
+
+        with pytest.raises(ValueError):
+            textstats.bm25_topk(self._docs(spark, [(1, "x")]), [])
+
+    def test_topk_plan_is_take_ordered(self, spark):
+        from coies_spark.ops import textstats
+
+        docs = self._docs(spark, [(i, f"cat word{i}") for i in range(20)])
+        plan = textstats.bm25_topk(docs, ["cat"], topk=3)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
