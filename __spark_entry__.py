@@ -964,6 +964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             )
         ),
+        # conversation-granularity near-dup: assemble in turn order,
+        # shingle ACROSS turn boundaries, then MinHash+LSH
+        "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
         # 2-core of the candidate graph: strips LSH-collision pendants,
         # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
         "kcore": lambda s, d: graph_kcore(
@@ -2975,6 +2980,38 @@ def oracle_sql() -> dict[str, str]:
         )
     sql["label_propagation"] = (
         "WITH " + ",\n".join(lpa_ctes) + " SELECT node, label FROM l3"
+    )
+
+    # conversation_neardup: assemble turn_text in turn order, then the
+    # same shingle->minhash->band pipeline as minhash_lsh_pairs
+    sql["conversation_neardup"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + f"""),
+        docs AS (SELECT conv_id AS doc_id,
+                        string_agg(turn_text, ' ' ORDER BY turn_idx)
+                          AS text
+                 FROM t GROUP BY 1),
+        toks AS (SELECT doc_id, {_TOKS} AS tokens FROM docs),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(tokens[i:i+2], ' ') AS shingle
+          FROM toks,
+               unnest(range(1, greatest(len(tokens)-2, 1)+1)) u(i)),
+        mh AS (
+          SELECT doc_id, h,
+                 min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+          FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+        bands AS (
+          SELECT doc_id, h//2 AS band,
+                 string_agg(minhash, ',' ORDER BY h) AS band_key
+          FROM mh GROUP BY 1,2)
+        SELECT a.doc_id AS conv_a, b.doc_id AS conv_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+        GROUP BY 1,2
+    """
     )
 
     # kcore: 8 unrolled peel rounds (drop deg<2 nodes + their edges)

@@ -187,6 +187,52 @@ def pack_turns(
     )
 
 
+def conversation_neardup(
+    transcripts: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(conv_a, conv_b): near-duplicate CONVERSATION candidates —
+    MinHash+LSH at conversation granularity, the dedup unit a
+    transcript training corpus actually needs (retried agent runs and
+    re-asked questions duplicate whole conversations, not single
+    turns).
+
+    Each conversation's turns are assembled in stable turn order
+    (``array_sort(collect_list(struct))`` — order-deterministic) into
+    one token stream, THEN shingled: shingles cross turn boundaries,
+    so two conversations that split the same text differently still
+    collide, and a template turn repeated across otherwise-different
+    conversations does not (turn-local shingling would get both
+    wrong).  Candidates feed :func:`coies_spark.operators.graph
+    .label_propagation` / ``kcore`` for cluster analysis, or the
+    min-id survivor rule for the scrub.
+
+    Cost: assembly is ONE conv_id-keyed groupBy — zero exchanges on
+    the bucketed transcript layout — then the standard wide-signature
+    aggregation + band self-join (:func:`~coies_spark.ops.dedup
+    .lsh_candidate_pairs`).  Conversation rows are bounded (turns per
+    conv is bounded), so the assembled row is not a skew hazard.
+    """
+    from . import dedup
+
+    docs = transcripts.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text")
+    ).select(F.col("conv_id").alias("doc_id"), "text")
+    return dedup.lsh_candidate_pairs(
+        docs, n=n, num_hashes=num_hashes, band_size=band_size
+    ).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+
+
 def boilerplate_turns(
     transcripts: DataFrame, min_convs: int = 2
 ) -> DataFrame:

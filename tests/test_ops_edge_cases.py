@@ -1463,3 +1463,35 @@ class TestBM25:
         docs = self._docs(spark, [(i, f"cat word{i}") for i in range(20)])
         plan = textstats.bm25_topk(docs, ["cat"], topk=3)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestConversationNeardup:
+    SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+
+    def _tr(self, spark, rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, None, None) for c, i, t in rows], self.SCHEMA
+        )
+
+    def test_same_text_different_turn_split_collides(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        body = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [("c1", 0, body),
+                ("c2", 0, "alpha beta gamma delta"),
+                ("c2", 1, "epsilon zeta eta theta"),
+                ("c3", 0, "completely unrelated conversation text here")]
+        got = {tuple(r) for r in
+               tr.conversation_neardup(self._tr(spark, rows)).collect()}
+        assert ("c1", "c2") in got
+        assert all("c3" not in p for p in got)
+
+    def test_turn_order_invariant(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = [("c1", 1, "beta gamma"), ("c1", 0, "alpha"),
+                ("c2", 0, "alpha"), ("c2", 1, "beta gamma")]
+        df = self._tr(spark, rows).repartition(5)
+        got = {tuple(r) for r in tr.conversation_neardup(df).collect()}
+        assert ("c1", "c2") in got
