@@ -678,6 +678,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # noisy-OR evidence combination over transcript dictionary
         # mentions: confidence = 1 - Π(1 - s_i) as a map-side SUM
         "triple_confidence": _q_triple_confidence,
+        # recency coreference baseline: each stand-in anaphor ("the"/
+        # "a" — the synthetic vocab has no true pronouns) resolves to
+        # the nearest preceding single-token entity mention
+        "resolve_pronouns": lambda s, d: kg.resolve_pronouns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("spark", "eng:spark"), ("stream", "eng:stream"),
+                 ("vector", "eng:vector"), ("table", "obj:table"),
+                 ("hash", "obj:hash")],
+                ["surface", "entity"],
+            ),
+            pronouns=("the", "a"),
+        ),
         # functional-predicate conflicts over the belief table, with
         # deterministic latest-strongest resolution + triage margin
         "functional_conflicts": lambda s, d: kg.functional_conflicts(
@@ -2654,6 +2667,52 @@ def oracle_sql() -> dict[str, str]:
                  AS confidence
         FROM ev GROUP BY 1, 2, 3
     """
+    # resolve_pronouns: one window pass carrying the latest preceding
+    # mention; three parallel IGNORE NULLS carries are null together,
+    # so they equal the engine's single-struct carry
+    sql["resolve_pronouns"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tk AS (SELECT conv_id, turn_idx,
+                      list_filter(regexp_split_to_array(
+                        lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                        x -> x <> '') AS tokens
+               FROM t),
+        toks AS (SELECT conv_id, turn_idx, i - 1 AS pos, tokens[i] AS tok
+                 FROM tk, unnest(range(1, len(tokens) + 1)) u(i)),
+        dict(surface, entity) AS (VALUES
+          ('spark', 'eng:spark'), ('stream', 'eng:stream'),
+          ('vector', 'eng:vector'), ('table', 'obj:table'),
+          ('hash', 'obj:hash')),
+        tagged AS (
+          SELECT k.conv_id, k.turn_idx, k.pos, k.tok, d.entity,
+                 k.tok IN ('the', 'a') AS is_pron
+          FROM toks k LEFT JOIN dict d ON k.tok = d.surface
+          WHERE d.entity IS NOT NULL OR k.tok IN ('the', 'a')),
+        carried AS (
+          SELECT *,
+            last_value(entity IGNORE NULLS) OVER w AS lm_entity,
+            last_value(CASE WHEN entity IS NOT NULL THEN turn_idx END
+                       IGNORE NULLS) OVER w AS lm_turn,
+            last_value(CASE WHEN entity IS NOT NULL THEN pos END
+                       IGNORE NULLS) OVER w AS lm_pos
+          FROM tagged
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+        SELECT conv_id,
+               CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(pos AS BIGINT) AS pos,
+               tok AS pronoun,
+               lm_entity AS entity,
+               CAST(lm_turn AS BIGINT) AS entity_turn,
+               CAST(lm_pos AS BIGINT) AS entity_pos,
+               CAST(turn_idx - lm_turn AS BIGINT) AS distance
+        FROM carried WHERE is_pron
+    """
+    )
+
     # functional-predicate conflicts: rank objects per (subj, pred) by
     # (confidence DESC, last_ts DESC, obj ASC) over the belief rows,
     # keep groups with >= 2 objects — same two-stage rounding as the

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import tokens_col
+
 
 def mention_evidence(
     transcripts: DataFrame, dictionary: DataFrame
@@ -73,6 +75,72 @@ def mention_evidence(
             "ts",
             F.round(F.lit(1.0) / (F.col("turn_idx") + 2), 6).alias("score"),
         )
+    )
+
+
+def resolve_pronouns(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    pronouns: tuple[str, ...] = ("it", "they", "this", "that"),
+) -> DataFrame:
+    """(conv_id, turn_idx, pos, pronoun, entity, entity_turn,
+    entity_pos, distance): recency-based pronoun resolution — each
+    pronoun token resolves to the nearest PRECEDING single-token
+    entity mention in the same conversation (the classic last-mention
+    coreference baseline), NULL entity when nothing precedes.
+
+    ``dictionary`` is a small (surface, entity) table of single-token
+    entity surfaces (broadcast).  Token positions come from one
+    ``posexplode`` of the reference tokenizer's stream, so "preceding"
+    is exact (turn_idx, then token position) — per-turn text order is
+    the north rule's stable-turn-ordering invariant.
+
+    The resolver is ONE window pass: entity mentions and pronoun
+    occurrences ride the same (conv_id)-partitioned
+    (turn_idx, pos)-ordered frame, and
+    ``last(struct, ignorenulls=True)`` carries the latest mention
+    forward — no self-join, no per-pronoun scan, one exchange on
+    conv_id (satisfied by the bucketed transcript layout).
+    ``distance`` = turns between pronoun and antecedent, the triage
+    gauge for resolution confidence.
+    """
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    )
+    tagged = (
+        toks.join(F.broadcast(dictionary), toks.tok == dictionary.surface,
+                  "left")
+        .withColumn("is_pron", F.col("tok").isin(list(pronouns)))
+        .where(F.col("entity").isNotNull() | F.col("is_pron"))
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.withColumn(
+        "last_mention",
+        F.last(
+            F.when(
+                F.col("entity").isNotNull(),
+                F.struct("turn_idx", "pos", "entity"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.where(F.col("is_pron")).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tok").alias("pronoun"),
+        F.col("last_mention.entity").alias("entity"),
+        F.col("last_mention.turn_idx").cast("long").alias("entity_turn"),
+        F.col("last_mention.pos").cast("long").alias("entity_pos"),
+        (F.col("turn_idx") - F.col("last_mention.turn_idx"))
+        .cast("long")
+        .alias("distance"),
     )
 
 

@@ -451,3 +451,61 @@ def test_functional_conflicts_empty_when_functional(spark):
         " last_ts long, confidence double",
     )
     assert kg.functional_conflicts(beliefs).count() == 0
+
+
+def _mk_transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def test_resolve_pronouns_nearest_preceding(spark):
+    d = spark.createDataFrame(
+        [("acme", "org:acme"), ("zorg", "org:zorg")],
+        ["surface", "entity"],
+    )
+    rows = [
+        ("c1", 0, "acme shipped and it broke"),
+        ("c1", 1, "zorg fixed it quickly"),
+        ("c2", 0, "it has no antecedent"),
+    ]
+    got = {(r.conv_id, r.turn_idx, r.pos): r for r in
+           kg.resolve_pronouns(_mk_transcripts(spark, rows), d,
+                               pronouns=("it",)).collect()}
+    # turn 0: "it" at pos 3 resolves to acme (pos 0, same turn)
+    r0 = got[("c1", 0, 3)]
+    assert (r0.entity, r0.entity_turn, r0.entity_pos, r0.distance) == (
+        "org:acme", 0, 0, 0)
+    # turn 1: "it" resolves to zorg (same turn), not the older acme
+    r1 = got[("c1", 1, 2)]
+    assert (r1.entity, r1.distance) == ("org:zorg", 0)
+    # no antecedent -> NULL entity, NULL distance
+    r2 = got[("c2", 0, 0)]
+    assert r2.entity is None and r2.distance is None
+
+
+def test_resolve_pronouns_mention_in_same_turn_after_pronoun(spark):
+    d = spark.createDataFrame([("acme", "org:acme")], ["surface", "entity"])
+    rows = [("c", 0, "it precedes acme here"),
+            ("c", 1, "now it follows")]
+    got = {(r.turn_idx, r.pos): r for r in
+           kg.resolve_pronouns(_mk_transcripts(spark, rows), d,
+                               pronouns=("it",)).collect()}
+    # pos-0 "it" precedes the mention -> unresolved
+    assert got[(0, 0)].entity is None
+    # next turn's "it" sees the turn-0 mention, distance 1
+    assert got[(1, 1)].entity == "org:acme"
+    assert got[(1, 1)].distance == 1
+
+
+def test_resolve_pronouns_partition_invariant(spark):
+    d = spark.createDataFrame([("acme", "org:acme")], ["surface", "entity"])
+    rows = [("c", i, "acme then it" if i % 2 == 0 else "just it")
+            for i in range(8)]
+    df1 = _mk_transcripts(spark, rows).repartition(7)
+    df2 = _mk_transcripts(spark, rows).repartition(2)
+    r1 = sorted(map(tuple, kg.resolve_pronouns(df1, d, ("it",)).collect()))
+    r2 = sorted(map(tuple, kg.resolve_pronouns(df2, d, ("it",)).collect()))
+    assert r1 == r2 and len(r1) == 8
