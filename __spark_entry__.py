@@ -658,8 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the END of this dict: the driver harness sweeps the first 50
         # entries, and the digests run the SAME kernels with a strictly
         # stronger check, so the rows-only twins are the right entries
-        # to fall off the sweep (r3 dropped salted_event_counts /
-        # running_value instead — both oracled and green).
+        # to fall off the sweep.  salted_event_counts / running_value
+        # (dropped by r3's harness) are back inside the window per the
+        # r3 verdict worklist.
         "kg_extract_digest": _q_kg_extract_digest,
         "kg_linked_digest": _q_kg_linked_digest,
         "entity_spans_tagged": _q_entity_spans,
@@ -723,26 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fractions={"en": 0.5},
             default_rate=1.0,
         ),
-        "stratified_sample": lambda s, d: sampling.stratified_sample(
-            _read(s, d, "documents"),
-            {"en": 0.3, "zh": 1.0},
-            default=0.6,
-        ),
         # DSIR data selection: top-100 docs most like the English
         # slice by hashed-n-gram importance weight
         "dsir_select": lambda s, d: dsir.dsir_select(
             _read(s, d, "documents"), F.col("lang") == "en", 100
         ),
-        "language_id": lambda s, d: textstats.language_id(
-            _read(s, d, "documents")
-        ),
-        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
-            _read(s, d, "documents")
-        ),
         "ngram_windows": lambda s, d: textstats.ngram_windows(
-            _read(s, d, "documents")
-        ),
-        "tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
             _read(s, d, "documents")
         ),
         # BM25 retrieval: global top-k via distributed TakeOrdered,
@@ -750,10 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: textstats.bm25_topk(
             _read(s, d, "documents"), ["scan", "vector", "stream"]
         ),
-        "json_event_sums": _q_json_events,
         # --- dedup family (documents) ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_read(s, d, "documents")),
-        "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(
             _read(s, d, "documents")
         ),
@@ -799,12 +784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": lambda s, d: similarity.brute_topk(
             _read(s, d, "embeddings")
         ),
-        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
-            _read(s, d, "embeddings")
-        ),
-        "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
-            _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
-        ),
         "ann_ivf_kmeans": lambda s, d: similarity.ivf_topk_kmeans(
             _read(s, d, "embeddings")
         ),
@@ -830,9 +809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rwmd_pairs": lambda s, d: wmd.rwmd_pairs(_read(s, d, "documents")),
         "top_group_orders": _q_top_group,
         "range_join_stopwords": _q_range_join,
-        "sessionize_events": lambda s, d: relational.sessionize(
-            _read(s, d, "events")
-        ),
         # transcript-table health pass over the north-rule input shape
         # (conv_id, turn_idx, role, text, tool, ts): role balance,
         # alternation violations, tool-call rate, wall span
@@ -849,11 +825,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-in-time-correct lookup: each purchase gains the user's
         # latest at-or-before click (union-window as-of join)
         "asof_join_events": _q_asof_join,
-        "agg_pricing": _q_agg_pricing,
-        "join_revenue": _q_join_revenue,
-        "topk_orders": _q_topk_orders,
         "salted_event_counts": _q_salted_counts,
         "running_value": _q_running_value,
+        # degree-oriented triangle counting + local clustering
+        # coefficient over the near-dup candidate graph: lcc separates
+        # duplicate CLIQUES (templates) from LSH-collision hubs
+        "triangle_counts": lambda s, d: graph_triangles(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # per-predicate schema induction (functionality gauges decide
+        # which predicates need the salted/AQE path)
+        "predicate_profile": lambda s, d: kg.predicate_profile(
+            _kg_evidence(s, d).select("subj", "pred", "obj")
+        ),
+        # MOSS winnowing fingerprint selection (array-side, 0 shuffles)
+        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
+            _read(s, d, "documents")
+        ),
+        # daily-window noisy-OR beliefs compacted into the all-time
+        # view (merge_beliefs: the streaming layer's batch fold —
+        # associative over miss-mass, so compaction is incremental)
+        "belief_compaction": _q_belief_compaction,
+        # offset-based sequence packing: turns → ~64-token training
+        # chunks, split at token offsets, order-deterministic text
+        "pack_turns": lambda s, d: transcripts.pack_turns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
+        # deterministic sync LPA communities over the candidate graph
+        # (separates template families CC merges through one collision)
+        "label_propagation": lambda s, d: graph_lpa(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # conversation-granularity near-dup: assemble in turn order,
+        # shingle ACROSS turn boundaries, then MinHash+LSH
+        "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
+        # 2-core of the candidate graph: strips LSH-collision pendants,
+        # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
+        "kcore": lambda s, d: graph_kcore(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            k=2,
+        ),
         # --- beyond the driver's 50-entry sweep window ---
         # Everything below IS oracled (run scripts/check_oracle.py on
         # any of them) except the two rows-only kernels at the very
@@ -924,9 +943,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": lambda s, d: graph_cooccurrence(
             _q_entity_spans(s, d), "doc_id", "mention"
         ),
-        # --- parameter variants demoted from the window (r4 rotation:
-        # the window admits scrub_boilerplate_turns, semdedup,
-        # dsir_select, asof_join_events in their place) ---
+        # --- parameter variants + relational basics demoted by the r4
+        # rotations (the window admits the r4 stars: the evidence->
+        # belief layer, transcript family, graph family, retrieval,
+        # incremental dedup) ---
+        "stratified_sample": lambda s, d: sampling.stratified_sample(
+            _read(s, d, "documents"),
+            {"en": 0.3, "zh": 1.0},
+            default=0.6,
+        ),
+        "language_id": lambda s, d: textstats.language_id(
+            _read(s, d, "documents")
+        ),
+        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(
+            _read(s, d, "documents")
+        ),
+        "tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
+            _read(s, d, "documents")
+        ),
+        "json_event_sums": _q_json_events,
+        "bag_dedup": lambda s, d: dedup.bag_dedup(_read(s, d, "documents")),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _read(s, d, "embeddings")
+        ),
+        "ann_lsh_pairs": lambda s, d: similarity.lsh_ann_pairs(
+            _read(s, d, "embeddings"), n_planes=8, dim=EMB_DIM
+        ),
+        "sessionize_events": lambda s, d: relational.sessionize(
+            _read(s, d, "events")
+        ),
+        "agg_pricing": _q_agg_pricing,
+        "join_revenue": _q_join_revenue,
+        "topk_orders": _q_topk_orders,
         # video frame-sampling plan: pure column math, no decode
         # (variant of multimodal_features' Arrow feature pass)
         "frame_samples": lambda s, d: multimodal.frame_sample(
@@ -944,52 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_unique_docs": _q_lsh_unique,
         # --- r4 second batch (oracled; outside the 50-entry driver
         # window, verified by scripts/check_oracle.py) ---
-        # degree-oriented triangle counting + local clustering
-        # coefficient over the near-dup candidate graph: lcc separates
-        # duplicate CLIQUES (templates) from LSH-collision hubs
-        "triangle_counts": lambda s, d: graph_triangles(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
-        ),
-        # per-predicate schema induction (functionality gauges decide
-        # which predicates need the salted/AQE path)
-        "predicate_profile": lambda s, d: kg.predicate_profile(
-            _kg_evidence(s, d).select("subj", "pred", "obj")
-        ),
-        # MOSS winnowing fingerprint selection (array-side, 0 shuffles)
-        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
-            _read(s, d, "documents")
-        ),
-        # daily-window noisy-OR beliefs compacted into the all-time
-        # view (merge_beliefs: the streaming layer's batch fold —
-        # associative over miss-mass, so compaction is incremental)
-        "belief_compaction": _q_belief_compaction,
-        # offset-based sequence packing: turns → ~64-token training
-        # chunks, split at token offsets, order-deterministic text
-        "pack_turns": lambda s, d: transcripts.pack_turns(
-            transcripts.synthesize_transcripts(_read(s, d, "documents"))
-        ),
-        # deterministic sync LPA communities over the candidate graph
-        # (separates template families CC merges through one collision)
-        "label_propagation": lambda s, d: graph_lpa(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
-        ),
-        # conversation-granularity near-dup: assemble in turn order,
-        # shingle ACROSS turn boundaries, then MinHash+LSH
-        "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
-            transcripts.synthesize_transcripts(_read(s, d, "documents"))
-        ),
-        # 2-core of the candidate graph: strips LSH-collision pendants,
-        # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
-        "kcore": lambda s, d: graph_kcore(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-            k=2,
-        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
