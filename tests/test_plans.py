@@ -375,3 +375,65 @@ def test_winnow_fingerprints_zero_shuffles(spark):
     read = [l for l in pf.splitlines() if "ReadSchema" in l]
     assert read and "doc_id" in read[0] and "text" in read[0]
     assert "lang" not in read[0]
+
+
+def test_resolve_pronouns_single_exchange(spark):
+    from coies_spark.ops import kg, transcripts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tr = transcripts.synthesize_transcripts(docs)
+    d = spark.createDataFrame(
+        [("spark", "eng:spark")], ["surface", "entity"]
+    )
+    p = plan_of(kg.resolve_pronouns(tr, d, pronouns=("the", "a")))
+    # the dictionary side broadcasts; the only data exchange is the
+    # conv_id window partitioning (satisfied by bucketed storage in
+    # production) — a second hashpartitioning would mean a self-join
+    # resolver crept in
+    assert "BroadcastExchange" in p
+    shuffles = [
+        l for l in p.splitlines()
+        if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+    ]
+    assert len(shuffles) == 1, p
+    assert "conv_id" in shuffles[0]
+
+
+def test_incremental_neardup_keyed_join_no_cartesian(spark):
+    from coies_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.incremental_neardup(
+        docs.where("doc_id % 4 != 0"), docs.where("doc_id % 4 = 0")
+    )
+    p = plan_of(out)
+    # probe joins the index on (band, band_key) — keyed, never a
+    # cartesian/unkeyed loop; the min agg partially aggregates
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p or "partial_" in p
+
+
+def test_bm25_topk_is_take_ordered_and_prunes(spark):
+    from coies_spark.ops import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textstats.bm25_topk(docs, ["scan", "vector"], topk=5)
+    p = plan_of(out)
+    assert "TakeOrderedAndProject" in p
+    pf = plan_of(out, "formatted")
+    read = [l for l in pf.splitlines() if "ReadSchema" in l]
+    assert read and all("lang" not in l for l in read)
+
+
+def test_kcore_semi_joins_no_cartesian(spark):
+    from coies_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    # rounds=1: the every-other-round localCheckpoint would otherwise
+    # cut lineage and hide the joins behind an ExistingRDD scan
+    p = plan_of(kcore(edges, k=2, rounds=1))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
