@@ -929,6 +929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns": lambda s, d: transcripts.boilerplate_turns(
             transcripts.synthesize_transcripts(_read(s, d, "documents"))
         ),
+        # role-gated turn-level PII scrub (user turns only; shared
+        # PII_PATTERNS builders, so doc- and turn-level cannot drift)
+        "scrub_pii_turns": lambda s, d: transcripts.scrub_pii_turns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ).withColumn("turn_idx", F.col("turn_idx").cast("long")),
         # agent-behavior KG: (src_tool, precedes, dst_tool) weighted
         # edges; tool_every=2 so sf-sized conversations produce a
         # multi-node graph (default-cadence convs fit one call)
@@ -1545,6 +1550,40 @@ def _scrub_pii_sql() -> str:
     )
 
 
+def _scrub_pii_turns_sql(roles: tuple[str, ...] = ("user",)) -> str:
+    """DuckDB twin of ``transcripts.scrub_pii_turns`` — the same
+    layered ``PII_PATTERNS`` rewrite as ``_scrub_pii_sql`` over the
+    synthesized transcript turns, with the role gate applied as a
+    final CASE (exactly the engine's when/otherwise: scrub + counts
+    computed for every row, emitted only for gated roles)."""
+    sql = (
+        "SELECT conv_id, turn_idx, role, turn_text AS orig,"
+        " turn_text AS t FROM (" + _transcripts_cte() + ") tt"
+    )
+    carry: list[str] = []
+    for name, pat, repl in textstats.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cols = (", " + ", ".join(carry)) if carry else ""
+        sql = (
+            f"SELECT conv_id, turn_idx, role, orig{cols}, "
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)"
+            f" AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t FROM ({sql})"
+        )
+        carry.append(f"n_{name}")
+    in_list = ", ".join(f"'{r}'" for r in roles)
+    gated = ", ".join(
+        f"CASE WHEN role IN ({in_list}) THEN {c}"
+        f" ELSE CAST(0 AS BIGINT) END AS {c}"
+        for c in carry
+    )
+    return (
+        f"SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, "
+        f"CASE WHEN role IN ({in_list}) THEN t ELSE orig END AS text, "
+        f"{gated} FROM ({sql})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "['the','a','of','and','to','in','is','it']"
     xd, xn = KG_DIGEST_SF001["kg_extract_digest"]
@@ -1645,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "scrub_pii": _scrub_pii_sql(),
+        "scrub_pii_turns": _scrub_pii_turns_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topk_sample": """
             SELECT doc_id, text, lang, source, n_chars FROM (

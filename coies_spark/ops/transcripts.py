@@ -187,6 +187,50 @@ def pack_turns(
     )
 
 
+def scrub_pii_turns(
+    transcripts: DataFrame, roles: tuple[str, ...] | None = ("user",)
+) -> DataFrame:
+    """(conv_id, turn_idx, role, text, n_url, n_email, n_ip, n_phone):
+    the PII-redaction pass at TURN granularity, gated by role — by
+    default only ``user`` turns are scrubbed, because user-authored
+    text is the PII risk surface while assistant/tool turns are
+    model-generated (scrubbing them costs recall for no privacy win;
+    pass ``roles=None`` to scrub every role).
+
+    Reuses the shared pattern builders
+    (:func:`~coies_spark.ops.textstats.scrub_cols`, the same
+    ``PII_PATTERNS`` the document scrub and the fused curation pass
+    compile), so turn-level and document-level redaction can never
+    drift.  Non-scrubbed roles pass through byte-identical (the
+    north rule's per-turn text equality holds for them) with zero
+    counts.
+
+    Scale: a pure regexp projection — codegen, zero shuffle,
+    embarrassingly parallel over turns; the role gate is a CASE, not
+    a filter, so the output keeps every turn and stays join-alignable
+    with the input on (conv_id, turn_idx).
+    """
+    from .textstats import PII_PATTERNS, scrub_cols
+
+    scrubbed, counts = scrub_cols()
+    gate = (
+        F.lit(True) if roles is None else F.col("role").isin(list(roles))
+    )
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(gate, scrubbed).otherwise(F.col("text")).alias("text"),
+        *[
+            F.when(gate, c)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"n_{name}")
+            for c, (name, _, _) in zip(counts, PII_PATTERNS)
+        ],
+    )
+
+
 def conversation_neardup(
     transcripts: DataFrame,
     n: int = 3,

@@ -1495,3 +1495,49 @@ class TestConversationNeardup:
         df = self._tr(spark, rows).repartition(5)
         got = {tuple(r) for r in tr.conversation_neardup(df).collect()}
         assert ("c1", "c2") in got
+
+
+class TestScrubPiiTurns:
+    SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+
+    def _tr(self, spark, rows):
+        return spark.createDataFrame(
+            [(c, i, r, t, None, None) for c, i, r, t in rows], self.SCHEMA
+        )
+
+    def test_user_turns_scrubbed_assistant_passthrough(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = [
+            ("c", 0, "user", "mail me at bob@example.com please"),
+            ("c", 1, "assistant", "noted: bob@example.com it is"),
+        ]
+        got = {r.turn_idx: r for r in
+               tr.scrub_pii_turns(self._tr(spark, rows)).collect()}
+        assert "bob@example.com" not in got[0].text
+        assert got[0].n_email == 1
+        # assistant turn byte-identical, zero counts
+        assert got[1].text == "noted: bob@example.com it is"
+        assert got[1].n_email == 0
+
+    def test_roles_none_scrubs_everything(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = [("c", 0, "assistant", "see https://x.test/page now")]
+        r = tr.scrub_pii_turns(self._tr(spark, rows), roles=None).collect()[0]
+        assert "https://" not in r.text and r.n_url == 1
+
+    def test_matches_doc_scrub_on_same_text(self, spark):
+        from coies_spark.ops import textstats
+        from coies_spark.ops import transcripts as tr
+
+        text = "call +1 (555) 123-4567 or visit http://a.b/c x@y.zz 10.0.0.1"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        doc_row = textstats.scrub_pii(docs).collect()[0]
+        turn_row = tr.scrub_pii_turns(
+            self._tr(spark, [("c", 0, "user", text)])
+        ).collect()[0]
+        assert turn_row.text == doc_row.scrubbed
+        for c in ("n_url", "n_email", "n_ip", "n_phone"):
+            assert getattr(turn_row, c) == getattr(doc_row, c)
