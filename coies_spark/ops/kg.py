@@ -90,7 +90,9 @@ def resolve_pronouns(
     coreference baseline), NULL entity when nothing precedes.
 
     ``dictionary`` is a small (surface, entity) table of single-token
-    entity surfaces (broadcast).  Token positions come from one
+    entity surfaces (broadcast); an ambiguous surface (two entities)
+    is pinned to its lexicographically-smallest entity so resolution
+    stays deterministic.  Token positions come from one
     ``posexplode`` of the reference tokenizer's stream, so "preceding"
     is exact (turn_idx, then token position) — per-turn text order is
     the north rule's stable-turn-ordering invariant.
@@ -108,6 +110,13 @@ def resolve_pronouns(
         "conv_id",
         "turn_idx",
         F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    )
+    # one entity per surface, pinned deterministically (min entity):
+    # an ambiguous dictionary would otherwise duplicate mention rows
+    # at the same (turn_idx, pos) and the carry-forward would pick an
+    # engine-dependent duplicate
+    dictionary = dictionary.groupBy("surface").agg(
+        F.min("entity").alias("entity")
     )
     tagged = (
         toks.join(F.broadcast(dictionary), toks.tok == dictionary.surface,
@@ -244,9 +253,13 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
     which is the resume/upsert story for the belief store.
 
     Input columns: subj, pred, obj, n_evidence, confidence, plus
-    optional first_ts/last_ts (absent → NULL bounds).  6dp rounding
-    per stage matches the per-window rounding, so a DuckDB twin
-    running the same two-stage computation matches bit-for-bit.
+    optional first_ts/last_ts (absent → NULL bounds) and optional
+    n_windows (a previously-compacted row keeps its window count:
+    incremental re-compaction sums ``coalesce(n_windows, 1)``, so
+    merging old_compacted ∪ new_windows preserves the true total
+    rather than counting the compacted row as one window).  6dp
+    rounding per stage matches the per-window rounding, so a DuckDB
+    twin running the same two-stage computation matches bit-for-bit.
     """
     cols = set(snapshots.columns)
     first_ts = (
@@ -257,6 +270,11 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
     last_ts = (
         F.col("last_ts") if "last_ts" in cols else F.lit(None).cast("long")
     )
+    n_windows = (
+        F.coalesce(F.col("n_windows"), F.lit(1))
+        if "n_windows" in cols
+        else F.lit(1)
+    )
     c = F.least(F.col("confidence"), F.lit(1.0 - 1e-9))
     return (
         snapshots.select(
@@ -266,11 +284,12 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
             F.col("n_evidence").cast("long").alias("n_evidence"),
             first_ts.alias("first_ts"),
             last_ts.alias("last_ts"),
+            n_windows.cast("long").alias("n_windows_in"),
             F.log(F.lit(1.0) - c).alias("lg"),
         )
         .groupBy("subj", "pred", "obj")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n_windows_in").cast("long").alias("n_windows"),
             F.sum("n_evidence").cast("long").alias("n_evidence"),
             F.min("first_ts").cast("long").alias("first_ts"),
             F.max("last_ts").cast("long").alias("last_ts"),

@@ -316,9 +316,13 @@ def bm25_topk(
     """
     if not query:
         raise ValueError("bm25_topk: query must be non-empty")
+    # materialize doc lengths once: lens feeds both the stats
+    # aggregate and the scored join, and Catalyst does not dedupe the
+    # shared subtree — without the cut the corpus would be tokenized
+    # a third time (the pagerank/LPA shared-frame convention)
     lens = docs.select(
         "doc_id", F.size(tokens_col("text")).alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     stats = lens.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("dl").alias("__avgdl"),
@@ -406,10 +410,26 @@ def winnow_fingerprints(
     m = 1 << 20  # position field width; docs cap at 2^20 shingles
     t = docs.select("doc_id", tokens_col("text").alias("toks"))
     sh = t.select("doc_id", shingles_col(k).alias("sh"))
+    # enforce the key-packing cap: at pos >= 2^20 the position field
+    # underflows into the hash field and fp_digest silently collides
+    # with (hash-1, pos 0) keys — fail loudly instead (split
+    # over-long docs, e.g. by turn, before fingerprinting)
+    checked = F.when(F.size("sh") <= m, F.col("sh")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: document "),
+                F.col("doc_id"),
+                F.lit(
+                    f" exceeds {m} shingles; the 52-bit key packing"
+                    " caps at 2^20 shingles per document"
+                ),
+            )
+        )
+    )
     hashed = sh.select(
         "doc_id",
         F.transform(
-            "sh",
+            checked,
             lambda s, i: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
                 "long"
             )

@@ -26,6 +26,23 @@ from ..functions.tokenize import tokens_col
 TURN_CHARS = 80  # synthesis: one turn per 80-char slice of the doc
 
 
+def _assembled_turns_col(sep: str = " "):
+    """Aggregate expression reassembling grouped turns into one text:
+    ``array_join(transform(array_sort(collect_list(struct(turn_idx,
+    text))), s -> s.text), sep)``.  Order-deterministic regardless of
+    partitioning (the struct sort pins turn order), so every consumer
+    (pack_turns, conversation_neardup) reassembles identically —
+    shared for the same drift-prevention reason as the PII pattern
+    builders."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ),
+        sep,
+    )
+
+
 def synthesize_transcripts(
     docs: DataFrame, tool_every: int = 4
 ) -> DataFrame:
@@ -174,15 +191,7 @@ def pack_turns(
             F.sum("n_toks").cast("long").alias("n_tokens"),
             F.min("turn_idx").cast("long").alias("first_turn"),
             F.max("turn_idx").cast("long").alias("last_turn"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "text"))
-                    ),
-                    lambda s: s["text"],
-                ),
-                " ",
-            ).alias("packed_text"),
+            _assembled_turns_col().alias("packed_text"),
         )
     )
 
@@ -262,13 +271,7 @@ def conversation_neardup(
     from . import dedup
 
     docs = transcripts.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("text")
+        _assembled_turns_col().alias("text")
     ).select(F.col("conv_id").alias("doc_id"), "text")
     return dedup.lsh_candidate_pairs(
         docs, n=n, num_hashes=num_hashes, band_size=band_size

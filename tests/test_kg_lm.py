@@ -356,6 +356,8 @@ def test_merge_beliefs_is_incremental(spark):
         )
     ).collect()[0]
     assert merged.n_evidence == all_at_once.n_evidence == 6
+    # the compacted row carries its window count through re-compaction
+    assert merged.n_windows == all_at_once.n_windows == 3
     assert merged.first_ts == 10 and merged.last_ts == 60
     # one intermediate 6dp rounding step: equal to 1e-6
     assert abs(merged.confidence - all_at_once.confidence) <= 1e-6

@@ -1227,8 +1227,8 @@ class TestWinnowFingerprints:
             r.doc_id: r
             for r in textstats.winnow_fingerprints(docs).collect()
         }
-        # recompute hash sets (positions differ, hashes overlap)
-        def hashes(text, k=3, w=4):
+        # recompute selected key sets (positions differ, hashes overlap)
+        def selected_keys(text, k=3, w=4):
             from coies_spark.core.textproc import tokenize
 
             toks = tokenize(text.lower())
@@ -1243,13 +1243,20 @@ class TestWinnowFingerprints:
             ]
             weff = min(w, len(keys))
             return {
-                min(keys[p : p + weff]) // m
+                min(keys[p : p + weff])
                 for p in range(len(keys) - weff + 1)
             }
 
-        h0, h1 = hashes("intro words " + run), hashes(run + " closing other text")
+        s0 = selected_keys("intro words " + run)
+        s1 = selected_keys(run + " closing other text")
+        h0, h1 = {x // m for x in s0}, {x // m for x in s1}
         assert h0 & h1, "shared run must produce shared fingerprints"
-        assert rows[0].n_fp == len(h0) or rows[0].n_fp >= len(h0)
+        # the ENGINE's selection must equal the recomputation exactly
+        for doc_id, sel in ((0, s0), (1, s1)):
+            r = rows[doc_id]
+            assert r.n_fp == len(sel)
+            assert r.fp_min == min(sel)
+            assert r.fp_digest == sum(x // m for x in sel)
 
     def test_empty_input(self, spark, empty_docs):
         assert textstats.winnow_fingerprints(empty_docs).count() == 0
