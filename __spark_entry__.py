@@ -648,6 +648,45 @@ def _q_belief_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.merge_beliefs(windows)
 
 
+def _q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection over synthesized transcripts with
+    deterministic period-2 loops injected: conversations for doc_id %
+    5 == 0 get turns 2..9 overwritten with a two-state retry
+    oscillation ('loop step 0' / 'loop step 1'), which the detector
+    must report as period=2 chains (chain = overlap-adjusted run
+    length).  The identical injection lives in the DuckDB twin."""
+    t = transcripts.synthesize_transcripts(_read(spark, sf_dir, "documents"))
+    doc_no = F.split(F.col("conv_id"), "-").getItem(1).cast("long")
+    t = t.withColumn(
+        "text",
+        F.when(
+            (doc_no % 5 == 0) & F.col("turn_idx").between(2, 9),
+            F.concat(
+                F.lit("loop step "), (F.col("turn_idx") % 2).cast("string")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return transcripts.agent_loops(t, min_chain=3, max_period=3)
+
+
+def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style corrupted-tail negatives over the distinct
+    evidence triples — 2 deterministic type-consistent negatives per
+    positive, hash-indexed into each predicate's object domain."""
+    return kg.kg_negatives(
+        _kg_evidence(spark, sf_dir).select("subj", "pred", "obj"), k=2
+    )
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality gauge: recall@5 of the probe-1 IVF route against
+    the brute-force ground truth, in one job."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        similarity.brute_topk(emb), similarity.ivf_topk(emb), k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline ---
@@ -997,6 +1036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_unique_docs": _q_lsh_unique,
         # --- r4 second batch (oracled; outside the 50-entry driver
         # window, verified by scripts/check_oracle.py) ---
+        # --- r4 third batch (oracled; outside the driver window) ---
+        # stuck-agent loop detection (period-2 oscillations injected
+        # deterministically; see _q_agent_loops)
+        "agent_loops": _q_agent_loops,
+        # KG-embedding training pairs: deterministic corrupted-tail
+        # negatives (TransE/DistMult data prep)
+        "kg_negatives": _q_kg_negatives,
+        # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
+        "ann_recall": _q_ann_recall,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -3143,4 +3191,116 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT a AS node, CAST(count(*) AS BIGINT) AS deg"
         + " FROM s8 GROUP BY 1 HAVING count(*) >= 2"
     )
+
+    # agent_loops: period-p digest lags -> unpivot -> gaps-and-islands
+    # run lengths -> best (chain DESC, period ASC) per conversation.
+    # The period-2 injection (doc_id % 5 == 0, turns 2..9) mirrors
+    # _q_agent_loops; digest = md5(role || US || text), US = chr(31),
+    # the engine's concat_ws('\\x1f', role, text).
+    sql["agent_loops"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        inj AS (SELECT conv_id, turn_idx, role,
+                  CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 5 = 0
+                        AND turn_idx BETWEEN 2 AND 9
+                       THEN 'loop step ' || CAST(turn_idx % 2 AS VARCHAR)
+                       ELSE turn_text END AS text
+                FROM t),
+        dg AS (SELECT conv_id, turn_idx,
+                      md5(role || chr(31) || text) AS dg
+               FROM inj),
+        l AS (SELECT conv_id, turn_idx, dg,
+                     lag(dg, 1) OVER w AS l1,
+                     lag(dg, 2) OVER w AS l2,
+                     lag(dg, 3) OVER w AS l3
+              FROM dg
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        r AS (
+          SELECT conv_id, turn_idx, 1 AS period,
+                 COALESCE(CAST(dg = l1 AS INT), 0) AS rep FROM l
+          UNION ALL
+          SELECT conv_id, turn_idx, 2,
+                 COALESCE(CAST(dg = l2 AS INT), 0) FROM l
+          UNION ALL
+          SELECT conv_id, turn_idx, 3,
+                 COALESCE(CAST(dg = l3 AS INT), 0) FROM l),
+        isl AS (SELECT *, sum(1 - rep) OVER (
+                  PARTITION BY conv_id, period ORDER BY turn_idx)
+                  AS island
+                FROM r),
+        ch AS (SELECT conv_id, period, island, sum(rep) AS chain
+               FROM isl GROUP BY 1, 2, 3),
+        mx AS (SELECT conv_id, period, max(chain) AS chain
+               FROM ch GROUP BY 1, 2 HAVING max(chain) >= 3),
+        best AS (SELECT conv_id, period, chain, row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY chain DESC, period ASC) AS rn
+                 FROM mx)
+        SELECT conv_id, CAST(period AS BIGINT) AS period,
+               CAST(chain AS BIGINT) AS chain,
+               CAST(chain + period AS BIGINT) AS loop_turns
+        FROM best WHERE rn = 1
+    """
+    )
+
+    # kg_negatives: per-pred domain indexed by md5(obj) order; each
+    # (positive, rank) picks H mod m with next-index collision
+    # fallback — the engine's exact hash convention (first 32 bits of
+    # md5 of subj:pred:obj:rank)
+    sql["kg_negatives"] = f"""
+        WITH {kg_ev},
+        pos AS (SELECT DISTINCT subj, pred, obj FROM ev),
+        dom AS (SELECT pred, obj AS obj_d,
+                  CAST(row_number() OVER (
+                    PARTITION BY pred ORDER BY md5(obj), obj) - 1
+                    AS BIGINT) AS j,
+                  CAST(count(*) OVER (PARTITION BY pred) AS BIGINT)
+                    AS m
+                FROM (SELECT DISTINCT pred, obj FROM ev)),
+        px AS (SELECT subj, pred, obj, CAST(r AS BIGINT) AS neg_rank,
+                 CAST(('0x' || substr(md5(subj || ':' || pred || ':'
+                   || obj || ':' || CAST(r AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS h
+               FROM pos, unnest(range(0, 2)) u(r)),
+        pm AS (SELECT px.subj, px.pred, px.obj, px.neg_rank,
+                      px.h % dm.m AS i1, (px.h + 1) % dm.m AS i2
+               FROM px JOIN (SELECT DISTINCT pred, m FROM dom) dm
+                 ON dm.pred = px.pred)
+        SELECT pm.subj, pm.pred, pm.obj, pm.neg_rank,
+               CASE WHEN d1.obj_d <> pm.obj THEN d1.obj_d
+                    ELSE d2.obj_d END AS neg_obj
+        FROM pm
+        JOIN dom d1 ON d1.pred = pm.pred AND d1.j = pm.i1
+        JOIN dom d2 ON d2.pred = pm.pred AND d2.j = pm.i2
+        WHERE CASE WHEN d1.obj_d <> pm.obj THEN d1.obj_d
+                   ELSE d2.obj_d END <> pm.obj
+    """
+
+    # ann_recall: set-recall@5 of the IVF probe-1 route vs brute
+    # force, composed from the two routes' own oracle strings so the
+    # ground truths can never drift
+    sql["ann_recall"] = f"""
+        WITH ex AS (SELECT query_id, target_id
+                    FROM ({sql['ann_brute_topk']}) WHERE rank <= 5),
+        ap AS (SELECT query_id, target_id
+               FROM ({sql['ann_ivf_topk']}) WHERE rank <= 5),
+        hits AS (SELECT ex.query_id, count(*) AS n_hit
+                 FROM ap JOIN ex ON ex.query_id = ap.query_id
+                   AND ex.target_id = ap.target_id
+                 GROUP BY 1),
+        perq AS (SELECT e.query_id,
+                   CAST(COALESCE(any_value(h.n_hit), 0) AS DOUBLE)
+                     / least(count(*), 5) AS recall
+                 FROM ex e LEFT JOIN hits h
+                   ON h.query_id = e.query_id
+                 GROUP BY e.query_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(5 AS BIGINT) AS k,
+               round(avg(recall), 6) AS mean_recall,
+               round(min(recall), 6) AS min_recall,
+               CAST(sum(CAST(recall >= 1.0 AS INT)) AS BIGINT)
+                 AS exact_queries
+        FROM perq
+    """
     return sql

@@ -565,3 +565,108 @@ def entity_degrees(triples: DataFrame) -> DataFrame:
             .alias("n_preds"),
         )
     )
+
+
+def kg_negatives(triples: DataFrame, k: int = 2) -> DataFrame:
+    """(subj, pred, obj, neg_rank, neg_obj): deterministic
+    corrupted-tail negative sampling — the training-pair generator
+    for translational / bilinear KG-embedding objectives (TransE,
+    Bordes NeurIPS'13; DistMult), which need, per positive triple,
+    ``k`` negatives drawn from the SAME predicate's object domain
+    (type-consistent corruption) and guaranteed unequal to the true
+    object.
+
+    Sampling is hash-indexed, not random: the predicate's distinct
+    objects get a dense per-pred index j (ordered by md5(obj) so the
+    indexing itself is an unbiased shuffle), and positive × rank r
+    picks index ``H(subj,pred,obj,r) mod m`` (H = first-32-bits-of-
+    md5, the engine-portable convention of ``ops.sampling``).  A
+    collision with the true object falls through to the NEXT index
+    (mod m) — still uniform over the remaining m−1 objects.  The
+    same triple therefore gets the same negatives on every run, any
+    partitioning, and any SQL engine: resumable epochs and an exact
+    DuckDB twin.
+
+    Scale: the domain index is built over DISTINCT (pred, obj) —
+    vocabulary-sized, not corpus-sized (the embedding_norm_stats
+    honesty scoping); its per-pred row_number is the only per-key
+    sequential step, swappable for a sorted global zipWithIndex if a
+    single predicate's domain ever outgrows one task.  The candidate
+    lookups are two equi-joins on (pred, idx) — broadcastable when
+    the domain is, shuffle-keyed otherwise; nothing is corpus ×
+    domain.  Predicates with one distinct object yield no negatives
+    (dropped, by construction, not error).
+    """
+    if k < 1:
+        raise ValueError("kg_negatives: k must be >= 1")
+    wd = Window.partitionBy("pred").orderBy(
+        F.md5(F.encode(F.col("obj").cast("string"), "utf-8")), "obj"
+    )
+    wm = Window.partitionBy("pred")
+    domain = (
+        triples.select("pred", "obj")
+        .distinct()
+        .select(
+            "pred",
+            F.col("obj").alias("obj_d"),
+            (F.row_number().over(wd) - 1).cast("long").alias("j"),
+            F.count(F.lit(1)).over(wm).cast("long").alias("m"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(":", "subj", "pred", "obj", "neg_rank"),
+                    "utf-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias(
+                "neg_rank"
+            ),
+        )
+        .withColumn("h", h)
+    )
+    dom_m = domain.select("pred", "m").distinct()
+    pos = pos.join(dom_m, "pred").select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        F.pmod(F.col("h"), F.col("m")).alias("i1"),
+        F.pmod(F.col("h") + 1, F.col("m")).alias("i2"),
+    )
+    d1 = domain.select(
+        "pred", F.col("j").alias("i1"), F.col("obj_d").alias("c1")
+    )
+    d2 = domain.select(
+        "pred", F.col("j").alias("i2"), F.col("obj_d").alias("c2")
+    )
+    out = (
+        pos.join(d1, ["pred", "i1"])
+        .join(d2, ["pred", "i2"])
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "neg_rank",
+            F.when(F.col("c1") != F.col("obj"), F.col("c1"))
+            .otherwise(F.col("c2"))
+            .alias("neg_obj"),
+        )
+        .where(F.col("neg_obj") != F.col("obj"))
+    )
+    return out

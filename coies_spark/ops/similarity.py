@@ -1201,3 +1201,58 @@ def semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int = 5
+) -> DataFrame:
+    """(n_queries, k, mean_recall, min_recall, exact_queries): the ANN
+    index-quality gauge — recall@k of an approximate neighbour table
+    against the exact (brute-force) table, the measurement that turns
+    "the index is probably fine" into a number (the standard
+    FAISS-style evaluation; "measure, don't guess").
+
+    Inputs are any two (query_id, target_id, rank) frames —
+    :func:`brute_topk` for ground truth and :func:`ivf_topk` /
+    :func:`pq_topk` / :func:`ivf_pq_topk` for the route under test.
+    Per query: \\|approx ∩ exact\\| / k over the rank ≤ k prefixes; the
+    single output row carries the corpus mean (6dp), the worst query
+    (min), and how many queries achieved perfect recall.  One
+    left-semi-shaped inner join on (query_id, target_id) and one
+    aggregate — at any corpus size the cost is O(queries × k), never
+    a rescan of the vector store (both inputs are already top-k
+    tables).
+
+    Recall compares SETS, so rank agreement is not required — an
+    index that returns the right k neighbours in a different order
+    scores 1.0 (ties across the k-boundary are whatever each route's
+    deterministic tiebreak emitted, faithfully counted).
+    """
+    if k < 1:
+        raise ValueError("ann_recall: k must be >= 1")
+    e = exact.where(F.col("rank") <= k).select("query_id", "target_id")
+    a = approx.where(F.col("rank") <= k).select("query_id", "target_id")
+    hits = a.join(e, ["query_id", "target_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_q = (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.least(F.col("n_exact"), F.lit(k))
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.sum((F.col("recall") >= 1.0).cast("int"))
+        .cast("long")
+        .alias("exact_queries"),
+    )

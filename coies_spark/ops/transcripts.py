@@ -395,3 +395,104 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+def agent_loops(
+    transcripts: DataFrame,
+    min_chain: int = 3,
+    max_period: int = 3,
+    include_tool: bool = False,
+) -> DataFrame:
+    """(conv_id, period, chain, loop_turns): conversations where an
+    agent is STUCK IN A LOOP — the same turn content recurring with
+    period p in [1, max_period] for at least ``min_chain`` consecutive
+    recurrences.  Period 1 is a verbatim-retry loop (the agent
+    re-emits the same turn); period 2 is the classic two-state
+    try/fail oscillation; higher periods catch longer tool-retry
+    cycles.  This is the transcript-native curation filter exact-span
+    dedup cannot express: the repetition is WITHIN one conversation
+    and periodic, not across documents.
+
+    A turn's identity is ``md5(role || US || text [|| US || tool])``
+    (US = unit separator) — role-qualified so a user echoing the
+    assistant does not count; ``include_tool=True`` additionally
+    requires the same tool slot.  ``chain`` counts consecutive turns
+    satisfying ``digest(t) == digest(t - p)``; a chain of c with
+    period p means c + p turns trapped in the cycle (``loop_turns``),
+    i.e. at least ``(c + p) / p`` full cycles.  Per conversation, the
+    single longest chain is reported (ties -> smallest period, so a
+    pure period-1 loop is never mislabeled as its trivial period-2
+    echo).
+
+    Plan shape: ONE exchange end-to-end.  The lag comparisons for
+    every period ride one (conv_id)-partitioned window; the islands
+    pass (run-length via running sum of chain breaks) partitions by
+    (conv_id, period) and the island/chain/argmax groupBys key on
+    supersets of conv_id — hash-partitioning by conv_id satisfies
+    every downstream clustering, so Catalyst inserts no further
+    shuffle.  State per row is 3 small integers; nothing is
+    conversation-length-quadratic.
+    """
+    if min_chain < 1 or max_period < 1:
+        raise ValueError(
+            "agent_loops: min_chain and max_period must be >= 1"
+        )
+    parts = [F.col("role"), F.col("text")] + (
+        [F.coalesce(F.col("tool"), F.lit(""))] if include_tool else []
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.encode(F.concat_ws("\x1f", *parts), "utf-8")).alias("dg"),
+    )
+    reps = d.select(
+        "conv_id",
+        "turn_idx",
+        *[
+            F.coalesce(
+                (F.col("dg") == F.lag("dg", p).over(w)).cast("int"),
+                F.lit(0),
+            ).alias(f"rep_{p}")
+            for p in range(1, max_period + 1)
+        ],
+    )
+    long = reps.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("int").alias("period"),
+                        F.col(f"rep_{p}").alias("rep"),
+                    )
+                    for p in range(1, max_period + 1)
+                ]
+            )
+        ).alias("pr"),
+    ).select("conv_id", "turn_idx", "pr.period", "pr.rep")
+    wp = Window.partitionBy("conv_id", "period").orderBy("turn_idx")
+    islands = long.withColumn(
+        "island", F.sum(F.lit(1) - F.col("rep")).over(wp)
+    )
+    chains = (
+        islands.groupBy("conv_id", "period", "island")
+        .agg(F.sum("rep").alias("chain"))
+        .groupBy("conv_id", "period")
+        .agg(F.max("chain").alias("chain"))
+        .where(F.col("chain") >= min_chain)
+    )
+    best = chains.groupBy("conv_id").agg(
+        F.max(
+            F.struct(F.col("chain"), (-F.col("period")).alias("np"))
+        ).alias("b")
+    )
+    return best.select(
+        "conv_id",
+        (-F.col("b.np")).cast("long").alias("period"),
+        F.col("b.chain").cast("long").alias("chain"),
+        (F.col("b.chain") - F.col("b.np")).cast("long").alias(
+            "loop_turns"
+        ),
+    )

@@ -511,3 +511,51 @@ def test_resolve_pronouns_partition_invariant(spark):
     r1 = sorted(map(tuple, kg.resolve_pronouns(df1, d, ("it",)).collect()))
     r2 = sorted(map(tuple, kg.resolve_pronouns(df2, d, ("it",)).collect()))
     assert r1 == r2 and len(r1) == 8
+
+
+# ---------------------------------------------------------------------------
+# kg_negatives (corrupted-tail training pairs)
+# ---------------------------------------------------------------------------
+
+def _mk_triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def test_kg_negatives_shape_and_constraints(spark):
+    rows = [("s%d" % i, "p", "o%d" % (i % 4)) for i in range(8)]
+    out = kg.kg_negatives(_mk_triples(spark, rows), k=2).collect()
+    # every negative is type-consistent (same pred domain) and != obj
+    dom = {"o0", "o1", "o2", "o3"}
+    for r in out:
+        assert r.neg_obj in dom and r.neg_obj != r.obj
+    # k negatives per positive (m=4 > 1, so no drops)
+    assert len(out) == 8 * 2
+    assert {r.neg_rank for r in out} == {0, 1}
+
+
+def test_kg_negatives_deterministic_and_partition_invariant(spark):
+    rows = [("s%d" % i, "p%d" % (i % 2), "o%d" % (i % 5))
+            for i in range(20)]
+    a = sorted(map(tuple, kg.kg_negatives(
+        _mk_triples(spark, rows).repartition(7), k=2).collect()))
+    b = sorted(map(tuple, kg.kg_negatives(
+        _mk_triples(spark, rows).repartition(2), k=2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_kg_negatives_single_object_domain_drops(spark):
+    # a predicate with one distinct object cannot be corrupted
+    rows = [("s1", "solo", "only"), ("s2", "solo", "only"),
+            ("s1", "multi", "a"), ("s2", "multi", "b")]
+    out = kg.kg_negatives(_mk_triples(spark, rows), k=3).collect()
+    assert all(r.pred == "multi" for r in out)
+    # m=2: the only valid negative is the other object, every rank
+    assert all(r.neg_obj != r.obj for r in out)
+    assert len(out) == 2 * 3
+
+
+def test_kg_negatives_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kg.kg_negatives(_mk_triples(spark, [("s", "p", "o")]), k=0)

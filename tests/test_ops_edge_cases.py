@@ -1548,3 +1548,137 @@ class TestScrubPiiTurns:
         assert turn_row.text == doc_row.scrubbed
         for c in ("n_url", "n_email", "n_ip", "n_phone"):
             assert getattr(turn_row, c) == getattr(doc_row, c)
+
+
+class TestAgentLoops:
+    SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+
+    def _tr(self, spark, rows):
+        return spark.createDataFrame(
+            [(c, i, r, t, tool, None) for c, i, r, t, tool in rows],
+            self.SCHEMA,
+        )
+
+    def test_period1_retry_loop(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # 5 identical assistant turns -> period-1 chain of 4
+        rows = [("c", i, "assistant", "retrying tool call", None)
+                for i in range(5)]
+        got = tr.agent_loops(self._tr(spark, rows)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.period, r.chain, r.loop_turns) == (1, 4, 5)
+
+    def test_period2_oscillation_and_tiebreak(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # A/B/A/B/A/B/A/B: period-2 chain of 6; period-1 never fires.
+        # Pure period-1 loops must also report period 1, not their
+        # trivial period-2 echo (chain tie -> smallest period).
+        rows = [("c", i, "assistant", "state A" if i % 2 == 0
+                 else "state B", None) for i in range(8)]
+        r = tr.agent_loops(self._tr(spark, rows)).collect()[0]
+        assert (r.period, r.chain, r.loop_turns) == (2, 6, 8)
+
+    def test_role_qualified_digest(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # same text but alternating ROLE: not a period-1 loop (role
+        # is part of the turn identity); it IS a period-2 loop
+        rows = [("c", i, "user" if i % 2 == 0 else "assistant",
+                 "same words", None) for i in range(8)]
+        r = tr.agent_loops(self._tr(spark, rows)).collect()[0]
+        assert r.period == 2
+
+    def test_min_chain_gate_and_no_loops(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = [("c", i, "assistant", f"distinct {i}", None)
+                for i in range(6)]
+        assert tr.agent_loops(self._tr(spark, rows)).count() == 0
+        # two repeats = chain 1 < min_chain 3
+        rows2 = [("d", 0, "assistant", "x", None),
+                 ("d", 1, "assistant", "x", None),
+                 ("d", 2, "assistant", "y", None)]
+        assert tr.agent_loops(self._tr(spark, rows2)).count() == 0
+        # but min_chain=1 admits it
+        assert tr.agent_loops(
+            self._tr(spark, rows2), min_chain=1
+        ).count() == 1
+
+    def test_include_tool_splits_digest(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        # identical role+text, alternating tool: a period-1 loop
+        # WITHOUT the tool in the digest, period-2 WITH it
+        rows = [("c", i, "assistant", "calling", "a" if i % 2 == 0
+                 else "b") for i in range(8)]
+        df = self._tr(spark, rows)
+        assert tr.agent_loops(df).collect()[0].period == 1
+        assert tr.agent_loops(
+            df, include_tool=True
+        ).collect()[0].period == 2
+
+    def test_rejects_bad_params(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        df = self._tr(spark, [("c", 0, "user", "x", None)])
+        with pytest.raises(ValueError):
+            tr.agent_loops(df, min_chain=0)
+        with pytest.raises(ValueError):
+            tr.agent_loops(df, max_period=0)
+
+
+class TestAnnRecall:
+    def _topk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, target_id long, rank long"
+        )
+
+    def test_perfect_and_partial_recall(self, spark):
+        from coies_spark.ops import similarity
+
+        exact = self._topk(
+            spark,
+            [(0, t, r + 1) for r, t in enumerate([10, 11, 12])]
+            + [(1, t, r + 1) for r, t in enumerate([20, 21, 22])],
+        )
+        # query 0: same set, different order -> 1.0; query 1: 1/3
+        approx = self._topk(
+            spark,
+            [(0, 12, 1), (0, 10, 2), (0, 11, 3),
+             (1, 20, 1), (1, 99, 2), (1, 98, 3)],
+        )
+        r = similarity.ann_recall(exact, approx, k=3).collect()[0]
+        assert r.n_queries == 2 and r.k == 3
+        assert r.mean_recall == round((1.0 + 1 / 3) / 2, 6)
+        assert r.min_recall == round(1 / 3, 6)
+        assert r.exact_queries == 1
+
+    def test_k_prefix_only(self, spark):
+        from coies_spark.ops import similarity
+
+        # ranks beyond k are ignored on both sides
+        exact = self._topk(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+        approx = self._topk(spark, [(0, 1, 1), (0, 3, 2), (0, 2, 9)])
+        r = similarity.ann_recall(exact, approx, k=2).collect()[0]
+        assert r.mean_recall == 0.5  # {1,3} vs {1,2} -> 1/2
+
+    def test_short_exact_list_normalizes(self, spark):
+        from coies_spark.ops import similarity
+
+        # ground truth has fewer than k rows (tiny bucket): recall
+        # normalizes by the actual exact count, not k
+        exact = self._topk(spark, [(0, 1, 1), (0, 2, 2)])
+        approx = self._topk(spark, [(0, 1, 1), (0, 2, 2)])
+        r = similarity.ann_recall(exact, approx, k=5).collect()[0]
+        assert r.mean_recall == 1.0
+
+    def test_rejects_bad_k(self, spark):
+        from coies_spark.ops import similarity
+
+        df = self._topk(spark, [(0, 1, 1)])
+        with pytest.raises(ValueError):
+            similarity.ann_recall(df, df, k=0)

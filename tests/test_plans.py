@@ -437,3 +437,30 @@ def test_kcore_semi_joins_no_cartesian(spark):
     p = plan_of(kcore(edges, k=2, rounds=1))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_agent_loops_single_exchange(spark):
+    """agent_loops' whole dataflow (digest lags -> unpivot -> islands
+    -> chains -> per-conv argmax) must ride ONE hash exchange on
+    conv_id: every downstream window/groupBy keys on a superset of
+    conv_id, which the first partitioning already satisfies."""
+    from coies_spark.ops import transcripts as tr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = tr.synthesize_transcripts(docs)
+    p = plan_of(tr.agent_loops(t))
+    assert p.count("Exchange") == 1, p
+
+
+def test_kg_negatives_domain_joins_no_cartesian(spark):
+    """kg_negatives' candidate lookups are (pred, idx) equi-joins —
+    never a cross join of positives x domain."""
+    from coies_spark.ops import kg
+
+    tr = spark.createDataFrame(
+        [("s%d" % i, "p%d" % (i % 3), "o%d" % (i % 7))
+         for i in range(40)],
+        "subj string, pred string, obj string",
+    )
+    p = plan_of(kg.kg_negatives(tr, k=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
