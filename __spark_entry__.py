@@ -648,16 +648,17 @@ def _q_belief_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.merge_beliefs(windows)
 
 
-def _q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stuck-agent loop detection over synthesized transcripts with
-    deterministic period-2 loops injected: conversations for doc_id %
-    5 == 0 get turns 2..9 overwritten with a two-state retry
-    oscillation ('loop step 0' / 'loop step 1'), which the detector
-    must report as period=2 chains (chain = overlap-adjusted run
-    length).  The identical injection lives in the DuckDB twin."""
+def _injected_loop_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthesized transcripts with deterministic period-2 loops
+    injected: conversations for doc_id % 5 == 0 get turns 2..9
+    overwritten with a two-state retry oscillation ('loop step 0' /
+    'loop step 1').  The identical injection lives in the DuckDB
+    twins of agent_loops / scrub_agent_loops."""
     t = transcripts.synthesize_transcripts(_read(spark, sf_dir, "documents"))
     doc_no = F.split(F.col("conv_id"), "-").getItem(1).cast("long")
-    t = t.withColumn(
+    return t.withColumn(
         "text",
         F.when(
             (doc_no % 5 == 0) & F.col("turn_idx").between(2, 9),
@@ -666,7 +667,46 @@ def _q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     )
-    return transcripts.agent_loops(t, min_chain=3, max_period=3)
+
+
+def _q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection: the injected period-2 oscillations
+    must be reported as period=2 chains (chain = overlap-adjusted run
+    length)."""
+    return transcripts.agent_loops(
+        _injected_loop_transcripts(spark, sf_dir), min_chain=3,
+        max_period=3,
+    )
+
+
+def _q_scrub_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply step: transcripts minus the flagged looping
+    conversations, surviving turns byte-identical (ts as epoch s)."""
+    out = transcripts.scrub_agent_loops(
+        _injected_loop_transcripts(spark, sf_dir), min_chain=3,
+        max_period=3,
+    )
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+
+
+def _q_mention_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream as a KG ingest monitor:
+    per (event_type, day) counts vs the trailing-3-observed-days
+    baseline."""
+    m = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("entity"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        ).cast("long").alias("ts"),
+    )
+    return kg.mention_bursts(m, trailing=3, z=2.0)
 
 
 def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,6 +1085,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,
+        # the loop-detection apply step: drop flagged conversations
+        "scrub_agent_loops": _q_scrub_agent_loops,
+        # KG ingest monitoring: per-(entity, day) burst flags vs the
+        # trailing observed-days baseline
+        "mention_bursts": _q_mention_bursts,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -3275,6 +3320,50 @@ def oracle_sql() -> dict[str, str]:
         JOIN dom d2 ON d2.pred = pm.pred AND d2.j = pm.i2
         WHERE CASE WHEN d1.obj_d <> pm.obj THEN d1.obj_d
                    ELSE d2.obj_d END <> pm.obj
+    """
+
+    # scrub_agent_loops: the injected frame minus every conversation
+    # the agent_loops twin flags (its SQL is nested verbatim so the
+    # detector and the scrub can never drift)
+    sql["scrub_agent_loops"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        inj AS (SELECT conv_id, turn_idx, role, tool, ts_s,
+                  CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 5 = 0
+                        AND turn_idx BETWEEN 2 AND 9
+                       THEN 'loop step ' || CAST(turn_idx % 2 AS VARCHAR)
+                       ELSE turn_text END AS text
+                FROM t)
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+               text, tool, CAST(ts_s AS BIGINT) AS ts
+        FROM inj WHERE conv_id NOT IN
+          (SELECT conv_id FROM ("""
+        + sql["agent_loops"]
+        + "))"
+    )
+
+    # mention_bursts: daily counts -> trailing row-frame control
+    # chart (avg/stddev_samp over the 3 previous observed days)
+    sql["mention_bursts"] = """
+        WITH m AS (SELECT event_type AS entity,
+                     CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                       AS tss
+                   FROM events),
+        daily AS (SELECT entity,
+                    CAST(floor(tss / 86400) AS BIGINT) AS day,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1, 2),
+        base AS (SELECT entity, day, n,
+                   round(avg(n) OVER w, 6) AS mu,
+                   round(stddev_samp(n) OVER w, 6) AS sigma
+                 FROM daily
+                 WINDOW w AS (PARTITION BY entity ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        SELECT entity, day, n, mu, sigma,
+               COALESCE(n > round(mu + 2.0 * sigma, 6), FALSE)
+                 AS is_burst
+        FROM base
     """
 
     # ann_recall: set-recall@5 of the IVF probe-1 route vs brute

@@ -670,3 +670,60 @@ def kg_negatives(triples: DataFrame, k: int = 2) -> DataFrame:
         .where(F.col("neg_obj") != F.col("obj"))
     )
     return out
+
+
+def mention_bursts(
+    mentions: DataFrame, trailing: int = 3, z: float = 2.0
+) -> DataFrame:
+    """(entity, day, n, mu, sigma, is_burst): burst detection over a
+    KG ingest stream — for each (entity, UTC day) the mention count
+    ``n`` against the trailing baseline of the entity's previous
+    ``trailing`` OBSERVED days (row-based, so silent days cost
+    nothing and a sparse entity still gets a baseline), flagging days
+    where ``n > mu + z·sigma``.  The monitoring twin of
+    :func:`entity_degrees`: degrees say which entities are hot in
+    aggregate; bursts say WHEN an entity's evidence rate jumped —
+    trending topics, ingest anomalies, or an extraction regression
+    flooding one surface.
+
+    ``mentions`` needs (entity, ts) — epoch seconds; anything with an
+    obj/ts shape projects into it.  The first observed day has no
+    baseline and days with <2 prior observations have no sigma;
+    neither can be a burst (NULL-safe comparison), matching the cold
+    -start convention of any control chart.  mu/sigma and the
+    threshold are rounded 6dp so the flag is bit-stable across
+    engines (sample stddev on both sides).
+
+    Scale: one groupBy (entity, day) — map-side combinable counts —
+    then one row-frame window per entity over the DAILY table
+    (corpus-sized input collapses to entities × active days before
+    the window, so the per-entity sequential pass is tiny).  Total:
+    two exchanges, both on keys that spread head entities by day
+    first.
+    """
+    if trailing < 1:
+        raise ValueError("mention_bursts: trailing must be >= 1")
+    daily = (
+        mentions.select(
+            "entity", F.floor(F.col("ts") / 86400).alias("day")
+        )
+        .groupBy("entity", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    base = daily.select(
+        "entity",
+        F.col("day").cast("long").alias("day"),
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("mu"),
+        F.round(F.stddev_samp("n").over(w), 6).alias("sigma"),
+    )
+    thr = F.round(F.col("mu") + F.lit(z) * F.col("sigma"), 6)
+    return base.withColumn(
+        "is_burst",
+        F.coalesce(F.col("n") > thr, F.lit(False)),
+    )

@@ -496,3 +496,31 @@ def agent_loops(
             "loop_turns"
         ),
     )
+
+
+def scrub_agent_loops(
+    transcripts: DataFrame,
+    min_chain: int = 3,
+    max_period: int = 3,
+    include_tool: bool = False,
+) -> DataFrame:
+    """Transcripts minus looping conversations: drops every turn of a
+    conversation :func:`agent_loops` flags — the apply step of loop
+    detection, mirroring :func:`scrub_boilerplate_turns`.  Whole-
+    conversation removal is the right curation granularity for stuck
+    agents: the loop is evidence the ENTIRE trajectory is degenerate
+    (an agent that spun for 40 turns is not good training data up to
+    turn 39 and bad after), and it preserves the per-turn
+    text-equality invariant for everything kept.
+
+    Scale: LEFT ANTI join on conv_id.  The flagged side is one row
+    per looping conversation — a tiny aggregate AQE broadcasts — and
+    the corpus side is never re-shuffled beyond that join.
+    """
+    loops = agent_loops(
+        transcripts,
+        min_chain=min_chain,
+        max_period=max_period,
+        include_tool=include_tool,
+    ).select("conv_id")
+    return transcripts.join(loops, "conv_id", "left_anti")

@@ -559,3 +559,57 @@ def test_kg_negatives_single_object_domain_drops(spark):
 def test_kg_negatives_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         kg.kg_negatives(_mk_triples(spark, [("s", "p", "o")]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# mention_bursts (ingest control chart)
+# ---------------------------------------------------------------------------
+
+def _mk_mentions(spark, rows):
+    return spark.createDataFrame(rows, "entity string, ts long")
+
+
+def test_mention_bursts_hand_computed(spark):
+    day = 86400
+    # entity e: days 0,1,2 -> n=2 each; day 3 -> n=10 (burst)
+    rows = (
+        [("e", d * day), ("e", d * day + 5)] * 1 for d in range(3)
+    )
+    flat = [r for pair in rows for r in pair]
+    flat += [("e", 3 * day + i) for i in range(10)]
+    out = {r.day: r for r in
+           kg.mention_bursts(_mk_mentions(spark, flat)).collect()}
+    assert len(out) == 4
+    # day 0: no baseline -> not a burst, NULL stats
+    assert out[0].mu is None and out[0].is_burst is False
+    # day 1: 1 prior observation -> mu exists, sigma NULL, no burst
+    assert out[1].mu == 2.0 and out[1].sigma is None
+    assert out[1].is_burst is False
+    # day 3: mu=2, sigma=0 -> threshold 2; n=10 bursts
+    assert out[3].mu == 2.0 and out[3].sigma == 0.0
+    assert out[3].n == 10 and out[3].is_burst is True
+
+
+def test_mention_bursts_trailing_is_row_based(spark):
+    day = 86400
+    # observed days 0 and 100: day 100's baseline is day 0 (previous
+    # OBSERVED day), not an empty calendar window
+    rows = [("e", 0), ("e", 1), ("e", 100 * day)]
+    out = {r.day: r for r in
+           kg.mention_bursts(_mk_mentions(spark, rows)).collect()}
+    assert out[100].mu == 2.0 and out[100].is_burst is False
+
+
+def test_mention_bursts_z_and_guard(spark):
+    day = 86400
+    # baseline 1,3 (mu=2, sigma~1.414): n=5 bursts at z=2
+    # (thr=4.83) but not at z=3 (thr=6.24)
+    rows = ([("e", 0)] + [("e", day + i) for i in range(3)]
+            + [("e", 2 * day + i) for i in range(5)])
+    lo = {r.day: r for r in kg.mention_bursts(
+        _mk_mentions(spark, rows), z=2.0).collect()}
+    hi = {r.day: r for r in kg.mention_bursts(
+        _mk_mentions(spark, rows), z=3.0).collect()}
+    assert lo[2].is_burst is True and hi[2].is_burst is False
+    with pytest.raises(ValueError):
+        kg.mention_bursts(_mk_mentions(spark, rows), trailing=0)

@@ -1682,3 +1682,34 @@ class TestAnnRecall:
         df = self._topk(spark, [(0, 1, 1)])
         with pytest.raises(ValueError):
             similarity.ann_recall(df, df, k=0)
+
+
+class TestScrubAgentLoops:
+    SCHEMA = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+
+    def test_drops_looping_conv_keeps_clean_bytes(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        rows = (
+            # looper: 5 identical turns
+            [("loop", i, "assistant", "retry", None, None)
+             for i in range(5)]
+            # clean conversation, byte-preserved
+            + [("ok", i, "user", f"turn {i}", None, None)
+               for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = tr.scrub_agent_loops(df).collect()
+        assert {r.conv_id for r in out} == {"ok"}
+        kept = sorted((r.turn_idx, r.text) for r in out)
+        assert kept == [(i, f"turn {i}") for i in range(4)]
+
+    def test_anti_join_plan(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        df = spark.createDataFrame(
+            [("c", 0, "user", "x", None, None)], self.SCHEMA
+        )
+        plan = tr.scrub_agent_loops(df)._jdf.queryExecution().toString()
+        assert "LeftAnti" in plan
