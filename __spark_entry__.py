@@ -696,6 +696,37 @@ def _q_scrub_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 upsert proven against the FULL recompute:
+    the event stream is split at a fixed timestamp (append-only
+    shape), the first half becomes the stored version table, the
+    second half is merged in — and the DuckDB twin is the ordinary
+    temporal_triples oracle over ALL evidence, so the gate checks
+    merge(old, new) == recompute(all) cross-engine."""
+    split_us = 1705363200000000  # 2024-01-16T00:00Z, mid-range
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit("last_event").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    old = kg.temporal_triples(ev.where(F.col("ts") < split_us))
+    return kg.merge_temporal(old, ev.where(F.col("ts") >= split_us))
+
+
+def _q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite QA gate over the distinct evidence triples: the
+    engine-predicate rule rejects non-(spark|stream) objects, and
+    mentions_op has no rule so its triples surface as unknown_pred
+    (closed world)."""
+    tr = _kg_evidence(spark, sf_dir).select("subj", "pred", "obj")
+    rules = spark.createDataFrame(
+        [("mentions_engine", "^conv-[0-9]+$", "^(spark|stream)$")],
+        "pred string, subj_pattern string, obj_pattern string",
+    )
+    return kg.constraint_violations(tr.distinct(), rules)
+
+
 def _q_mention_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream as a KG ingest monitor:
     per (event_type, day) counts vs the trailing-3-observed-days
@@ -1090,6 +1121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG ingest monitoring: per-(entity, day) burst flags vs the
         # trailing observed-days baseline
         "mention_bursts": _q_mention_bursts,
+        # incremental SCD-2 upsert == full recompute (append-only
+        # split; oracle is the plain temporal_triples twin)
+        "merge_temporal": _q_merge_temporal,
+        # SHACL-lite closed-world triple validation
+        "constraint_violations": _q_constraint_violations,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -3364,6 +3400,32 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(n > round(mu + 2.0 * sigma, 6), FALSE)
                  AS is_burst
         FROM base
+    """
+
+    # merge_temporal: the incremental upsert must equal the FULL
+    # recompute on an append-only split — its oracle IS the plain
+    # temporal_triples twin over all evidence
+    sql["merge_temporal"] = sql["temporal_triples"]
+
+    # constraint_violations: closed-world shape check over the
+    # distinct evidence triples (rules mirrored verbatim)
+    sql["constraint_violations"] = f"""
+        WITH {kg_ev},
+        pos AS (SELECT DISTINCT subj, pred, obj FROM ev),
+        rules(rpred, sp, op) AS (VALUES
+          ('mentions_engine', '^conv-[0-9]+$', '^(spark|stream)$'))
+        SELECT subj, pred, obj, violation FROM (
+          SELECT subj, pred, obj,
+                 CASE WHEN rpred IS NULL THEN 'unknown_pred'
+                      WHEN sp IS NOT NULL
+                           AND NOT regexp_matches(subj, sp)
+                        THEN 'subj_pattern'
+                      WHEN op IS NOT NULL
+                           AND NOT regexp_matches(obj, op)
+                        THEN 'obj_pattern'
+                 END AS violation
+          FROM pos LEFT JOIN rules ON rpred = pos.pred)
+        WHERE violation IS NOT NULL
     """
 
     # ann_recall: set-recall@5 of the IVF probe-1 route vs brute

@@ -727,3 +727,85 @@ def mention_bursts(
         "is_burst",
         F.coalesce(F.col("n") > thr, F.lit(False)),
     )
+
+
+def merge_temporal(versions: DataFrame, evidence: DataFrame) -> DataFrame:
+    """Incremental SCD-2 upsert: fold NEW evidence into an existing
+    :func:`temporal_triples` version table without re-reading the
+    historical evidence — the temporal twin of :func:`merge_beliefs`
+    (belief store upserts) and the resume story for the versioned
+    triple sink.
+
+    Each stored version is replayed as one synthetic evidence row at
+    its ``valid_from`` (a version's interval depends only on its run
+    BOUNDARY, which valid_from is), unioned with the new evidence,
+    and re-run through :func:`temporal_triples`.  For append-only
+    streams — every new ts ≥ the key's last ``valid_from``, the shape
+    a watermark guarantees — this is EXACTLY equal to recomputing
+    over all raw evidence: late-arriving rows that land strictly
+    inside an old closed interval re-split it at the replay boundary
+    only (intra-run timestamps were compacted away; that is the
+    documented cost of not keeping raw history).
+
+    Cost scales with versions + new evidence, never the raw evidence
+    volume; one (subj, pred) exchange as in temporal_triples.
+    """
+    replay = versions.select(
+        "subj", "pred", "obj", F.col("valid_from").alias("ts")
+    )
+    new = evidence.select("subj", "pred", "obj", "ts")
+    return temporal_triples(replay.unionByName(new))
+
+
+def constraint_violations(
+    triples: DataFrame, rules: DataFrame
+) -> DataFrame:
+    """(subj, pred, obj, violation): SHACL-lite closed-world
+    validation of a triple store against a per-predicate shape table
+    ``rules(pred, subj_pattern, obj_pattern)`` — the QA gate between
+    extraction and the published KG.
+
+    Checks, in precedence order (one violation per bad triple, the
+    first that fires):
+
+    * ``unknown_pred`` — the predicate has no rule (closed-world:
+      an extractor emitting a new predicate is a schema event someone
+      must approve, not silently-accepted data);
+    * ``subj_pattern`` / ``obj_pattern`` — the term fails its
+      anchored regex (NULL pattern = unconstrained).
+
+    Patterns must stay in the Java∩RE2∩PCRE-compatible subset
+    (anchored literals / char classes — the ``scrub_pii`` portability
+    rule) so Spark and any SQL oracle agree.  Valid triples are NOT
+    emitted: at 10¹² evidence rows the violation set is the small
+    output, and the clean path stays a pass-through.
+
+    Scale: one broadcast left join on pred (rules are schema-sized)
+    + a codegen'd CASE — no shuffle of the triple store at all.
+    """
+    r = rules.select(
+        F.col("pred").alias("_rp"),
+        F.col("subj_pattern").alias("_sp"),
+        F.col("obj_pattern").alias("_op"),
+    )
+    joined = triples.select("subj", "pred", "obj").join(
+        F.broadcast(r), triples["pred"] == r["_rp"], "left"
+    )
+    violation = (
+        F.when(F.col("_rp").isNull(), F.lit("unknown_pred"))
+        .when(
+            F.col("_sp").isNotNull()
+            & ~F.regexp_like(F.col("subj"), F.col("_sp")),
+            F.lit("subj_pattern"),
+        )
+        .when(
+            F.col("_op").isNotNull()
+            & ~F.regexp_like(F.col("obj"), F.col("_op")),
+            F.lit("obj_pattern"),
+        )
+    )
+    return (
+        joined.withColumn("violation", violation)
+        .where(F.col("violation").isNotNull())
+        .select("subj", "pred", "obj", "violation")
+    )

@@ -613,3 +613,69 @@ def test_mention_bursts_z_and_guard(spark):
     assert lo[2].is_burst is True and hi[2].is_burst is False
     with pytest.raises(ValueError):
         kg.mention_bursts(_mk_mentions(spark, rows), trailing=0)
+
+
+# ---------------------------------------------------------------------------
+# merge_temporal (incremental SCD-2 upsert)
+# ---------------------------------------------------------------------------
+
+def test_merge_temporal_equals_recompute_append_only(spark):
+    ev_rows = [
+        ("u", "p", "a", 10), ("u", "p", "a", 20), ("u", "p", "b", 30),
+        ("u", "p", "b", 40), ("u", "p", "a", 50),
+        ("v", "p", "x", 5), ("v", "p", "x", 45),
+    ]
+    ev = spark.createDataFrame(ev_rows, EV_SCHEMA)
+    full = sorted(map(tuple, kg.temporal_triples(ev).collect()))
+    old = kg.temporal_triples(ev.where(F.col("ts") < 35))
+    merged = kg.merge_temporal(old, ev.where(F.col("ts") >= 35))
+    assert sorted(map(tuple, merged.collect())) == full
+
+
+def test_merge_temporal_extends_open_run(spark):
+    # new evidence with the SAME obj as the current version must
+    # extend that version (valid_from unchanged), not fork a new one
+    ev = spark.createDataFrame([("u", "p", "a", 10)], EV_SCHEMA)
+    old = kg.temporal_triples(ev)
+    new = spark.createDataFrame([("u", "p", "a", 99)], EV_SCHEMA)
+    [r] = kg.merge_temporal(old, new).collect()
+    assert (r.version, r.valid_from, r.is_current) == (1, 10, True)
+
+
+# ---------------------------------------------------------------------------
+# constraint_violations (SHACL-lite gate)
+# ---------------------------------------------------------------------------
+
+RULES_SCHEMA = "pred string, subj_pattern string, obj_pattern string"
+
+
+def test_constraint_violations_kinds_and_precedence(spark):
+    tr = _mk_triples(spark, [
+        ("conv-1", "p1", "spark"),    # clean
+        ("conv-2", "p1", "vector"),   # obj fails
+        ("BAD", "p1", "vector"),      # subj AND obj fail -> subj wins
+        ("conv-3", "p9", "x"),        # no rule -> unknown_pred
+    ])
+    rules = spark.createDataFrame(
+        [("p1", "^conv-[0-9]+$", "^(spark|stream)$")], RULES_SCHEMA
+    )
+    got = {(r.subj, r.pred): r.violation for r in
+           kg.constraint_violations(tr, rules).collect()}
+    assert got == {
+        ("conv-2", "p1"): "obj_pattern",
+        ("BAD", "p1"): "subj_pattern",
+        ("conv-3", "p9"): "unknown_pred",
+    }
+
+
+def test_constraint_violations_null_pattern_unconstrained(spark):
+    tr = _mk_triples(spark, [("anything", "p", "goes")])
+    rules = spark.createDataFrame([("p", None, None)], RULES_SCHEMA)
+    assert kg.constraint_violations(tr, rules).count() == 0
+
+
+def test_constraint_violations_broadcasts_rules(spark):
+    tr = _mk_triples(spark, [("s", "p", "o")])
+    rules = spark.createDataFrame([("p", None, "^o$")], RULES_SCHEMA)
+    plan = kg.constraint_violations(tr, rules)._jdf.queryExecution().toString()
+    assert "broadcast" in plan.lower()
