@@ -1124,6 +1124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental SCD-2 upsert == full recompute (append-only
         # split; oracle is the plain temporal_triples twin)
         "merge_temporal": _q_merge_temporal,
+        # contrastive-training hard negatives: the mid-similarity
+        # jaccard band (close but not near-dup)
+        "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
+            _read(s, d, "documents"), lo=0.01, hi=0.9
+        ),
         # SHACL-lite closed-world triple validation
         "constraint_violations": _q_constraint_violations,
         "kg_extract_triples": _q_kg_extract,
@@ -3400,6 +3405,15 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(n > round(mu + 2.0 * sigma, 6), FALSE)
                  AS is_burst
         FROM base
+    """
+
+    # hard_negative_pairs: the jaccard twin nested with its threshold
+    # lowered to the band floor (0.01 — the mining band sits BELOW
+    # the dedup threshold by design) and the near-dup ceiling cut
+    sql["hard_negative_pairs"] = f"""
+        SELECT doc_a, doc_b, jaccard
+        FROM ({sql['jaccard_pairs'].replace('>= 0.3', '>= 0.01')})
+        WHERE jaccard < 0.9
     """
 
     # merge_temporal: the incremental upsert must equal the FULL

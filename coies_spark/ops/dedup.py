@@ -635,3 +635,30 @@ def scrub_duplicate_spans(docs: DataFrame, span_tokens: int = 50) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+def hard_negative_pairs(
+    docs: DataFrame,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    n: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): contrastive-training hard negatives —
+    document pairs that are lexically CLOSE (jaccard ≥ ``lo``) but
+    NOT near-duplicates (jaccard < ``hi``).  The mid-similarity band
+    is exactly what retrieval/embedding training wants as hard
+    negatives (ANCE-style lexical mining): random pairs are trivially
+    separable and near-dups are false negatives, so the band between
+    them carries the gradient signal.
+
+    Pure composition of :func:`jaccard_pairs` (inverted index with
+    the df cap, (a<b) canonical pairs) plus the upper cut — same
+    web-scale plan, and the DuckDB twin nests the jaccard oracle
+    verbatim so the band can never drift from the dedup measure it
+    complements.
+    """
+    if not (0.0 <= lo < hi):
+        raise ValueError("hard_negative_pairs: need 0 <= lo < hi")
+    pairs = jaccard_pairs(docs, n=n, max_df=max_df, threshold=lo)
+    return pairs.where(F.col("jaccard") < hi)

@@ -1713,3 +1713,36 @@ class TestScrubAgentLoops:
         )
         plan = tr.scrub_agent_loops(df)._jdf.queryExecution().toString()
         assert "LeftAnti" in plan
+
+
+class TestHardNegativePairs:
+    def test_band_selection(self, spark):
+        from coies_spark.ops import dedup
+
+        # a/b near-identical (high jaccard), a/c share one rare
+        # 3-shingle (low), d unrelated
+        base = "alpha beta gamma delta epsilon zeta eta"
+        docs = spark.createDataFrame(
+            [(0, base), (1, base + " extra"),
+             (2, "alpha beta gamma nothing else here at all"),
+             (3, "totally different words everywhere")],
+            "doc_id bigint, text string",
+        )
+        allp = {(r.doc_a, r.doc_b): r.jaccard for r in
+                dedup.hard_negative_pairs(
+                    docs, lo=0.01, hi=1.1).collect()}
+        band = {(r.doc_a, r.doc_b) for r in
+                dedup.hard_negative_pairs(
+                    docs, lo=0.01, hi=0.5).collect()}
+        assert (0, 1) in allp and allp[(0, 1)] > 0.5
+        # the near-dup pair is excluded from the band; the weakly
+        # similar pair survives
+        assert (0, 1) not in band and (0, 2) in band
+        assert all(0.01 <= allp[p] for p in band)
+
+    def test_rejects_bad_band(self, spark):
+        from coies_spark.ops import dedup
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            dedup.hard_negative_pairs(docs, lo=0.5, hi=0.5)
