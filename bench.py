@@ -193,6 +193,12 @@ def main() -> None:
                 transcripts.synthesize_transcripts(docs)
             )
         ),
+        # stuck-agent loop detection (single-exchange window family)
+        "agent_loops": lambda: run(
+            transcripts.agent_loops(
+                transcripts.synthesize_transcripts(docs), min_chain=1
+            )
+        ),
         # offset-based sequence packing (turns → ~64-token chunks)
         "pack_turns": lambda: run(
             transcripts.pack_turns(

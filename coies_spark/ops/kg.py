@@ -114,8 +114,12 @@ def resolve_pronouns(
     # one entity per surface, pinned deterministically (min entity):
     # an ambiguous dictionary would otherwise duplicate mention rows
     # at the same (turn_idx, pos) and the carry-forward would pick an
-    # engine-dependent duplicate
-    dictionary = dictionary.groupBy("surface").agg(
+    # engine-dependent duplicate.  coalesce(1) first: the dictionary
+    # is schema-sized and about to broadcast anyway, and a single
+    # partition satisfies the aggregation's clustering — so the dedup
+    # costs ZERO exchanges and the resolver keeps its single-shuffle
+    # plan (tests/test_plans.py pins it)
+    dictionary = dictionary.coalesce(1).groupBy("surface").agg(
         F.min("entity").alias("entity")
     )
     tagged = (
