@@ -937,14 +937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "salted_event_counts": _q_salted_counts,
         "running_value": _q_running_value,
-        # degree-oriented triangle counting + local clustering
-        # coefficient over the near-dup candidate graph: lcc separates
-        # duplicate CLIQUES (templates) from LSH-collision hubs
-        "triangle_counts": lambda s, d: graph_triangles(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
-        ),
+        # incremental SCD-2 upsert proven equal to the FULL recompute
+        # on an append-only split — the oracle IS the plain
+        # temporal_triples twin over all evidence, so this row is the
+        # driver-checked resume/upsert contract of the versioned store
+        "merge_temporal": _q_merge_temporal,
         # per-predicate schema induction (functionality gauges decide
         # which predicates need the salted/AQE path)
         "predicate_profile": lambda s, d: kg.predicate_profile(
@@ -970,11 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             )
         ),
-        # conversation-granularity near-dup: assemble in turn order,
-        # shingle ACROSS turn boundaries, then MinHash+LSH
-        "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
-            transcripts.synthesize_transcripts(_read(s, d, "documents"))
-        ),
+        # stuck-agent loop detection over injected period-2
+        # oscillations (the transcript-native curation filter span
+        # dedup cannot express; single-exchange plan)
+        "agent_loops": _q_agent_loops,
         # 2-core of the candidate graph: strips LSH-collision pendants,
         # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
         "kcore": lambda s, d: graph_kcore(
@@ -1107,10 +1103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_unique_docs": _q_lsh_unique,
         # --- r4 second batch (oracled; outside the 50-entry driver
         # window, verified by scripts/check_oracle.py) ---
-        # --- r4 third batch (oracled; outside the driver window) ---
-        # stuck-agent loop detection (period-2 oscillations injected
-        # deterministically; see _q_agent_loops)
-        "agent_loops": _q_agent_loops,
+        # --- r4 third batch + rotation overflow (oracled; outside
+        # the driver window) ---
+        # degree-oriented triangle counting + local clustering
+        # coefficient over the near-dup candidate graph (rotated out
+        # for merge_temporal: three graph variants in the window was
+        # the most redundant slot)
+        "triangle_counts": lambda s, d: graph_triangles(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # conversation-granularity near-dup (rotated out for
+        # agent_loops: it composes the SAME lsh_candidate_pairs the
+        # window already verifies via minhash_lsh_pairs)
+        "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
         # KG-embedding training pairs: deterministic corrupted-tail
         # negatives (TransE/DistMult data prep)
         "kg_negatives": _q_kg_negatives,
@@ -1121,9 +1130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG ingest monitoring: per-(entity, day) burst flags vs the
         # trailing observed-days baseline
         "mention_bursts": _q_mention_bursts,
-        # incremental SCD-2 upsert == full recompute (append-only
-        # split; oracle is the plain temporal_triples twin)
-        "merge_temporal": _q_merge_temporal,
         # contrastive-training hard negatives: the mid-similarity
         # jaccard band (close but not near-dup)
         "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
