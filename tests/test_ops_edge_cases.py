@@ -1746,3 +1746,51 @@ class TestHardNegativePairs:
         docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
         with pytest.raises(ValueError):
             dedup.hard_negative_pairs(docs, lo=0.5, hi=0.5)
+
+
+def test_agent_loops_randomized_parity(spark):
+    """200 seeded random conversations, one Spark job, engine output
+    compared against a direct pure-Python reimplementation of the
+    contract (per-period lag runs, best chain, smallest-period tie)."""
+    import random
+
+    from coies_spark.ops import transcripts as tr
+
+    rng = random.Random(20260818)
+    rows, convs = [], {}
+    for c in range(200):
+        n = rng.randint(1, 14)
+        # tiny alphabet so repeats and multi-period cycles are common
+        seq = [(rng.choice(["user", "assistant"]), rng.choice("abc"))
+               for _ in range(n)]
+        convs[f"c{c}"] = seq
+        rows += [(f"c{c}", i, r, t, None, None)
+                 for i, (r, t) in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    min_chain, max_period = 2, 3
+    got = {r.conv_id: (r.period, r.chain, r.loop_turns) for r in
+           tr.agent_loops(df, min_chain=min_chain,
+                          max_period=max_period).collect()}
+
+    def best(seq):
+        digests = [(r, t) for r, t in seq]
+        cands = []
+        for p in range(1, max_period + 1):
+            rep = [1 if i >= p and digests[i] == digests[i - p] else 0
+                   for i in range(len(digests))]
+            chain = cur = 0
+            for x in rep:
+                cur = cur + 1 if x else 0
+                chain = max(chain, cur)
+            if chain >= min_chain:
+                cands.append((chain, -p))
+        if not cands:
+            return None
+        chain, np_ = max(cands)
+        return (-np_, chain, chain - np_)
+
+    want = {c: b for c, seq in convs.items()
+            if (b := best(seq)) is not None}
+    assert got == want and len(want) > 20
