@@ -76,3 +76,82 @@ def test_stateful_assembly_matches_batch(spark, corpus, tmp_path):
     for cid, (n_turns, raw_text) in got.items():
         assert raw_text == want[cid], cid
         assert n_turns == len(raw_text.split("\n"))
+
+
+def test_stream_agent_loops_matches_batch(spark, tmp_path):
+    """Loop alerts from the stateful stream equal the batch
+    agent_loops rows on the same turns, including clean conversations
+    emitting nothing."""
+    import pandas as pd
+
+    from coies_spark.ops import transcripts as tr
+    from coies_spark.streaming.loops import (
+        digest_parity_probe,
+        stream_agent_loops,
+    )
+
+    rows = []
+    # conv loop-1: period-1 retry x5 ; conv loop-2: A/B oscillation x8
+    rows += [("loop-1", i, "assistant", "retry the call", None, None)
+             for i in range(5)]
+    rows += [("loop-2", i, "assistant", "state A" if i % 2 == 0
+              else "state B", None, None) for i in range(8)]
+    # clean conversations
+    for c in range(6):
+        rows += [(f"ok-{c}", i, "user", f"turn {c}-{i}", None, None)
+                 for i in range(4)]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {r.conv_id: (r.period, r.chain, r.loop_turns)
+            for r in tr.agent_loops(batch_df, min_chain=3).collect()}
+    assert set(want) == {"loop-1", "loop-2"}
+
+    # digest parity: JVM md5(role US text) == the Python probe
+    jvm = batch_df.selectExpr(
+        "md5(encode(concat_ws('\\u001F', role, text), 'utf-8')) AS d",
+        "role", "text").limit(3).collect()
+    for r in jvm:
+        assert r.d == digest_parity_probe(r.text, r.role)
+
+    # two interleaved file drops -> conversations span micro-batches
+    pdf = pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    in_dir = tmp_path / "turns"
+    in_dir.mkdir()
+    n = 0
+    for i in range(2):
+        spark.createDataFrame(shuffled.iloc[i::2], schema).coalesce(
+            1).write.parquet(str(tmp_path / f"d{i}"))
+        for root, _, files in os.walk(tmp_path / f"d{i}"):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(root, fn),
+                            in_dir / f"p{n}.parquet")
+                    n += 1
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_agent_loops(stream, min_chain=3, idle_timeout_ms=500)
+        .writeStream.format("memory")
+        .queryName("loop_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from loop_alerts").count() >= len(want):
+                break
+            time.sleep(2)
+        got = {r.conv_id: (r.period, r.chain, r.loop_turns)
+               for r in spark.sql("select * from loop_alerts").collect()}
+    finally:
+        q.stop()
+    assert got == want
