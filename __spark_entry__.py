@@ -1135,6 +1135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
             _read(s, d, "documents"), lo=0.01, hi=0.9
         ),
+        # the curation FUNNEL: every doc attributed to exactly one
+        # outcome (first-failure), so the pass drops nothing silently
+        "curation_report": lambda s, d: curate.curation_report(
+            _read(s, d, "documents")
+        ),
         # SHACL-lite closed-world triple validation
         "constraint_violations": _q_constraint_violations,
         "kg_extract_triples": _q_kg_extract,
@@ -3411,6 +3416,34 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(n > round(mu + 2.0 * sigma, 6), FALSE)
                  AS is_burst
         FROM base
+    """
+
+    # curation_report: the funnel twin composed from the SAME
+    # quality/repetition twins curate_corpus nests, so report and
+    # pass share one definition of every gate
+    sql["curation_report"] = f"""
+        WITH q AS (SELECT doc_id, n_tokens, quality
+                   FROM ({sql['quality_scores']})),
+        r AS (SELECT doc_id, keep FROM ({sql['repetition_stats']})),
+        dig AS (SELECT doc_id, md5(array_to_string(
+                  list_sort(list_distinct({_TOKS})), ' ')) AS bag_key
+                FROM documents),
+        fl AS (SELECT d.doc_id, d.lang, q.n_tokens, dig.bag_key,
+                      q.quality >= 0.62 AS q_ok, r.keep AS r_ok
+               FROM documents d JOIN q USING (doc_id)
+               JOIN r USING (doc_id) JOIN dig USING (doc_id)),
+        rp AS (SELECT *, min(CASE WHEN q_ok AND r_ok THEN doc_id END)
+                 OVER (PARTITION BY bag_key) AS rep
+               FROM fl)
+        SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM (SELECT lang, n_tokens,
+                     CASE WHEN NOT q_ok THEN 'quality_fail'
+                          WHEN NOT r_ok THEN 'repetition_fail'
+                          WHEN doc_id <> rep THEN 'dedup_drop'
+                          ELSE 'kept' END AS stage
+              FROM rp)
+        GROUP BY 1, 2
     """
 
     # hard_negative_pairs: the jaccard twin nested with its threshold

@@ -112,3 +112,90 @@ def curate_corpus(
     if fractions is not None:
         out = stratified_sample(out, fractions, default=default_rate)
     return out
+
+
+def curation_report(
+    docs: DataFrame, min_quality: float = 0.62
+) -> DataFrame:
+    """(lang, stage, n_docs, n_tokens): the curation FUNNEL — every
+    document attributed to exactly one outcome, so nothing the pass
+    drops is silent (the "no silent caps" rule made a table):
+
+    * ``quality_fail`` — below the quality floor;
+    * ``repetition_fail`` — cleared quality, failed the Gopher
+      repetition gates;
+    * ``dedup_drop`` — cleared both gates but another gated member of
+      its bag-dedup group is the representative (gate-then-dedup, the
+      same ordering :func:`curate_corpus` ships);
+    * ``kept`` — the rows curate_corpus emits (pre-sampling).
+
+    Attribution is first-failure, so the stage counts sum to the
+    corpus count per language and the funnel reads top-to-bottom.
+    Identical shared column builders as the fused pass — the report
+    can never disagree with the pass it describes.
+
+    Scale: the same 2 corpus scans as :func:`curate_corpus` (features
+    projection + modal-2-gram aggregate), one bag_key window over the
+    GATED subset, then a lang×stage groupBy over per-doc flags —
+    map-side combinable, output is languages × 4 rows.
+    """
+    feats = quality_feature_cols("toks")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens_col("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        feats["n_tokens"],
+        feats["quality"],
+        dup_ngram_frac_col(3, "toks").alias("dup_3gram_frac"),
+        bag_digest_col().alias("bag_key"),
+    )
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    a2 = (
+        t.select("doc_id", F.explode(shingles_col(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n2"), F.max("c").alias("top2"))
+        .select(
+            "doc_id",
+            F.round(F.try_divide("top2", "n2"), 6).alias(
+                "top_2gram_frac"
+            ),
+        )
+    )
+    flagged = base.join(a2, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bag_key",
+        (F.col("quality") >= min_quality).alias("q_ok"),
+        (
+            (F.col("top_2gram_frac") <= 0.20)
+            & (F.col("dup_3gram_frac") <= 0.18)
+        ).alias("r_ok"),
+    )
+    w = Window.partitionBy("bag_key")
+    gated_rep = flagged.withColumn(
+        "rep",
+        F.min(
+            F.when(F.col("q_ok") & F.col("r_ok"), F.col("doc_id"))
+        ).over(w),
+    )
+    stage = (
+        F.when(~F.col("q_ok"), F.lit("quality_fail"))
+        .when(~F.col("r_ok"), F.lit("repetition_fail"))
+        .when(F.col("doc_id") != F.col("rep"), F.lit("dedup_drop"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        gated_rep.withColumn("stage", stage)
+        .groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -1794,3 +1794,37 @@ def test_agent_loops_randomized_parity(spark):
     want = {c: b for c, seq in convs.items()
             if (b := best(seq)) is not None}
     assert got == want and len(want) > 20
+
+
+class TestCurationReport:
+    def test_funnel_sums_to_corpus_and_kept_matches_pass(self, spark):
+        from coies_spark.ops import curate
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rep = curate.curation_report(docs).collect()
+        # every doc lands in exactly one stage
+        assert sum(r.n_docs for r in rep) == docs.count()
+        stages = {r.stage for r in rep}
+        assert stages <= {"quality_fail", "repetition_fail",
+                          "dedup_drop", "kept"}
+        # the funnel's kept rows ARE curate_corpus's output
+        # (pre-sampling), per language
+        kept = {r.lang: r.n_docs for r in rep if r.stage == "kept"}
+        passed = {r.lang: r.n for r in
+                  curate.curate_corpus(docs).groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert kept == passed
+
+    def test_first_failure_attribution(self, spark):
+        from coies_spark.ops import curate
+
+        # a doc failing BOTH gates counts once, as quality_fail
+        bad = " ".join(["spam"] * 50)  # repetitive AND low quality
+        docs = spark.createDataFrame(
+            [(0, bad, "en", "s")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        [r] = curate.curation_report(docs).collect()
+        assert (r.stage, r.n_docs) == ("quality_fail", 1)
