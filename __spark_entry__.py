@@ -3292,8 +3292,9 @@ def oracle_sql() -> dict[str, str]:
     # agent_loops: period-p digest lags -> unpivot -> gaps-and-islands
     # run lengths -> best (chain DESC, period ASC) per conversation.
     # The period-2 injection (doc_id % 5 == 0, turns 2..9) mirrors
-    # _q_agent_loops; digest = md5(role || US || text), US = chr(31),
-    # the engine's concat_ws('\\x1f', role, text).
+    # _q_agent_loops; digest = md5(coalesce(role,'') || US ||
+    # coalesce(text,'')), US = chr(31) — the engine's shared
+    # turn_digest_col builder (NULL fields hash as empty strings).
     sql["agent_loops"] = (
         "WITH t AS ("
         + _transcripts_cte()
@@ -3305,7 +3306,8 @@ def oracle_sql() -> dict[str, str]:
                        ELSE turn_text END AS text
                 FROM t),
         dg AS (SELECT conv_id, turn_idx,
-                      md5(role || chr(31) || text) AS dg
+                      md5(coalesce(role, '') || chr(31)
+                          || coalesce(text, '')) AS dg
                FROM inj),
         l AS (SELECT conv_id, turn_idx, dg,
                      lag(dg, 1) OVER w AS l1,
@@ -3342,9 +3344,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # kg_negatives: per-pred domain indexed by md5(obj) order; each
-    # (positive, rank) picks H mod m with next-index collision
-    # fallback — the engine's exact hash convention (first 32 bits of
-    # md5 of subj:pred:obj:rank)
+    # (positive, rank) picks H mod (m-1) over the non-true indices,
+    # skipping past the true object's own index — exactly uniform
+    # (the engine's hash convention: first 32 bits of md5 of
+    # subj:pred:obj:rank)
     sql["kg_negatives"] = f"""
         WITH {kg_ev},
         pos AS (SELECT DISTINCT subj, pred, obj FROM ev),
@@ -3361,17 +3364,15 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS h
                FROM pos, unnest(range(0, 2)) u(r)),
         pm AS (SELECT px.subj, px.pred, px.obj, px.neg_rank,
-                      px.h % dm.m AS i1, (px.h + 1) % dm.m AS i2
-               FROM px JOIN (SELECT DISTINCT pred, m FROM dom) dm
-                 ON dm.pred = px.pred)
+                      px.h % (t.m - 1)
+                        + CASE WHEN px.h % (t.m - 1) >= t.j
+                               THEN 1 ELSE 0 END AS i1
+               FROM px JOIN dom t
+                 ON t.pred = px.pred AND t.obj_d = px.obj
+               WHERE t.m >= 2)
         SELECT pm.subj, pm.pred, pm.obj, pm.neg_rank,
-               CASE WHEN d1.obj_d <> pm.obj THEN d1.obj_d
-                    ELSE d2.obj_d END AS neg_obj
-        FROM pm
-        JOIN dom d1 ON d1.pred = pm.pred AND d1.j = pm.i1
-        JOIN dom d2 ON d2.pred = pm.pred AND d2.j = pm.i2
-        WHERE CASE WHEN d1.obj_d <> pm.obj THEN d1.obj_d
-                   ELSE d2.obj_d END <> pm.obj
+               d1.obj_d AS neg_obj
+        FROM pm JOIN dom d1 ON d1.pred = pm.pred AND d1.j = pm.i1
     """
 
     # scrub_agent_loops: the injected frame minus every conversation
@@ -3469,7 +3470,9 @@ def oracle_sql() -> dict[str, str]:
           ('mentions_engine', '^conv-[0-9]+$', '^(spark|stream)$'))
         SELECT subj, pred, obj, violation FROM (
           SELECT subj, pred, obj,
-                 CASE WHEN rpred IS NULL THEN 'unknown_pred'
+                 CASE WHEN subj IS NULL OR obj IS NULL
+                        THEN 'null_term'
+                      WHEN rpred IS NULL THEN 'unknown_pred'
                       WHEN sp IS NOT NULL
                            AND NOT regexp_matches(subj, sp)
                         THEN 'subj_pattern'

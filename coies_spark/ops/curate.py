@@ -40,28 +40,23 @@ from .sampling import stratified_sample
 from .textstats import (
     dup_ngram_frac_col,
     quality_feature_cols,
+    repetition_keep_col,
     scrub_cols,
     shingles_col,
 )
 
 
-def curate_corpus(
-    docs: DataFrame,
-    min_quality: float = 0.62,
-    fractions: dict[str, float] | None = None,
-    default_rate: float = 1.0,
-) -> DataFrame:
-    """→ (doc_id, lang, source, n_tokens, quality, scrubbed): the
-    curated corpus — docs that clear the quality floor and the
-    repetition filter, are their gated bag-dedup group's
-    representative, with PII scrubbed, mixture-sampled per
-    ``fractions``.
-    """
+def _flag_frame(docs: DataFrame, min_quality: float) -> DataFrame:
+    """The shared gate scaffolding of :func:`curate_corpus` and
+    :func:`curation_report`: the 2-corpus-scan feature build (quality
+    score, scrubbed text, repetition ratios, bag digest — all from
+    the shared column builders) plus the per-doc gate verdicts
+    ``q_ok`` / ``r_ok`` (thresholds defined ONCE:
+    ``textstats.repetition_keep_col`` and ``min_quality``).  One
+    frame so the pass and the report it describes cannot drift;
+    Catalyst prunes whichever columns a consumer leaves unused."""
     feats = quality_feature_cols("toks")
     scrubbed, _counts = scrub_cols()
-    # scan 1: every projection-side feature in one pass — quality
-    # score, scrubbed text, repetition ratio, dedup digest (shared
-    # builders, identical formulas/rounding to the standalone ops)
     base = docs.select(
         "doc_id",
         "lang",
@@ -78,8 +73,6 @@ def curate_corpus(
         dup_ngram_frac_col(3, "toks").alias("dup_3gram_frac"),
         bag_digest_col().alias("bag_key"),
     )
-    # scan 2: the modal-2-gram count (the one repetition feature that
-    # needs an aggregate) — explode + two groupBys, map-side combine
     t = docs.select("doc_id", tokens_col("text").alias("toks"))
     a2 = (
         t.select("doc_id", F.explode(shingles_col(2)).alias("g"))
@@ -89,13 +82,36 @@ def curate_corpus(
         .agg(F.sum("c").alias("n2"), F.max("c").alias("top2"))
         .select(
             "doc_id",
-            F.round(F.try_divide("top2", "n2"), 6).alias("top_2gram_frac"),
+            F.round(F.try_divide("top2", "n2"), 6).alias(
+                "top_2gram_frac"
+            ),
         )
     )
-    gated = base.join(a2, "doc_id").where(
-        (F.col("quality") >= min_quality)
-        & (F.col("top_2gram_frac") <= 0.20)
-        & (F.col("dup_3gram_frac") <= 0.18)
+    return base.join(a2, "doc_id").withColumns(
+        {
+            "q_ok": F.col("quality") >= min_quality,
+            "r_ok": repetition_keep_col(),
+        }
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.62,
+    fractions: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """→ (doc_id, lang, source, n_tokens, quality, scrubbed): the
+    curated corpus — docs that clear the quality floor and the
+    repetition filter, are their gated bag-dedup group's
+    representative, with PII scrubbed, mixture-sampled per
+    ``fractions``.
+    """
+    # scans 1+2 and the gate verdicts live in _flag_frame (shared
+    # with curation_report; identical formulas/rounding to the
+    # standalone ops via the shared column builders)
+    gated = _flag_frame(docs, min_quality).where(
+        F.col("q_ok") & F.col("r_ok")
     )
     # dedup over the GATED rows (gate-then-dedup): keep the min-doc_id
     # member of each gated digest group via a window — one exchange on
@@ -139,44 +155,8 @@ def curation_report(
     GATED subset, then a lang×stage groupBy over per-doc flags —
     map-side combinable, output is languages × 4 rows.
     """
-    feats = quality_feature_cols("toks")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        tokens_col("text").alias("toks"),
-    ).select(
-        "doc_id",
-        "lang",
-        feats["n_tokens"],
-        feats["quality"],
-        dup_ngram_frac_col(3, "toks").alias("dup_3gram_frac"),
-        bag_digest_col().alias("bag_key"),
-    )
-    t = docs.select("doc_id", tokens_col("text").alias("toks"))
-    a2 = (
-        t.select("doc_id", F.explode(shingles_col(2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n2"), F.max("c").alias("top2"))
-        .select(
-            "doc_id",
-            F.round(F.try_divide("top2", "n2"), 6).alias(
-                "top_2gram_frac"
-            ),
-        )
-    )
-    flagged = base.join(a2, "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "bag_key",
-        (F.col("quality") >= min_quality).alias("q_ok"),
-        (
-            (F.col("top_2gram_frac") <= 0.20)
-            & (F.col("dup_3gram_frac") <= 0.18)
-        ).alias("r_ok"),
+    flagged = _flag_frame(docs, min_quality).select(
+        "doc_id", "lang", "n_tokens", "bag_key", "q_ok", "r_ok"
     )
     w = Window.partitionBy("bag_key")
     gated_rep = flagged.withColumn(

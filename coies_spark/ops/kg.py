@@ -583,23 +583,26 @@ def kg_negatives(triples: DataFrame, k: int = 2) -> DataFrame:
     Sampling is hash-indexed, not random: the predicate's distinct
     objects get a dense per-pred index j (ordered by md5(obj) so the
     indexing itself is an unbiased shuffle), and positive × rank r
-    picks index ``H(subj,pred,obj,r) mod m`` (H = first-32-bits-of-
-    md5, the engine-portable convention of ``ops.sampling``).  A
-    collision with the true object falls through to the NEXT index
-    (mod m) — still uniform over the remaining m−1 objects.  The
-    same triple therefore gets the same negatives on every run, any
-    partitioning, and any SQL engine: resumable epochs and an exact
-    DuckDB twin.
+    picks ``idx = H(subj,pred,obj,r) mod (m−1)`` over the m−1
+    non-true indices, skipping past the true object's own index
+    (``idx += idx >= j_true``) — EXACTLY uniform over the remaining
+    objects (a next-index fallback would give the true object's
+    successor probability 2/m; the index-skip has no such bias).
+    H = first-32-bits-of-md5, the engine-portable convention of
+    ``ops.sampling``.  The same triple therefore gets the same
+    negatives on every run, any partitioning, and any SQL engine:
+    resumable epochs and an exact DuckDB twin.
 
     Scale: the domain index is built over DISTINCT (pred, obj) —
     vocabulary-sized, not corpus-sized (the embedding_norm_stats
     honesty scoping); its per-pred row_number is the only per-key
     sequential step, swappable for a sorted global zipWithIndex if a
-    single predicate's domain ever outgrows one task.  The candidate
-    lookups are two equi-joins on (pred, idx) — broadcastable when
-    the domain is, shuffle-keyed otherwise; nothing is corpus ×
-    domain.  Predicates with one distinct object yield no negatives
-    (dropped, by construction, not error).
+    single predicate's domain ever outgrows one task.  The true
+    object's index and the candidate both come from equi-joins on
+    (pred, key) — broadcastable when the domain is, shuffle-keyed
+    otherwise; nothing is corpus × domain.  Predicates with one
+    distinct object yield no negatives (dropped, by construction,
+    not error).
     """
     if k < 1:
         raise ValueError("kg_negatives: k must be >= 1")
@@ -644,36 +647,37 @@ def kg_negatives(triples: DataFrame, k: int = 2) -> DataFrame:
         )
         .withColumn("h", h)
     )
-    dom_m = domain.select("pred", "m").distinct()
-    pos = pos.join(dom_m, "pred").select(
-        "subj",
+    # the true object's own index (and m) via one domain lookup; then
+    # idx over the m-1 OTHER indices with the skip-past-true shift
+    true_ix = domain.select(
         "pred",
-        "obj",
-        F.col("neg_rank").cast("long").alias("neg_rank"),
-        F.pmod(F.col("h"), F.col("m")).alias("i1"),
-        F.pmod(F.col("h") + 1, F.col("m")).alias("i2"),
+        F.col("obj_d").alias("obj"),
+        F.col("j").alias("j_true"),
+        "m",
     )
-    d1 = domain.select(
-        "pred", F.col("j").alias("i1"), F.col("obj_d").alias("c1")
-    )
-    d2 = domain.select(
-        "pred", F.col("j").alias("i2"), F.col("obj_d").alias("c2")
-    )
-    out = (
-        pos.join(d1, ["pred", "i1"])
-        .join(d2, ["pred", "i2"])
+    pos = (
+        pos.join(true_ix, ["pred", "obj"])
+        .where(F.col("m") >= 2)
         .select(
             "subj",
             "pred",
             "obj",
-            "neg_rank",
-            F.when(F.col("c1") != F.col("obj"), F.col("c1"))
-            .otherwise(F.col("c2"))
-            .alias("neg_obj"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            (
+                F.pmod(F.col("h"), F.col("m") - 1)
+                + (
+                    F.pmod(F.col("h"), F.col("m") - 1)
+                    >= F.col("j_true")
+                ).cast("long")
+            ).alias("i1"),
         )
-        .where(F.col("neg_obj") != F.col("obj"))
     )
-    return out
+    d1 = domain.select(
+        "pred", F.col("j").alias("i1"), F.col("obj_d").alias("neg_obj")
+    )
+    return pos.join(d1, ["pred", "i1"]).select(
+        "subj", "pred", "obj", "neg_rank", "neg_obj"
+    )
 
 
 def mention_bursts(
@@ -772,6 +776,9 @@ def constraint_violations(
     Checks, in precedence order (one violation per bad triple, the
     first that fires):
 
+    * ``null_term`` — NULL subj or obj: malformed regardless of any
+      rule (closing the hole where a NULL term would null out the
+      regex check and slip through the gate);
     * ``unknown_pred`` — the predicate has no rule (closed-world:
       an extractor emitting a new predicate is a schema event someone
       must approve, not silently-accepted data);
@@ -784,11 +791,30 @@ def constraint_violations(
     emitted: at 10¹² evidence rows the violation set is the small
     output, and the clean path stays a pass-through.
 
+    A duplicate pred in ``rules`` raises at evaluation: two rules for
+    one predicate would fan every triple out and double-emit
+    violations (the config error the resolve_pronouns dictionary
+    guard pins, but a schema table should fail loudly, not be
+    silently merged).
+
     Scale: one broadcast left join on pred (rules are schema-sized)
     + a codegen'd CASE — no shuffle of the triple store at all.
     """
-    r = rules.select(
-        F.col("pred").alias("_rp"),
+    wdup = Window.partitionBy("pred")
+    r = rules.coalesce(1).select(
+        F.when(
+            F.count(F.lit(1)).over(wdup) == 1, F.col("pred")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("constraint_violations: duplicate rule for"
+                          " predicate "),
+                    F.col("pred"),
+                )
+            )
+        )
+        .alias("_rp"),
         F.col("subj_pattern").alias("_sp"),
         F.col("obj_pattern").alias("_op"),
     )
@@ -796,7 +822,11 @@ def constraint_violations(
         F.broadcast(r), triples["pred"] == r["_rp"], "left"
     )
     violation = (
-        F.when(F.col("_rp").isNull(), F.lit("unknown_pred"))
+        F.when(
+            F.col("subj").isNull() | F.col("obj").isNull(),
+            F.lit("null_term"),
+        )
+        .when(F.col("_rp").isNull(), F.lit("unknown_pred"))
         .when(
             F.col("_sp").isNotNull()
             & ~F.regexp_like(F.col("subj"), F.col("_sp")),

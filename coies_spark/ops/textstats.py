@@ -463,6 +463,21 @@ def winnow_fingerprints(
     )
 
 
+# the Gopher repetition gate thresholds — ONE definition shared by
+# repetition_stats' keep verdict and the fused curation pass/report
+# (ops.curate), so a tweak can never leave a stale copy behind
+REP_TOP2_MAX = 0.20
+REP_DUP3_MAX = 0.18
+
+
+def repetition_keep_col() -> Column:
+    """The repetition keep verdict as an expression over the
+    ``top_2gram_frac`` / ``dup_3gram_frac`` columns."""
+    return (F.col("top_2gram_frac") <= REP_TOP2_MAX) & (
+        F.col("dup_3gram_frac") <= REP_DUP3_MAX
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality filters (Rae et al. 2021,
     "Scaling Language Models", §A1.1 quality heuristics), adapted from
@@ -520,11 +535,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         "dup_3gram_frac",
         F.round(F.try_divide("top2", "n2"), 6).alias("top_2gram_frac"),
     )
-    return scored.withColumn(
-        "keep",
-        (F.col("top_2gram_frac") <= 0.20)
-        & (F.col("dup_3gram_frac") <= 0.18),
-    )
+    return scored.withColumn("keep", repetition_keep_col())
 
 
 # PII patterns, ordered: URLs first (they can contain @ and digits),

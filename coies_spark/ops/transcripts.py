@@ -43,6 +43,26 @@ def _assembled_turns_col(sep: str = " "):
     )
 
 
+def turn_digest_col(include_tool: bool = False):
+    """The turn-identity digest shared by batch loop detection
+    (:func:`agent_loops`) and the streaming twin
+    (``streaming.loops``): ``md5(coalesce(role,'') <US> coalesce(
+    text,'') [<US> coalesce(tool,'')])``.  NULL fields hash as empty
+    strings — explicitly, with ``concat`` + ``coalesce`` rather than
+    ``concat_ws`` (which silently SKIPS nulls and would make a
+    NULL-text turn collide with a no-separator variant while the
+    NULL-propagating SQL twin saw no digest at all).  One builder so
+    batch, stream, and oracle can never drift."""
+    parts = [
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("\x1f"),
+        F.coalesce(F.col("text"), F.lit("")),
+    ]
+    if include_tool:
+        parts += [F.lit("\x1f"), F.coalesce(F.col("tool"), F.lit(""))]
+    return F.md5(F.encode(F.concat(*parts), "utf-8"))
+
+
 def synthesize_transcripts(
     docs: DataFrame, tool_every: int = 4
 ) -> DataFrame:
@@ -413,10 +433,11 @@ def agent_loops(
     dedup cannot express: the repetition is WITHIN one conversation
     and periodic, not across documents.
 
-    A turn's identity is ``md5(role || US || text [|| US || tool])``
-    (US = unit separator) — role-qualified so a user echoing the
-    assistant does not count; ``include_tool=True`` additionally
-    requires the same tool slot.  ``chain`` counts consecutive turns
+    A turn's identity is :func:`turn_digest_col` —
+    ``md5(role <US> text [<US> tool])`` with NULL fields hashing as
+    empty strings (US = unit separator) — role-qualified so a user
+    echoing the assistant does not count; ``include_tool=True``
+    additionally requires the same tool slot.  ``chain`` counts consecutive turns
     satisfying ``digest(t) == digest(t - p)``; a chain of c with
     period p means c + p turns trapped in the cycle (``loop_turns``),
     i.e. at least ``(c + p) / p`` full cycles.  Per conversation, the
@@ -437,14 +458,11 @@ def agent_loops(
         raise ValueError(
             "agent_loops: min_chain and max_period must be >= 1"
         )
-    parts = [F.col("role"), F.col("text")] + (
-        [F.coalesce(F.col("tool"), F.lit(""))] if include_tool else []
-    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     d = transcripts.select(
         "conv_id",
         "turn_idx",
-        F.md5(F.encode(F.concat_ws("\x1f", *parts), "utf-8")).alias("dg"),
+        turn_digest_col(include_tool).alias("dg"),
     )
     reps = d.select(
         "conv_id",

@@ -72,22 +72,26 @@ def stream_agent_loops(
     turn_stream: DataFrame,
     min_chain: int = 3,
     max_period: int = 3,
+    include_tool: bool = False,
     idle_timeout_ms: int = 1000,
 ) -> DataFrame:
     """Turn stream → loop-alert stream: one (conv_id, period, chain,
     loop_turns) row per quiesced conversation that contains a loop
-    (clean conversations emit nothing).
+    (clean conversations emit nothing).  ``include_tool`` mirrors the
+    batch parameter — both sides hash through the SAME
+    ``turn_digest_col`` builder, so a batch config always has its
+    streaming twin.
     """
     if min_chain < 1 or max_period < 1:
         raise ValueError(
             "stream_agent_loops: min_chain and max_period must be >= 1"
         )
+    from ..ops.transcripts import turn_digest_col
+
     digested = turn_stream.select(
         "conv_id",
         "turn_idx",
-        F.md5(
-            F.encode(F.concat_ws("\x1f", "role", "text"), "utf-8")
-        ).alias("dg"),
+        turn_digest_col(include_tool).alias("dg"),
     )
 
     def fn(key, pdfs, state):
@@ -138,10 +142,15 @@ def stream_agent_loops(
     )
 
 
-def digest_parity_probe(text: str, role: str) -> str:
-    """The Python twin of the JVM digest expression, for tests: both
-    sides must hash role <US> text identically or stream and batch
-    detection diverge silently."""
-    return hashlib.md5(
-        f"{role}\x1f{text}".encode("utf-8")
-    ).hexdigest()
+def digest_parity_probe(
+    text: str | None, role: str | None, tool: str | None = None,
+    include_tool: bool = False,
+) -> str:
+    """The Python twin of ``turn_digest_col``, for tests: both sides
+    must hash coalesce(role,'') <US> coalesce(text,'') [<US>
+    coalesce(tool,'')] identically or stream and batch detection
+    diverge silently."""
+    s = f"{role or ''}\x1f{text or ''}"
+    if include_tool:
+        s += f"\x1f{tool or ''}"
+    return hashlib.md5(s.encode("utf-8")).hexdigest()

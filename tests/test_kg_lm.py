@@ -679,3 +679,41 @@ def test_constraint_violations_broadcasts_rules(spark):
     rules = spark.createDataFrame([("p", None, "^o$")], RULES_SCHEMA)
     plan = kg.constraint_violations(tr, rules)._jdf.queryExecution().toString()
     assert "broadcast" in plan.lower()
+
+
+def test_constraint_violations_null_term_and_dup_rule_guard(spark):
+    tr = _mk_triples(spark, [(None, "p", "o"), ("s", "p", None)])
+    rules = spark.createDataFrame([("p", None, None)], RULES_SCHEMA)
+    out = kg.constraint_violations(tr, rules).collect()
+    # NULL terms are flagged even under an unconstrained rule
+    assert [r.violation for r in out] == ["null_term", "null_term"]
+    # duplicate rules for one predicate fail loudly
+    dup = spark.createDataFrame(
+        [("p", "^a$", None), ("p", None, "^x$")], RULES_SCHEMA
+    )
+    with pytest.raises(Exception, match="duplicate rule"):
+        kg.constraint_violations(_mk_triples(spark, [("s", "p", "o")]),
+                                 dup).collect()
+
+
+def test_kg_negatives_uniform_skip_is_unbiased(spark):
+    # m=3 domain: across many positives, no object may be sampled at
+    # ~2x the rate of the others (the successor-fallback bias the
+    # index-skip scheme eliminates); exact uniformity over the 2
+    # non-true objects per positive
+    rows = [("s%d" % i, "p", "o%d" % (i % 3)) for i in range(300)]
+    out = kg.kg_negatives(_mk_triples(spark, rows), k=1).collect()
+    from collections import Counter
+
+    per_true = {}
+    for r in out:
+        assert r.neg_obj != r.obj
+        per_true.setdefault(r.obj, Counter())[r.neg_obj] += 1
+    # for each true object, both alternatives appear (hash-split),
+    # and totals over all positives are within 2x of each other
+    tot = Counter()
+    for c in per_true.values():
+        assert len(c) == 2
+        tot.update(c)
+    lo, hi = min(tot.values()), max(tot.values())
+    assert hi <= 2 * lo, tot

@@ -1828,3 +1828,16 @@ class TestCurationReport:
         )
         [r] = curate.curation_report(docs).collect()
         assert (r.stage, r.n_docs) == ("quality_fail", 1)
+
+
+def test_agent_loops_null_text_is_a_loop(spark):
+    from coies_spark.ops import transcripts as tr
+
+    # NULL-text turns hash as empty strings (shared turn_digest_col):
+    # four identical NULL turns ARE a period-1 loop, not invisible
+    rows = [("c", i, "assistant", None, None, None) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    [r] = tr.agent_loops(df).collect()
+    assert (r.period, r.chain) == (1, 3)

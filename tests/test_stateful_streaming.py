@@ -107,12 +107,18 @@ def test_stream_agent_loops_matches_batch(spark, tmp_path):
             for r in tr.agent_loops(batch_df, min_chain=3).collect()}
     assert set(want) == {"loop-1", "loop-2"}
 
-    # digest parity: JVM md5(role US text) == the Python probe
-    jvm = batch_df.selectExpr(
-        "md5(encode(concat_ws('\\u001F', role, text), 'utf-8')) AS d",
-        "role", "text").limit(3).collect()
+    # digest parity: the shared turn_digest_col == the Python probe,
+    # including NULL-field coalescing
+    probe_df = batch_df.unionByName(spark.createDataFrame(
+        [("n", 0, None, None, "code", None)], schema))
+    jvm = probe_df.select(
+        tr.turn_digest_col().alias("d"),
+        tr.turn_digest_col(include_tool=True).alias("dt"),
+        "role", "text", "tool").limit(30).collect()
     for r in jvm:
         assert r.d == digest_parity_probe(r.text, r.role)
+        assert r.dt == digest_parity_probe(
+            r.text, r.role, r.tool, include_tool=True)
 
     # two interleaved file drops -> conversations span micro-batches
     pdf = pd.DataFrame(rows, columns=[
