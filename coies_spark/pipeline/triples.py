@@ -171,3 +171,59 @@ def mention_evidence_rows(
     return subj_rows.join(conv_ts, "conv_id").select(
         "subj", "pred", "obj", "ts", "score"
     )
+
+
+def upsert_beliefs(
+    spark: SparkSession, work_dir: str, new_evidence: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW evidence batch into the s7_beliefs / s8_temporal
+    snapshots of a prior ``run_pipeline(with_beliefs=True)`` run and
+    write them back — the INCREMENTAL maintenance path of the belief
+    store: cost scales with (snapshot size + new batch), never the
+    historical evidence volume, which is the difference between a
+    nightly touch-up and a full 10¹²-turn recompute.
+
+    Mechanics: ``merge_beliefs(old ∪ triple_confidence(new))`` (the
+    noisy-OR fold is associative; the compacted row carries its
+    window count) and ``merge_temporal(old_versions, new)`` (version-
+    boundary replay; equal to the full recompute on append-only
+    batches — the shape a watermarked ingest guarantees).  Both
+    snapshots are rewritten atomically-enough for the sandbox
+    (tmp-path write + read-back; Iceberg snapshot commit in the
+    production profile) and returned.
+
+    Returns (beliefs, temporal) DataFrames of the upserted stores.
+    """
+    import os
+
+    from ..ops.kg import merge_beliefs, merge_temporal
+
+    new_ev = new_evidence.select("subj", "pred", "obj", "ts", "score")
+    out = []
+    for name, fold in (
+        (
+            "s7_beliefs",
+            lambda old: merge_beliefs(
+                old.unionByName(
+                    triple_confidence(new_ev), allowMissingColumns=True
+                )
+            ),
+        ),
+        (
+            "s8_temporal",
+            lambda old: merge_temporal(
+                old, new_ev.select("subj", "pred", "obj", "ts")
+            ),
+        ),
+    ):
+        data = os.path.join(work_dir, name, "data")
+        old = spark.read.parquet(data)
+        merged = fold(old)
+        tmp = os.path.join(work_dir, name, "data_upsert")
+        merged.write.mode("overwrite").partitionBy("pred").parquet(tmp)
+        refreshed = spark.read.parquet(tmp)
+        refreshed.write.mode("overwrite").partitionBy("pred").parquet(
+            data
+        )
+        out.append(spark.read.parquet(data))
+    return out[0], out[1]

@@ -472,3 +472,46 @@ class TestBeliefStages:
         assert all(r.skipped for r in r2.results.values())
         assert sorted(map(tuple, r2.results["s7_beliefs"].df.collect())) \
             == sorted(map(tuple, beliefs.collect()))
+
+
+class TestBeliefUpsert:
+    def test_upsert_matches_full_recompute(self, spark, spark_transcripts,
+                                           artifacts, tmp_path):
+        from pyspark.sql import functions as F
+
+        from coies_spark.pipeline.triples import upsert_beliefs
+
+        raw, _tagged = spark_transcripts
+        convs = sorted(
+            r.conv_id for r in raw.select("conv_id").distinct().collect()
+        )
+        half = convs[: len(convs) // 2]
+        b1 = raw.where(F.col("conv_id").isin(half))
+        b2 = raw.where(~F.col("conv_id").isin(half))
+
+        w1 = str(tmp_path / "w1")
+        run_pipeline(spark, b1, artifacts, w1, with_beliefs=True)
+        # batch 2's evidence from its own (throwaway) run
+        r2 = run_pipeline(spark, b2, artifacts, str(tmp_path / "w2"),
+                          with_beliefs=True)
+        ev2 = r2.results["s6_evidence"].df
+        up_beliefs, up_temporal = upsert_beliefs(spark, w1, ev2)
+
+        rf = run_pipeline(spark, raw, artifacts, str(tmp_path / "wf"),
+                          with_beliefs=True)
+
+        def rows(df, cols):
+            return sorted(map(tuple, df.select(*cols).collect()))
+
+        bcols = ["subj", "pred", "obj", "n_evidence", "first_ts",
+                 "last_ts", "confidence"]
+        assert rows(up_beliefs, bcols) == rows(
+            rf.results["s7_beliefs"].df, bcols)
+        tcols = ["subj", "pred", "obj", "version", "valid_from",
+                 "valid_to", "is_current"]
+        assert rows(up_temporal, tcols) == rows(
+            rf.results["s8_temporal"].df, tcols)
+        # the upsert REWRITES the snapshots in place: re-reading the
+        # store sees the merged view (the resume contract)
+        again = spark.read.parquet(f"{w1}/s7_beliefs/data")
+        assert rows(again, bcols) == rows(up_beliefs, bcols)
