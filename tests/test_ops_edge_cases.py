@@ -1841,3 +1841,17 @@ def test_agent_loops_null_text_is_a_loop(spark):
         " tool string, ts timestamp")
     [r] = tr.agent_loops(df).collect()
     assert (r.period, r.chain) == (1, 3)
+
+
+def test_winnow_fingerprints_rejects_over_cap_docs(spark):
+    """Documents beyond the 2^20-shingle key-packing cap must raise,
+    not silently corrupt fp_digest (the key arithmetic underflows the
+    position field past that point)."""
+    import pytest as _pytest
+
+    n_tokens = (1 << 20) + 8
+    docs = spark.createDataFrame(
+        [(0, "x " * n_tokens)], "doc_id bigint, text string"
+    )
+    with _pytest.raises(Exception, match="exceeds.*shingles"):
+        textstats.winnow_fingerprints(docs).collect()
