@@ -227,3 +227,32 @@ def upsert_beliefs(
         )
         out.append(spark.read.parquet(data))
     return out[0], out[1]
+
+
+def refresh_triple_partitions(
+    spark: SparkSession, new_triples: DataFrame, path: str
+) -> DataFrame:
+    """Dynamic-partition refresh of the predicate-partitioned triple
+    store: overwrite ONLY the predicates present in ``new_triples``,
+    leaving every other predicate's partition byte-untouched — the
+    parquet stand-in for Iceberg's ``overwritePartitions()`` and the
+    sink-level half of the incremental-maintenance story
+    (:func:`upsert_beliefs` is the table-level half).
+
+    Uses Spark's ``partitionOverwriteMode=dynamic`` (scoped to this
+    write, restored after), so a re-run of one predicate's extraction
+    is idempotent: same input → same partition bytes, and a crashed
+    write never clobbers predicates it wasn't touching.  Returns the
+    refreshed store read back.
+    """
+    conf = spark.conf
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = conf.get(key, "static")
+    conf.set(key, "dynamic")
+    try:
+        new_triples.write.mode("overwrite").partitionBy("pred").parquet(
+            path
+        )
+    finally:
+        conf.set(key, prev)
+    return spark.read.parquet(path)

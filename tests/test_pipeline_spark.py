@@ -515,3 +515,35 @@ class TestBeliefUpsert:
         # store sees the merged view (the resume contract)
         again = spark.read.parquet(f"{w1}/s7_beliefs/data")
         assert rows(again, bcols) == rows(up_beliefs, bcols)
+
+
+class TestTripleRefresh:
+    def test_dynamic_partition_refresh_preserves_untouched_preds(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from coies_spark.pipeline.triples import refresh_triple_partitions
+
+        path = str(tmp_path / "triples")
+        base = spark.createDataFrame(
+            [("s1", "comp", "acme", 0.9), ("s2", "date", "2000", 0.8),
+             ("s3", "item", "revenues", 0.7)],
+            "subj string, pred string, obj string, score double",
+        )
+        base.write.partitionBy("pred").parquet(path)
+        # refresh ONLY pred=comp with new rows
+        new = spark.createDataFrame(
+            [("s9", "comp", "zorg", 0.95)],
+            "subj string, pred string, obj string, score double",
+        )
+        out = refresh_triple_partitions(spark, new, path)
+        got = {(r.pred, r.subj, r.obj) for r in out.collect()}
+        # comp replaced; date/item partitions untouched
+        assert got == {("comp", "s9", "zorg"), ("date", "s2", "2000"),
+                       ("item", "s3", "revenues")}
+        # the session conf is restored (scoped override)
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode") != "dynamic"
+        # idempotent: same batch again -> same store
+        again = refresh_triple_partitions(spark, new, path)
+        assert {(r.pred, r.subj, r.obj) for r in again.collect()} == got
