@@ -727,6 +727,29 @@ def _q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.constraint_violations(tr.distinct(), rules)
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization over documents with deterministic unicode
+    damage injected: doc_id % 7 == 0 gets decomposed combining
+    acutes ('a' + U+0301), doc_id % 11 == 0 (and not % 7) gets a C0
+    control byte — the twin injects the identical damage, and NFC is
+    a Unicode standard so both engines compose identically."""
+    d = _read(spark, sf_dir, "documents")
+    txt = (
+        F.when(
+            d.doc_id % 7 == 0,
+            F.regexp_replace("text", "a ", "a\u0301 "),
+        )
+        .when(
+            d.doc_id % 11 == 0,
+            F.concat(F.col("text"), F.lit("\x01end")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return textstats.normalize_text(
+        d.withColumn("text", txt).select("doc_id", "text")
+    )
+
+
 def _q_mention_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream as a KG ingest monitor:
     per (event_type, day) counts vs the trailing-3-observed-days
@@ -1140,6 +1163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": lambda s, d: curate.curation_report(
             _read(s, d, "documents")
         ),
+        # Unicode NFC normalization (Arrow-UDF stage) over injected
+        # decomposed accents + control bytes
+        "normalize_text": _q_normalize_text,
         # SHACL-lite closed-world triple validation
         "constraint_violations": _q_constraint_violations,
         "kg_extract_triples": _q_kg_extract,
@@ -3454,6 +3480,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard
         FROM ({sql['jaccard_pairs'].replace('>= 0.3', '>= 0.01')})
         WHERE jaccard < 0.9
+    """
+
+    # normalize_text: identical damage injection (decomposed acute =
+    # chr(769), C0 byte = chr(1)), then the same three stages —
+    # control strip, NFC (a Unicode standard: nfc_normalize ==
+    # pandas .str.normalize), whitespace collapse + trim
+    sql["normalize_text"] = """
+        WITH inj AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+                   THEN replace(text, 'a ', 'a' || chr(769) || ' ')
+                 WHEN doc_id % 11 = 0 THEN text || chr(1) || 'end'
+                 ELSE text END AS text
+          FROM documents),
+        n AS (SELECT doc_id, text,
+                trim(regexp_replace(nfc_normalize(regexp_replace(
+                  text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '',
+                  'g')), '\\s+', ' ', 'g')) AS text_norm
+              FROM inj)
+        SELECT doc_id, text_norm, text_norm <> text AS changed,
+               CAST(length(text) AS BIGINT) AS n_before,
+               CAST(length(text_norm) AS BIGINT) AS n_after
+        FROM n
     """
 
     # merge_temporal: the incremental upsert must equal the FULL

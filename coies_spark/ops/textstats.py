@@ -597,3 +597,48 @@ def scrub_cols() -> tuple[Column, list[Column]]:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return scrubbed, counts
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_norm, changed, n_before, n_after): Unicode-NFC
+    text normalization — the canonical first step of any multilingual
+    curation pass (decomposed accents, compatibility variants, and
+    stray control bytes otherwise split token identities: 'café' with
+    a combining acute and 'café' precomposed are DIFFERENT shingles,
+    dedup keys, and vocabulary entries until normalized).
+
+    Three stages, cheapest engine for each:
+
+    1. control-char strip (C0 minus tab/newline/CR, plus DEL) —
+       JVM ``regexp_replace``, whole-stage codegen;
+    2. NFC composition — a vectorized Arrow pandas UDF over
+       ``pandas.Series.str.normalize('NFC')``: the ONE stage Spark has
+       no built-in for, so it is the legitimate Python-boundary case
+       (Arrow batches, no per-row Python);
+    3. whitespace-run collapse + trim — JVM ``regexp_replace``.
+
+    ``changed`` flags rows the pass altered (the monitoring hook: a
+    sudden spike in changed-rate usually means an upstream ingest
+    encoding regression).  DuckDB twin: ``nfc_normalize`` + the same
+    two RE2-compatible regexes — NFC is a Unicode standard, so both
+    engines compose identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: the module's `from __future__ import annotations`
+    # would stringify def-style type hints, which pandas_udf cannot
+    # resolve for a function-local `pd` import
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    stripped = F.regexp_replace(
+        F.col("text"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    composed = _nfc(stripped)
+    norm = F.trim(F.regexp_replace(composed, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.length("text").cast("long").alias("n_before"),
+        F.length(norm).cast("long").alias("n_after"),
+    )

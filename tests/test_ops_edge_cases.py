@@ -1855,3 +1855,39 @@ def test_winnow_fingerprints_rejects_over_cap_docs(spark):
     )
     with _pytest.raises(Exception, match="exceeds.*shingles"):
         textstats.winnow_fingerprints(docs).collect()
+
+
+class TestNormalizeText:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_nfc_composes_and_flags(self, spark):
+        decomposed = "café time"        # e + combining acute
+        composed = "café time"           # precomposed é
+        docs = self._docs(spark, [(0, decomposed), (1, composed),
+                                  (2, "plain text")])
+        got = {r.doc_id: r for r in
+               textstats.normalize_text(docs).collect()}
+        assert got[0].text_norm == composed and got[0].changed
+        # already-NFC input is a fixpoint
+        assert got[1].text_norm == composed and not got[1].changed
+        assert not got[2].changed
+        # NFC shortens the decomposed form by one code point
+        assert got[0].n_after == got[0].n_before - 1
+
+    def test_control_strip_and_whitespace_collapse(self, spark):
+        docs = self._docs(spark, [
+            (0, "a\x01b\x07c"),
+            (1, "  spaced\t\tout\n\nwords  "),
+        ])
+        got = {r.doc_id: r for r in
+               textstats.normalize_text(docs).collect()}
+        assert got[0].text_norm == "abc" and got[0].changed
+        assert got[1].text_norm == "spaced out words"
+
+    def test_idempotent(self, spark):
+        docs = self._docs(spark, [(0, "x́  y\x02 z")])
+        once = textstats.normalize_text(docs).collect()[0].text_norm
+        twice = textstats.normalize_text(
+            self._docs(spark, [(0, once)])).collect()[0]
+        assert twice.text_norm == once and not twice.changed
