@@ -1166,6 +1166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode NFC normalization (Arrow-UDF stage) over injected
         # decomposed accents + control bytes
         "normalize_text": _q_normalize_text,
+        # AMIE-style existential horn rules p(x,.) => q(x,.) over the
+        # evidence triples (schema discovery / missing-fact triage)
+        "predicate_implications": lambda s, d: kg.predicate_implications(
+            _kg_evidence(s, d).select("subj", "pred", "obj"),
+            min_support=2,
+            min_confidence=0.1,
+        ),
         # SHACL-lite closed-world triple validation
         "constraint_violations": _q_constraint_violations,
         "kg_extract_triples": _q_kg_extract,
@@ -3480,6 +3487,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard
         FROM ({sql['jaccard_pairs'].replace('>= 0.3', '>= 0.01')})
         WHERE jaccard < 0.9
+    """
+
+    # predicate_implications: distinct (subj, pred) self-join ->
+    # directional rule counts over predicate marginals
+    sql["predicate_implications"] = f"""
+        WITH {kg_ev},
+        sp AS (SELECT DISTINCT subj, pred FROM ev),
+        body AS (SELECT pred, CAST(count(*) AS BIGINT) AS body_size
+                 FROM sp GROUP BY 1),
+        prs AS (
+          SELECT a.pred AS antecedent, b.pred AS consequent,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM sp a JOIN sp b ON a.subj = b.subj
+          WHERE a.pred <> b.pred GROUP BY 1, 2
+          HAVING count(*) >= 2)
+        SELECT antecedent, consequent, support, body_size,
+               round(support / CAST(body_size AS DOUBLE), 6)
+                 AS confidence
+        FROM prs JOIN body ON body.pred = prs.antecedent
+        WHERE round(support / CAST(body_size AS DOUBLE), 6) >= 0.1
     """
 
     # normalize_text: identical damage injection (decomposed acute =

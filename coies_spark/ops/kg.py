@@ -843,3 +843,67 @@ def constraint_violations(
         .where(F.col("violation").isNotNull())
         .select("subj", "pred", "obj", "violation")
     )
+
+
+def predicate_implications(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.1,
+) -> DataFrame:
+    """(antecedent, consequent, support, body_size, confidence):
+    existential horn rules ``p(x,·) ⇒ q(x,·)`` mined from the triple
+    store — "subjects that have predicate p also have predicate q" —
+    the schema-discovery move of AMIE's language bias (Galárraga et
+    al., WWW'13) in its unary/existential form, equivalently classic
+    association rules (Agrawal et al.) over each subject's predicate
+    set.  Output rules feed ontology review (a 0.99-confidence
+    implication is a candidate subsumption or a redundant extractor)
+    and missing-fact triage (high-confidence rules with exceptions
+    point at extraction gaps).
+
+    ``support`` = #subjects with both predicates; ``body_size`` =
+    #subjects with the antecedent; ``confidence`` = support /
+    body_size (6dp).  Rules are directional (both orders emitted when
+    both clear the gates); p = q is excluded.
+
+    Scale: collapse to DISTINCT (subj, pred) first — the self-join
+    runs on the entity×schema-sized frame keyed on subj, never the
+    evidence volume; predicate marginals are one tiny groupBy
+    broadcast back onto the preds² rule table.  A hub subject with
+    every predicate contributes preds² rows once, bounded by the
+    schema size, not its evidence count.
+    """
+    if min_support < 1:
+        raise ValueError("predicate_implications: min_support >= 1")
+    sp = triples.select("subj", "pred").distinct()
+    body = sp.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("body_size")
+    )
+    a = sp.select("subj", F.col("pred").alias("antecedent"))
+    b = sp.select("subj", F.col("pred").alias("consequent"))
+    both = (
+        a.join(b, "subj")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return (
+        both.join(
+            F.broadcast(
+                body.select(
+                    F.col("pred").alias("antecedent"), "body_size"
+                )
+            ),
+            "antecedent",
+        )
+        .withColumn(
+            "confidence",
+            F.round(F.col("support") / F.col("body_size"), 6),
+        )
+        .where(F.col("confidence") >= min_confidence)
+        .select(
+            "antecedent", "consequent", "support", "body_size",
+            "confidence",
+        )
+    )

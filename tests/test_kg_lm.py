@@ -717,3 +717,26 @@ def test_kg_negatives_uniform_skip_is_unbiased(spark):
         tot.update(c)
     lo, hi = min(tot.values()), max(tot.values())
     assert hi <= 2 * lo, tot
+
+
+def test_predicate_implications_counts_and_gates(spark):
+    # subjects: s1 has p,q ; s2 has p,q ; s3 has p only ; s4 has q,r
+    tr = _mk_triples(spark, [
+        ("s1", "p", "x"), ("s1", "q", "y"),
+        ("s2", "p", "x"), ("s2", "q", "z"), ("s2", "q", "w"),
+        ("s3", "p", "x"),
+        ("s4", "q", "y"), ("s4", "r", "y"),
+    ])
+    got = {(r.antecedent, r.consequent): r for r in
+           kg.predicate_implications(tr, min_support=2,
+                                     min_confidence=0.1).collect()}
+    # p => q: 2 of 3 p-subjects also have q
+    r = got[("p", "q")]
+    assert (r.support, r.body_size, r.confidence) == (2, 3, 0.666667)
+    # q => p: 2 of 3 q-subjects (duplicate evidence collapses to
+    # distinct (subj, pred) first)
+    assert got[("q", "p")].confidence == 0.666667
+    # r co-occurs with q once -> below min_support, absent
+    assert ("q", "r") not in got and ("r", "q") not in got
+    with pytest.raises(ValueError):
+        kg.predicate_implications(tr, min_support=0)
