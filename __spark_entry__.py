@@ -1166,6 +1166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode NFC normalization (Arrow-UDF stage) over injected
         # decomposed accents + control bytes
         "normalize_text": _q_normalize_text,
+        # Shannon char entropy: the zero-shuffle compressibility
+        # quality signal (array-side histogram, in-codegen)
+        "char_entropy": lambda s, d: textstats.char_entropy(
+            _read(s, d, "documents")
+        ),
         # AMIE-style existential horn rules p(x,.) => q(x,.) over the
         # evidence triples (schema discovery / missing-fact triage)
         "predicate_implications": lambda s, d: kg.predicate_implications(
@@ -3487,6 +3492,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard
         FROM ({sql['jaccard_pairs'].replace('>= 0.3', '>= 0.01')})
         WHERE jaccard < 0.9
+    """
+
+    # char_entropy: same sorted-distinct fold over the char
+    # histogram (sorted accumulation = engine-identical float sums)
+    sql["char_entropy"] = """
+        WITH c AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ''),
+                                 x -> x <> '') AS chars
+                   FROM documents),
+        u AS (SELECT doc_id, chars, len(chars) AS n,
+                     list_sort(list_distinct(chars)) AS uniq
+              FROM c)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars,
+               CAST(len(uniq) AS BIGINT) AS n_distinct_chars,
+               CASE WHEN n > 0 THEN round(list_sum(list_transform(
+                 uniq, ch ->
+                   -(len(list_filter(chars, x -> x = ch))
+                     / CAST(n AS DOUBLE))
+                   * log2(len(list_filter(chars, x -> x = ch))
+                     / CAST(n AS DOUBLE)))), 6)
+               END AS entropy
+        FROM u
     """
 
     # predicate_implications: distinct (subj, pred) self-join ->

@@ -642,3 +642,49 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         F.length("text").cast("long").alias("n_before"),
         F.length(norm).cast("long").alias("n_after"),
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy): Shannon character
+    entropy per document (bits/char, 6dp) — the compressibility
+    quality signal: keyboard-mash, repeated-character padding, and
+    template boilerplate sit far below natural text (English prose
+    ≈ 4.0-4.4 bits/char over raw characters), while encrypted/binary
+    junk pasted into text sits near the alphabet ceiling.  Standard
+    curation stacks gate on a compression ratio; char entropy is the
+    SQL-expressible equivalent with no codec dependency.
+
+    Plan: ZERO shuffles — the character histogram is built array-side
+    per row (distinct chars of the lowercased text, then one count
+    per distinct char via ``array_size(filter(...))``), so the whole
+    gauge is a projection inside whole-stage codegen.  Cost is
+    O(distinct_chars × len) per document with distinct_chars bounded
+    by the alphabet (≤ a few hundred for any natural script), NOT
+    O(len²).  Empty documents yield NULL entropy (no distribution to
+    measure), matching SQL aggregate semantics.
+    """
+    # filter the empty element Spark's split('','') emits, so an
+    # empty document measures 0 chars (and NULL entropy), not 1
+    chars = F.filter(
+        F.split(F.lower(F.col("text")), ""), lambda x: x != ""
+    )
+    uniq = F.array_distinct(chars)
+    n = F.size(chars)
+    # -sum(p * log2 p) over the per-distinct-char counts; the fold
+    # runs over the SORTED distinct chars so the float accumulation
+    # order (hence the last bit before rounding) is engine-identical
+    ent = F.aggregate(
+        F.array_sort(uniq),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (
+            F.size(F.filter(chars, lambda x: x == c)) / n
+        )
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size(uniq).cast("long").alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).alias("entropy"),
+    )

@@ -1891,3 +1891,35 @@ class TestNormalizeText:
         twice = textstats.normalize_text(
             self._docs(spark, [(0, once)])).collect()[0]
         assert twice.text_norm == once and not twice.changed
+
+
+class TestCharEntropy:
+    def test_hand_computed_and_edges(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "aabb"), (1, "aaaa"), (2, ""), (3, "abcd"),
+             (4, "AaBb")],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r for r in
+               textstats.char_entropy(docs).collect()}
+        assert (got[0].n_chars, got[0].n_distinct_chars) == (4, 2)
+        assert got[0].entropy == 1.0          # uniform over {a, b}
+        assert got[1].entropy == 0.0          # constant string
+        assert got[2].n_chars == 0 and got[2].entropy is None
+        assert got[3].entropy == 2.0          # uniform over 4 chars
+        # case-folded before measuring
+        assert got[4].entropy == 1.0
+        # natural-ish text sits between the degenerate extremes
+        [r] = textstats.char_entropy(spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog")],
+            "doc_id bigint, text string")).collect()
+        assert 3.5 < r.entropy < math.log2(r.n_distinct_chars) + 1e-9
+
+    def test_zero_shuffle_plan(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        plan = textstats.char_entropy(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan
