@@ -1171,6 +1171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": lambda s, d: textstats.char_entropy(
             _read(s, d, "documents")
         ),
+        # signature-quality gauge: Broder estimate vs exact jaccard
+        # over the candidate pairs ("measure, don't guess" for
+        # num_hashes sizing)
+        "minhash_estimate_error": lambda s, d: dedup.minhash_estimate_error(
+            _read(s, d, "documents")
+        ),
         # AMIE-style existential horn rules p(x,.) => q(x,.) over the
         # evidence triples (schema discovery / missing-fact triage)
         "predicate_implications": lambda s, d: kg.predicate_implications(
@@ -3492,6 +3498,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard
         FROM ({sql['jaccard_pairs'].replace('>= 0.3', '>= 0.01')})
         WHERE jaccard < 0.9
+    """
+
+    # minhash_estimate_error: Broder agreement estimate vs exact
+    # distinct-shingle jaccard over the SAME candidate pairs (the
+    # lsh twin nested verbatim); signatures rebuilt with the
+    # identical seeded-md5-min expressions
+    _sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(8)
+    )
+    _agree = " + ".join(
+        f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8)
+    )
+    sql["minhash_estimate_error"] = f"""
+        WITH {_SHINGLES},
+        prs AS (SELECT doc_a, doc_b FROM ({sql['minhash_lsh_pairs']})),
+        sig AS (SELECT doc_id, {_sig_cols} FROM sh GROUP BY 1),
+        est AS (SELECT p.doc_a, p.doc_b,
+                       ({_agree}) / 8.0 AS est
+                FROM prs p JOIN sig a ON a.doc_id = p.doc_a
+                           JOIN sig b ON b.doc_id = p.doc_b),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        cm AS (SELECT p.doc_a, p.doc_b, count(*) AS common
+               FROM prs p JOIN sh x ON x.doc_id = p.doc_a
+                          JOIN sh y ON y.doc_id = p.doc_b
+                            AND y.shingle = x.shingle
+               GROUP BY 1, 2),
+        ex AS (SELECT cm.doc_a, cm.doc_b,
+                      common / CAST(sa.n_sh + sb.n_sh - common
+                                    AS DOUBLE) AS exact
+               FROM cm JOIN sizes sa ON sa.doc_id = cm.doc_a
+                       JOIN sizes sb ON sb.doc_id = cm.doc_b),
+        pp AS (SELECT est.est, ex.exact, abs(est.est - ex.exact) AS err
+               FROM est JOIN ex ON est.doc_a = ex.doc_a
+                                AND est.doc_b = ex.doc_b)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(err), 6) AS mae,
+               round(max(err), 6) AS max_err,
+               round(avg(est), 6) AS mean_est,
+               round(avg(exact), 6) AS mean_exact
+        FROM pp
     """
 
     # char_entropy: same sorted-distinct fold over the char

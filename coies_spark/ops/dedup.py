@@ -662,3 +662,92 @@ def hard_negative_pairs(
         raise ValueError("hard_negative_pairs: need 0 <= lo < hi")
     pairs = jaccard_pairs(docs, n=n, max_df=max_df, threshold=lo)
     return pairs.where(F.col("jaccard") < hi)
+
+
+def minhash_estimate_error(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(n_pairs, mae, max_err, mean_est, mean_exact): the MinHash
+    signature-quality gauge — for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching slots /
+    num_hashes, the Broder estimator whose per-slot match probability
+    IS the Jaccard) against the EXACT distinct-shingle Jaccard, and
+    the aggregate error.  This is the "measure, don't guess" dial for
+    sizing ``num_hashes``: if MAE at 8 hashes is already below the
+    dedup threshold margin, more hashes buy nothing; if max_err
+    crosses the band edge, near-dups are being mis-binned and the
+    signature is too short.
+
+    Scale: estimates ride the existing wide-signature table (one
+    combinable aggregation); exact Jaccard is computed ONLY for the
+    candidate pairs (two semi-ish joins of the pair list into the
+    distinct-shingle index — bounded by candidates × shingles-per-
+    doc, never corpus²).  Output is one row.
+    """
+    from .textstats import doc_shingles
+
+    pairs = lsh_candidate_pairs(docs, n=n, num_hashes=num_hashes)
+    wide = minhash_signatures_wide(docs, n=n, num_hashes=num_hashes)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(num_hashes)).alias("est"),
+        )
+    )
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    exact = (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("exact"),
+        )
+    )
+    per_pair = est.join(exact, ["doc_a", "doc_b"]).select(
+        "est", "exact", F.abs(F.col("est") - F.col("exact")).alias("err")
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("err"), 6).alias("mae"),
+        F.round(F.max("err"), 6).alias("max_err"),
+        F.round(F.avg("est"), 6).alias("mean_est"),
+        F.round(F.avg("exact"), 6).alias("mean_exact"),
+    )

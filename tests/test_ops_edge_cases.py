@@ -1923,3 +1923,24 @@ class TestCharEntropy:
         plan = textstats.char_entropy(docs)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_minhash_estimate_error_gauge(spark):
+    from coies_spark.ops import dedup
+
+    # near-identical pair: estimate and exact both high, small error;
+    # the gauge reports the candidate-pair count and bounded stats
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " upsilon"),
+         (2, "totally different words here with nothing shared")],
+        "doc_id bigint, text string",
+    )
+    [r] = dedup.minhash_estimate_error(docs).collect()
+    assert r.n_pairs >= 1
+    assert 0.0 <= r.mae <= 1.0 and r.max_err <= 1.0
+    assert r.mean_exact > 0.5  # the planted near-dup dominates
+    # estimator sanity: mean estimate within 0.5 of mean exact at
+    # 8 hashes on a high-jaccard pair set
+    assert abs(r.mean_est - r.mean_exact) <= 0.5
