@@ -3554,11 +3554,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS BIGINT) AS n_chars,
                CAST(len(uniq) AS BIGINT) AS n_distinct_chars,
                CASE WHEN n > 0 THEN round(list_sum(list_transform(
-                 uniq, ch ->
-                   -(len(list_filter(chars, x -> x = ch))
-                     / CAST(n AS DOUBLE))
-                   * log2(len(list_filter(chars, x -> x = ch))
-                     / CAST(n AS DOUBLE)))), 6)
+                 list_transform(uniq,
+                   ch -> len(list_filter(chars, x -> x = ch))),
+                 cnt ->
+                   -(cnt / CAST(n AS DOUBLE))
+                   * log2(cnt / CAST(n AS DOUBLE)))), 6)
                END AS entropy
         FROM u
     """

@@ -170,6 +170,17 @@ def band_keys(
     for the accepted corpus.
     """
     wide = minhash_signatures_wide(docs, n, num_hashes)
+    return _band_rows(wide, num_hashes, band_size)
+
+
+def _band_rows(
+    wide: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """Band assembly over an ALREADY-BUILT wide-signature frame —
+    shared by :func:`band_keys` and any caller that needs both the
+    signatures and their bands without recomputing the signature
+    aggregation (the corpus scan + per-seed-min groupBy that must run
+    only once)."""
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -192,6 +203,18 @@ def band_keys(
         "doc_id",
         F.col("bb.band").alias("band"),
         F.col("bb.band_key").alias("band_key"),
+    )
+
+
+def _pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Canonical (doc_a < doc_b) distinct pairs agreeing on ≥ 1 band."""
+    x = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        x.join(y, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -257,15 +280,7 @@ def lsh_candidate_pairs(
     seed order), so the whole candidate generation is one shuffle (the
     signature aggregation) plus the bucket self-join.
     """
-    banded = band_keys(docs, n, num_hashes, band_size)
-    x = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    y = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (
-        x.join(y, ["band", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _pairs_from_bands(band_keys(docs, n, num_hashes, band_size))
 
 
 def _simhash_token_hash(bits: int):
@@ -678,16 +693,18 @@ def minhash_estimate_error(
     crosses the band edge, near-dups are being mis-binned and the
     signature is too short.
 
-    Scale: estimates ride the existing wide-signature table (one
-    combinable aggregation); exact Jaccard is computed ONLY for the
-    candidate pairs (two semi-ish joins of the pair list into the
-    distinct-shingle index — bounded by candidates × shingles-per-
-    doc, never corpus²).  Output is one row.
+    Scale: the wide-signature frame is built ONCE and reused for both
+    the candidate generation (band assembly via :func:`_band_rows`)
+    and the estimate columns — the signature aggregation (the corpus
+    tokenize + per-seed-min groupBy, the dominant shuffle) appears as
+    one subtree the three consumers share, so Spark's exchange reuse
+    runs it once instead of the naive three times.  Exact Jaccard is
+    computed ONLY for the candidate pairs (two semi-ish joins of the
+    pair list into the distinct-shingle index — bounded by candidates
+    × shingles-per-doc, never corpus²).  Output is one row.
     """
-    from .textstats import doc_shingles
-
-    pairs = lsh_candidate_pairs(docs, n=n, num_hashes=num_hashes)
     wide = minhash_signatures_wide(docs, n=n, num_hashes=num_hashes)
+    pairs = _pairs_from_bands(_band_rows(wide, num_hashes, band_size=2))
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],

@@ -209,7 +209,9 @@ def temporal_triples(evidence: DataFrame) -> DataFrame:
     )
 
 
-def triple_confidence(evidence: DataFrame) -> DataFrame:
+def triple_confidence(
+    evidence: DataFrame, with_state: bool = False
+) -> DataFrame:
     """(subj, pred, obj, n_evidence, first_ts, last_ts, confidence):
     noisy-OR combination of independent evidence scores.
 
@@ -220,19 +222,31 @@ def triple_confidence(evidence: DataFrame) -> DataFrame:
     would yield NULL, DuckDB -inf — the clamp keeps both engines on
     the same finite value).  Rounded 6dp for cross-engine float
     stability; one map-side-combinable shuffle on the triple key.
+
+    ``with_state=True`` appends the UNROUNDED ``lg_sum`` column
+    (Σ ln(1 - s_i)) — the mergeable sufficient statistic.  Snapshots
+    written with it can be folded incrementally by
+    :func:`merge_beliefs` with NO intermediate-rounding drift: the
+    merged confidence is ``round(1 - exp(lg_sum_old + lg_sum_new))``,
+    bit-identical to the full recompute up to float summation order.
+    The pipeline's belief store persists this state; the plain
+    (oracled) query shape omits it.
     """
     s = F.least(F.col("score"), F.lit(1.0 - 1e-6))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_evidence"),
+        F.min("ts").cast("long").alias("first_ts"),
+        F.max("ts").cast("long").alias("last_ts"),
+        F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
+    ]
+    if with_state:
+        aggs.append(F.sum("lg").alias("lg_sum"))
     return (
         evidence.select(
             "subj", "pred", "obj", "ts", F.log(F.lit(1.0) - s).alias("lg")
         )
         .groupBy("subj", "pred", "obj")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_evidence"),
-            F.min("ts").cast("long").alias("first_ts"),
-            F.max("ts").cast("long").alias("last_ts"),
-            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -264,6 +278,15 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
     rather than counting the compacted row as one window).  6dp
     rounding per stage matches the per-window rounding, so a DuckDB
     twin running the same two-stage computation matches bit-for-bit.
+
+    If the input carries the optional ``lg_sum`` state column
+    (:func:`triple_confidence` ``with_state=True``), rows that have
+    it fold their EXACT unrounded log-miss-mass instead of
+    ``ln(1 − round6(confidence))``, and the output keeps a summed
+    ``lg_sum`` — this is what makes the belief-store upsert equal to
+    the full recompute (no intermediate-rounding drift); rows with a
+    NULL ``lg_sum`` (e.g. a pre-state-column snapshot) fall back to
+    the rounded-confidence fold.
     """
     cols = set(snapshots.columns)
     first_ts = (
@@ -280,6 +303,21 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
         else F.lit(1)
     )
     c = F.least(F.col("confidence"), F.lit(1.0 - 1e-9))
+    lg_fallback = F.log(F.lit(1.0) - c)
+    lg = (
+        F.coalesce(F.col("lg_sum"), lg_fallback)
+        if "lg_sum" in cols
+        else lg_fallback
+    )
+    aggs = [
+        F.sum("n_windows_in").cast("long").alias("n_windows"),
+        F.sum("n_evidence").cast("long").alias("n_evidence"),
+        F.min("first_ts").cast("long").alias("first_ts"),
+        F.max("last_ts").cast("long").alias("last_ts"),
+        F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
+    ]
+    if "lg_sum" in cols:
+        aggs.append(F.sum("lg").alias("lg_sum"))
     return (
         snapshots.select(
             "subj",
@@ -289,16 +327,10 @@ def merge_beliefs(snapshots: DataFrame) -> DataFrame:
             first_ts.alias("first_ts"),
             last_ts.alias("last_ts"),
             n_windows.cast("long").alias("n_windows_in"),
-            F.log(F.lit(1.0) - c).alias("lg"),
+            lg.alias("lg"),
         )
         .groupBy("subj", "pred", "obj")
-        .agg(
-            F.sum("n_windows_in").cast("long").alias("n_windows"),
-            F.sum("n_evidence").cast("long").alias("n_evidence"),
-            F.min("first_ts").cast("long").alias("first_ts"),
-            F.max("last_ts").cast("long").alias("last_ts"),
-            F.round(F.lit(1.0) - F.exp(F.sum("lg")), 6).alias("confidence"),
-        )
+        .agg(*aggs)
     )
 
 

@@ -670,17 +670,20 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     )
     uniq = F.array_distinct(chars)
     n = F.size(chars)
-    # -sum(p * log2 p) over the per-distinct-char counts; the fold
-    # runs over the SORTED distinct chars so the float accumulation
-    # order (hence the last bit before rounding) is engine-identical
-    ent = F.aggregate(
+    # one count per distinct char, computed ONCE (the O(distinct ×
+    # len) scan is the dominant per-row cost — folding over a counts
+    # array instead of re-filtering inside the entropy term halves
+    # it); the counts ride the SORTED distinct chars so the float
+    # accumulation order (hence the last bit before rounding) is
+    # engine-identical
+    counts = F.transform(
         F.array_sort(uniq),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    ent = F.aggregate(
+        counts,
         F.lit(0.0),
-        lambda acc, c: acc
-        - (
-            F.size(F.filter(chars, lambda x: x == c)) / n
-        )
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+        lambda acc, cnt: acc - (cnt / n) * F.log2(cnt / n),
     )
     return docs.select(
         "doc_id",

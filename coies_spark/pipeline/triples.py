@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..core.oneshot import ExampleArtifacts
 from ..ops.kg import entity_degrees, temporal_triples, triple_confidence
 from .canonicalize import canonicalize
-from .checkpoint import StageRunner
+from .checkpoint import MANIFEST, StageRunner
 from .extract import assemble_docs, detect_mentions
 from .linking import link_mentions
 
@@ -137,9 +137,11 @@ def run_pipeline(
         evidence = runner.stage(
             "s6_evidence", lambda: mention_evidence_rows(transcripts, subj_rows)
         )
+        # with_state=True persists the unrounded lg_sum sufficient
+        # statistic so upsert_beliefs can fold new batches EXACTLY
         runner.stage(
             "s7_beliefs",
-            lambda: triple_confidence(evidence),
+            lambda: triple_confidence(evidence, with_state=True),
             partition_by=["pred"],
         )
         runner.stage(
@@ -183,31 +185,51 @@ def upsert_beliefs(
     historical evidence volume, which is the difference between a
     nightly touch-up and a full 10¹²-turn recompute.
 
-    Mechanics: ``merge_beliefs(old ∪ triple_confidence(new))`` (the
-    noisy-OR fold is associative; the compacted row carries its
-    window count) and ``merge_temporal(old_versions, new)`` (version-
-    boundary replay; equal to the full recompute on append-only
-    batches — the shape a watermarked ingest guarantees).  Both
-    snapshots are rewritten atomically-enough for the sandbox
-    (tmp-path write + read-back; Iceberg snapshot commit in the
-    production profile) and returned.
+    Mechanics: ``merge_beliefs(old ∪ triple_confidence(new,
+    with_state=True))`` — both sides carry the unrounded ``lg_sum``
+    log-miss-mass, so the merged confidence is
+    ``round6(1 − exp(lg_sum_old + lg_sum_new))``: EQUAL to the full
+    recompute over all evidence up to float summation order (which
+    the 6dp rounding absorbs except at exact round-boundary ties;
+    a pre-state-column snapshot degrades gracefully to the rounded-
+    confidence fold, drift ≤ ~5e-7).  Temporal: ``merge_temporal(
+    old_versions, new)`` (version-boundary replay; equal to the full
+    recompute on append-only batches — the shape a watermarked ingest
+    guarantees).
+
+    Each snapshot is rewritten via tmp-write + atomic directory
+    rename (one parquet encode, no read-back rewrite, no stale tmp
+    left behind; Iceberg snapshot commit in the production profile),
+    the merged frame is projected back to the stage's FRESH-RUN
+    schema (so a resumed pipeline sees the same columns either way),
+    and the stage's ``_MANIFEST.json`` row/partition counts are
+    refreshed so ``StageRunner.metrics()`` and lineage describe the
+    post-upsert store.
 
     Returns (beliefs, temporal) DataFrames of the upserted stores.
     """
+    import json
     import os
+    import shutil
+    import time
 
     from ..ops.kg import merge_beliefs, merge_temporal
 
     new_ev = new_evidence.select("subj", "pred", "obj", "ts", "score")
+    belief_cols = [
+        "subj", "pred", "obj", "n_evidence", "first_ts", "last_ts",
+        "confidence", "lg_sum",
+    ]
     out = []
     for name, fold in (
         (
             "s7_beliefs",
             lambda old: merge_beliefs(
                 old.unionByName(
-                    triple_confidence(new_ev), allowMissingColumns=True
+                    triple_confidence(new_ev, with_state=True),
+                    allowMissingColumns=True,
                 )
-            ),
+            ).select(*belief_cols),
         ),
         (
             "s8_temporal",
@@ -221,11 +243,24 @@ def upsert_beliefs(
         merged = fold(old)
         tmp = os.path.join(work_dir, name, "data_upsert")
         merged.write.mode("overwrite").partitionBy("pred").parquet(tmp)
-        refreshed = spark.read.parquet(tmp)
-        refreshed.write.mode("overwrite").partitionBy("pred").parquet(
-            data
-        )
-        out.append(spark.read.parquet(data))
+        shutil.rmtree(data)
+        os.replace(tmp, data)
+        refreshed = spark.read.parquet(data)
+        manifest_path = os.path.join(work_dir, name, MANIFEST)
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            manifest["rows"] = refreshed.count()
+            manifest["partition_rows"] = {
+                str(r["pred"]): r["count"]
+                for r in refreshed.groupBy("pred").count().collect()
+            }
+            manifest["upserted_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f, indent=2)
+        out.append(refreshed)
     return out[0], out[1]
 
 
@@ -239,20 +274,19 @@ def refresh_triple_partitions(
     sink-level half of the incremental-maintenance story
     (:func:`upsert_beliefs` is the table-level half).
 
-    Uses Spark's ``partitionOverwriteMode=dynamic`` (scoped to this
-    write, restored after), so a re-run of one predicate's extraction
-    is idempotent: same input → same partition bytes, and a crashed
-    write never clobbers predicates it wasn't touching.  Returns the
-    refreshed store read back.
+    Uses the per-write ``DataFrameWriter.option("partitionOverwrite
+    Mode", "dynamic")`` (write-scoped — it takes precedence over the
+    session conf, so NO session-global mutation: concurrent writers
+    in the same SparkSession keep whatever semantics they asked for),
+    so a re-run of one predicate's extraction is idempotent: same
+    input → same partition bytes, and a crashed write never clobbers
+    predicates it wasn't touching.  Returns the refreshed store read
+    back.
     """
-    conf = spark.conf
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = conf.get(key, "static")
-    conf.set(key, "dynamic")
-    try:
-        new_triples.write.mode("overwrite").partitionBy("pred").parquet(
-            path
-        )
-    finally:
-        conf.set(key, prev)
+    (
+        new_triples.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pred")
+        .parquet(path)
+    )
     return spark.read.parquet(path)

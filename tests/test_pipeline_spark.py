@@ -515,6 +515,80 @@ class TestBeliefUpsert:
         # store sees the merged view (the resume contract)
         again = spark.read.parquet(f"{w1}/s7_beliefs/data")
         assert rows(again, bcols) == rows(up_beliefs, bcols)
+        # no stale tmp dir; manifest row counts describe the
+        # POST-upsert store (metrics()/lineage stay truthful)
+        import json
+        import os
+
+        assert not os.path.exists(f"{w1}/s7_beliefs/data_upsert")
+        with open(f"{w1}/s7_beliefs/_MANIFEST.json") as f:
+            man = json.load(f)
+        assert man["rows"] == up_beliefs.count()
+        assert "upserted_at" in man
+        assert sum(man["partition_rows"].values()) == man["rows"]
+        # fresh-run and upserted snapshots have the SAME schema (the
+        # merge's n_windows bookkeeping column is projected away)
+        assert again.columns == rf.results["s7_beliefs"].df.columns
+
+    def test_upsert_exact_on_overlapping_keys(self, spark, tmp_path):
+        """The drift counterexample: the same (subj, pred, obj) key
+        receives evidence in BOTH the old snapshot and the new batch,
+        with scores whose rounded-confidence merge lands on the wrong
+        side of the 6dp boundary (0.944445) while the full recompute
+        gives 0.944444 — the persisted lg_sum state must make the
+        incremental path exact."""
+        import os
+
+        from coies_spark.ops.kg import temporal_triples, triple_confidence
+        from coies_spark.pipeline.triples import upsert_beliefs
+
+        schema = ("subj string, pred string, obj string, "
+                  "ts long, score double")
+        b1 = spark.createDataFrame(
+            [("s1", "comp", "acme", 100, 0.5),
+             ("s1", "comp", "acme", 110, 0.5),
+             ("s1", "comp", "acme", 120, 0.5),
+             ("s2", "date", "2001", 100, 0.25)], schema)
+        b2 = spark.createDataFrame(
+            [("s1", "comp", "acme", 200, 0.5),
+             ("s1", "comp", "acme", 210, 0.111111),
+             ("s3", "item", "revenue", 220, 0.9)], schema)
+        w = str(tmp_path / "w")
+        triple_confidence(b1, with_state=True).write.partitionBy(
+            "pred").parquet(f"{w}/s7_beliefs/data")
+        temporal_triples(b1).write.partitionBy("pred").parquet(
+            f"{w}/s8_temporal/data")
+
+        up_b, up_t = upsert_beliefs(spark, w, b2)
+
+        def rows(df, cols):
+            return sorted(map(tuple, df.select(*cols).collect()))
+
+        bcols = ["subj", "pred", "obj", "n_evidence", "first_ts",
+                 "last_ts", "confidence"]
+        full_b = triple_confidence(b1.unionByName(b2), with_state=True)
+        assert rows(up_b, bcols) == rows(full_b, bcols)
+        # the overlapping key really hit the boundary case
+        got = {(r.subj, r.pred, r.obj): r.confidence
+               for r in up_b.collect()}
+        assert got[("s1", "comp", "acme")] == 0.944444
+        # upserted snapshot keeps the fresh-run schema (incl. lg_sum)
+        assert sorted(up_b.columns) == sorted(full_b.columns)
+        assert not os.path.exists(f"{w}/s7_beliefs/data_upsert")
+        tcols = ["subj", "pred", "obj", "version", "valid_from",
+                 "valid_to", "is_current"]
+        full_t = temporal_triples(
+            b1.unionByName(b2).select("subj", "pred", "obj", "ts",
+                                      "score"))
+        assert rows(up_t, tcols) == rows(full_t, tcols)
+        # a second overlapping upsert stays exact (state round-trips
+        # through parquet at full double fidelity)
+        b3 = spark.createDataFrame(
+            [("s1", "comp", "acme", 300, 0.111111)], schema)
+        up_b2, _ = upsert_beliefs(spark, w, b3)
+        full_b2 = triple_confidence(
+            b1.unionByName(b2).unionByName(b3), with_state=True)
+        assert rows(up_b2, bcols) == rows(full_b2, bcols)
 
 
 class TestTripleRefresh:
