@@ -37,6 +37,7 @@ from coies_spark.operators.graph import pagerank as graph_pagerank
 from coies_spark.operators.graph import kcore as graph_kcore
 from coies_spark.operators.graph import label_propagation as graph_lpa
 from coies_spark.operators.graph import triangle_counts as graph_triangles
+from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jaccard
 from coies_spark.ops import (
     curate,
     dedup,
@@ -538,6 +539,14 @@ KG_DICT = [
 
 _KG_DICT_VALUES = ", ".join(f"('{s}', '{p}')" for s, p in KG_DICT)
 
+# Surface-pattern relation-extraction rules (ops.kg.pattern_triples):
+# (pred, regex with capture groups (subject, object)).  Java∩RE2
+# common dialect, so the DuckDB twin runs the VERBATIM rule table.
+PATTERN_RULES = [
+    ("scans", r"(\w+) scan (\w+)"),
+    ("hashes", r"(\w+) hash (\w+)"),
+]
+
 
 def _kg_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript mention evidence as generic (subj, pred, obj, ts,
@@ -917,9 +926,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": lambda s, d: similarity.brute_topk(
             _read(s, d, "embeddings")
         ),
-        "ann_ivf_kmeans": lambda s, d: similarity.ivf_topk_kmeans(
-            _read(s, d, "embeddings")
-        ),
+        # surface-pattern relation extraction over transcript turns —
+        # the high-precision rule route (Hearst-pattern family) that
+        # real KG builds run ALONGSIDE the one-shot context detector;
+        # one corpus scan, zero shuffles, all rules sibling regexes
+        # (takes ann_ivf_kmeans' slot: its coarse-quantizer training
+        # is re-exercised by ann_ivf_pq_pruned below)
+        "pattern_triples": lambda s, d: kg.pattern_triples(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            PATTERN_RULES,
+        ).withColumn("turn_idx", F.col("turn_idx").cast("long")),
         # IVF-PQ through a label-PARTITIONED on-disk code store: the
         # parquet scan reads only the probed buckets (PartitionFilters
         # — tests/test_plans.py), the IVF latency story at 10^10
@@ -1186,6 +1202,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # SHACL-lite closed-world triple validation
         "constraint_violations": _q_constraint_violations,
+        # demoted by the pattern_triples rotation: the coarse
+        # k-means quantizer it trains is re-exercised every sweep by
+        # ann_ivf_pq_pruned (same kmeans_labels layer)
+        "ann_ivf_kmeans": lambda s, d: similarity.ivf_topk_kmeans(
+            _read(s, d, "embeddings")
+        ),
+        # weighted near-dup: n-shingle COUNT-vector cosine pairs over
+        # the df-capped inverted index (integer dot/norms — the only
+        # float is the final division, no summation-order term)
+        "cosine_pairs": lambda s, d: dedup.cosine_pairs(
+            _read(s, d, "documents")
+        ),
+        # structural alias evidence: neighbor-set Jaccard over the
+        # entity co-occurrence graph (link prediction; hub nodes
+        # dropped symmetrically at max_degree)
+        "neighbor_jaccard": lambda s, d: graph_neighbor_jaccard(
+            graph_cooccurrence(
+                _q_entity_spans(s, d), "doc_id", "mention"
+            ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        ),
+        # hybrid-retrieval fusion: reciprocal-rank fusion of two BM25
+        # routes (rank-only combiner — no score calibration; the
+        # sorted-fold keeps float order engine-identical)
+        "rrf_fuse": lambda s, d: textstats.rrf_fuse(
+            [
+                textstats.bm25_topk(
+                    _read(s, d, "documents"), ["scan", "vector", "stream"]
+                ).select("doc_id", "rank"),
+                textstats.bm25_topk(
+                    _read(s, d, "documents"), ["hash", "merge", "join"]
+                ).select("doc_id", "rank"),
+            ]
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -1240,6 +1289,38 @@ def _transcripts_cte(tool_every: int = 4) -> str:
                    unnest(range(0, greatest(
                      CAST(ceil(len(text)/80.0) AS BIGINT), 1))) u(i)
     """
+
+
+def _bm25_sql(terms: tuple[str, ...], topk: int = 10) -> str:
+    """BM25 top-k oracle for an arbitrary bag-of-terms query — the
+    DuckDB twin of ``textstats.bm25_topk`` (Lucene idf, k1=1.2,
+    b=0.75, 9dp term / 6dp doc rounding), parameterized so the
+    rrf_fuse oracle can nest the VERBATIM ranking it fuses."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+            WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl
+                          FROM documents),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+                     SELECT doc_id, unnest({_TOKS}) AS tok
+                     FROM documents) u
+                   WHERE tok IN ({in_list})
+                   GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT doc_id, round(sum(round(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                     9)), 6) AS score
+              FROM tf JOIN df USING(tok) JOIN lens USING(doc_id)
+                   CROSS JOIN stats
+              GROUP BY 1)
+            SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT doc_id, score, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored) r WHERE rank <= {topk}
+        """
 
 
 def _kmeans_label_ctes(
@@ -2013,30 +2094,7 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
               FROM scored) WHERE rank <= 3
         """,
-        "bm25_topk": f"""
-            WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl
-                          FROM documents),
-            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
-            tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-                     SELECT doc_id, unnest({_TOKS}) AS tok
-                     FROM documents) u
-                   WHERE tok IN ('scan', 'vector', 'stream')
-                   GROUP BY 1, 2),
-            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-            scored AS (
-              SELECT doc_id, round(sum(round(
-                       ln(1 + (n - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
-                     9)), 6) AS score
-              FROM tf JOIN df USING(tok) JOIN lens USING(doc_id)
-                   CROSS JOIN stats
-              GROUP BY 1)
-            SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
-              SELECT doc_id, score, row_number() OVER (
-                ORDER BY score DESC, doc_id ASC) AS rank
-              FROM scored) r WHERE rank <= 10
-        """,
+        "bm25_topk": _bm25_sql(("scan", "vector", "stream")),
         "json_event_sums": """
             SELECT event_type,
               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -3658,5 +3716,113 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(recall >= 1.0 AS INT)) AS BIGINT)
                  AS exact_queries
         FROM perq
+    """
+
+    # pattern_triples: the VERBATIM rule table (PATTERN_RULES) run
+    # through RE2's regexp_extract_all — leftmost non-overlapping,
+    # same as java.util.regex; DuckDB's same-level unnests iterate in
+    # lockstep, zipping the group-1/group-2 match lists
+    _rule_arms = "\n          UNION ALL\n".join(
+        f"""          SELECT conv_id, turn_idx, '{p}' AS pred,
+                 regexp_extract_all(turn_text, '{rx}', 1) AS ss,
+                 regexp_extract_all(turn_text, '{rx}', 2) AS os
+          FROM t WHERE turn_text IS NOT NULL"""
+        for p, rx in PATTERN_RULES
+    )
+    sql["pattern_triples"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        r AS (
+{_rule_arms}
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, pred,
+               unnest(ss) AS subj, unnest(os) AS obj
+        FROM r
+    """
+
+    # cosine_pairs: n-shingle count vectors (multiplicity — the
+    # NON-distinct shingle stream, unlike the jaccard/minhash `sh`
+    # CTE) over the same df-capped inverted index; integer dot and
+    # norms, one final float division
+    sql["cosine_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+        shm AS (SELECT doc_id,
+                       array_to_string(tokens[i:i+2], ' ') AS shingle
+                FROM toks,
+                     unnest(range(1, greatest(len(tokens)-2, 1)+1)) t(i)),
+        tf AS (SELECT doc_id, shingle, count(*) AS tf
+               FROM shm GROUP BY 1, 2),
+        keep AS (SELECT shingle FROM tf
+                 GROUP BY 1 HAVING count(*) <= 10),
+        ix AS (SELECT tf.doc_id, tf.shingle, tf.tf
+               FROM tf JOIN keep USING (shingle)),
+        norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM ix GROUP BY 1),
+        dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      sum(a.tf * b.tf) AS dot
+               FROM ix a JOIN ix b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b, cosine FROM (
+          SELECT doc_a, doc_b,
+                 round(dot / sqrt(CAST(na.n2 AS DOUBLE)
+                                  * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+          FROM dt JOIN norms na ON na.doc_id = dt.doc_a
+                  JOIN norms nb ON nb.doc_id = dt.doc_b) s
+        WHERE cosine >= 0.5
+    """
+
+    # neighbor_jaccard: neighbor-set Jaccard over the entity
+    # co-occurrence edges (the entity_cooccurrence oracle nested
+    # verbatim); symmetrize, drop >max_degree hubs from BOTH sides,
+    # recompute degrees on the filtered graph, wedge-join on the
+    # shared neighbor
+    sql["neighbor_jaccard"] = f"""
+        WITH e AS (SELECT a, b FROM ({sql['entity_cooccurrence']})),
+        und AS (SELECT a AS u, b AS v FROM e
+                UNION
+                SELECT b AS u, a AS v FROM e),
+        und2 AS (SELECT u, v FROM und WHERE u <> v),
+        deg AS (SELECT u, count(*) AS d FROM und2 GROUP BY 1),
+        kept AS (SELECT u FROM deg WHERE d <= 64),
+        g AS (SELECT und2.u, und2.v FROM und2
+              JOIN kept k1 ON k1.u = und2.u
+              JOIN kept k2 ON k2.u = und2.v),
+        dg AS (SELECT u, count(*) AS d FROM g GROUP BY 1),
+        cm AS (SELECT x.u AS a, y.u AS b,
+                      CAST(count(*) AS BIGINT) AS common
+               FROM g x JOIN g y ON x.v = y.v AND x.u < y.u
+               GROUP BY 1, 2
+               HAVING count(*) >= 1)
+        SELECT cm.a, cm.b, cm.common,
+               round(cm.common / CAST(da.d + db.d - cm.common
+                                      AS DOUBLE), 6) AS jaccard
+        FROM cm JOIN dg da ON da.u = cm.a
+                JOIN dg db ON db.u = cm.b
+    """
+
+    # rrf_fuse: reciprocal-rank fusion of the two BM25 routes, each
+    # nested via the SAME parameterized oracle builder the bm25_topk
+    # entry uses; the per-doc fold runs over the route-sorted struct
+    # list (the char_entropy convention) so float order matches
+    sql["rrf_fuse"] = f"""
+        WITH r0 AS (SELECT doc_id, rank
+                    FROM ({_bm25_sql(("scan", "vector", "stream"))})),
+        r1 AS (SELECT doc_id, rank
+               FROM ({_bm25_sql(("hash", "merge", "join"))})),
+        u AS (SELECT doc_id, 0 AS route, rank FROM r0
+              UNION ALL
+              SELECT doc_id, 1 AS route, rank FROM r1),
+        f AS (SELECT doc_id,
+                     round(list_sum(list_transform(
+                       list_sort(list(struct_pack(
+                         route := route, rank := rank))),
+                       x -> 1.0 / (60 + x.rank))), 6) AS score,
+                     CAST(count(*) AS BIGINT) AS n_routes
+              FROM u GROUP BY 1)
+        SELECT doc_id, score, n_routes,
+               CAST(row_number() OVER (
+                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM f
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
     """
     return sql

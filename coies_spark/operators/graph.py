@@ -480,3 +480,80 @@ def cooccurrence_edges(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, common, jaccard): neighbor-set Jaccard similarity between
+    node pairs sharing ≥ ``min_common`` neighbors — the classic
+    link-prediction / entity-similarity score (Liben-Nowell &
+    Kleinberg CIKM'03).  In the KG this ranks candidate missing edges
+    and feeds canonicalize with structural (as opposed to surface)
+    alias evidence: two mention nodes whose neighborhoods coincide are
+    merge candidates even when their strings share nothing.
+
+    Semantics: the graph is symmetrized (an edge in either direction
+    makes both endpoints neighbors) and HUB NODES with degree >
+    ``max_degree`` are removed from the graph entirely before
+    anything else — the symmetric-cap convention of
+    ``ops.dedup.jaccard_pairs``' df cap: a 10⁶-degree hub would
+    contribute deg² wedge pairs (the quadratic blowup), and dropping
+    it from numerator AND denominator keeps the measure a true
+    Jaccard over the surviving graph.  Degrees for the union term are
+    recomputed on the filtered graph for the same symmetry reason.
+
+    Exactness: common, da, db are integers; the single final
+    ``common / (da + db - common)`` division is the only float — no
+    summation-order dependence.
+
+    Scale: one distinct-symmetrize shuffle, one degree aggregate
+    (map-side combinable), the wedge self-join keyed on the middle
+    node (bounded by max_degree² per node), and one pair-count
+    groupBy.  AQE splits any residual middle-node skew.
+    """
+    if max_degree < 1:
+        raise ValueError("neighbor_jaccard: max_degree must be >= 1")
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    kept = deg.where(F.col("d") <= max_degree).select("u")
+    g = (
+        und.join(kept, "u")
+        .join(kept.select(F.col("u").alias("v")), "v")
+        .select("u", "v")
+    )
+    dg = g.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = g.select(F.col("v").alias("z"), F.col("u").alias("a"))
+    y = g.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    common = (
+        x.join(y, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    da = dg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = dg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -768,3 +768,82 @@ def minhash_estimate_error(
         F.round(F.avg("est"), 6).alias("mean_est"),
         F.round(F.avg("exact"), 6).alias("mean_exact"),
     )
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine): document pairs whose n-shingle
+    count-vector cosine similarity is ≥ ``threshold`` — the WEIGHTED
+    complement of :func:`jaccard_pairs` (shingle MULTIPLICITY counts,
+    where Jaccard sees only set membership; Elsayed/Lin/Oard ACL'08
+    pairwise-similarity postings design).  ``n=1`` degrades to plain
+    bag-of-words cosine.
+
+    Exactness across engines: the dot product and the squared norms
+    are INTEGER aggregates (Σ tf_a·tf_b, Σ tf²), so the only float
+    arithmetic is the single final ``dot / sqrt(na2·nb2)`` expression
+    — no float-summation-order dependence at all (stronger than the
+    rounding convention the float-sum operators need).
+
+    Scale: identical inverted-index shape to :func:`jaccard_pairs` —
+    postings self-join ONLY on shingles with document frequency ≤
+    ``max_df`` (the two-phase df cap: map-side-combinable count, join
+    back — never a count window that would co-locate a stop-shingle's
+    10⁸ postings in one task).  Norms are computed over the SAME
+    capped vocabulary so the measure stays symmetric: dropped
+    stop-shingles vanish from numerator and denominator alike (unit
+    vectors over the surviving vocabulary).  No broadcast hint on the
+    per-doc norms — O(corpus) rows, AQE picks the strategy.
+    """
+    toks = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).select("doc_id", F.explode(shingles_col(n)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    keep = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("tok")
+    )
+    indexed = tf.join(keep, "tok")
+    norms = indexed.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = indexed.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tfa")
+    )
+    b = indexed.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tfb")
+    )
+    dot = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")
+    )
+    # the n2 product is cast to double BEFORE the multiply: two
+    # long sums each fit, but their product overflows int64 for
+    # ~10⁶-token documents
+    cos = F.round(
+        F.col("dot")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

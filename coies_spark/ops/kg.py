@@ -939,3 +939,76 @@ def predicate_implications(
             "confidence",
         )
     )
+
+
+def pattern_triples(
+    transcripts: DataFrame,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, obj): surface-pattern relation
+    extraction over transcript turns — the distant-supervision twin of
+    the one-shot context detector (Hearst-pattern family, Hearst
+    COLING'92; the reference extracts by context similarity,
+    oneshot_test.py:217-263 — this is the complementary high-precision
+    rule route real KG builds run alongside it, same triple sink).
+
+    Each rule is ``(pred, regex)`` where the regex carries EXACTLY two
+    capture groups: group 1 = subject surface, group 2 = object
+    surface.  Matching is leftmost non-overlapping (java.util.regex
+    and RE2 agree on this), and every match in a turn emits one
+    triple, so a turn can contribute many rows.  Patterns must stay in
+    the Java∩RE2 common dialect (the PII-scrub convention,
+    ``textstats.PII_PATTERNS``) so the DuckDB twin runs the verbatim
+    rule table.
+
+    Scale shape (10¹²-turn corpus): ALL rules evaluate as sibling
+    expressions in ONE projection over ONE corpus scan — per rule the
+    group-1/group-2 match lists are zipped into an array of
+    (subj, obj) structs, the per-rule arrays are tagged with their
+    predicate and concatenated, and a single ``explode`` emits the
+    triples.  ZERO shuffles end-to-end (plan-tested): the output lands
+    partitioned exactly as the input turns, ready for the
+    predicate-partitioned triple sink to repartition once on write.
+    NULL-text turns contribute nothing (NULL regexp arrays drop at the
+    explode), matching the twin's ``text IS NOT NULL`` gate.
+    """
+    import re as _re
+
+    if not rules:
+        raise ValueError("pattern_triples: rules must be non-empty")
+    for pred, pat in rules:
+        if _re.compile(pat).groups != 2:
+            raise ValueError(
+                f"pattern_triples: rule {pred!r} must have exactly two "
+                f"capture groups (subject, object), got "
+                f"{_re.compile(pat).groups}"
+            )
+    txt = F.col("text")
+    proj = [
+        c
+        for i, (_, pat) in enumerate(rules)
+        for c in (
+            F.regexp_extract_all(txt, F.lit(pat), 1).alias(f"_s{i}"),
+            F.regexp_extract_all(txt, F.lit(pat), 2).alias(f"_o{i}"),
+        )
+    ]
+    step = transcripts.select("conv_id", "turn_idx", *proj)
+    def _to_struct(pred: str, i: int):
+        # closure factory: PySpark counts default args as lambda
+        # variables, so the captured values must NOT be parameters
+        return lambda x: F.struct(
+            F.lit(pred).alias("pred"),
+            x[f"_s{i}"].alias("subj"),
+            x[f"_o{i}"].alias("obj"),
+        )
+
+    arrs = [
+        F.transform(
+            F.arrays_zip(F.col(f"_s{i}"), F.col(f"_o{i}")),
+            _to_struct(pred, i),
+        )
+        for i, (pred, _) in enumerate(rules)
+    ]
+    return step.select(
+        "conv_id", "turn_idx", F.explode(F.concat(*arrs)).alias("m")
+    ).select("conv_id", "turn_idx", "m.pred", "m.subj", "m.obj")

@@ -691,3 +691,55 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         F.size(uniq).cast("long").alias("n_distinct_chars"),
         F.when(n > 0, F.round(ent, 6)).alias("entropy"),
     )
+
+
+def rrf_fuse(
+    routes: list[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """(doc_id, score, n_routes, rank): reciprocal-rank fusion
+    (Cormack/Clarke/Büttcher SIGIR'09) of ``m`` ranked retrieval
+    routes, each a small (doc_id, rank) frame — the standard hybrid-
+    retrieval combiner (BM25 lexical route + ANN dense route + any
+    reranker) that needs NO score calibration because it consumes
+    only ranks: score = Σ_routes 1 / (k0 + rank).
+
+    Exactness: per-doc contributions fold over the SORTED (route,
+    rank) structs (the ``char_entropy`` sorted-fold convention), so
+    float summation order — hence the 6dp-rounded score and the
+    ranking built on it — is engine-identical.  Ties break (score
+    DESC, doc_id ASC).
+
+    Plan: the route frames are already top-k-sized (the expensive
+    corpus work happened inside each route), so fusion is a union of
+    m tiny frames → ONE groupBy(doc_id); the fused top-k is
+    ``orderBy().limit()`` — distributed TakeOrdered, never a
+    single-partition rank window over the union.
+    """
+    if not routes:
+        raise ValueError("rrf_fuse: routes must be non-empty")
+    tagged = None
+    for i, r in enumerate(routes):
+        t = r.select(
+            "doc_id",
+            F.lit(i).alias("route"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("route", "rank"))),
+                F.lit(0.0),
+                lambda acc, x: acc + 1.0 / (F.lit(k0) + x["rank"]),
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_routes"),
+    )
+    top = fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "score", "n_routes", "rank")

@@ -740,3 +740,74 @@ def test_predicate_implications_counts_and_gates(spark):
     assert ("q", "r") not in got and ("r", "q") not in got
     with pytest.raises(ValueError):
         kg.predicate_implications(tr, min_support=0)
+
+
+class TestPatternTriples:
+    def _turns(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    def test_extraction_and_multiple_matches(self, spark):
+        t = self._turns(spark, [
+            ("c1", 0, "alice works at acme and bob works at globex"),
+            ("c1", 1, "nothing relevant here"),
+            ("c2", 0, "carol works at initech"),
+        ])
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.pred, r.subj, r.obj)
+            for r in kg.pattern_triples(
+                t, [("employed_by", r"(\w+) works at (\w+)")]
+            ).collect()
+        )
+        assert got == [
+            ("c1", 0, "employed_by", "alice", "acme"),
+            ("c1", 0, "employed_by", "bob", "globex"),
+            ("c2", 0, "employed_by", "carol", "initech"),
+        ]
+
+    def test_nonoverlapping_leftmost(self, spark):
+        # "a scan b scan c": the first match consumes "a scan b";
+        # the remainder " scan c" has no leading subject -> ONE match
+        # (java.util.regex and RE2 agree on leftmost non-overlap)
+        t = self._turns(spark, [("c", 0, "a scan b scan c")])
+        got = [(r.subj, r.obj) for r in kg.pattern_triples(
+            t, [("scans", r"(\w+) scan (\w+)")]).collect()]
+        assert got == [("a", "b")]
+
+    def test_multiple_rules_and_null_text(self, spark):
+        t = self._turns(spark, [
+            ("c", 0, "x scan y then p hash q"),
+            ("c", 1, None),
+        ])
+        got = sorted(
+            (r.pred, r.subj, r.obj)
+            for r in kg.pattern_triples(
+                t,
+                [("scans", r"(\w+) scan (\w+)"),
+                 ("hashes", r"(\w+) hash (\w+)")],
+            ).collect()
+        )
+        assert got == [("hashes", "p", "q"), ("scans", "x", "y")]
+
+    def test_rule_validation(self, spark):
+        t = self._turns(spark, [("c", 0, "x")])
+        with pytest.raises(ValueError):
+            kg.pattern_triples(t, [])
+        with pytest.raises(ValueError):
+            kg.pattern_triples(t, [("one_group", r"(\w+) scan")])
+        with pytest.raises(ValueError):
+            kg.pattern_triples(
+                t, [("three", r"(\w+) (\w+) scan (\w+)")]
+            )
+
+    def test_zero_shuffles(self, spark):
+        t = self._turns(spark, [("c", 0, "a scan b")])
+        p = t.sparkSession._jvm  # noqa: F841  (force lazy init)
+        plan = kg.pattern_triples(
+            t, [("scans", r"(\w+) scan (\w+)")]
+        )._jdf.queryExecution().executedPlan().toString()
+        # one projection + explode over the input partitioning: a
+        # shuffle here would mean the rule evaluation lost its
+        # embarrassingly-parallel shape
+        assert "Exchange" not in plan

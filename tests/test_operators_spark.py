@@ -372,3 +372,59 @@ class TestKCore:
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError):
             kcore(df, k=0)
+
+
+class TestNeighborJaccard:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_hand_graph(self, spark):
+        from coies_spark.operators.graph import neighbor_jaccard
+
+        # star: h -- a, h -- b, plus a -- x  (undirected)
+        e = self._edges(spark, [("h", "a"), ("h", "b"), ("a", "x")])
+        got = {(r.a, r.b): (r.common, r.jaccard)
+               for r in neighbor_jaccard(e).collect()}
+        # N(a) = {h, x}, N(b) = {h}: common 1, union 2
+        assert got[("a", "b")] == (1, 0.5)
+        # N(h) = {a, b}, N(x) = {a}: common 1, union 2 (wedge via a)
+        assert got[("h", "x")] == (1, 0.5)
+        assert len(got) == 2
+
+    def test_direction_irrelevant(self, spark):
+        from coies_spark.operators.graph import neighbor_jaccard
+
+        e1 = self._edges(spark, [("h", "a"), ("h", "b")])
+        e2 = self._edges(spark, [("a", "h"), ("b", "h")])
+        r1 = sorted(map(tuple, neighbor_jaccard(e1).collect()))
+        r2 = sorted(map(tuple, neighbor_jaccard(e2).collect()))
+        assert r1 == r2 and len(r1) == 1
+
+    def test_hub_cap_drops_node_symmetrically(self, spark):
+        from coies_spark.operators.graph import neighbor_jaccard
+
+        # hub connects to 5 leaves; leaves also chain pairwise
+        rows = [("hub", f"l{i}") for i in range(5)]
+        rows += [("l0", "l1"), ("l1", "l2")]
+        e = self._edges(spark, rows)
+        # with the hub admitted: l0/l2 share {hub, l1} -> common 2
+        full = {(r.a, r.b): r.common
+                for r in neighbor_jaccard(e, max_degree=64).collect()}
+        assert full[("l0", "l2")] == 2
+        # cap below the hub degree: hub leaves the graph entirely;
+        # on the surviving chain l0-l1-l2 the neighbor sets of l0 and
+        # l2 are BOTH exactly {l1} -> a true Jaccard of 1.0 over the
+        # filtered graph (the symmetric-cap semantics), and hub
+        # appears in NO pair
+        capped = neighbor_jaccard(e, max_degree=4).collect()
+        got = {(r.a, r.b): (r.common, r.jaccard) for r in capped}
+        assert got[("l0", "l2")] == (1, 1.0)
+        assert all("hub" not in k for k in got)
+
+    def test_min_common_and_validation(self, spark):
+        from coies_spark.operators.graph import neighbor_jaccard
+
+        e = self._edges(spark, [("a", "b"), ("b", "c")])
+        assert neighbor_jaccard(e, min_common=2).collect() == []
+        with pytest.raises(ValueError):
+            neighbor_jaccard(e, max_degree=0)

@@ -1944,3 +1944,85 @@ def test_minhash_estimate_error_gauge(spark):
     # estimator sanity: mean estimate within 0.5 of mean exact at
     # 8 hashes on a high-jaccard pair set
     assert abs(r.mean_est - r.mean_exact) <= 0.5
+
+
+class TestCosinePairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_identical_docs_score_one(self, spark):
+        d = self._docs(spark, [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ])
+        got = {(r.doc_a, r.doc_b): r.cosine
+               for r in dedup.cosine_pairs(d, threshold=0.1).collect()}
+        assert got == {(1, 2): 1.0}
+
+    def test_count_weighting_differs_from_jaccard(self, spark):
+        # same shingle SET, different multiplicities: jaccard says
+        # 1.0, count-vector cosine must be < 1
+        d = self._docs(spark, [
+            (1, "a b c a b c"),
+            (2, "a b c a b c a b c a b c"),
+        ])
+        cos = {(r.doc_a, r.doc_b): r.cosine
+               for r in dedup.cosine_pairs(
+                   d, threshold=0.1).collect()}[(1, 2)]
+        jac = {(r.doc_a, r.doc_b): r.jaccard
+               for r in dedup.jaccard_pairs(
+                   d, threshold=0.1, max_df=10).collect()}[(1, 2)]
+        assert jac == 1.0
+        assert 0.9 < cos < 1.0
+
+    def test_df_cap_symmetric(self, spark):
+        # a shingle present in EVERY doc is dropped from numerator
+        # and denominator alike: docs identical except for capped
+        # shingles still score on the surviving vocabulary only
+        common = "x y z"  # one 3-shingle shared by all docs
+        d = self._docs(spark, [
+            (i, f"{common} tail{i} tail{i} tail{i}") for i in range(4)
+        ])
+        got = dedup.cosine_pairs(d, max_df=2, threshold=0.0).collect()
+        # the only sub-cap shingles are per-doc unique tails -> no
+        # pair shares any surviving shingle
+        assert got == []
+
+    def test_unigram_mode(self, spark):
+        d = self._docs(spark, [(1, "a a b"), (2, "a b b")])
+        got = {(r.doc_a, r.doc_b): r.cosine
+               for r in dedup.cosine_pairs(
+                   d, n=1, threshold=0.0).collect()}
+        # dot = 2*1 + 1*2 = 4; norms = sqrt(5) each -> 0.8
+        assert got == {(1, 2): 0.8}
+
+
+class TestRrfFuse:
+    def _route(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rank long")
+
+    def test_two_route_fusion_hand_computed(self, spark):
+        r0 = self._route(spark, [(10, 1), (20, 2)])
+        r1 = self._route(spark, [(20, 1), (30, 2)])
+        got = {r.doc_id: (r.score, r.n_routes, r.rank)
+               for r in textstats.rrf_fuse([r0, r1], k0=60).collect()}
+        # doc 20: 1/62 + 1/61 ; docs 10/30: 1/61 and 1/62
+        assert got[20] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+        assert got[10] == (round(1 / 61, 6), 1, 2)
+        assert got[30] == (round(1 / 62, 6), 1, 3)
+
+    def test_tie_breaks_by_doc_id(self, spark):
+        r0 = self._route(spark, [(5, 1), (3, 1)])  # impossible ranks
+        got = [r.doc_id for r in textstats.rrf_fuse([r0]).collect()]
+        assert got == [3, 5]
+
+    def test_topk_and_single_route(self, spark):
+        r0 = self._route(spark, [(i, i) for i in range(1, 30)])
+        got = textstats.rrf_fuse([r0], topk=10).collect()
+        assert len(got) == 10
+        assert [r.rank for r in got] == list(range(1, 11))
+
+    def test_empty_routes_raise(self, spark):
+        with pytest.raises(ValueError):
+            textstats.rrf_fuse([])
