@@ -1235,6 +1235,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).select("doc_id", "rank"),
             ]
         ),
+        # TextTiling topic segmentation over transcript turns: gap
+        # similarity (integer Jaccard of w-turn windows), strict
+        # valley rule, running segment ids — one conv_id exchange
+        "text_tiling": lambda s, d: transcripts.text_tiling(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ).withColumn("turn_idx", F.col("turn_idx").cast("long")),
+        # PMI-ranked bigram collocations: the oracled query face of
+        # the phrase-detection family (integer counts, single float
+        # expression, TakeOrdered top-k)
+        "collocations": lambda s, d: textstats.collocations(
+            _read(s, d, "documents")
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -3824,5 +3836,86 @@ def oracle_sql() -> dict[str, str]:
         FROM f
         ORDER BY score DESC, doc_id ASC
         LIMIT 10
+    """
+
+    # text_tiling: gap similarity = Jaccard of the distinct-token
+    # sets of the w=2 turns ending at i vs the w=2 turns following i;
+    # strict-valley boundary rule with missing neighbors counting as
+    # infinitely high; running boundary sum numbers the segments
+    sql["text_tiling"] = f"""
+        WITH t0 AS ({_transcripts_cte()}),
+        tk AS (SELECT conv_id, turn_idx, {_TOKS} AS tk
+               FROM (SELECT conv_id, turn_idx, turn_text AS text
+                     FROM t0) r),
+        sets AS (SELECT conv_id, turn_idx,
+                   list_distinct(flatten(list(tk) OVER lw)) AS lset,
+                   list_distinct(flatten(list(tk) OVER rw)) AS rset,
+                   count(*) OVER rw AS n_right
+                 FROM tk
+                 WINDOW lw AS (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN 1 PRECEDING
+                                        AND CURRENT ROW),
+                        rw AS (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN 1 FOLLOWING
+                                        AND 2 FOLLOWING)),
+        sims AS (SELECT conv_id, turn_idx,
+                   CASE WHEN n_right = 0 THEN NULL
+                        WHEN len(list_distinct(lset || rset)) = 0
+                          THEN 0.0
+                        ELSE round(CAST(len(list_intersect(lset, rset))
+                                        AS DOUBLE)
+                                   / len(list_distinct(lset || rset)),
+                                   6)
+                   END AS sim_next
+                 FROM sets),
+        fl AS (SELECT conv_id, turn_idx, sim_next,
+                 (sim_next IS NOT NULL AND sim_next < 0.1
+                  AND (lag(sim_next) OVER w IS NULL
+                       OR sim_next < lag(sim_next) OVER w)
+                  AND (lead(sim_next) OVER w IS NULL
+                       OR sim_next < lead(sim_next) OVER w)
+                 ) AS is_boundary
+               FROM sims
+               WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               sim_next, is_boundary,
+               CAST(coalesce(sum(CAST(is_boundary AS INT)) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + 1 AS BIGINT)
+                 AS segment_id
+        FROM fl
+    """
+
+    # collocations: PMI over integer corpus counts — ONE float
+    # expression, so only the display rounding is shared convention
+    sql["collocations"] = f"""
+        WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+        bi AS (SELECT tk[i] AS a, tk[i+1] AS b
+               FROM toks,
+                    unnest(range(1, greatest(len(tk)-1, 0)+1)) t(i)),
+        nab AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+        unic AS (SELECT t, count(*) AS n_t
+                 FROM (SELECT unnest(tk) AS t FROM toks) u
+                 GROUP BY 1),
+        tot AS (SELECT (SELECT sum(n_t) FROM unic) AS __n,
+                       (SELECT sum(n_ab) FROM nab) AS __b),
+        scored AS (SELECT nab.a, nab.b, n_ab,
+                          ua.n_t AS n_a, ub.n_t AS n_b,
+                          round(ln(n_ab * CAST(__n AS DOUBLE) * __n
+                                   / (CAST(__b AS DOUBLE)
+                                      * ua.n_t * ub.n_t)), 6) AS pmi
+                   FROM nab JOIN unic ua ON ua.t = nab.a
+                            JOIN unic ub ON ub.t = nab.b
+                            CROSS JOIN tot
+                   WHERE n_ab >= 5)
+        SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b, pmi,
+               CAST(row_number() OVER (
+                 ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT) AS rank
+        FROM scored
+        ORDER BY pmi DESC, a ASC, b ASC
+        LIMIT 20
     """
     return sql

@@ -743,3 +743,93 @@ def rrf_fuse(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("doc_id", "score", "n_routes", "rank")
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, pmi, rank): the ``topk`` adjacent-token
+    bigrams by pointwise mutual information (Church & Hanks, CL 1990)
+    — the oracled query face of the phrase-detection family
+    (``core.embed.PhraseTable`` trains the same collocation signal
+    for the reference's bigram phrasing, aaer_corpus.py:105-117).
+
+    pmi = ln(n_ab · N² / (B · n_a · n_b)) with N = corpus tokens and
+    B = corpus bigrams — a SINGLE float expression over integer
+    counts, so scores are engine-exact with no rounding convention
+    needed (rounded 6dp anyway for display stability).  ``min_count``
+    suppresses the degenerate hapax-pair PMI spike (the reason raw
+    PMI is unusable without a floor).
+
+    Scale: two map-side-combinable counts (bigrams via zip_with of
+    the token array against its own tail — array-side, no
+    explode-then-window; unigrams via explode+groupBy), the
+    vocabulary-sized unigram table broadcast back onto the bigram
+    counts twice, N/B as one broadcast 1-row aggregate.  The global
+    top-k is ``orderBy().limit()`` — distributed TakeOrdered, never a
+    single-partition rank window over the vocabulary.
+    """
+    if min_count < 1:
+        raise ValueError("collocations: min_count must be >= 1")
+    toks = docs.select(tokens_col("text").alias("tk"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(
+                    F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))
+                ),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    nab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = toks.select(F.explode("tk").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    totals = uni.agg(
+        F.sum("n_t").alias("__n"),
+    ).crossJoin(nab.agg(F.sum("n_ab").alias("__b")))
+    scored = (
+        nab.where(F.col("n_ab") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("a"),
+                                   F.col("n_t").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("b"),
+                                   F.col("n_t").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("__n").cast("double")
+                    * F.col("__n")
+                    / (
+                        F.col("__b").cast("double")
+                        * F.col("n_a")
+                        * F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("a"), F.asc("b")
+    ).limit(topk)
+    wr = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).select("a", "b", "n_ab", "n_a", "n_b", "pmi", "rank")

@@ -542,3 +542,91 @@ def scrub_agent_loops(
         include_tool=include_tool,
     ).select("conv_id")
     return transcripts.join(loops, "conv_id", "left_anti")
+
+
+def text_tiling(
+    transcripts: DataFrame,
+    w: int = 2,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """(conv_id, turn_idx, sim_next, is_boundary, segment_id): lexical
+    topic segmentation of each conversation — TextTiling (Hearst,
+    CL 1997) adapted to turn granularity.  Long agent transcripts mix
+    episodes (plan → search → code → recover); downstream KG
+    extraction and sequence packing both want episode boundaries, not
+    raw conversations.
+
+    For the GAP after turn i: ``sim_next`` = Jaccard between the
+    distinct-token sets of the ``w`` turns ending at i and the ``w``
+    turns following i (integer intersection/union — the only float is
+    the final division, engine-exact).  A gap is a boundary
+    (``is_boundary``) when its similarity is a STRICT local valley —
+    below both neighboring gaps' similarities, a missing neighbor
+    counting as infinitely high — AND below ``threshold``.
+    ``segment_id`` numbers each turn's episode from 1 via the running
+    boundary count (the gaps-and-islands convention of
+    :func:`agent_loops`).  The last turn of a conversation has no
+    following window: ``sim_next`` is NULL and never a boundary.
+
+    Scale: ONE exchange on conv_id feeds every step — the two
+    collect_list windows (each bounded by ``w`` turns — state is
+    O(w · turn length), never the conversation), the lag/lead valley
+    test, and the running boundary sum all share the same
+    (conv_id, turn_idx) ordering, so Catalyst plans a single sort +
+    window chain with no further shuffle (plan-tested).
+    """
+    if w < 1:
+        raise ValueError("text_tiling: w must be >= 1")
+    ww = Window.partitionBy("conv_id").orderBy("turn_idx")
+    left_w = ww.rowsBetween(-(w - 1), 0)
+    right_w = ww.rowsBetween(1, w)
+    toks = transcripts.select(
+        "conv_id", "turn_idx", tokens_col("text").alias("tk")
+    )
+    sets = toks.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(F.flatten(F.collect_list("tk").over(left_w))).alias(
+            "lset"
+        ),
+        F.array_distinct(
+            F.flatten(F.collect_list("tk").over(right_w))
+        ).alias("rset"),
+        F.count(F.lit(1)).over(right_w).alias("n_right"),
+    )
+    inter = F.size(F.array_intersect("lset", "rset"))
+    union = F.size(F.array_union("lset", "rset"))
+    # empty-token window edge: union 0 -> similarity defined as 0
+    sim = F.when(F.col("n_right") == 0, F.lit(None)).otherwise(
+        F.when(union == 0, F.lit(0.0)).otherwise(
+            F.round(inter / union, 6)
+        )
+    )
+    simmed = sets.select("conv_id", "turn_idx", sim.alias("sim_next"))
+    prev_sim = F.lag("sim_next").over(ww)
+    next_sim = F.lead("sim_next").over(ww)
+    is_b = (
+        F.col("sim_next").isNotNull()
+        & (F.col("sim_next") < F.lit(threshold))
+        & (prev_sim.isNull() | (F.col("sim_next") < prev_sim))
+        & (next_sim.isNull() | (F.col("sim_next") < next_sim))
+    )
+    flagged = simmed.select(
+        "conv_id", "turn_idx", "sim_next", is_b.alias("is_boundary")
+    )
+    seg = (
+        F.coalesce(
+            F.sum(F.col("is_boundary").cast("int")).over(
+                ww.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        + 1
+    )
+    return flagged.select(
+        "conv_id",
+        "turn_idx",
+        "sim_next",
+        "is_boundary",
+        seg.cast("long").alias("segment_id"),
+    )

@@ -2026,3 +2026,109 @@ class TestRrfFuse:
     def test_empty_routes_raise(self, spark):
         with pytest.raises(ValueError):
             textstats.rrf_fuse([])
+
+
+class TestTextTiling:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    def test_topic_shift_is_boundary(self, spark):
+        from coies_spark.ops.transcripts import text_tiling
+
+        # turns 0-2 share vocabulary, turns 3-5 share a different one:
+        # the gap after turn 2 is the valley
+        t = self._t(spark, [
+            ("c", 0, "spark table scan plan"),
+            ("c", 1, "table scan cost plan"),
+            ("c", 2, "scan plan spark cost"),
+            ("c", 3, "lunch pizza menu order"),
+            ("c", 4, "pizza order menu price"),
+            ("c", 5, "menu price lunch order"),
+        ])
+        got = {r.turn_idx: r for r in
+               text_tiling(t, w=2, threshold=0.2).collect()}
+        assert got[2].is_boundary
+        assert got[2].sim_next == 0.0
+        # segment ids: 1 through the first topic, 2 after the valley
+        assert [got[i].segment_id for i in range(6)] == [1, 1, 1, 2, 2, 2]
+        # last turn has no following window
+        assert got[5].sim_next is None and not got[5].is_boundary
+
+    def test_no_boundary_in_homogeneous_conv(self, spark):
+        from coies_spark.ops.transcripts import text_tiling
+
+        t = self._t(spark, [
+            ("c", i, "spark table scan plan") for i in range(5)
+        ])
+        got = text_tiling(t, w=2, threshold=0.2).collect()
+        assert all(not r.is_boundary for r in got)
+        assert all(r.segment_id == 1 for r in got)
+
+    def test_strict_valley_rule(self, spark):
+        from coies_spark.ops.transcripts import text_tiling
+
+        # similarity dips equally across two consecutive gaps: neither
+        # is a STRICT valley against the other -> threshold alone must
+        # not fire
+        t = self._t(spark, [
+            ("c", 0, "a b"), ("c", 1, "a b"),
+            ("c", 2, "x y"), ("c", 3, "x y"),
+        ])
+        got = {r.turn_idx: r for r in
+               text_tiling(t, w=1, threshold=0.5).collect()}
+        # gaps: 0->1 sim 1.0, 1->2 sim 0.0, 2->3 sim 1.0
+        assert got[1].is_boundary and not got[0].is_boundary
+        assert not got[2].is_boundary
+
+    def test_w_validation_and_single_exchange(self, spark):
+        from coies_spark.ops.transcripts import text_tiling
+
+        t = self._t(spark, [("c", 0, "a")])
+        with pytest.raises(ValueError):
+            text_tiling(t, w=0)
+        plan = (
+            text_tiling(t)._jdf.queryExecution().executedPlan().toString()
+        )
+        shuffles = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        # every window keys on conv_id: one partitioning serves all
+        assert len(set(shuffles)) <= 1
+
+
+class TestCollocations:
+    def test_hand_computed_pmi(self, spark):
+        from coies_spark.ops.textstats import collocations
+        import math
+
+        # corpus: "a b" x3 and "c d" x1 -> N=8 tokens, B=4 bigrams
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "c d")],
+            "doc_id long, text string",
+        )
+        got = {(r.a, r.b): r for r in
+               collocations(docs, min_count=1, topk=10).collect()}
+        r = got[("a", "b")]
+        assert (r.n_ab, r.n_a, r.n_b) == (3, 3, 3)
+        assert r.pmi == round(math.log(3 * 8 * 8 / (4 * 3 * 3)), 6)
+        assert got[("c", "d")].pmi == round(
+            math.log(1 * 8 * 8 / (4 * 1 * 1)), 6
+        )
+        # rarer pair has the higher PMI (the hapax spike min_count
+        # exists to suppress)
+        assert got[("c", "d")].rank == 1
+
+    def test_min_count_gate_and_validation(self, spark):
+        from coies_spark.ops.textstats import collocations
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c d")],
+            "doc_id long, text string",
+        )
+        got = [(r.a, r.b) for r in
+               collocations(docs, min_count=2, topk=10).collect()]
+        assert got == [("a", "b")]
+        with pytest.raises(ValueError):
+            collocations(docs, min_count=0)
