@@ -102,6 +102,7 @@ def main() -> None:
     from coies_spark.ops import (
         curate,
         dedup,
+        kg,
         lm,
         relational,
         similarity,
@@ -208,6 +209,22 @@ def main() -> None:
         # MOSS winnowing fingerprints (array-side, zero shuffles)
         "winnow_fingerprints": lambda: run(
             textstats.winnow_fingerprints(docs)
+        ),
+        # surface-pattern relation extraction (one scan, zero
+        # shuffles — the rule route of the KG build)
+        "pattern_triples": lambda: run(
+            kg.pattern_triples(
+                transcripts.synthesize_transcripts(docs),
+                [("scans", r"(\w+) scan (\w+)"),
+                 ("hashes", r"(\w+) hash (\w+)")],
+            )
+        ),
+        # TextTiling episode segmentation (single-exchange window
+        # chain over conv_id)
+        "text_tiling": lambda: run(
+            transcripts.text_tiling(
+                transcripts.synthesize_transcripts(docs)
+            )
         ),
         # boilerplate-turn scrub (CCNet repeated-line rule)
         "scrub_boilerplate": lambda: run(

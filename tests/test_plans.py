@@ -10,7 +10,7 @@ import pytest
 import __spark_entry__ as entrymod
 from pyspark.sql import functions as F
 
-from coies_spark.ops import similarity, textstats
+from coies_spark.ops import dedup, similarity, textstats
 from coies_spark.pipeline.extract import assemble_docs
 
 pytestmark = pytest.mark.spark
@@ -464,3 +464,25 @@ def test_kg_negatives_domain_joins_no_cartesian(spark):
     )
     p = plan_of(kg.kg_negatives(tr, k=2))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_cosine_pairs_df_capped_no_cartesian(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(dedup.cosine_pairs(docs))
+    # postings self-join is keyed on the shingle; the df cap is a
+    # two-phase aggregate+join, never a count window over
+    # partitionBy(shingle)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partitionBy(shingle" not in p.replace(" ", "")
+
+
+def test_rrf_fuse_take_ordered(spark):
+    routes = [
+        spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long"),
+        spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long"),
+    ]
+    p = plan_of(textstats.rrf_fuse(routes))
+    # the fused top-k must be distributed TakeOrdered, not a
+    # single-partition global rank window over the union
+    assert "TakeOrderedAndProject" in p
