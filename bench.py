@@ -206,9 +206,15 @@ def main() -> None:
                 transcripts.synthesize_transcripts(docs)
             )
         ),
-        # MOSS winnowing fingerprints (array-side, zero shuffles)
+        # MOSS winnowing fingerprints (array-side, zero shuffles).
+        # Aggregating sink: winnowing is a pure per-doc projection,
+        # and a bare count() would let Catalyst prune every computed
+        # column (cardinality is scan metadata) — the agg forces the
+        # fold on all of them
         "winnow_fingerprints": lambda: run(
-            textstats.winnow_fingerprints(docs)
+            textstats.winnow_fingerprints(docs).agg(
+                F.sum("n_fp"), F.min("fp_min"), F.count("fp_digest")
+            )
         ),
         # surface-pattern relation extraction (one scan, zero
         # shuffles — the rule route of the KG build)
@@ -220,10 +226,16 @@ def main() -> None:
             )
         ),
         # TextTiling episode segmentation (single-exchange window
-        # chain over conv_id)
+        # chain over conv_id).  Aggregating sink for the same
+        # collapse reason as winnow: windows preserve cardinality,
+        # so a bare count() would drop the whole chain
         "text_tiling": lambda: run(
             transcripts.text_tiling(
                 transcripts.synthesize_transcripts(docs)
+            ).agg(
+                F.sum("segment_id"),
+                F.sum(F.col("is_boundary").cast("int")),
+                F.sum("sim_next"),
             )
         ),
         # boilerplate-turn scrub (CCNet repeated-line rule)
