@@ -1262,13 +1262,22 @@ _TOKS = (
     "'[\\s!-/:-@\\[-`{-~]'), x -> x <> '')"
 )
 
-_SHINGLES = f"""
-toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+def _shingle_rows_sql(
+    distinct: bool = True, source: str = "documents", alias: str = "sh"
+) -> str:
+    """(doc_id, shingle) CTE pair — the SINGLE source of truth for
+    the 3-token truncated-shingle convention (`shingles_col`'s DuckDB
+    twin).  ``distinct=False`` keeps multiplicity (cosine_pairs);
+    ``source`` lets transcript oracles shingle an assembled CTE."""
+    kw = "DISTINCT " if distinct else ""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {source}),
+{alias} AS (
+  SELECT {kw}doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(tokens)-2, 1)+1)) t(i)
-)
-"""
+)"""
+
+
+_SHINGLES = _shingle_rows_sql()
 
 _COS = """
 round(
@@ -3352,12 +3361,7 @@ def oracle_sql() -> dict[str, str]:
                         string_agg(turn_text, ' ' ORDER BY turn_idx)
                           AS text
                  FROM t GROUP BY 1),
-        toks AS (SELECT doc_id, {_TOKS} AS tokens FROM docs),
-        sh AS (
-          SELECT DISTINCT doc_id,
-                 array_to_string(tokens[i:i+2], ' ') AS shingle
-          FROM toks,
-               unnest(range(1, greatest(len(tokens)-2, 1)+1)) u(i)),
+        {_shingle_rows_sql(source="docs")},
         mh AS (
           SELECT doc_id, h,
                  min(md5(h::VARCHAR || ':' || shingle)) AS minhash
@@ -3756,11 +3760,7 @@ def oracle_sql() -> dict[str, str]:
     # CTE) over the same df-capped inverted index; integer dot and
     # norms, one final float division
     sql["cosine_pairs"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
-        shm AS (SELECT doc_id,
-                       array_to_string(tokens[i:i+2], ' ') AS shingle
-                FROM toks,
-                     unnest(range(1, greatest(len(tokens)-2, 1)+1)) t(i)),
+        WITH {_shingle_rows_sql(distinct=False, alias="shm")},
         tf AS (SELECT doc_id, shingle, count(*) AS tf
                FROM shm GROUP BY 1, 2),
         keep AS (SELECT shingle FROM tf
@@ -3850,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         sets AS (SELECT conv_id, turn_idx,
                    list_distinct(flatten(list(tk) OVER lw)) AS lset,
                    list_distinct(flatten(list(tk) OVER rw)) AS rset,
+                   count(*) OVER lw AS n_left,
                    count(*) OVER rw AS n_right
                  FROM tk
                  WINDOW lw AS (PARTITION BY conv_id ORDER BY turn_idx
@@ -3859,7 +3860,7 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN 1 FOLLOWING
                                         AND 2 FOLLOWING)),
         sims AS (SELECT conv_id, turn_idx,
-                   CASE WHEN n_right = 0 THEN NULL
+                   CASE WHEN n_left < 2 OR n_right < 2 THEN NULL
                         WHEN len(list_distinct(lset || rset)) = 0
                           THEN 0.0
                         ELSE round(CAST(len(list_intersect(lset, rset))

@@ -97,6 +97,8 @@ def main() -> None:
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from coies_spark.core.oneshot import build_example_artifacts
     from coies_spark.data import synth
     from coies_spark.ops import (

@@ -977,11 +977,18 @@ def pattern_triples(
     if not rules:
         raise ValueError("pattern_triples: rules must be non-empty")
     for pred, pat in rules:
-        if _re.compile(pat).groups != 2:
+        try:
+            groups = _re.compile(pat).groups
+        except _re.error:
+            # Python's re dialect is NARROWER than the Java∩RE2
+            # target (e.g. \p{L} classes compile in both engines but
+            # not here) — a rule Python cannot parse defers its
+            # validation to the engines rather than being rejected
+            continue
+        if groups != 2:
             raise ValueError(
                 f"pattern_triples: rule {pred!r} must have exactly two "
-                f"capture groups (subject, object), got "
-                f"{_re.compile(pat).groups}"
+                f"capture groups (subject, object), got {groups}"
             )
     txt = F.col("text")
     proj = [

@@ -719,6 +719,12 @@ def rrf_fuse(
     """
     if not routes:
         raise ValueError("rrf_fuse: routes must be non-empty")
+    if k0 < 0:
+        # ranks are >= 1; a negative k0 would hit 1/(k0 + rank) = 1/0
+        # as a mid-job ANSI ArithmeticException instead of here
+        raise ValueError("rrf_fuse: k0 must be >= 0")
+    if topk < 1:
+        raise ValueError("rrf_fuse: topk must be >= 1")
     tagged = None
     for i, r in enumerate(routes):
         t = r.select(
@@ -765,10 +771,14 @@ def collocations(
 
     Scale: two map-side-combinable counts (bigrams via zip_with of
     the token array against its own tail — array-side, no
-    explode-then-window; unigrams via explode+groupBy), the
-    vocabulary-sized unigram table broadcast back onto the bigram
-    counts twice, N/B as one broadcast 1-row aggregate.  The global
-    top-k is ``orderBy().limit()`` — distributed TakeOrdered, never a
+    explode-then-window; unigrams via explode+groupBy), the unigram
+    table joined back onto the bigram counts twice WITHOUT a
+    broadcast hint — a web corpus's distinct-token vocabulary runs
+    10⁸-10⁹ rows (Heaps' law), which would OOM a forced broadcast;
+    AQE picks broadcast at bench scale and sort-merge at scale (the
+    ``jaccard_pairs`` per-doc-sizes convention).  N/B ride one
+    broadcast 1-row aggregate.  The global top-k is
+    ``orderBy().limit()`` — distributed TakeOrdered, never a
     single-partition rank window over the vocabulary.
     """
     if min_count < 1:
@@ -795,13 +805,11 @@ def collocations(
     scored = (
         nab.where(F.col("n_ab") >= min_count)
         .join(
-            F.broadcast(uni.select(F.col("t").alias("a"),
-                                   F.col("n_t").alias("n_a"))),
+            uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a")),
             "a",
         )
         .join(
-            F.broadcast(uni.select(F.col("t").alias("b"),
-                                   F.col("n_t").alias("n_b"))),
+            uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b")),
             "b",
         )
         .crossJoin(F.broadcast(totals))

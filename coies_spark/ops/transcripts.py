@@ -559,14 +559,18 @@ def text_tiling(
     For the GAP after turn i: ``sim_next`` = Jaccard between the
     distinct-token sets of the ``w`` turns ending at i and the ``w``
     turns following i (integer intersection/union — the only float is
-    the final division, engine-exact).  A gap is a boundary
+    the final division, engine-exact).  Only gaps with FULL ``w``-turn
+    windows on BOTH sides are scored (Hearst's rule): a partial
+    window systematically deflates the similarity — a lone short
+    closing turn would otherwise fire a spurious boundary before
+    every conversation's tail — so edge gaps carry a NULL
+    ``sim_next`` and are never boundaries.  A gap is a boundary
     (``is_boundary``) when its similarity is a STRICT local valley —
     below both neighboring gaps' similarities, a missing neighbor
     counting as infinitely high — AND below ``threshold``.
     ``segment_id`` numbers each turn's episode from 1 via the running
     boundary count (the gaps-and-islands convention of
-    :func:`agent_loops`).  The last turn of a conversation has no
-    following window: ``sim_next`` is NULL and never a boundary.
+    :func:`agent_loops`).
 
     Scale: ONE exchange on conv_id feeds every step — the two
     collect_list windows (each bounded by ``w`` turns — state is
@@ -592,12 +596,16 @@ def text_tiling(
         F.array_distinct(
             F.flatten(F.collect_list("tk").over(right_w))
         ).alias("rset"),
+        F.count(F.lit(1)).over(left_w).alias("n_left"),
         F.count(F.lit(1)).over(right_w).alias("n_right"),
     )
     inter = F.size(F.array_intersect("lset", "rset"))
     union = F.size(F.array_union("lset", "rset"))
-    # empty-token window edge: union 0 -> similarity defined as 0
-    sim = F.when(F.col("n_right") == 0, F.lit(None)).otherwise(
+    # full windows only (Hearst); empty-token full windows (punct-only
+    # turns) score 0
+    sim = F.when(
+        (F.col("n_left") < w) | (F.col("n_right") < w), F.lit(None)
+    ).otherwise(
         F.when(union == 0, F.lit(0.0)).otherwise(
             F.round(inter / union, 6)
         )

@@ -801,6 +801,15 @@ class TestPatternTriples:
                 t, [("three", r"(\w+) (\w+) scan (\w+)")]
             )
 
+    def test_dialect_wider_than_python_re(self, spark):
+        # \p{L} compiles in java.util.regex AND RE2 but not in
+        # Python's re — validation must defer to the engines, not
+        # reject a dialect-conforming rule at plan-build time
+        t = self._turns(spark, [("c", 0, "naïve scan résumé")])
+        got = [(r.subj, r.obj) for r in kg.pattern_triples(
+            t, [("scans", r"(\p{L}+) scan (\p{L}+)")]).collect()]
+        assert got == [("naïve", "résumé")]
+
     def test_zero_shuffles(self, spark):
         t = self._turns(spark, [("c", 0, "a scan b")])
         p = t.sparkSession._jvm  # noqa: F841  (force lazy init)

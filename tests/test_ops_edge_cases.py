@@ -2053,7 +2053,10 @@ class TestTextTiling:
         assert got[2].sim_next == 0.0
         # segment ids: 1 through the first topic, 2 after the valley
         assert [got[i].segment_id for i in range(6)] == [1, 1, 1, 2, 2, 2]
-        # last turn has no following window
+        # edge gaps with PARTIAL windows are unscored (Hearst's rule):
+        # turn 0's left window and turn 4/5's right windows are short
+        assert got[0].sim_next is None and not got[0].is_boundary
+        assert got[4].sim_next is None
         assert got[5].sim_next is None and not got[5].is_boundary
 
     def test_no_boundary_in_homogeneous_conv(self, spark):
@@ -2091,11 +2094,12 @@ class TestTextTiling:
         plan = (
             text_tiling(t)._jdf.queryExecution().executedPlan().toString()
         )
-        shuffles = [
-            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
-        ]
-        # every window keys on conv_id: one partitioning serves all
-        assert len(set(shuffles)) <= 1
+        # every window keys on conv_id: one partitioning serves all.
+        # Count OCCURRENCES, not distinct line text — two identical
+        # Exchange operators would collapse in a set and hide the
+        # regression this exists to catch
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles <= 1
 
 
 class TestCollocations:
