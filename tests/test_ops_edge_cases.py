@@ -2136,3 +2136,88 @@ class TestCollocations:
         assert got == [("a", "b")]
         with pytest.raises(ValueError):
             collocations(docs, min_count=0)
+
+
+class TestNewOpsRandomizedParity:
+    """Seeded randomized parity vs pure-Python references (the
+    agent_loops parity convention): the engine must agree with a
+    direct dictionary implementation on arbitrary inputs, not just
+    the hand-built cases."""
+
+    def test_cosine_pairs_matches_pure_python(self, spark):
+        import math
+        import random
+        from collections import Counter
+
+        rng = random.Random(20260818)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 30))))
+            for i in range(60)
+        ]
+
+        def shingles(text):
+            toks = text.split()
+            n = max(len(toks) - 2, 1)
+            return [" ".join(toks[i:i + 3]) for i in range(n)]
+
+        tf = {d: Counter(shingles(t)) for d, t in docs}
+        df = Counter(s for c in tf.values() for s in c)
+        keep = {s for s, n in df.items() if n <= 10}
+        capped = {d: {s: n for s, n in c.items() if s in keep}
+                  for d, c in tf.items()}
+        expected = {}
+        ids = sorted(capped)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                dot = sum(capped[a][s] * capped[b].get(s, 0)
+                          for s in capped[a])
+                if not dot:
+                    continue
+                na2 = sum(v * v for v in capped[a].values())
+                nb2 = sum(v * v for v in capped[b].values())
+                cos = round(dot / math.sqrt(float(na2) * float(nb2)), 6)
+                if cos >= 0.1:
+                    expected[(a, b)] = cos
+
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b): r.cosine
+               for r in dedup.cosine_pairs(
+                   sdf, max_df=10, threshold=0.1).collect()}
+        assert got == expected
+
+    def test_neighbor_jaccard_matches_pure_python(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = [f"n{i}" for i in range(25)]
+        edges = {(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(80)}
+        edges = [(a, b) for a, b in edges if a != b]
+
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        kept = {u for u, s in nbr.items() if len(s) <= 5}
+        g = {u: {v for v in s if v in kept}
+             for u, s in nbr.items() if u in kept}
+        g = {u: s for u, s in g.items() if s}
+        expected = {}
+        us = sorted(g)
+        for i, a in enumerate(us):
+            for b in us[i + 1:]:
+                common = len(g[a] & g[b])
+                if common >= 1:
+                    expected[(a, b)] = (
+                        common,
+                        round(common / (len(g[a]) + len(g[b]) - common), 6),
+                    )
+
+        from coies_spark.operators.graph import neighbor_jaccard
+
+        sdf = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r.a, r.b): (r.common, r.jaccard)
+               for r in neighbor_jaccard(sdf, max_degree=5).collect()}
+        assert got == expected
