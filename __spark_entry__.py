@@ -1179,6 +1179,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": lambda s, d: curate.curation_report(
             _read(s, d, "documents")
         ),
+        # per-SOURCE curation health: the feed-triage gauge (which
+        # upstream sources to down-weight), same shared gate builders
+        "source_stats": lambda s, d: curate.source_stats(
+            _read(s, d, "documents")
+        ),
         # Unicode NFC normalization (Arrow-UDF stage) over injected
         # decomposed accents + control bytes
         "normalize_text": _q_normalize_text,
@@ -3563,6 +3568,44 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'kept' END AS stage
               FROM rp)
         GROUP BY 1, 2
+    """
+
+    # source_stats: the per-source triage twin — the SAME composed
+    # quality/repetition/scrub twins and the SAME gated-rep window as
+    # curation_report, grouped by source with first-failure rates
+    sql["source_stats"] = f"""
+        WITH q AS (SELECT doc_id, n_tokens, quality
+                   FROM ({sql['quality_scores']})),
+        r AS (SELECT doc_id, keep FROM ({sql['repetition_stats']})),
+        p AS (SELECT doc_id, n_url + n_email + n_ip + n_phone AS hits
+              FROM ({sql['scrub_pii']})),
+        dig AS (SELECT doc_id, md5(array_to_string(
+                  list_sort(list_distinct({_TOKS})), ' ')) AS bag_key
+                FROM documents),
+        fl AS (SELECT d.doc_id, d.source, q.n_tokens, q.quality,
+                      p.hits, dig.bag_key,
+                      q.quality >= 0.62 AS q_ok, r.keep AS r_ok
+               FROM documents d JOIN q USING (doc_id)
+               JOIN r USING (doc_id) JOIN p USING (doc_id)
+               JOIN dig USING (doc_id)),
+        rp AS (SELECT *, min(CASE WHEN q_ok AND r_ok THEN doc_id END)
+                 OVER (PARTITION BY bag_key) AS rep
+               FROM fl)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(avg(quality), 6) AS mean_quality,
+               round(avg(CASE WHEN NOT q_ok THEN 1.0 ELSE 0.0 END), 6)
+                 AS quality_fail_rate,
+               round(avg(CASE WHEN q_ok AND NOT r_ok THEN 1.0
+                             ELSE 0.0 END), 6) AS repetition_fail_rate,
+               round(avg(CASE WHEN q_ok AND r_ok AND doc_id <> rep
+                             THEN 1.0 ELSE 0.0 END), 6)
+                 AS dedup_drop_rate,
+               round(avg(CAST(hits AS DOUBLE)), 6) AS pii_per_doc,
+               round(avg(CASE WHEN q_ok AND r_ok AND doc_id = rep
+                             THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+        FROM rp GROUP BY source
     """
 
     # hard_negative_pairs: the jaccard twin nested with its threshold

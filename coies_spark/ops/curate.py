@@ -56,7 +56,10 @@ def _flag_frame(docs: DataFrame, min_quality: float) -> DataFrame:
     frame so the pass and the report it describes cannot drift;
     Catalyst prunes whichever columns a consumer leaves unused."""
     feats = quality_feature_cols("toks")
-    scrubbed, _counts = scrub_cols()
+    scrubbed, counts = scrub_cols()
+    pii_hits = None
+    for c in counts:
+        pii_hits = c if pii_hits is None else pii_hits + c
     base = docs.select(
         "doc_id",
         "lang",
@@ -70,6 +73,7 @@ def _flag_frame(docs: DataFrame, min_quality: float) -> DataFrame:
         feats["n_tokens"],
         feats["quality"],
         scrubbed.alias("scrubbed"),
+        pii_hits.cast("long").alias("pii_hits"),
         dup_ngram_frac_col(3, "toks").alias("dup_3gram_frac"),
         bag_digest_col().alias("bag_key"),
     )
@@ -178,4 +182,70 @@ def curation_report(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def source_stats(
+    docs: DataFrame, min_quality: float = 0.62
+) -> DataFrame:
+    """(source, n_docs, n_tokens, mean_quality, quality_fail_rate,
+    repetition_fail_rate, dedup_drop_rate, pii_per_doc, keep_rate):
+    the per-SOURCE curation health gauge — the table a corpus owner
+    reads to decide which upstream feeds to down-weight or drop
+    (RefinedWeb/Dolma-style source triage: a feed whose docs mostly
+    fail the quality floor, collapse into other feeds' duplicates, or
+    carry heavy PII is a candidate for exclusion BEFORE it costs a
+    full processing pass at the next crawl).
+
+    Attribution is first-failure over the same per-doc verdicts as
+    :func:`curation_report` (quality → repetition → dedup-survivor),
+    so ``quality_fail_rate + repetition_fail_rate + dedup_drop_rate +
+    keep_rate = 1`` per source and this gauge can never disagree with
+    the funnel or the fused pass — all three read
+    :func:`_flag_frame`'s shared column builders.  Dedup survivorship
+    is GLOBAL (the bag_key window spans sources), so a source whose
+    content merely restates another's shows up here as dedup drops —
+    exactly the cross-feed syndication signal source triage wants.
+
+    Scale: the same 2 corpus scans as the pass, one bag_key window
+    (skew-safe: duplicate groups are intrinsically small), then a
+    source groupBy over per-doc flags — map-side combinable, output
+    is one row per source.
+    """
+    flagged = _flag_frame(docs, min_quality).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        "pii_hits",
+        "bag_key",
+        "q_ok",
+        "r_ok",
+    )
+    w = Window.partitionBy("bag_key")
+    gated_rep = flagged.withColumn(
+        "rep",
+        F.min(
+            F.when(F.col("q_ok") & F.col("r_ok"), F.col("doc_id"))
+        ).over(w),
+    )
+    q_fail = (~F.col("q_ok")).cast("double")
+    r_fail = (F.col("q_ok") & ~F.col("r_ok")).cast("double")
+    d_drop = (
+        F.col("q_ok") & F.col("r_ok") & (F.col("doc_id") != F.col("rep"))
+    ).cast("double")
+    kept = (
+        F.col("q_ok") & F.col("r_ok") & (F.col("doc_id") == F.col("rep"))
+    ).cast("double")
+    return gated_rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(F.avg(q_fail), 6).alias("quality_fail_rate"),
+        F.round(F.avg(r_fail), 6).alias("repetition_fail_rate"),
+        F.round(F.avg(d_drop), 6).alias("dedup_drop_rate"),
+        F.round(F.avg(F.col("pii_hits").cast("double")), 6).alias(
+            "pii_per_doc"
+        ),
+        F.round(F.avg(kept), 6).alias("keep_rate"),
     )

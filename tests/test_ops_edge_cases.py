@@ -1830,6 +1830,47 @@ class TestCurationReport:
         assert (r.stage, r.n_docs) == ("quality_fail", 1)
 
 
+class TestSourceStats:
+    def test_rates_partition_and_keep_matches_pass(self, spark):
+        from coies_spark.ops import curate
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = curate.source_stats(docs).collect()
+        # one row per source, covering every doc
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            # first-failure attribution: the four rates partition 1.0
+            total = (r.quality_fail_rate + r.repetition_fail_rate
+                     + r.dedup_drop_rate + r.keep_rate)
+            assert abs(total - 1.0) < 1e-4, (r.source, total)
+        # per-source kept counts ARE curate_corpus's output
+        # (pre-sampling) — the gauge and the pass share one definition
+        kept = {r.source: round(r.keep_rate * r.n_docs)
+                for r in rows}
+        passed = {r.source: r.n for r in
+                  curate.curate_corpus(docs).groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert {s: n for s, n in kept.items() if n} == passed
+
+    def test_cross_source_syndication_shows_as_dedup_drop(self, spark):
+        from coies_spark.ops import curate
+
+        # feed B restates feed A's (clean) doc: global survivorship
+        # keeps A's min-doc_id copy, B shows a 100% dedup_drop_rate
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "walks along the river bank toward a quiet village "
+                "where markets open early and traders exchange news")
+        docs = spark.createDataFrame(
+            [(0, good, "en", "feedA"), (1, good, "en", "feedB")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        got = {r.source: (r.dedup_drop_rate, r.keep_rate)
+               for r in curate.source_stats(docs).collect()}
+        assert got == {"feedA": (0.0, 1.0), "feedB": (1.0, 0.0)}
+
+
 def test_agent_loops_null_text_is_a_loop(spark):
     from coies_spark.ops import transcripts as tr
 
