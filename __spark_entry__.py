@@ -38,6 +38,8 @@ from coies_spark.operators.graph import kcore as graph_kcore
 from coies_spark.operators.graph import label_propagation as graph_lpa
 from coies_spark.operators.graph import triangle_counts as graph_triangles
 from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jaccard
+from coies_spark.operators.graph import hits as graph_hits
+from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     curate,
     dedup,
@@ -574,6 +576,55 @@ def _q_temporal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.temporal_triples(ev)
 
 
+def _q_kg_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot: the SCD-2 history probed AS OF the
+    event stream's midpoint instant.  The instant is computed IN-PLAN
+    (1-row min/max agg, broadcast cross-join inside kg_at_time), so
+    the whole as-of probe is one declarative plan with no driver
+    action and stays sf-independent."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("subj"),
+        F.lit("last_event").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    mid = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(F.expr("(mn + mx) DIV 2").cast("long").alias("t0"))
+    return kg.kg_at_time(kg.temporal_triples(ev), mid)
+
+
+def _q_hits_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed tool-transition graph:
+    dispatcher tools (and '<start>') surface as hubs, terminal tools
+    as authorities — structure PageRank's symmetrized walk blurs."""
+    edges = transcripts.tool_transitions(
+        transcripts.synthesize_transcripts(
+            _read(spark, sf_dir, "documents"), tool_every=2
+        )
+    ).select(F.col("src_tool").alias("src"), F.col("dst_tool").alias("dst"))
+    return graph_hits(edges, iters=3)
+
+
+def _q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the distinct evidence triples, with
+    a planted row exercising every escape class (quote, backslash,
+    newline, tab, angle brackets, percent) and a NULL-term row the
+    serializer must drop — the planted-corpus pattern, so the verify
+    stage always sees the escapes, not just clean synth text."""
+    base = _kg_evidence(spark, sf_dir).select("subj", "pred", "obj")
+    planted = spark.createDataFrame(
+        [
+            ('c"1 x', "rel\\x%", 'l1\nl2\r\tq:"\\" <end>'),
+            (None, "p", "o"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return pipeline_triples.to_ntriples(
+        base.unionByName(planted).distinct()
+    )
+
+
 def _q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_confidence(_kg_evidence(spark, sf_dir))
 
@@ -1068,6 +1119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs over the corpus token vocabulary (feeds canonicalize
         # as extra alias edges)
         "alias_candidates": _q_alias_candidates,
+        # point-in-time KG snapshot: the as-of query face of the SCD-2
+        # history (half-open intervals, in-plan midpoint instant)
+        "kg_at_time": _q_kg_at_time,
+        # HITS hubs/authorities over the DIRECTED tool-transition
+        # graph (max-normalized mutual reinforcement, unrolled)
+        "hits_tools": _q_hits_tools,
+        # W3C N-Triples export of the evidence triples (planted
+        # escape-class row + NULL-term drop)
+        "kg_ntriples": _q_kg_ntriples,
         # --- r4 additions still oracled, parked as variants ---
         # the boilerplate DICTIONARY (scrub_boilerplate_turns in the
         # window recomputes and re-verifies it as its anti-join side)
@@ -3140,6 +3200,98 @@ def oracle_sql() -> dict[str, str]:
                lead(valid_from) OVER w2 IS NULL AS is_current
         FROM runs WINDOW w2 AS (PARTITION BY subj, pred
                                 ORDER BY version)
+    """
+    # point-in-time snapshot: the temporal twin nested verbatim,
+    # probed at the same integer midpoint instant (half-open
+    # intervals; DIV and // agree agree on the positive epoch range)
+    sql["kg_at_time"] = f"""
+        WITH h AS ({sql['temporal_triples']}),
+        m AS (SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                     AS BIGINT) AS t0 FROM events)
+        SELECT subj, pred, obj, version, valid_from
+        FROM h, m
+        WHERE valid_from <= t0
+          AND (valid_to IS NULL OR valid_to > t0)
+    """
+    # HITS over the tool-transition edges: unrolled mutual-
+    # reinforcement rounds, max-normalized (order-exact, unlike a
+    # global float L1/L2 sum), same 9dp pinning as pagerank
+    hits_ctes = [
+        "e AS (SELECT DISTINCT src_tool AS s, dst_tool AS d FROM ("
+        + sql["tool_transitions"]
+        + ") WHERE src_tool <> dst_tool)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "h0 AS (SELECT node, 1.0 AS score FROM nodes)",
+    ]
+    for it in range(1, 4):
+        hits_ctes += [
+            f"ar{it} AS (SELECT e.d AS node, round(sum(h.score), 9)"
+            f" AS raw FROM e JOIN h{it - 1} h ON h.node = e.s"
+            f" GROUP BY e.d)",
+            f"a{it} AS (SELECT node, round(raw /"
+            f" (SELECT max(raw) FROM ar{it}), 9) AS score FROM ar{it})",
+            f"hr{it} AS (SELECT e.s AS node, round(sum(a.score), 9)"
+            f" AS raw FROM e JOIN a{it} a ON a.node = e.d"
+            f" GROUP BY e.s)",
+            f"h{it} AS (SELECT node, round(raw /"
+            f" (SELECT max(raw) FROM hr{it}), 9) AS score FROM hr{it})",
+        ]
+    sql["hits_tools"] = (
+        "WITH "
+        + ",\n".join(hits_ctes)
+        + """
+        SELECT n.node, coalesce(h3.score, 0.0) AS hub,
+               coalesce(a3.score, 0.0) AS authority
+        FROM nodes n LEFT JOIN h3 ON h3.node = n.node
+                     LEFT JOIN a3 ON a3.node = n.node
+    """
+    )
+    # N-Triples export: identical replace chains (IRI percent-
+    # encoding, % first; literal escapes, backslash first) over the
+    # same distinct evidence ∪ planted escape rows; chr() literals
+    # keep the control characters out of the SQL source
+    _bs = "chr(92)"
+
+    def _chain(expr: str, pairs: list[tuple[str, str]]) -> str:
+        for a, b in pairs:
+            expr = f"replace({expr}, {a}, {b})"
+        return expr
+
+    _iri_pairs = [
+        ("'%'", "'%25'"),
+        ("' '", "'%20'"),
+        ("'\"'", "'%22'"),
+        ("'<'", "'%3C'"),
+        ("'>'", "'%3E'"),
+        (_bs, "'%5C'"),
+    ]
+    _lit_pairs = [
+        (_bs, f"{_bs} || {_bs}"),
+        ("'\"'", f"{_bs} || '\"'"),
+        ("chr(10)", f"{_bs} || 'n'"),
+        ("chr(13)", f"{_bs} || 'r'"),
+        ("chr(9)", f"{_bs} || 't'"),
+    ]
+    _nt_base = "http://example.org/kg"
+    sql["kg_ntriples"] = f"""
+        WITH {kg_ev},
+        tr AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM ev
+            UNION ALL
+            SELECT * FROM (VALUES
+              ('c"1 x', 'rel' || chr(92) || 'x%',
+               'l1' || chr(10) || 'l2' || chr(13) || chr(9) ||
+               'q:"' || chr(92) || '" <end>'),
+              (NULL, 'p', 'o')) v(subj, pred, obj))
+        )
+        SELECT subj, pred, obj,
+               '<{_nt_base}/id/' || {_chain('subj', _iri_pairs)} ||
+               '> <{_nt_base}/rel/' || {_chain('pred', _iri_pairs)} ||
+               '> "' || {_chain('obj', _lit_pairs)} || '" .' AS line
+        FROM tr
+        WHERE subj IS NOT NULL AND pred IS NOT NULL
+          AND obj IS NOT NULL
     """
     # CCNet bigram-LM perplexity (stupid backoff, trained on the
     # doc_id%2=0 slice; <2-token docs have no bigram and drop out)

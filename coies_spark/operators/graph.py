@@ -557,3 +557,87 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority): Kleinberg's HITS (JACM'99) by ``iters``
+    unrolled mutual-reinforcement rounds over the DIRECTED edge graph
+    — one declarative plan, no driver loop, no collect.
+
+    Unlike :func:`pagerank` (which symmetrizes), HITS keeps edge
+    direction: a hub is a node whose out-links point at good
+    authorities, an authority a node good hubs point at.  On the
+    agent tool-transition graph that split is the useful one —
+    ``<start>`` and dispatcher tools are pure hubs, terminal tools
+    pure authorities — and on a citation-shaped mention graph it
+    separates surveys from sources.
+
+    Conventions, chosen for exact cross-engine oracles:
+
+    * init hub = 1.0 for every node (both endpoints of any edge);
+    * per half-round: raw score = Σ over the matching edge direction,
+      ROUNDED 9dp, then normalized by the MAX raw score and rounded
+      9dp again.  Max-normalization replaces the textbook L2 norm
+      because ``max`` over already-rounded values is order-exact on
+      any engine, partitioning, or task schedule, while a global
+      float sum (L1/L2) is not; the two differ only by a per-round
+      positive scalar, so rankings and convergence are identical;
+    * nodes on the wrong side of every edge score 0 (left-join +
+      coalesce), never drop out of the output.
+
+    Self-loops are removed first: a self-loop feeds a node's hub
+    score into its own authority and back, letting an isolated
+    self-referential node crown itself both top hub and top authority
+    (and at web scale, self-transitions — retried tool calls — are
+    the MOST common edge, so keeping them would bury the structure).
+
+    Cost: 2 shuffles per half-round (edge join keyed by one endpoint,
+    then the per-node sum) over the edge list, the same bound as
+    distributed PageRank; the max-normalizer is a broadcast 1-row
+    cross-join, never a single-partition window.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("score"))
+
+    def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
+        # score flows across each edge from `key`'s side to `out`'s
+        raw = (
+            e.join(frm.withColumnRenamed("node", key), key)
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.round(F.sum("score"), 9).alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("__mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.round(F.col("raw") / F.col("__mx"), 9).alias("score"),
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "s", "d")  # authority: sum of in-hub scores
+        hub = _half(auth, "d", "s")  # hub: sum of out-authority scores
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .join(
+            auth.withColumnRenamed("score", "authority"), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

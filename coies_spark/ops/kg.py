@@ -209,6 +209,47 @@ def temporal_triples(evidence: DataFrame) -> DataFrame:
     )
 
 
+def kg_at_time(temporal: DataFrame, ts) -> DataFrame:
+    """(subj, pred, obj, version, valid_from): the knowledge graph AS
+    OF instant ``ts`` — the point-in-time query face of the SCD-2
+    history :func:`temporal_triples` builds (and
+    :func:`merge_temporal` maintains).  Interval semantics are
+    half-open, matching the history's construction exactly: a version
+    is in force at ``ts`` iff ``valid_from <= ts < valid_to`` (open
+    current versions have NULL ``valid_to`` and match any later
+    ``ts``); at the instant a new version starts, the OLD one is
+    already out.  ``ts`` before a key's first version → the key is
+    absent, not NULL.
+
+    ``ts`` may be a plain epoch int or a 1-row/1-column DataFrame
+    (e.g. an in-plan computed instant such as the corpus midpoint) —
+    the scalar is broadcast-cross-joined so the whole query stays ONE
+    declarative plan with no driver action.
+
+    Scale: a pure filter over the history table — zero shuffle,
+    embarrassingly parallel; with the history stored partitioned by
+    ``pred`` (the triple-sink layout) a predicate-scoped as-of read
+    partition-prunes, and ``is_current`` makes the common "now" probe
+    a metadata-only filter.
+    """
+    if isinstance(ts, DataFrame):
+        t = F.col("__asof_ts")
+        frame = temporal.crossJoin(
+            F.broadcast(
+                ts.select(
+                    F.col(ts.columns[0]).cast("long").alias("__asof_ts")
+                )
+            )
+        )
+    else:
+        t = F.lit(int(ts))
+        frame = temporal
+    return frame.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("subj", "pred", "obj", "version", "valid_from")
+
+
 def triple_confidence(
     evidence: DataFrame, with_state: bool = False
 ) -> DataFrame:

@@ -290,3 +290,76 @@ def refresh_triple_partitions(
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+def to_ntriples(
+    triples: DataFrame, base: str = "http://example.org/kg"
+) -> DataFrame:
+    """(subj, pred, obj, line): the W3C N-Triples serialization of a
+    (subj, pred, obj) table — ``<base/id/subj> <base/rel/pred>
+    "obj" .`` — the interchange format that lets the materialized KG
+    load into any RDF store (N-Triples is line-oriented precisely so
+    it can be produced and consumed as a distributed text corpus, one
+    independent triple per line; RDF spec: W3C N-Triples, 2014).
+
+    Conformance choices:
+
+    * subjects and predicates become IRIs under ``base`` with
+      percent-encoding of the characters IRIs cannot carry (space,
+      angle brackets, quote, backslash, percent itself first);
+    * objects are emitted as string LITERALS with the four N-Triples
+      string escapes (backslash first, then quote, newline, CR, tab)
+      — KG objects here are surface text, not ids, so literal is the
+      faithful typing;
+    * NULL terms make a row unserializable → dropped, never emitted
+      as an invalid line (count the drop upstream via
+      ``constraint_violations``' null_term rule).
+
+    Scale: a pure string-expression projection — whole-stage codegen,
+    zero shuffle; write the ``line`` column with ``text`` format
+    partitioned however the sink wants.
+    """
+
+    def _iri(col: str) -> F.Column:
+        c = F.col(col)
+        for ch, repl in [
+            ("%", "%25"),
+            (" ", "%20"),
+            ('"', "%22"),
+            ("<", "%3C"),
+            (">", "%3E"),
+            ("\\", "%5C"),
+        ]:
+            c = F.replace(c, F.lit(ch), F.lit(repl))
+        return c
+
+    def _lit(col: str) -> F.Column:
+        c = F.col(col)
+        for ch, repl in [
+            ("\\", "\\\\"),
+            ('"', '\\"'),
+            ("\n", "\\n"),
+            ("\r", "\\r"),
+            ("\t", "\\t"),
+        ]:
+            c = F.replace(c, F.lit(ch), F.lit(repl))
+        return c
+
+    return triples.where(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat(
+            F.lit(f"<{base}/id/"),
+            _iri("subj"),
+            F.lit(f"> <{base}/rel/"),
+            _iri("pred"),
+            F.lit('> "'),
+            _lit("obj"),
+            F.lit('" .'),
+        ).alias("line"),
+    )

@@ -616,6 +616,42 @@ def test_mention_bursts_z_and_guard(spark):
 
 
 # ---------------------------------------------------------------------------
+# kg_at_time (point-in-time snapshot)
+# ---------------------------------------------------------------------------
+
+def test_kg_at_time_half_open_boundaries(spark):
+    ev = spark.createDataFrame(
+        [("u1", "p", "a", 10), ("u1", "p", "b", 20),
+         ("u2", "p", "x", 15)],
+        EV_SCHEMA,
+    )
+    hist = kg.temporal_triples(ev)
+
+    def snap(ts):
+        return {(r.subj, r.obj)
+                for r in kg.kg_at_time(hist, ts).collect()}
+
+    assert snap(9) == set()                       # before any version
+    assert snap(10) == {("u1", "a")}              # valid_from inclusive
+    assert snap(19) == {("u1", "a"), ("u2", "x")}
+    # at the instant a new version starts, the old one is already out
+    assert snap(20) == {("u1", "b"), ("u2", "x")}
+    assert snap(10**9) == {("u1", "b"), ("u2", "x")}  # open versions
+
+
+def test_kg_at_time_in_plan_instant(spark):
+    # a 1-row DataFrame instant behaves exactly like the plain int
+    ev = spark.createDataFrame(
+        [("u1", "p", "a", 10), ("u1", "p", "b", 20)], EV_SCHEMA
+    )
+    hist = kg.temporal_triples(ev)
+    t = spark.createDataFrame([(15,)], "t0 long")
+    got = [(r.subj, r.obj, r.version, r.valid_from)
+           for r in kg.kg_at_time(hist, t).collect()]
+    assert got == [("u1", "a", 1, 10)]
+
+
+# ---------------------------------------------------------------------------
 # merge_temporal (incremental SCD-2 upsert)
 # ---------------------------------------------------------------------------
 

@@ -226,6 +226,71 @@ class TestPageRank:
         assert len(set(pr.values())) == 1 and len(pr) == 4
 
 
+def _hits_replica(edges, iters):
+    """Pure-Python HITS with the operator's exact conventions:
+    self-loops dropped, per-half-round 9dp rounding, max-normalized."""
+    e = {(s, d) for s, d in edges if s != d}
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(iters):
+        raw = {}
+        for s, d in e:
+            raw[d] = raw.get(d, 0.0) + h.get(s, 0.0)
+        raw = {n: round(v, 9) for n, v in raw.items()}
+        mx = max(raw.values())
+        a = {n: round(v / mx, 9) for n, v in raw.items()}
+        raw = {}
+        for s, d in e:
+            raw[s] = raw.get(s, 0.0) + a.get(d, 0.0)
+        raw = {n: round(v, 9) for n, v in raw.items()}
+        mx = max(raw.values())
+        h = {n: round(v / mx, 9) for n, v in raw.items()}
+    return {n: (h.get(n, 0.0), a.get(n, 0.0)) for n in nodes}
+
+
+class TestHits:
+    def test_hub_authority_split_self_loop_ignored(self, spark):
+        from coies_spark.operators.graph import hits
+
+        # h1 -> {a1, a2}, h2 -> a1; a1's self-loop must not crown it
+        edges = spark.createDataFrame(
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a1", "a1")],
+            "src string, dst string",
+        )
+        got = {r.node: (r.hub, r.authority)
+               for r in hits(edges, iters=3).collect()}
+        assert got == _hits_replica(
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a1", "a1")], 3
+        )
+        # direction matters: pure hubs score 0 authority and vice versa
+        assert got["h1"] == (1.0, 0.0)      # best hub
+        assert got["a1"][1] == 1.0          # best authority
+        assert got["a1"][0] == 0.0          # ...but no out-edges
+        assert 0.0 < got["h2"][0] < 1.0     # weaker hub, nonzero
+
+    def test_randomized_python_parity(self, spark):
+        import random
+
+        from coies_spark.operators.graph import hits
+
+        rng = random.Random(20260818)
+        edges = list(
+            {
+                (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+                for _ in range(40)
+            }
+        )
+        got = {r.node: (r.hub, r.authority)
+               for r in hits(
+                   spark.createDataFrame(
+                       edges, "src string, dst string"
+                   ),
+                   iters=4,
+               ).collect()}
+        assert got == _hits_replica(edges, 4)
+
+
 class TestTriangleCounts:
     def test_known_graph(self, spark):
         from coies_spark.operators.graph import triangle_counts

@@ -621,3 +621,50 @@ class TestTripleRefresh:
         # idempotent: same batch again -> same store
         again = refresh_triple_partitions(spark, new, path)
         assert {(r.pred, r.subj, r.obj) for r in again.collect()} == got
+
+
+def test_to_ntriples_escapes_and_null_drop(spark):
+    from coies_spark.pipeline.triples import to_ntriples
+
+    t = spark.createDataFrame(
+        [
+            ('c"1 x', "rel\\x%", 'l1\nl2\r\tq:"\\" <end>'),
+            ("s", "p", None),  # unserializable -> dropped
+            ("conv-1", "mentions", "spark"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.subj: r.line for r in to_ntriples(t).collect()}
+    assert set(rows) == {'c"1 x', "conv-1"}
+
+    # clean row: exact canonical line
+    assert rows["conv-1"] == (
+        "<http://example.org/kg/id/conv-1> "
+        '<http://example.org/kg/rel/mentions> "spark" .'
+    )
+
+    # dirty row: replica of the spec'd escape chains (IRI percent-
+    # encoding % first; literal escapes backslash first)
+    def iri(s):
+        for a, b in [("%", "%25"), (" ", "%20"), ('"', "%22"),
+                     ("<", "%3C"), (">", "%3E"), ("\\", "%5C")]:
+            s = s.replace(a, b)
+        return s
+
+    def lit(s):
+        for a, b in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")]:
+            s = s.replace(a, b)
+        return s
+
+    dirty_subj = 'c"1 x'
+    dirty_pred = "rel\\x%"
+    dirty_obj = 'l1\nl2\r\tq:"\\" <end>'
+    want = (
+        "<http://example.org/kg/id/" + iri(dirty_subj) + "> "
+        "<http://example.org/kg/rel/" + iri(dirty_pred) + '> "'
+        + lit(dirty_obj) + '" .'
+    )
+    assert rows['c"1 x'] == want
+    # a valid N-Triples line never carries a raw newline/CR/tab
+    assert not any(c in rows['c"1 x'] for c in "\n\r\t")
