@@ -41,6 +41,7 @@ from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jacca
 from coies_spark.operators.graph import hits as graph_hits
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
+    classify,
     curate,
     dedup,
     dsir,
@@ -625,6 +626,20 @@ def _q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the heuristic quality gate into a hashed linear model:
+    labels = (quality >= 0.62) from the shared quality builders, 3
+    full-batch GD rounds, every doc scored.  The trained ≤257-row
+    weight table is the deployable artifact — scoring new partitions
+    is one broadcast join instead of the rule cascade."""
+    docs = _read(spark, sf_dir, "documents")
+    labels = textstats.quality_scores(docs).select(
+        "doc_id",
+        (F.col("quality") >= 0.62).cast("double").alias("y"),
+    )
+    return classify.classify_docs(docs, labels, iters=3, lr=1.0)
+
+
 def _q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_confidence(_kg_evidence(spark, sf_dir))
 
@@ -1122,6 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-in-time KG snapshot: the as-of query face of the SCD-2
         # history (half-open intervals, in-plan midpoint instant)
         "kg_at_time": _q_kg_at_time,
+        # trainable quality filter: hashed-feature logistic regression
+        # by unrolled batch GD, distilling the heuristic quality gate
+        # (the training LOOP itself is the declarative plan)
+        "quality_classifier": _q_quality_classifier,
         # HITS hubs/authorities over the DIRECTED tool-transition
         # graph (max-normalized mutual reinforcement, unrolled)
         "hits_tools": _q_hits_tools,
@@ -3293,6 +3312,54 @@ def oracle_sql() -> dict[str, str]:
         WHERE subj IS NOT NULL AND pred IS NOT NULL
           AND obj IS NOT NULL
     """
+    # hashed-feature logistic regression, unrolled full-batch GD:
+    # md5-hex buckets (exact string keys), per-term double products
+    # cast to DECIMAL then summed (order-independent), weights pinned
+    # 9dp per round — identical expressions to ops/classify.py
+    clf_ctes = [
+        f"ctok AS (SELECT doc_id, unnest({_TOKS}) AS tok"
+        " FROM documents)",
+        "cf0 AS (SELECT doc_id, substr(md5(tok), 1, 2) AS b,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM ctok GROUP BY 1, 2)",
+        "cf AS (SELECT * FROM cf0 UNION ALL SELECT doc_id,"
+        " '__bias__', CAST(1 AS BIGINT) FROM documents)",
+        "cy AS (SELECT doc_id, CASE WHEN quality >= 0.62 THEN 1.0"
+        f" ELSE 0.0 END AS y FROM ({{Q}}))",
+        "cn AS (SELECT count(*) AS n FROM documents)",
+        "cw0 AS (SELECT DISTINCT b, 0.0 AS w FROM cf)",
+    ]
+    for it in range(1, 4):
+        clf_ctes += [
+            f"cm{it} AS (SELECT f.doc_id,"
+            " sum(CAST(f.cnt * w.w AS DECIMAL(28,12))) AS m"
+            f" FROM cf f JOIN cw{it - 1} w USING (b) GROUP BY 1)",
+            f"cp{it} AS (SELECT doc_id, round(1.0 /"
+            " (1.0 + exp(-CAST(m AS DOUBLE))), 9) AS p"
+            f" FROM cm{it})",
+            f"cg{it} AS (SELECT f.b,"
+            " sum(CAST(f.cnt * (p.p - y.y) AS DECIMAL(28,12))) AS g"
+            f" FROM cf f JOIN cp{it} p USING (doc_id)"
+            " JOIN cy y USING (doc_id) GROUP BY 1)",
+            f"cw{it} AS (SELECT w.b, round(w.w - 1.0 *"
+            " coalesce(CAST(g.g AS DOUBLE), 0.0) /"
+            " (SELECT n FROM cn), 9) AS w"
+            f" FROM cw{it - 1} w LEFT JOIN cg{it} g USING (b))",
+        ]
+    sql["quality_classifier"] = (
+        "WITH "
+        + ",\n".join(clf_ctes).replace("{Q}", sql["quality_scores"])
+        + """,
+        cmf AS (SELECT f.doc_id,
+                       sum(CAST(f.cnt * w.w AS DECIMAL(28,12))) AS m
+                FROM cf f JOIN cw3 w USING (b) GROUP BY 1),
+        cpf AS (SELECT doc_id,
+                       round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 9)
+                         AS p
+                FROM cmf)
+        SELECT p.doc_id, p.p, p.p >= 0.5 AS predicted, y.y
+        FROM cpf p LEFT JOIN cy y USING (doc_id)
+    """
+    )
     # CCNet bigram-LM perplexity (stupid backoff, trained on the
     # doc_id%2=0 slice; <2-token docs have no bigram and drop out)
     sql["lm_perplexity"] = f"""

@@ -1,0 +1,206 @@
+"""Trainable text classifier: hashed-feature logistic regression by
+unrolled batch gradient descent — the learned quality/domain filter
+every production curation stack distills its heuristic gates into
+(CCNet trains a fastText classifier against a target corpus; LLaMA's
+pipeline keeps a learned "is this reference-like?" filter).  A linear
+model over hashed bag-of-words is the fastText-without-embeddings
+core of that recipe, and it is expressible as pure declarative Spark:
+each GD step is one small join + two aggregates, so the TRAINING LOOP
+itself ships as a Catalyst plan — no MLlib, no driver-side math, no
+collect.
+
+Determinism story (why a distributed trainer can have a bit-exact
+DuckDB oracle):
+
+* the feature bucket IS the first two hex chars of ``md5(token)`` —
+  a string group key both engines compute byte-identically (the DSIR
+  trick, :mod:`coies_spark.ops.dsir`), so the feature space is fixed
+  at 256 buckets + ``__bias__`` with no hex→int conversion;
+* feature values are integer token counts — exact;
+* every float-valued intermediate is pinned at a reassociation-proof
+  boundary: weights are ROUNDED 9dp doubles; the margin
+  ``Σ_b cnt_b·w_b`` and the gradient ``Σ_d cnt_{d,b}·(p_d − y_d)``
+  form each term as a double product (IEEE-deterministic on identical
+  inputs), cast it to ``decimal(28,12)``, and SUM in decimal — exact
+  and order-independent, immune to distributed-sum reassociation (the
+  DSIR accumulation trick); only the sigmoid and the scalar step
+  ``w − lr·g/N`` run in doubles, with identical operation order in
+  both engines, then round 9dp again;
+* labels ride in as a column, so any seed rule works (the shipped
+  query distills the heuristic quality gate — the standard bootstrap
+  where the cheap learned model replaces the expensive rule cascade
+  at inference time).
+
+Scale shape: the hashed-count frame is built ONCE (one explode + one
+map-side-combinable groupBy; ≤257 rows per doc survive the combine)
+and lineage-cut with a lazy ``localCheckpoint`` so the unrolled
+iterations reuse it instead of re-scanning the corpus.  Per GD round:
+the ≤257-row weight table broadcast-joins onto the counts (no
+shuffle), one groupBy doc_id (the margin), one groupBy bucket (the
+gradient) — 2 shuffles/round, both map-side combinable, the same
+bound as a distributed PageRank round.  Scoring is one broadcast join
++ one aggregate.  Nothing anywhere depends on partition count or task
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+
+N_BUCKETS = 256  # 2 hex chars of md5 — fixed by the portability trick
+_DEC = "decimal(28,12)"
+_BIAS = "__bias__"
+
+
+def bucket_col(token: Column) -> Column:
+    """Hashed feature bucket of one token: ``substr(md5(tok), 1, 2)``
+    — byte-identical in Spark and DuckDB."""
+    return F.substring(F.md5(token), 1, 2)
+
+
+def hashed_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, cnt): integer token counts per hashed bucket, plus
+    one ``__bias__`` row per document (so empty documents still carry
+    the intercept and receive a score)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    )
+    counts = (
+        tok.select("doc_id", bucket_col(F.col("tok")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bias = docs.select(
+        "doc_id", F.lit(_BIAS).alias("b"), F.lit(1).cast("long").alias("cnt")
+    )
+    return counts.unionByName(bias)
+
+
+def _scores(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, p): sigmoid of the exact decimal margin under the
+    (broadcast) weight table, rounded 9dp."""
+    # per-term product in double (IEEE-deterministic on identical
+    # inputs), cast THEN summed in decimal — exact, order-independent
+    # (the DSIR accumulation trick; a decimal×decimal product would
+    # overflow precision 38 and truncate engine-differently)
+    m = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("w")).cast(_DEC)
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.col("m").cast("double"))),
+            9,
+        ).alias("p"),
+    )
+
+
+def train_text_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """(b, w): hashed-bucket logistic-regression weights after
+    ``iters`` unrolled full-batch GD rounds from w=0, learning rate
+    ``lr``.  ``labels`` is (doc_id, y) with y ∈ {0.0, 1.0}; docs
+    without a label row drop out of training (inner join) but can
+    still be scored.
+
+    Full-batch GD (not SGD) is the deliberate choice: its gradient is
+    a pure aggregation, so the training loop is deterministic on any
+    partitioning — the property that makes the DuckDB oracle and
+    cross-run reproducibility possible.  ``iters`` rounds of
+    full-batch GD on a convex loss is also the textbook distributed
+    recipe (each round = one pass, like distributed L-BFGS's inner
+    loop).
+    """
+    feats = hashed_counts(docs).localCheckpoint(eager=False)
+    y = labels.select("doc_id", F.col("y").cast("double").alias("y"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    w = feats.select("b").distinct().select(
+        "b", F.lit(0.0).alias("w")
+    )
+    for _ in range(iters):
+        p = _scores(feats, w)
+        g = (
+            feats.join(p, "doc_id")
+            .join(y, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    (F.col("cnt") * (F.col("p") - F.col("y"))).cast(
+                        _DEC
+                    )
+                ).alias("g")
+            )
+        )
+        # w − lr·g/N in doubles with fixed operation order (lr*g then
+        # /N), rounded 9dp — identical expression in the oracle.
+        # LEFT join: a bucket seen only in unlabeled docs has no
+        # gradient row; its weight must stay (at 0), not vanish —
+        # dropping it would silently delete those tokens from every
+        # future margin.
+        w = (
+            w.join(g, "b", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "b",
+                F.round(
+                    F.col("w")
+                    - F.lit(lr)
+                    * F.coalesce(
+                        F.col("g").cast("double"), F.lit(0.0)
+                    )
+                    / F.col("__n"),
+                    9,
+                ).alias("w"),
+            )
+        )
+    return w
+
+
+def classify_docs(
+    docs: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr: float = 1.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, p, predicted, y): train on ``labels`` (see
+    :func:`train_text_classifier`), then score EVERY document —
+    probability, thresholded verdict, and the seed label (NULL where
+    unlabeled) so train-set agreement is read straight off the output.
+
+    The shipped query distills the heuristic quality gate into the
+    linear model; at 100 TB the trained ≤257-row weight table is the
+    artifact — score new corpus partitions with one broadcast join
+    instead of re-running the rule cascade.
+    """
+    w = train_text_classifier(docs, labels, iters=iters, lr=lr)
+    p = _scores(hashed_counts(docs), w)
+    return (
+        p.join(
+            labels.select(
+                "doc_id", F.col("y").cast("double").alias("y")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "p",
+            (F.col("p") >= threshold).alias("predicted"),
+            "y",
+        )
+    )

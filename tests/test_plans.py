@@ -486,3 +486,17 @@ def test_rrf_fuse_take_ordered(spark):
     # the fused top-k must be distributed TakeOrdered, not a
     # single-partition global rank window over the union
     assert "TakeOrderedAndProject" in p
+
+
+def test_classifier_training_is_broadcast_shaped(spark):
+    """The GD loop's weight table (<=257 rows) must ride broadcast
+    joins — never a shuffled join keyed on the tiny side — and the
+    only nested-loop is the 1-row N scalar (the pagerank pattern)."""
+    from coies_spark.ops import classify
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labels = docs.selectExpr("doc_id", "0.5 AS y")
+    p = plan_of(classify.classify_docs(docs, labels, iters=2))
+    assert "CartesianProduct" not in p
+    # every weights->feats join is broadcast (one per margin pass)
+    assert p.count("BroadcastHashJoin") >= 3
