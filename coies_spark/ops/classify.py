@@ -110,12 +110,13 @@ def train_text_classifier(
     labels: DataFrame,
     iters: int = 3,
     lr: float = 1.0,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(b, w): hashed-bucket logistic-regression weights after
-    ``iters`` unrolled full-batch GD rounds from w=0, learning rate
-    ``lr``.  ``labels`` is (doc_id, y) with y ∈ {0.0, 1.0}; docs
-    without a label row drop out of training (inner join) but can
-    still be scored.
+    ``iters`` unrolled full-batch GD rounds from w=0 (or from
+    ``init``), learning rate ``lr``.  ``labels`` is (doc_id, y) with
+    y ∈ {0.0, 1.0}; docs without a label row drop out of training
+    (inner join) but can still be scored.
 
     Full-batch GD (not SGD) is the deliberate choice: its gradient is
     a pure aggregation, so the training loop is deterministic on any
@@ -124,13 +125,24 @@ def train_text_classifier(
     full-batch GD on a convex loss is also the textbook distributed
     recipe (each round = one pass, like distributed L-BFGS's inner
     loop).
+
+    ``init`` warm-starts from a previously trained (b, w) table —
+    the daily-refresh path: because every round is deterministic,
+    ``train(iters=k, init=train(iters=j))`` on the same corpus IS
+    ``train(iters=j+k)`` exactly (pinned by test), so incremental
+    refreshes never drift from the full retrain.  Buckets absent
+    from ``init`` (new-token buckets in fresh data) start at 0.
     """
     feats = hashed_counts(docs).localCheckpoint(eager=False)
     y = labels.select("doc_id", F.col("y").cast("double").alias("y"))
     n = docs.agg(F.count(F.lit(1)).alias("__n"))
-    w = feats.select("b").distinct().select(
-        "b", F.lit(0.0).alias("w")
-    )
+    w = feats.select("b").distinct()
+    if init is None:
+        w = w.select("b", F.lit(0.0).alias("w"))
+    else:
+        w = w.join(
+            F.broadcast(init.select("b", "w")), "b", "left"
+        ).select("b", F.coalesce("w", F.lit(0.0)).alias("w"))
     for _ in range(iters):
         p = _scores(feats, w)
         g = (

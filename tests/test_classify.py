@@ -106,6 +106,21 @@ class TestClassifier:
                classify.classify_docs(docs, y, iters=2).collect()}
         assert set(out) == {0, 1, 2}
 
+    def test_warm_start_equals_full_retrain(self, spark):
+        # determinism makes the refresh exact: 2 rounds then 1 more
+        # from those weights == 3 rounds from zero, bit for bit
+        rng = random.Random(7)
+        doc_texts = {i: " ".join(f"w{rng.randrange(20)}"
+                                 for _ in range(8)) for i in range(15)}
+        labels = {i: float(i % 2) for i in range(15)}
+        docs, y = _frames(spark, doc_texts, labels)
+        w2 = classify.train_text_classifier(docs, y, iters=2)
+        warm = {r.b: r.w for r in classify.train_text_classifier(
+            docs, y, iters=1, init=w2).collect()}
+        cold = {r.b: r.w for r in classify.train_text_classifier(
+            docs, y, iters=3).collect()}
+        assert warm == cold
+
     def test_empty_doc_gets_bias_score(self, spark):
         doc_texts = {0: "good stuff here", 1: ""}
         labels = {0: 1.0, 1: 0.0}
