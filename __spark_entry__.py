@@ -618,6 +618,7 @@ def _q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ('c"1 x', "rel\\x%", 'l1\nl2\r\tq:"\\" <end>'),
             (None, "p", "o"),
+            ("bad\nsubj", "p", "o"),  # control char in IRI → dropped
         ],
         "subj string, pred string, obj string",
     )
@@ -633,9 +634,14 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight table is the deployable artifact — scoring new partitions
     is one broadcast join instead of the rule cascade."""
     docs = _read(spark, sf_dir, "documents")
+    # coalesce: an empty-text doc has quality NULL (try_divide) — the
+    # oracle's CASE yields 0.0 there, so the label must too, or the
+    # NULL y silently drops the doc's gradient terms in Spark only
     labels = textstats.quality_scores(docs).select(
         "doc_id",
-        (F.col("quality") >= 0.62).cast("double").alias("y"),
+        F.coalesce(
+            (F.col("quality") >= 0.62).cast("double"), F.lit(0.0)
+        ).alias("y"),
     )
     return classify.classify_docs(docs, labels, iters=3, lr=1.0)
 
@@ -3244,12 +3250,14 @@ def oracle_sql() -> dict[str, str]:
     ]
     for it in range(1, 4):
         hits_ctes += [
-            f"ar{it} AS (SELECT e.d AS node, round(sum(h.score), 9)"
+            f"ar{it} AS (SELECT e.d AS node, round(CAST(sum(CAST("
+            "h.score AS DECIMAL(28,12))) AS DOUBLE), 9)"
             f" AS raw FROM e JOIN h{it - 1} h ON h.node = e.s"
             f" GROUP BY e.d)",
             f"a{it} AS (SELECT node, round(raw /"
             f" (SELECT max(raw) FROM ar{it}), 9) AS score FROM ar{it})",
-            f"hr{it} AS (SELECT e.s AS node, round(sum(a.score), 9)"
+            f"hr{it} AS (SELECT e.s AS node, round(CAST(sum(CAST("
+            "a.score AS DECIMAL(28,12))) AS DOUBLE), 9)"
             f" AS raw FROM e JOIN a{it} a ON a.node = e.d"
             f" GROUP BY e.s)",
             f"h{it} AS (SELECT node, round(raw /"
@@ -3302,7 +3310,9 @@ def oracle_sql() -> dict[str, str]:
               ('c"1 x', 'rel' || chr(92) || 'x%',
                'l1' || chr(10) || 'l2' || chr(13) || chr(9) ||
                'q:"' || chr(92) || '" <end>'),
-              (NULL, 'p', 'o')) v(subj, pred, obj))
+              (NULL, 'p', 'o'),
+              ('bad' || chr(10) || 'subj', 'p', 'o')
+            ) v(subj, pred, obj))
         )
         SELECT subj, pred, obj,
                '<{_nt_base}/id/' || {_chain('subj', _iri_pairs)} ||
@@ -3311,6 +3321,8 @@ def oracle_sql() -> dict[str, str]:
         FROM tr
         WHERE subj IS NOT NULL AND pred IS NOT NULL
           AND obj IS NOT NULL
+          AND NOT regexp_matches(subj, '[\\x00-\\x1f\\x7f{{}}|^`]')
+          AND NOT regexp_matches(pred, '[\\x00-\\x1f\\x7f{{}}|^`]')
     """
     # hashed-feature logistic regression, unrolled full-batch GD:
     # md5-hex buckets (exact string keys), per-term double products
@@ -3325,7 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         " '__bias__', CAST(1 AS BIGINT) FROM documents)",
         "cy AS (SELECT doc_id, CASE WHEN quality >= 0.62 THEN 1.0"
         f" ELSE 0.0 END AS y FROM ({{Q}}))",
-        "cn AS (SELECT count(*) AS n FROM documents)",
+        "cn AS (SELECT count(*) AS n FROM cy)",
         "cw0 AS (SELECT DISTINCT b, 0.0 AS w FROM cf)",
     ]
     for it in range(1, 4):

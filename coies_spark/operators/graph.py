@@ -581,11 +581,13 @@ def hits(
 
     * init hub = 1.0 for every node (both endpoints of any edge);
     * per half-round: raw score = Σ over the matching edge direction,
-      ROUNDED 9dp, then normalized by the MAX raw score and rounded
-      9dp again.  Max-normalization replaces the textbook L2 norm
-      because ``max`` over already-rounded values is order-exact on
-      any engine, partitioning, or task schedule, while a global
-      float sum (L1/L2) is not; the two differ only by a per-round
+      accumulated in ``decimal(28,12)`` — the incoming scores are
+      9dp-rounded doubles, so every term is decimal-exact and the sum
+      is order-independent on any partitioning (a plain double sum
+      would not be) — then cast to double, ROUNDED 9dp, and
+      normalized by the MAX raw score (order-exact by nature; the
+      textbook L2 norm is a global float sum and is not), rounded 9dp
+      again.  Max- and L2-normalization differ only by a per-round
       positive scalar, so rankings and convergence are identical;
     * nodes on the wrong side of every edge score 0 (left-join +
       coalesce), never drop out of the output.
@@ -618,7 +620,14 @@ def hits(
         raw = (
             e.join(frm.withColumnRenamed("node", key), key)
             .groupBy(F.col(out).alias("node"))
-            .agg(F.round(F.sum("score"), 9).alias("raw"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("score").cast("decimal(28,12)")
+                    ).cast("double"),
+                    9,
+                ).alias("raw")
+            )
         )
         mx = raw.agg(F.max("raw").alias("__mx"))
         return raw.crossJoin(F.broadcast(mx)).select(

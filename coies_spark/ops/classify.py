@@ -45,20 +45,14 @@ order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_col
+from .dsir import N_BUCKETS, md5_bucket  # noqa: F401 (shared trick)
 
-N_BUCKETS = 256  # 2 hex chars of md5 — fixed by the portability trick
 _DEC = "decimal(28,12)"
 _BIAS = "__bias__"
-
-
-def bucket_col(token: Column) -> Column:
-    """Hashed feature bucket of one token: ``substr(md5(tok), 1, 2)``
-    — byte-identical in Spark and DuckDB."""
-    return F.substring(F.md5(token), 1, 2)
 
 
 def hashed_counts(docs: DataFrame) -> DataFrame:
@@ -69,7 +63,7 @@ def hashed_counts(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(tokens_col("text")).alias("tok")
     )
     counts = (
-        tok.select("doc_id", bucket_col(F.col("tok")).alias("b"))
+        tok.select("doc_id", md5_bucket("tok").alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -130,17 +124,36 @@ def train_text_classifier(
     the daily-refresh path: because every round is deterministic,
     ``train(iters=k, init=train(iters=j))`` on the same corpus IS
     ``train(iters=j+k)`` exactly (pinned by test), so incremental
-    refreshes never drift from the full retrain.  Buckets absent
-    from ``init`` (new-token buckets in fresh data) start at 0.
+    refreshes never drift from the full retrain.  The weight universe
+    is the UNION of the corpus's buckets and ``init``'s: new-token
+    buckets start at 0, and an init bucket whose tokens are absent
+    from this batch keeps its learned weight (no gradient reaches it)
+    instead of being silently deleted from future margins.
     """
     feats = hashed_counts(docs).localCheckpoint(eager=False)
+    return _train_on(feats, labels, iters=iters, lr=lr, init=init)
+
+
+def _train_on(
+    feats: DataFrame,
+    labels: DataFrame,
+    iters: int,
+    lr: float,
+    init: DataFrame | None,
+) -> DataFrame:
+    """GD core over a prebuilt hashed-counts frame (so callers that
+    also score — :func:`classify_docs` — reuse ONE corpus scan)."""
     y = labels.select("doc_id", F.col("y").cast("double").alias("y"))
-    n = docs.agg(F.count(F.lit(1)).alias("__n"))
-    w = feats.select("b").distinct()
+    # N = the training set (labeled docs): the gradient sums over
+    # label-joined rows, so dividing by the corpus size would shrink
+    # the effective step by the labeled fraction
+    n = y.agg(F.count(F.lit(1)).alias("__n"))
+    univ = feats.select("b").distinct()
     if init is None:
-        w = w.select("b", F.lit(0.0).alias("w"))
+        w = univ.select("b", F.lit(0.0).alias("w"))
     else:
-        w = w.join(
+        univ = univ.unionByName(init.select("b")).distinct()
+        w = univ.join(
             F.broadcast(init.select("b", "w")), "b", "left"
         ).select("b", F.coalesce("w", F.lit(0.0)).alias("w"))
     for _ in range(iters):
@@ -159,9 +172,9 @@ def train_text_classifier(
         )
         # w − lr·g/N in doubles with fixed operation order (lr*g then
         # /N), rounded 9dp — identical expression in the oracle.
-        # LEFT join: a bucket seen only in unlabeled docs has no
-        # gradient row; its weight must stay (at 0), not vanish —
-        # dropping it would silently delete those tokens from every
+        # LEFT join: a bucket seen only in unlabeled docs (or only in
+        # init) has no gradient row; its weight must stay, not vanish
+        # — dropping it would silently delete those tokens from every
         # future margin.
         w = (
             w.join(g, "b", "left")
@@ -199,8 +212,9 @@ def classify_docs(
     artifact — score new corpus partitions with one broadcast join
     instead of re-running the rule cascade.
     """
-    w = train_text_classifier(docs, labels, iters=iters, lr=lr)
-    p = _scores(hashed_counts(docs), w)
+    feats = hashed_counts(docs).localCheckpoint(eager=False)
+    w = _train_on(feats, labels, iters=iters, lr=lr, init=None)
+    p = _scores(feats, w)
     return (
         p.join(
             labels.select(

@@ -91,11 +91,36 @@ def _flag_frame(docs: DataFrame, min_quality: float) -> DataFrame:
             ),
         )
     )
+    # coalesce: a NULL verdict (empty-text doc → NULL quality via
+    # try_divide) must read as a deterministic FAIL in boolean
+    # algebra, not as a three-valued NULL that NULL-skipping
+    # aggregates and CASE fall-throughs interpret differently across
+    # engines.  (Today the a2 inner join already drops token-less
+    # docs, so NULL cannot reach these columns — the coalesce makes
+    # the fail-closed semantics explicit rather than incidental.)
     return base.join(a2, "doc_id").withColumns(
         {
-            "q_ok": F.col("quality") >= min_quality,
-            "r_ok": repetition_keep_col(),
+            "q_ok": F.coalesce(
+                F.col("quality") >= min_quality, F.lit(False)
+            ),
+            "r_ok": F.coalesce(repetition_keep_col(), F.lit(False)),
         }
+    )
+
+
+def _gated_rep(flagged: DataFrame) -> DataFrame:
+    """Adds ``rep`` — each bag-dup group's survivor (min doc_id among
+    the GATED members) — via one skew-safe bag_key window.  The ONE
+    definition of survivorship, shared by :func:`curation_report` and
+    :func:`source_stats` (and semantically by :func:`curate_corpus`,
+    whose gated-subset window is the same rule restricted to rows
+    where the gate already holds)."""
+    w = Window.partitionBy("bag_key")
+    return flagged.withColumn(
+        "rep",
+        F.min(
+            F.when(F.col("q_ok") & F.col("r_ok"), F.col("doc_id"))
+        ).over(w),
     )
 
 
@@ -162,13 +187,7 @@ def curation_report(
     flagged = _flag_frame(docs, min_quality).select(
         "doc_id", "lang", "n_tokens", "bag_key", "q_ok", "r_ok"
     )
-    w = Window.partitionBy("bag_key")
-    gated_rep = flagged.withColumn(
-        "rep",
-        F.min(
-            F.when(F.col("q_ok") & F.col("r_ok"), F.col("doc_id"))
-        ).over(w),
-    )
+    gated_rep = _gated_rep(flagged)
     stage = (
         F.when(~F.col("q_ok"), F.lit("quality_fail"))
         .when(~F.col("r_ok"), F.lit("repetition_fail"))
@@ -222,13 +241,7 @@ def source_stats(
         "q_ok",
         "r_ok",
     )
-    w = Window.partitionBy("bag_key")
-    gated_rep = flagged.withColumn(
-        "rep",
-        F.min(
-            F.when(F.col("q_ok") & F.col("r_ok"), F.col("doc_id"))
-        ).over(w),
-    )
+    gated_rep = _gated_rep(flagged)
     q_fail = (~F.col("q_ok")).cast("double")
     r_fail = (F.col("q_ok") & ~F.col("r_ok")).cast("double")
     d_drop = (

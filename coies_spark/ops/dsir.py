@@ -45,6 +45,15 @@ N_BUCKETS = 256  # 2 hex chars of md5 — fixed by the portability trick
 _DEC = "decimal(28,12)"
 
 
+def md5_bucket(col: Column | str) -> Column:
+    """The 256-way hashed feature bucket: first two hex chars of
+    ``md5(utf8(col))`` — a string group key both engines compute
+    byte-identically.  THE single definition of the portability trick
+    (ops.classify imports it; a second copy could drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(F.encode(c, "utf-8")), 1, 2)
+
+
 def _grams_col(text_col: str = "text") -> Column:
     """Unigrams + bigrams of the engine tokenizer's output.  The token
     array sits in the HOF's argument position and the lambda body
@@ -79,9 +88,7 @@ def hashed_gram_counts(
         .select(
             "id",
             *carry,
-            F.substring(F.md5(F.encode("gram", "utf-8")), 1, 2).alias(
-                "bucket"
-            ),
+            md5_bucket("gram").alias("bucket"),
         )
         .groupBy("id", "bucket", *carry)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -313,7 +313,13 @@ def to_ntriples(
       faithful typing;
     * NULL terms make a row unserializable → dropped, never emitted
       as an invalid line (count the drop upstream via
-      ``constraint_violations``' null_term rule).
+      ``constraint_violations``' null_term rule).  Likewise subjects
+      or predicates carrying characters the IRI grammar forbids and
+      the encoder does not map — controls (U+0000–1F, U+007F) and
+      ``{ } | ^ `` ` — are dropped: a raw newline in an IRI position
+      would split one triple into two corrupt lines, which is worse
+      than omitting it.  Objects are literals, so their controls are
+      covered by the string escapes.
 
     Scale: a pure string-expression projection — whole-stage codegen,
     zero shuffle; write the ``line`` column with ``text`` format
@@ -345,10 +351,13 @@ def to_ntriples(
             c = F.replace(c, F.lit(ch), F.lit(repl))
         return c
 
+    bad_iri = "[\\x00-\\x1f\\x7f{}|^`]"
     return triples.where(
         F.col("subj").isNotNull()
         & F.col("pred").isNotNull()
         & F.col("obj").isNotNull()
+        & ~F.col("subj").rlike(bad_iri)
+        & ~F.col("pred").rlike(bad_iri)
     ).select(
         "subj",
         "pred",

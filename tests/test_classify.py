@@ -10,9 +10,23 @@ from coies_spark.ops import classify
 
 
 def _replica(doc_texts, labels, iters=3, lr=1.0):
-    """Pure-Python twin: same md5-hex buckets, same rounding pins.
-    Accumulates in floats over sorted keys — at test scale the 9dp
-    rounds make this bit-equal to the engine's exact decimal path."""
+    """Pure-Python twin: same md5-hex buckets, same rounding pins,
+    and the engine's exact accumulation — each term is a double
+    product whose 12dp decimal ("%.12f", the cast-to-decimal(28,12)
+    of a double) is summed exactly, so the replica can never land on
+    the other side of a 9dp rounding boundary than the engine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        # Spark's round(x, 9) = BigDecimal.valueOf(x) (shortest repr,
+        # = Python repr) setScale(9, HALF_UP); Python's round() is
+        # half-EVEN and diverges on exact .5 ties at the 9th digit
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+
     feats = {}
     for d, text in doc_texts.items():
         c = {}
@@ -21,27 +35,31 @@ def _replica(doc_texts, labels, iters=3, lr=1.0):
             c[b] = c.get(b, 0) + 1
         c["__bias__"] = 1
         feats[d] = c
-    n = len(doc_texts)
+    n = len(labels)  # N = the training set, not the corpus
     buckets = sorted({b for c in feats.values() for b in c})
     w = {b: 0.0 for b in buckets}
 
     def scores(weights):
         out = {}
         for d, c in feats.items():
-            m = sum(cnt * weights[b] for b, cnt in sorted(c.items()))
-            out[d] = round(1.0 / (1.0 + math.exp(-m)), 9)
+            m = sum(
+                (Decimal("%.12f" % (cnt * weights[b]))
+                 for b, cnt in sorted(c.items())),
+                Decimal(0),
+            )
+            out[d] = r9(1.0 / (1.0 + math.exp(-float(m))))
         return out
 
     for _ in range(iters):
         p = scores(w)
-        g = {b: 0.0 for b in buckets}
+        g = {b: Decimal(0) for b in buckets}
         for d, c in sorted(feats.items()):
             if d not in labels:
                 continue
             diff = p[d] - labels[d]
             for b, cnt in c.items():
-                g[b] += cnt * diff
-        w = {b: round(w[b] - lr * g[b] / n, 9) for b in buckets}
+                g[b] += Decimal("%.12f" % (cnt * diff))
+        w = {b: r9(w[b] - lr * float(g[b]) / n) for b in buckets}
     return w, scores(w)
 
 
@@ -120,6 +138,20 @@ class TestClassifier:
         cold = {r.b: r.w for r in classify.train_text_classifier(
             docs, y, iters=3).collect()}
         assert warm == cold
+
+    def test_warm_start_keeps_buckets_absent_from_new_batch(self, spark):
+        # a learned bucket whose tokens don't appear in the refresh
+        # batch must keep its weight, not vanish from the table
+        docs1, y1 = _frames(spark, {0: "alpha beta", 1: "gamma"},
+                            {0: 1.0, 1: 0.0})
+        w1 = classify.train_text_classifier(docs1, y1, iters=2)
+        ab = hashlib.md5(b"alpha").hexdigest()[:2]
+        w1_ab = {r.b: r.w for r in w1.collect()}[ab]
+        assert w1_ab != 0.0
+        docs2, y2 = _frames(spark, {5: "delta epsilon"}, {5: 1.0})
+        w2 = {r.b: r.w for r in classify.train_text_classifier(
+            docs2, y2, iters=1, init=w1).collect()}
+        assert w2[ab] == w1_ab  # untouched, not deleted
 
     def test_empty_doc_gets_bias_score(self, spark):
         doc_texts = {0: "good stuff here", 1: ""}

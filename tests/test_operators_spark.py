@@ -228,24 +228,30 @@ class TestPageRank:
 
 def _hits_replica(edges, iters):
     """Pure-Python HITS with the operator's exact conventions:
-    self-loops dropped, per-half-round 9dp rounding, max-normalized."""
+    self-loops dropped, decimal(28,12) half-round sums ("%.12f" is
+    the 12dp decimal of a 9dp-rounded double), 9dp pins,
+    max-normalized."""
+    from decimal import Decimal
+
     e = {(s, d) for s, d in edges if s != d}
     nodes = {s for s, _ in e} | {d for _, d in e}
     h = {n: 1.0 for n in nodes}
     a = {}
+
+    def half(frm, flip):
+        raw = {}
+        for s, d in e:
+            k, v = (d, s) if not flip else (s, d)
+            raw[k] = raw.get(k, Decimal(0)) + Decimal(
+                "%.12f" % frm.get(v, 0.0)
+            )
+        raw = {n: round(float(v), 9) for n, v in raw.items()}
+        mx = max(raw.values())
+        return {n: round(v / mx, 9) for n, v in raw.items()}
+
     for _ in range(iters):
-        raw = {}
-        for s, d in e:
-            raw[d] = raw.get(d, 0.0) + h.get(s, 0.0)
-        raw = {n: round(v, 9) for n, v in raw.items()}
-        mx = max(raw.values())
-        a = {n: round(v / mx, 9) for n, v in raw.items()}
-        raw = {}
-        for s, d in e:
-            raw[s] = raw.get(s, 0.0) + a.get(d, 0.0)
-        raw = {n: round(v, 9) for n, v in raw.items()}
-        mx = max(raw.values())
-        h = {n: round(v / mx, 9) for n, v in raw.items()}
+        a = half(h, flip=False)
+        h = half(a, flip=True)
     return {n: (h.get(n, 0.0), a.get(n, 0.0)) for n in nodes}
 
 

@@ -630,6 +630,8 @@ def test_to_ntriples_escapes_and_null_drop(spark):
         [
             ('c"1 x', "rel\\x%", 'l1\nl2\r\tq:"\\" <end>'),
             ("s", "p", None),  # unserializable -> dropped
+            ("bad\nsubj", "p", "o"),  # control char in IRI -> dropped
+            ("curly{brace}", "p", "o"),  # IRI-forbidden -> dropped
             ("conv-1", "mentions", "spark"),
         ],
         "subj string, pred string, obj string",
