@@ -627,6 +627,34 @@ def _q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over a planted evolution of the documents table:
+    every 11th doc removed, every 7th edited, every 13th re-added
+    under a shifted id — the planted-corpus pattern, so all three
+    statuses are always exercised."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    did = F.col("doc_id")
+    new = (
+        docs.where(did % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                did % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(did % 13 == 0).select(
+                (did + 1000000).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return curate.corpus_diff(old, new)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distill the heuristic quality gate into a hashed linear model:
     labels = (quality >= 0.62) from the shared quality builders, 3
@@ -1147,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by unrolled batch GD, distilling the heuristic quality gate
         # (the training LOOP itself is the declarative plan)
         "quality_classifier": _q_quality_classifier,
+        # snapshot diff: the incremental work-list (added / removed /
+        # changed only — unchanged never emitted)
+        "corpus_diff": _q_corpus_diff,
         # HITS hubs/authorities over the DIRECTED tool-transition
         # graph (max-normalized mutual reinforcement, unrolled)
         "hits_tools": _q_hits_tools,
@@ -3323,6 +3354,38 @@ def oracle_sql() -> dict[str, str]:
           AND obj IS NOT NULL
           AND NOT regexp_matches(subj, '[\\x00-\\x1f\\x7f{{}}|^`]')
           AND NOT regexp_matches(pred, '[\\x00-\\x1f\\x7f{{}}|^`]')
+    """
+    # corpus_diff: the same planted evolution (every 11th removed,
+    # every 7th edited, every 13th re-added shifted), full-outer
+    # digest compare, unchanged rows never emitted
+    sql["corpus_diff"] = """
+        WITH old AS (SELECT doc_id, md5(text) AS old_digest,
+                            TRUE AS in_old
+                     FROM documents),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0
+                          THEN text || ' [edited]' ELSE text END)
+                   AS new_digest,
+                 TRUE AS in_new
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5('fresh ' || text), TRUE
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     o.old_digest, n.new_digest, o.in_old, n.in_new
+              FROM old o FULL OUTER JOIN new n
+                ON o.doc_id = n.doc_id),
+        s AS (SELECT doc_id, old_digest, new_digest,
+                     CASE WHEN in_old IS NULL THEN 'added'
+                          WHEN in_new IS NULL THEN 'removed'
+                          WHEN old_digest IS DISTINCT FROM new_digest
+                            THEN 'changed'
+                     END AS status
+              FROM j)
+        SELECT doc_id, status, old_digest, new_digest
+        FROM s WHERE status IS NOT NULL
     """
     # hashed-feature logistic regression, unrolled full-batch GD:
     # md5-hex buckets (exact string keys), per-term double products

@@ -262,3 +262,57 @@ def source_stats(
         ),
         F.round(F.avg(kept), 6).alias("keep_rate"),
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, status, old_digest, new_digest): the incremental
+    work-list between two corpus snapshots — ``added`` (key only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, text
+    digests differ).  Unchanged docs are NOT emitted: the output IS
+    the set of rows downstream incremental passes must touch, so on
+    a mostly-stable 100 TB corpus it is small by construction (the
+    point of running diff-then-process instead of reprocess-all).
+
+    Digest = ``md5(text)`` — byte equality, the same "per-row text
+    equality" invariant the north rule pins for turns.  Presence is
+    tracked by explicit flags, never by digest nullity (md5(NULL) is
+    NULL, so a present-row-with-NULL-text must not read as an absent
+    key); NULL-vs-NULL text is unchanged (dropped), NULL-vs-text is
+    changed.
+
+    Scale: two projection scans + ONE full-outer hash join on the
+    key.  No windows, no skew surface (keys are unique per snapshot);
+    with both snapshots stored bucketed by the key the join is
+    exchange-free.
+    """
+    # presence flags, NOT digest nullity, decide added/removed:
+    # md5(NULL text) is NULL, so a present-row-with-NULL-text would
+    # otherwise be indistinguishable from an absent key
+    od = old.select(
+        F.col(key).alias("k"),
+        F.md5("text").alias("old_digest"),
+        F.lit(True).alias("_in_old"),
+    )
+    nd = new.select(
+        F.col(key).alias("k"),
+        F.md5("text").alias("new_digest"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = od.join(nd, "k", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            F.col("k").alias(key), "status", "old_digest", "new_digest"
+        )
+    )

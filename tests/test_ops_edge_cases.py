@@ -1830,6 +1830,35 @@ class TestCurationReport:
         assert (r.stage, r.n_docs) == ("quality_fail", 1)
 
 
+class TestCorpusDiff:
+    def test_statuses_and_null_text_semantics(self, spark):
+        from coies_spark.ops import curate
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "will change"), (3, "will vanish"),
+             (4, None), (5, None)],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "changed"), (6, "brand new"),
+             (4, None), (5, "text now")],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.status
+               for r in curate.corpus_diff(old, new).collect()}
+        # 1 unchanged (absent), 4 NULL==NULL unchanged (absent)
+        assert got == {2: "changed", 3: "removed", 6: "added",
+                       5: "changed"}
+
+    def test_identical_snapshots_emit_nothing(self, spark):
+        from coies_spark.ops import curate
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        assert curate.corpus_diff(docs, docs).count() == 0
+
+
 class TestSourceStats:
     def test_rates_partition_and_keep_matches_pass(self, spark):
         from coies_spark.ops import curate
