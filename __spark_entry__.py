@@ -1178,6 +1178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot diff: the incremental work-list (added / removed /
         # changed only — unchanged never emitted)
         "corpus_diff": _q_corpus_diff,
+        # overlapping RAG chunks (stride < window): turn-granular
+        # membership from integer token offsets, one conv exchange
+        "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
+            transcripts.synthesize_transcripts(
+                _read(s, d, "documents")
+            ),
+            window_tokens=24,
+            stride_tokens=12,
+        ),
         # HITS hubs/authorities over the DIRECTED tool-transition
         # graph (max-normalized mutual reinforcement, unrolled)
         "hits_tools": _q_hits_tools,
@@ -3621,6 +3630,45 @@ def oracle_sql() -> dict[str, str]:
                string_agg(turn_text, ' ' ORDER BY turn_idx)
                  AS packed_text
         FROM off GROUP BY 1, 2
+    """
+    )
+
+    # sliding_chunks: same prefix-sum offsets as pack_turns, interval
+    # membership via per-row generate range [k_min, k_max], identical
+    # integer/floor math, shared string_agg assembly
+    sql["sliding_chunks"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tok AS (
+          SELECT conv_id, turn_idx, turn_text,
+                 CAST(len(list_filter(regexp_split_to_array(
+                   lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                   x -> x <> '')) AS BIGINT) AS n_toks
+          FROM t),
+        off AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 coalesce(sum(n_toks) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS o
+          FROM tok),
+        spanned AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 unnest(range(
+                   greatest(0, CAST(floor((o - 24) / 12.0)
+                                    AS BIGINT) + 1),
+                   CAST(floor((o + n_toks - 1) / 12.0)
+                        AS BIGINT) + 1)) AS chunk_id
+          FROM off WHERE n_toks > 0)
+        SELECT conv_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(min(turn_idx) AS BIGINT) AS first_turn,
+               CAST(max(turn_idx) AS BIGINT) AS last_turn,
+               string_agg(turn_text, ' ' ORDER BY turn_idx)
+                 AS chunk_text
+        FROM spanned GROUP BY 1, 2
     """
     )
 

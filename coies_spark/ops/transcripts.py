@@ -216,6 +216,92 @@ def pack_turns(
     )
 
 
+def sliding_chunks(
+    transcripts: DataFrame,
+    window_tokens: int = 64,
+    stride_tokens: int = 32,
+) -> DataFrame:
+    """(conv_id, chunk_id, n_turns, n_tokens, first_turn, last_turn,
+    chunk_text): OVERLAPPING retrieval chunks — each conversation's
+    token stream is covered by windows of ``window_tokens`` starting
+    every ``stride_tokens``, and a turn belongs to EVERY window its
+    token span ``[offset, offset+len)`` intersects.  This is the RAG
+    chunking recipe (stride < window ⇒ adjacent chunks share
+    boundary context, so an answer straddling a cut is whole in at
+    least one chunk), where :func:`pack_turns` is the disjoint
+    training-packing recipe.
+
+    Membership is turn-granular: chunks never split mid-turn, so a
+    boundary turn is duplicated into each window it touches and a
+    chunk can exceed ``window_tokens`` by its edge turns' overhang —
+    the standard trade for keeping turns atomic.  Zero-token turns
+    span no token range and join no chunk.  Chunk ids are
+    ``floor(position / stride)`` over [k_min, k_max] computed from
+    pure integer token offsets, so membership is deterministic on
+    any engine or partitioning:
+
+    * ``k_min = max(0, floor((offset − window) / stride) + 1)`` —
+      first window still covering the turn's first token;
+    * ``k_max = floor((offset + len − 1) / stride)`` — last window
+      starting at or before the turn's last token.
+
+    Scale: one conv_id window pass (the exclusive prefix sum — on the
+    bucketed transcript layout its exchange is satisfied by storage),
+    an in-row ``sequence()`` explode whose fan-out is bounded by
+    ``len/stride + window/stride`` chunks per turn (≈ the overlap
+    factor; a 64/32 config duplicates each turn ~2–3×), then ONE
+    groupBy (conv_id, chunk_id) with the shared order-deterministic
+    turn assembly.
+    """
+    if stride_tokens < 1 or window_tokens < stride_tokens:
+        raise ValueError(
+            "sliding_chunks: need 1 <= stride_tokens <= window_tokens"
+        )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+    )
+    offs = toks.withColumn(
+        "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    ).where(F.col("n_toks") > 0)
+    spanned = offs.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "n_toks",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("off") - window_tokens)
+                        / F.lit(stride_tokens)
+                    ).cast("long")
+                    + 1,
+                ),
+                F.floor(
+                    (F.col("off") + F.col("n_toks") - 1)
+                    / F.lit(stride_tokens)
+                ).cast("long"),
+            )
+        ).alias("chunk_id"),
+    )
+    return spanned.groupBy("conv_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+        _assembled_turns_col().alias("chunk_text"),
+    )
+
+
 def scrub_pii_turns(
     transcripts: DataFrame, roles: tuple[str, ...] | None = ("user",)
 ) -> DataFrame:

@@ -2291,3 +2291,54 @@ class TestNewOpsRandomizedParity:
         got = {(r.a, r.b): (r.common, r.jaccard)
                for r in neighbor_jaccard(sdf, max_degree=5).collect()}
         assert got == expected
+
+
+class TestSlidingChunks:
+    def test_hand_computed_membership_and_overlap(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        ten = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        rows = [("c", i, "user", ten, None, None) for i in range(3)]
+        rows.append(("c", 3, "user", "", None, None))  # 0 tokens
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string,"
+            " text string, tool string, ts timestamp")
+        out = tr.sliding_chunks(df, window_tokens=16, stride_tokens=8)
+        got = {r.chunk_id: (r.first_turn, r.last_turn, r.n_turns,
+                            r.n_tokens) for r in out.collect()}
+        # offsets 0/10/20; windows [0,16) [8,24) [16,32) [24,40):
+        # c0={t0,t1} c1={t0,t1,t2} c2={t1,t2} c3={t2}; empty turn
+        # joins nothing
+        assert got == {0: (0, 1, 2, 20), 1: (0, 2, 3, 30),
+                       2: (1, 2, 2, 20), 3: (2, 2, 1, 10)}
+        # boundary turns shared by adjacent chunks (the RAG property):
+        # chunk 1 holds 3 turns, each contributing one "t0" token
+        text = {r.chunk_id: r.chunk_text for r in out.collect()}
+        assert text[1].count("t0") == 3
+        assert text[0] == ten + " " + ten
+
+    def test_param_guard(self, spark):
+        import pytest
+
+        from coies_spark.ops import transcripts as tr
+
+        df = spark.createDataFrame(
+            [("c", 0, "user", "x", None, None)],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+        with pytest.raises(ValueError):
+            tr.sliding_chunks(df, window_tokens=8, stride_tokens=16)
+        with pytest.raises(ValueError):
+            tr.sliding_chunks(df, window_tokens=8, stride_tokens=0)
+
+    def test_stride_equals_window_is_disjoint_packing(self, spark):
+        from coies_spark.ops import transcripts as tr
+
+        ten = " ".join(f"t{i}" for i in range(10))
+        rows = [("c", i, "user", ten, None, None) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string,"
+            " text string, tool string, ts timestamp")
+        out = tr.sliding_chunks(df, window_tokens=20, stride_tokens=20)
+        # stride == window -> every turn in exactly one chunk
+        assert sum(r.n_turns for r in out.collect()) == 4
