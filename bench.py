@@ -27,6 +27,8 @@ Headliners cover the engine's load-bearing paths:
 * semdedup          — SemDeDup semantic dedup (k-means blocks +
                       within-cluster cosine) over the planted corpus
 * lm_perplexity     — CCNet-style bigram-LM perplexity filter
+* quality_classifier— hashed-feature logistic regression: the
+                      declarative GD training loop + corpus scoring
 * temporal_triples  — SCD-2 validity intervals over the event stream
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
@@ -121,6 +123,7 @@ def main() -> None:
         _q_agg_pricing,
         _q_embedding_neardup,
         _q_join_revenue,
+        _q_quality_classifier,
         _q_semdedup,
         _q_temporal_triples,
     )
@@ -252,6 +255,15 @@ def main() -> None:
         # CCNet-style bigram-LM perplexity filter (train slice counts
         # + token-keyed scoring joins + per-doc aggregation)
         "lm_perplexity": lambda: run(lm.lm_perplexity(docs)),
+        # trainable quality filter: 3 full-batch GD rounds + scoring,
+        # all one declarative plan (2 map-side-combinable shuffles
+        # per round, broadcast weights).  Aggregating sink: scores
+        # preserve cardinality
+        "quality_classifier": lambda: run(
+            _q_quality_classifier(spark, sf_dir).agg(
+                F.sum("p"), F.count("predicted")
+            )
+        ),
         # SCD-2 validity intervals over the event stream (the KG
         # evidence→belief layer's window-pass workhorse)
         "temporal_triples": lambda: run(_q_temporal_triples(spark, sf_dir)),

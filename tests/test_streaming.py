@@ -388,3 +388,42 @@ def test_stream_triple_confidence_matches_batch(spark, tmp_path):
     # the clamped perfect-score row (window 00) stayed finite
     key = ("2024-01-01 00:00:00", "s0", "o0")
     assert got[key][1] is not None and got[key][1] >= 0.999999
+
+
+def test_stream_classify_matches_batch_scores(spark, tmp_path):
+    """Stream scoring under frozen trained weights is bit-identical
+    to batch classify_docs — the train-batch / score-stream deploy
+    shape."""
+    from coies_spark.ops import classify
+    from coies_spark.streaming.classify import stream_classify
+
+    rows = [
+        (i, f"alpha w{i % 7} beta w{i % 3} gamma " * (1 + i % 4))
+        for i in range(30)
+    ]
+    rows.append((100, ""))  # bias-only doc
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    labels = df.selectExpr(
+        "doc_id", "CAST(doc_id % 2 AS DOUBLE) AS y"
+    )
+    w = {r.b: r.w for r in classify.train_text_classifier(
+        df, labels, iters=3).collect()}
+    batch = {r.doc_id: (r.p, r.predicted) for r in
+             classify.classify_docs(df, labels, iters=3).collect()}
+
+    in_dir = tmp_path / "clf_stream"
+    df.coalesce(1).write.parquet(str(in_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(in_dir))
+    q = (
+        stream_classify(stream, w)
+        .writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckclf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.p, r.predicted) for r in
+           spark.sql("select * from scored_stream").collect()}
+    assert got == batch
