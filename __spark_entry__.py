@@ -41,6 +41,7 @@ from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jacca
 from coies_spark.operators.graph import hits as graph_hits
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
+    bpe,
     classify,
     curate,
     dedup,
@@ -674,6 +675,30 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.classify_docs(docs, labels, iters=3, lr=1.0)
 
 
+BPE_MERGES = 8
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction: 8 unrolled merge rounds
+    over the corpus word-frequency table.  Float-free — every value
+    an integer count or string — so the learned merge table is exact
+    on any engine/partitioning (ties break (count DESC, pair ASC))."""
+    return bpe.bpe_merges(_read(spark, sf_dir, "documents"), BPE_MERGES)
+
+
+def _q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to every document and report the
+    symbol-level compression — the tokenizer owner's gauge.  The
+    collected merge list is ≤8 rows (driver-safe by construction,
+    the streaming-weights literal-broadcast pattern)."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe.bpe_merges(docs, BPE_MERGES).orderBy("rank").collect()
+    ]
+    return bpe.bpe_segment(docs, merges)
+
+
 def _q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_confidence(_kg_evidence(spark, sf_dir))
 
@@ -1178,6 +1203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot diff: the incremental work-list (added / removed /
         # changed only — unchanged never emitted)
         "corpus_diff": _q_corpus_diff,
+        # trainable op #3: BPE tokenizer induction — 8 unrolled merge
+        # rounds over the word-frequency table; integer/string-exact
+        "bpe_merges": _q_bpe_merges,
+        # the trained tokenizer applied corpus-wide: symbols/token
+        # compression per doc (zero-shuffle string projection)
+        "bpe_compression": _q_bpe_compression,
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -3442,6 +3473,79 @@ def oracle_sql() -> dict[str, str]:
                 FROM cmf)
         SELECT p.doc_id, p.p, p.p >= 0.5 AS predicted, y.y
         FROM cpf p LEFT JOIN cy y USING (doc_id)
+    """
+    )
+    # BPE tokenizer induction, unrolled: word-frequency table once,
+    # then per round pair-count -> (count DESC, pair ASC) argmax ->
+    # one literal replace.  Owned-flanks symbol encoding (" a  b  c ",
+    # two spaces between symbols) makes occurrences of " l  r "
+    # disjoint, so leftmost non-overlapping replace == classic greedy
+    # BPE in every engine — identical expressions to ops/bpe.py
+    bpe_ctes = [
+        "bw0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n,"
+        " regexp_replace(word, '(.)', ' \\1 ', 'g') AS s"
+        f" FROM (SELECT unnest({_TOKS}) AS word FROM documents)"
+        " GROUP BY word)",
+    ]
+    for r in range(BPE_MERGES):
+        bpe_ctes += [
+            f"bp{r} AS (SELECT sy[CAST(i AS INT)] AS lhs,"
+            " sy[CAST(i + 1 AS INT)] AS rhs,"
+            " CAST(sum(n) AS BIGINT) AS c"
+            " FROM (SELECT n, string_split(trim(s), '  ') AS sy"
+            f" FROM bw{r}) t,"
+            " unnest(range(1, len(sy))) u(i) GROUP BY 1, 2)",
+            f"bb{r} AS (SELECT lhs, rhs FROM bp{r}"
+            " ORDER BY c DESC, lhs, rhs LIMIT 1)",
+            f"br{r} AS (SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs,"
+            f" lhs || rhs AS merged FROM bb{r})",
+            f"bw{r + 1} AS (SELECT word, n, replace(s,"
+            " ' ' || b.lhs || '  ' || b.rhs || ' ',"
+            f" ' ' || b.lhs || b.rhs || ' ') AS s FROM bw{r}, bb{r} b)",
+        ]
+    sql["bpe_merges"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT * FROM br{r}" for r in range(BPE_MERGES)
+        )
+    )
+    # segment: the same trained merges applied to every doc token in
+    # rank order; an exhausted round's empty bb{r} degrades to a
+    # never-matching chr(1) pattern (no-op replace), mirroring the
+    # short merge list the Spark side collects
+    seg_expr = "regexp_replace(tok, '(.)', ' \\1 ', 'g')"
+    for r in range(BPE_MERGES):
+        seg_expr = f"replace({seg_expr}, mp.p{r}, mp.q{r})"
+    mp_cols = ", ".join(
+        f"coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM bb{r}),"
+        f" chr(1)) AS p{r},"
+        f" coalesce((SELECT ' ' || lhs || rhs || ' ' FROM bb{r}), '')"
+        f" AS q{r}"
+        for r in range(BPE_MERGES)
+    )
+    sql["bpe_compression"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + f""",
+        mp AS (SELECT {mp_cols}),
+        seg AS (SELECT doc_id, {seg_expr} AS s
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                      FROM documents) CROSS JOIN mp),
+        ag AS (SELECT doc_id,
+                      CAST(sum(len(string_split(trim(s), '  ')))
+                        AS BIGINT) AS ns
+               FROM seg GROUP BY doc_id),
+        dt AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt
+               FROM documents)
+        SELECT dt.doc_id, dt.nt AS n_tokens,
+               coalesce(ag.ns, 0) AS n_bpe_symbols,
+               CASE WHEN dt.nt = 0 THEN NULL
+                    ELSE round(coalesce(ag.ns, 0)
+                               / CAST(dt.nt AS DOUBLE), 6)
+               END AS compression
+        FROM dt LEFT JOIN ag USING (doc_id)
     """
     )
     # CCNet bigram-LM perplexity (stupid backoff, trained on the

@@ -104,6 +104,7 @@ def main() -> None:
     from coies_spark.core.oneshot import build_example_artifacts
     from coies_spark.data import synth
     from coies_spark.ops import (
+        bpe,
         curate,
         dedup,
         kg,
@@ -264,6 +265,9 @@ def main() -> None:
                 F.sum("p"), F.count("predicted")
             )
         ),
+        # BPE tokenizer induction: one corpus pass (word-frequency
+        # build) + 8 merge rounds on the compact word table
+        "bpe_train": lambda: run(bpe.bpe_merges(docs, 8)),
         # SCD-2 validity intervals over the event stream (the KG
         # evidence→belief layer's window-pass workhorse)
         "temporal_triples": lambda: run(_q_temporal_triples(spark, sf_dir)),
