@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from coies_spark.core.oneshot import ExtractionConfig, build_example_artifacts
 from coies_spark.data import synth
-from coies_spark.operators.salted import salted_count
+from coies_spark.operators.salted import salted_count, skew_report
 from coies_spark.operators.graph import connected_components_star
 from coies_spark.operators.graph import cooccurrence_edges as graph_cooccurrence
 from coies_spark.operators.graph import pagerank as graph_pagerank
@@ -1407,6 +1407,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression, TakeOrdered top-k)
         "collocations": lambda s, d: textstats.collocations(
             _read(s, d, "documents")
+        ),
+        # --- r4 sixth batch (oracled; outside the driver window) ---
+        # Broder containment: the DIRECTED subset measure Jaccard
+        # misses (retry/boilerplate shape) — doc_a is the contained
+        # side; same df-capped inverted index as jaccard_pairs
+        "containment_pairs": lambda s, d: dedup.containment_pairs(
+            _read(s, d, "documents"), threshold=0.8
+        ),
+        # positional gazetteer spotting: dictionary as a JOIN side
+        # (not an instr probe), longest-match-per-start resolution
+        "gazetteer_mentions": lambda s, d: kg.gazetteer_mentions(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("table", "obj:table"), ("hash", "obj:hash"),
+                 ("table hash", "obj:table-hash"),
+                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
+                ["surface", "entity"],
+            ),
+            max_len=2,
+        ),
+        # hot-key diagnostic: top-5 keys by rows with share and
+        # skew = cnt / mean-rows-per-key (decides the salted path)
+        "skew_report": lambda s, d: skew_report(
+            _read(s, d, "documents"), ["lang"], top_k=5
+        ),
+        # Bloom membership screen: the doc_id%4==0 slice plays the
+        # accepted corpus; probes never touch the corpus itself
+        "bloom_membership": lambda s, d: dedup.bloom_probe(
+            _read(s, d, "documents"),
+            dedup.bloom_build(
+                _read(s, d, "documents").where("doc_id % 4 = 0"),
+                1 << 12, 4,
+            ),
+            1 << 12, 4,
         ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
@@ -4407,5 +4441,104 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         ORDER BY pmi DESC, a ASC, b ASC
         LIMIT 20
+    """
+
+    # containment: jaccard's df-capped inverted index, but BOTH
+    # directed ratios (common/|Sh(a)| and common/|Sh(b)|) unioned
+    sql["containment_pairs"] = f"""
+        WITH {_SHINGLES},
+        dfok AS (SELECT shingle FROM sh GROUP BY 1
+                 HAVING count(DISTINCT doc_id) <= 10),
+        idx AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN dfok USING(shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM idx a JOIN idx b USING(shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+        pairsz AS (
+          SELECT doc_a, doc_b, c, sa.n_sh AS na, sb.n_sh AS nb
+          FROM common
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b, containment FROM (
+          SELECT doc_a, doc_b,
+                 round(c / CAST(na AS DOUBLE), 6) AS containment
+          FROM pairsz
+          UNION ALL
+          SELECT doc_b AS doc_a, doc_a AS doc_b,
+                 round(c / CAST(nb AS DOUBLE), 6) AS containment
+          FROM pairsz) u
+        WHERE containment >= 0.8
+    """
+
+    # gazetteer: candidate token n-grams (n <= 2) joined to the
+    # normalized dictionary, longest match per start position
+    sql["gazetteer_mentions"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tk AS (SELECT conv_id, turn_idx,
+                      list_filter(regexp_split_to_array(
+                        lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                        x -> x <> '') AS tokens
+               FROM t),
+        cand AS (
+          SELECT conv_id, turn_idx, p - 1 AS pos, n AS n_toks,
+                 array_to_string(tokens[p:p+n-1], ' ') AS surface
+          FROM tk,
+               unnest(range(1, len(tokens) + 1)) u(p),
+               unnest(range(1, 3)) v(n)
+          WHERE p - 1 + n <= len(tokens)),
+        dict(surface, entity) AS (VALUES
+          ('table', 'obj:table'), ('hash', 'obj:hash'),
+          ('table hash', 'obj:table-hash'),
+          ('merge join', 'act:merge-join'), ('scan', 'act:scan')),
+        hits AS (SELECT c.conv_id, c.turn_idx, c.pos, c.n_toks,
+                        c.surface, d.entity
+                 FROM cand c JOIN dict d USING(surface))
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(n_toks AS BIGINT) AS n_toks, surface, entity
+        FROM (SELECT *, max(n_toks) OVER (
+                PARTITION BY conv_id, turn_idx, pos) AS mx
+              FROM hits) h
+        WHERE n_toks = mx
+    """
+    )
+
+    # skew_report over documents.lang: exact counts, share, and
+    # skew = cnt / mean-rows-per-key, top-5
+    sql["skew_report"] = """
+        WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '∅') AS key,
+                          count(*) AS cnt
+                   FROM documents GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key)
+                    AS BIGINT) AS rank,
+               key, CAST(cnt AS BIGINT) AS cnt,
+               round(cnt / CAST(total AS DOUBLE), 6) AS share,
+               round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew
+        FROM c CROSS JOIN t
+        ORDER BY cnt DESC, key
+        LIMIT 5
+    """
+
+    # bloom: membership iff ALL k=4 bit positions of the probe's
+    # digest are set by some accepted doc — the word-packed filter's
+    # exact semantics, position-level (same md5 domain separation)
+    sql["bloom_membership"] = """
+        WITH acc AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(md5(text) || ':' || i), 1, 8))
+                 AS BIGINT) % 4096 AS pos
+          FROM documents, unnest(range(0, 4)) u(i)
+          WHERE doc_id % 4 = 0),
+        probe AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(md5(text) || ':' || i), 1, 8))
+                 AS BIGINT) % 4096 AS pos
+          FROM documents, unnest(range(0, 4)) u(i))
+        SELECT p.doc_id, bool_and(a.pos IS NOT NULL) AS maybe_member
+        FROM probe p LEFT JOIN acc a USING(pos)
+        GROUP BY 1
     """
     return sql

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,4 +112,61 @@ def salted_count(
     return (
         partial.groupBy(*keys)
         .agg(F.sum("__partial").cast("long").alias("count"))
+    )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """(rank, key, cnt, share, skew): the hot-key diagnostic that
+    DECIDES whether a join/agg on ``key_cols`` needs the salted path —
+    the top-``top_k`` keys by row count, each with its share of all
+    rows and ``skew`` = cnt / mean-rows-per-key (a uniform key
+    distribution reports skew ≈ 1; the north rule's head-heavy
+    predicates and hot entities report 10–10⁴ here first).
+
+    ``key`` is the concatenated string form of ``key_cols`` (NULLs
+    rendered as the literal ``∅`` so a NULL-heavy key — the classic
+    accidental hot key — is visible as its own line).
+
+    Scale: one map-side-combinable groupBy over the keys, then the
+    per-key count table reduces to ONE summary row (count + total) and
+    a distributed TakeOrdered for the top-k — the full key table is
+    never sorted and never collected.  Rows/share/skew are exact, not
+    sampled, so the report is stable run-to-run and safe to assert on
+    in pipeline health checks.
+    """
+    if not key_cols:
+        raise ValueError("skew_report: key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("skew_report: top_k must be >= 1")
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+               for c in key_cols]
+    )
+    counts = df.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            # cnt and n_keys are both up to corpus-sized: go to double
+            # BEFORE the multiply or the int64 product overflows at
+            # 10¹² rows × 10⁹ keys
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys")
+                / F.col("total"),
+                6,
+            ).alias("skew"),
+        )
     )

@@ -847,3 +847,183 @@ def cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, containment): DIRECTED pairs where doc_a's
+    distinct n-shingles are mostly inside doc_b's —
+    ``containment = |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥ threshold`` (Broder
+    1997's containment, the asymmetric twin of resemblance/Jaccard).
+
+    Jaccard misses subset documents: a 100-shingle doc fully contained
+    in a 10,000-shingle doc scores J ≈ 0.01 but containment 1.0.  In
+    a transcript corpus that is the RETRY shape — an agent run
+    re-emitted with a longer continuation — and the quote/boilerplate
+    shape in web corpora, so the dedup policy "drop the contained
+    side, keep the superset" needs this measure, not Jaccard.
+
+    Both directions are evaluated per candidate pair and emitted
+    independently (two rows when two near-equal docs contain each
+    other) — doc_a is always the CONTAINED side.
+
+    Scale: the same df-capped inverted-index self-join as
+    :func:`jaccard_pairs` — candidate generation touches only
+    shingles with document frequency ≤ ``max_df`` (two-phase cap:
+    map-side-combinable count joined back, never a count window), and
+    the shingle-set sizes are computed over the SAME capped
+    vocabulary, so containment stays a ratio of like terms.  One
+    intersection groupBy serves both directions.
+    """
+    sh = doc_shingles(docs, n)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    indexed = sh.join(keep, "shingle")
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = indexed.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = indexed.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
+def bloom_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
+    """array<long> of ``k`` bit positions for ``key`` — position i is
+    the first-32-bits-of-md5 of ``key || ':' || i`` mod ``m_bits``
+    (independent-enough hashes via domain separation; engine-portable
+    because md5 and string concat agree everywhere).  Duplicate
+    positions across the k draws are legal Bloom semantics."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                key.cast("string"), F.lit(f":{i}")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def _bit_mask() -> F.Column:
+    """int64 word mask for a bit position ``pos`` — shiftleft needs
+    its bit count as a column here, which the SQL form accepts (built
+    lazily: F.expr requires an active session)."""
+    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+
+
+def bloom_build(
+    docs: DataFrame, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """(word_idx, bits): an ``m_bits``-bit Bloom filter over the
+    corpus's exact-dedup text digests, packed as int64 words — only
+    non-zero words materialize, so an underfilled filter is sparse.
+
+    This is the accepted-corpus MEMBERSHIP SUMMARY for continuous
+    ingestion: new batches probe it (:func:`bloom_probe`) and only
+    probable members pay the exact verify join —
+    :func:`incremental_neardup`'s cheap exact-duplicate front door.
+    At 10⁹ accepted docs, a 1%-FP filter is ~1.2 GB packed (9.6 bits/
+    key, k=7) — broadcastable where the digest table itself is not;
+    the word-packed form here shuffles only (word_idx, mask) pairs
+    and reduces map-side (``bit_or`` is commutative-associative).
+
+    Determinism: positions are md5-derived (engine-portable, see
+    :func:`bloom_positions`), packing is pure integer arithmetic —
+    the filter bits are bit-identical on any engine or partitioning.
+    """
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("bloom_build: m_bits must be a multiple of 64")
+    if k < 1:
+        raise ValueError("bloom_build: k must be >= 1")
+    pos = docs.select(
+        F.explode(
+            bloom_positions(_md5(F.col("text")), m_bits, k)
+        ).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        _bit_mask().alias("mask"),
+    )
+    return pos.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """(doc_id, maybe_member): probe a batch against a packed Bloom
+    filter — ``maybe_member`` is true iff ALL k bit positions of the
+    doc's text digest are set (Bloom guarantee: no false negatives;
+    false positives at the filter's design rate).
+
+    Scale: the batch explodes to k rows per doc, LEFT-joins the
+    filter on ``word_idx`` (broadcast — the filter is ≤ m_bits/64
+    rows by construction), and reduces back with ``min(hit)``; an
+    absent word means those bits are 0.  The probe never touches the
+    accepted corpus itself — that is the point.
+    """
+    probe = batch.select(
+        "doc_id",
+        F.explode(
+            bloom_positions(_md5(F.col("text")), m_bits, k)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        _bit_mask().alias("mask"),
+    )
+    hit = (
+        probe.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                    F.col("mask")
+                )
+                != 0
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    return hit.groupBy("doc_id").agg(
+        (F.min("hit") == 1).alias("maybe_member")
+    )

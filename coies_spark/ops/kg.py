@@ -1060,3 +1060,92 @@ def pattern_triples(
     return step.select(
         "conv_id", "turn_idx", F.explode(F.concat(*arrs)).alias("m")
     ).select("conv_id", "turn_idx", "m.pred", "m.subj", "m.obj")
+
+
+def gazetteer_mentions(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    max_len: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(conv_id, turn_idx, pos, n_toks, surface, entity): positional
+    gazetteer entity spotting — every dictionary surface occurring as
+    a token n-gram (n ≤ ``max_len``) in a turn, resolved
+    longest-match-per-start: at each start position only the longest
+    matching surface(s) survive (``"table hash"`` beats ``"table"`` at
+    the same ``pos``; the contained ``"hash"`` at ``pos+1`` is a
+    different start and still reported).  An ambiguous surface (two
+    entities) emits one row per entity.
+
+    ``dictionary`` is (surface, entity); surfaces are re-tokenized
+    with the reference tokenizer and space-joined, so matching is
+    exact under the engine's own token semantics regardless of how
+    the surface was spelled (punctuation, case).  A surface longer
+    than ``max_len`` tokens can never match and is silently inert.
+
+    This is the equi-join complement of :func:`mention_evidence`'s
+    broadcast-``instr`` scan: that plan evaluates O(|dict|) substring
+    probes per turn and stops scaling past ~10⁴ surfaces, while here
+    the dictionary is a JOIN SIDE — candidate n-grams stream out of
+    one zero-shuffle array projection (≤ ``max_len`` structs per
+    token, generated and filtered inside whole-stage codegen) and
+    meet the gazetteer in a hash join that is broadcast for small
+    dictionaries (``broadcast=True``) and a plain shuffled hash join
+    for the 10⁷-alias case (``broadcast=False``) — web-scale NER
+    front-ends (GeoNames, UMLS, Wikidata labels) live there.  The
+    longest-match window repartitions only MATCH rows (sparse), on
+    (conv_id, turn_idx, pos).
+    """
+    if max_len < 1:
+        raise ValueError("gazetteer_mentions: max_len must be >= 1")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    # 1-based start positions; sequence(1, 0) would count DOWN, so
+    # empty turns get an explicit empty array
+    starts = F.when(n_tok > 0, F.sequence(F.lit(1), n_tok)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.flatten(
+        F.transform(
+            starts,
+            lambda p: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_len)),
+                    lambda n: F.struct(
+                        (p - 1).cast("long").alias("pos"),
+                        n.cast("long").alias("n_toks"),
+                        F.array_join(F.slice(toks, p, n), " ").alias(
+                            "surface"
+                        ),
+                    ),
+                ),
+                # a slice past the end truncates and would alias a
+                # shorter gram — keep only spans that fit
+                lambda s: (p - 1) + s["n_toks"] <= n_tok,
+            ),
+        )
+    )
+    cand = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.explode(spans).alias("s"),
+    ).select("conv_id", "turn_idx", "s.pos", "s.n_toks", "s.surface")
+    # normalize surfaces under the same tokenizer; coalesce(1) keeps
+    # the tiny-table dedup exchange-free (resolve_pronouns precedent)
+    gaz = (
+        dictionary.coalesce(1)
+        .select(
+            F.array_join(tokens_col("surface"), " ").alias("surface"),
+            "entity",
+        )
+        .distinct()
+    )
+    if broadcast:
+        gaz = F.broadcast(gaz)
+    hits = cand.join(gaz, "surface")
+    w = Window.partitionBy("conv_id", "turn_idx", "pos")
+    return (
+        hits.withColumn("_max_n", F.max("n_toks").over(w))
+        .where(F.col("n_toks") == F.col("_max_n"))
+        .select("conv_id", "turn_idx", "pos", "n_toks", "surface", "entity")
+    )
