@@ -1432,6 +1432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": lambda s, d: skew_report(
             _read(s, d, "documents"), ["lang"], top_k=5
         ),
+        # the composed ingest screen: Bloom gate -> exact digest
+        # verify (probable members only) -> LSH band probe; output
+        # provably identical to the gate-free plan (no Bloom FNs)
+        "ingest_screen": lambda s, d: dedup.ingest_screen(
+            _read(s, d, "documents").where("doc_id % 4 != 0"),
+            _read(s, d, "documents").where("doc_id % 4 = 0"),
+        ),
         # Bloom membership screen: the doc_id%4==0 slice plays the
         # accepted corpus; probes never touch the corpus itself
         "bloom_membership": lambda s, d: dedup.bloom_probe(
@@ -4522,6 +4529,43 @@ def oracle_sql() -> dict[str, str]:
         FROM c CROSS JOIN t
         ORDER BY cnt DESC, key
         LIMIT 5
+    """
+
+    # ingest_screen: the Bloom tier is output-invisible (no false
+    # negatives), so the oracle is the gate-free composition — exact
+    # digest match wins, else LSH band collision, else new
+    sql["ingest_screen"] = f"""
+        WITH {_SHINGLES},
+        mh AS (
+          SELECT doc_id, h,
+                 min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+          FROM sh, unnest(range(0, 8)) t(h) GROUP BY 1,2),
+        bands AS (
+          SELECT doc_id, h//2 AS band,
+                 string_agg(minhash, ',' ORDER BY h) AS band_key
+          FROM mh GROUP BY 1,2),
+        idx AS (SELECT band, band_key, doc_id AS corpus_doc
+                FROM bands WHERE doc_id % 4 <> 0),
+        probe AS (SELECT doc_id, band, band_key
+                  FROM bands WHERE doc_id % 4 = 0),
+        near AS (
+          SELECT p.doc_id, CAST(min(i.corpus_doc) AS BIGINT) AS nd
+          FROM probe p LEFT JOIN idx i
+            ON p.band = i.band AND p.band_key = i.band_key
+          GROUP BY 1),
+        corph AS (SELECT md5(text) AS hh, min(doc_id) AS e
+                  FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+        ex AS (
+          SELECT b.doc_id, c.e
+          FROM (SELECT doc_id, md5(text) AS hh FROM documents
+                WHERE doc_id % 4 = 0) b
+          LEFT JOIN corph c USING(hh))
+        SELECT ex.doc_id,
+               CASE WHEN ex.e IS NOT NULL THEN 'exact'
+                    WHEN near.nd IS NOT NULL THEN 'near'
+                    ELSE 'new' END AS status,
+               CAST(coalesce(ex.e, near.nd) AS BIGINT) AS dup_of
+        FROM ex JOIN near USING(doc_id)
     """
 
     # bloom: membership iff ALL k=4 bit positions of the probe's

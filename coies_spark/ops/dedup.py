@@ -1027,3 +1027,69 @@ def bloom_probe(
     return hit.groupBy("doc_id").agg(
         (F.min("hit") == 1).alias("maybe_member")
     )
+
+
+def ingest_screen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_id, status, dup_of): the COMPOSED continuous-ingestion
+    screen — every batch doc classified ``exact`` (byte-identical text
+    already accepted), ``near`` (agrees with an accepted doc on ≥ 1
+    LSH band), or ``new``, with ``dup_of`` the smallest matching
+    corpus doc_id (NULL for ``new``).  Each doc appears exactly once;
+    ``exact`` wins over ``near``.
+
+    The staging is the point.  Tier 1: a packed Bloom filter over the
+    corpus digests (:func:`bloom_build`) gates the batch — docs the
+    filter rejects are PROVABLY not exact duplicates (no false
+    negatives), so only the ``maybe_member`` slice pays the exact
+    digest-verify join against the corpus.  In steady-state ingestion
+    most arrivals are fresh, so the broadcast-sized filter absorbs
+    the corpus-sized join for the majority of the batch; Bloom false
+    positives merely pay the verify and come out clean — the OUTPUT
+    is bit-identical to running the verify join on everything, which
+    is exactly what the DuckDB oracle twin checks.  Tier 2: exact
+    dups exit; only the survivors run the LSH band probe
+    (:func:`incremental_neardup`).
+
+    At production the three corpus-side artifacts — Bloom words,
+    digest→min-doc table, band index — are persisted once per
+    accepted-corpus snapshot (the band index bucketed by (band,
+    band_key), see :func:`band_keys`) and only the batch side is
+    computed per arrival; here they are derived inline so the
+    operator is self-contained.
+    """
+    bloom = bloom_build(corpus, m_bits, k)
+    probed = bloom_probe(batch, bloom, m_bits, k)
+    maybe = (
+        batch.join(probed.where("maybe_member"), "doc_id")
+        .select("doc_id", _md5(F.col("text")).alias("h"))
+    )
+    corp_min = (
+        corpus.select(_md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("__exact_of"))
+    )
+    exact_map = maybe.join(corp_min, "h").select("doc_id", "__exact_of")
+    flagged = batch.join(exact_map, "doc_id", "left")
+    exact_rows = flagged.where(F.col("__exact_of").isNotNull()).select(
+        "doc_id",
+        F.lit("exact").alias("status"),
+        F.col("__exact_of").alias("dup_of"),
+    )
+    survivors = flagged.where(F.col("__exact_of").isNull()).select(
+        *batch.columns
+    )
+    near = incremental_neardup(corpus, survivors, n, num_hashes, band_size)
+    near_rows = near.select(
+        "doc_id",
+        F.when(F.col("is_new"), "new").otherwise("near").alias("status"),
+        "dup_of",
+    )
+    return exact_rows.unionByName(near_rows)

@@ -214,3 +214,52 @@ def test_bloom_guards(spark):
         dedup.bloom_build(docs, m_bits=100, k=4)  # not a multiple of 64
     with pytest.raises(ValueError):
         dedup.bloom_build(docs, m_bits=128, k=0)
+
+
+def test_ingest_screen_routes_exact_near_new(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = _docs(spark, [base, base, "q r s t u v w x y z"])
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of 0 (min of {0,1})
+            (11, base + " extra"),  # near dup: shares bands with 0/1
+            (12, "one two three four five six seven"),  # fresh
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in dedup.ingest_screen(corpus, batch, m_bits=1024).collect()
+    }
+    assert got[10] == ("exact", 0)
+    assert got[12] == ("new", None)
+    assert got[11][0] in ("near", "new")  # band agreement is n-dependent
+    assert len(got) == 3  # every batch doc exactly once
+
+
+def test_ingest_screen_near_detection(spark):
+    # identical long prefix guarantees shared band keys at n=3
+    long = " ".join(f"tok{i}" for i in range(30))
+    corpus = _docs(spark, [long])
+    batch = spark.createDataFrame(
+        [(20, long + " tail")], "doc_id bigint, text string"
+    )
+    got = dedup.ingest_screen(corpus, batch, m_bits=1024).collect()
+    assert [(r.status, r.dup_of) for r in got] == [("near", 0)]
+
+
+def test_ingest_screen_bloom_gates_exact_verify(spark):
+    # the exact-verify join input must be filtered on maybe_member:
+    # the Bloom gate is IN the plan, not just in the docstring
+    corpus = _docs(spark, ["a b c"])
+    batch = spark.createDataFrame(
+        [(30, "a b c")], "doc_id bigint, text string"
+    )
+    plan = (
+        dedup.ingest_screen(corpus, batch, m_bits=1024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "maybe_member" in plan
+    assert "CartesianProduct" not in plan
