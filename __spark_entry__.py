@@ -52,6 +52,7 @@ from coies_spark.ops import (
     relational,
     sampling,
     similarity,
+    sketch,
     textstats,
     transcripts,
     wmd,
@@ -915,6 +916,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entry_tokens():
+    """Reference-tokenizer column over ``text`` (lazy import keeps the
+    queries() table declaration-only)."""
+    from coies_spark.functions.tokenize import tokens_col
+
+    return tokens_col("text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline ---
@@ -1431,6 +1440,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew = cnt / mean-rows-per-key (decides the salted path)
         "skew_report": lambda s, d: skew_report(
             _read(s, d, "documents"), ["lang"], top_k=5
+        ),
+        # HyperLogLog distinct gauge: register-sized shuffle, exact
+        # integer Z-sum, one float expression at the end (p=12)
+        "hll_distinct": lambda s, d: sketch.hll_estimate(
+            sketch.hll_registers(_read(s, d, "documents"), "text", p=12),
+            p=12,
+        ),
+        # Count-Min point frequencies for a fixed probe set over the
+        # corpus token stream (min over 4 md5-separated rows)
+        "cms_counts": lambda s, d: sketch.cms_query(
+            sketch.cms_registers(
+                _read(s, d, "documents").select(
+                    F.explode(_entry_tokens()).alias("tok")
+                ),
+                "tok",
+            ),
+            s.createDataFrame(
+                [("spark",), ("table",), ("merge",), ("zz-absent",)],
+                ["key"],
+            ),
         ),
         # the composed ingest screen: Bloom gate -> exact digest
         # verify (probable members only) -> LSH band probe; output
@@ -4529,6 +4558,59 @@ def oracle_sql() -> dict[str, str]:
         FROM c CROSS JOIN t
         ORDER BY cnt DESC, key
         LIMIT 5
+    """
+
+    # HLL: identical integer register build (md5 hi/lo 32-bit halves,
+    # rho via length(bin(lo))), exact scaled Z-sum, then the SAME
+    # float constant (Python repr of alpha*m^2*2^33 at p=12) so the
+    # one float expression agrees bit-for-bit
+    sql["hll_distinct"] = """
+        WITH h AS (SELECT
+            CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS hi,
+            CAST(('0x'||substr(md5(text),9,8)) AS BIGINT) AS lo
+          FROM documents),
+        r AS (SELECT hi % 4096 AS bucket,
+                     max(CASE WHEN lo = 0 THEN 33
+                         ELSE 33 - length(bin(lo)) END) AS max_rho
+              FROM h GROUP BY 1),
+        a AS (SELECT coalesce(sum(CAST(1 AS BIGINT) << (33 - max_rho)),
+                              0) AS s_used,
+                     count(*) AS n_used FROM r),
+        x AS (SELECT n_used, 4096 - n_used AS zeros,
+                     1.0392290898265189e+17
+                     / (s_used + (4096 - n_used)
+                        * CAST(8589934592 AS BIGINT)) AS raw
+              FROM a)
+        SELECT round(CASE WHEN raw <= 10240.0 AND zeros > 0
+                     THEN 4096.0 * ln(4096.0 / zeros)
+                     ELSE raw END, 4) AS estimate,
+               CAST(n_used AS BIGINT) AS n_buckets
+        FROM x
+    """
+
+    # CMS: same md5 domain-separated (row || ':' || key) column
+    # hashes, integer SUM registers, min-over-rows probe
+    sql["cms_counts"] = f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        regs AS (
+          SELECT i AS row,
+                 CAST(('0x'||substr(
+                   md5(i::VARCHAR || ':' || tok), 1, 8)) AS BIGINT)
+                 % 256 AS col,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM toks, unnest(range(0, 4)) u(i)
+          GROUP BY 1, 2),
+        probes(key) AS (VALUES ('spark'), ('table'), ('merge'),
+                               ('zz-absent')),
+        pr AS (
+          SELECT key, i AS row,
+                 CAST(('0x'||substr(
+                   md5(i::VARCHAR || ':' || key), 1, 8)) AS BIGINT)
+                 % 256 AS col
+          FROM probes, unnest(range(0, 4)) u(i))
+        SELECT pr.key, min(coalesce(regs.cnt, 0)) AS est
+        FROM pr LEFT JOIN regs USING (row, col)
+        GROUP BY 1
     """
 
     # ingest_screen: the Bloom tier is output-invisible (no false
