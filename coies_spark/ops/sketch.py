@@ -28,6 +28,17 @@ oracles check them end-to-end (most sketch libraries can't be
 oracle-tested at all because their hashes and float folds are
 implementation-defined).
 
+Streaming
+---------
+The register builds are plain ``max``/``sum`` groupBys over
+register-key columns, so they run UNCHANGED as Structured Streaming
+aggregations in complete/update output mode — and unlike most
+streaming aggregations they need NO watermark: sketch state is
+bounded by construction (≤ 2^p / depth·width rows) no matter how
+unbounded the stream, which is precisely why sketches are the
+standard continuous-gauge answer.  Batch ≡ streaming register
+equality is pinned in tests/test_streaming.py.
+
 Scale design
 ------------
 A sketch's register table is O(2^p) / O(d·w) rows regardless of

@@ -427,3 +427,56 @@ def test_stream_classify_matches_batch_scores(spark, tmp_path):
     got = {r.doc_id: (r.p, r.predicted) for r in
            spark.sql("select * from scored_stream").collect()}
     assert got == batch
+
+
+def test_stream_sketch_registers_match_batch(spark, tmp_path):
+    """HLL and CMS register builds run UNCHANGED as streaming
+    aggregations (complete mode, no watermark — sketch state is
+    bounded by construction) and produce the exact batch tables."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.ops import sketch
+
+    docs = spark.range(400).select(
+        F.concat(F.lit("doc "), (F.col("id") % 150).cast("string")).alias(
+            "text"
+        )
+    )
+    in_dir = tmp_path / "sketchdrops"
+    docs.coalesce(3).write.parquet(str(in_dir))
+    batch = spark.read.parquet(str(in_dir))
+    stream = spark.readStream.schema("text string").parquet(str(in_dir))
+
+    qh = (
+        sketch.hll_registers(stream, "text", p=8)
+        .writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckhll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc = (
+        sketch.cms_registers(stream, "text", depth=2, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_regs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckcms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    qc.awaitTermination(120)
+    assert sorted(
+        tuple(r) for r in spark.sql("select * from hll_regs_stream").collect()
+    ) == sorted(
+        tuple(r) for r in sketch.hll_registers(batch, "text", p=8).collect()
+    )
+    assert sorted(
+        tuple(r) for r in spark.sql("select * from cms_regs_stream").collect()
+    ) == sorted(
+        tuple(r)
+        for r in sketch.cms_registers(
+            batch, "text", depth=2, width=64
+        ).collect()
+    )
