@@ -38,6 +38,7 @@ from coies_spark.operators.graph import kcore as graph_kcore
 from coies_spark.operators.graph import label_propagation as graph_lpa
 from coies_spark.operators.graph import triangle_counts as graph_triangles
 from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jaccard
+from coies_spark.operators.graph import adamic_adar as graph_adamic_adar
 from coies_spark.operators.graph import hits as graph_hits
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
@@ -47,7 +48,9 @@ from coies_spark.ops import (
     dedup,
     dsir,
     kg,
+    linkage,
     lm,
+    maintenance,
     multimodal,
     relational,
     sampling,
@@ -916,6 +919,55 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi–Sunter comparison fields (em_linkage / linkage_scores):
+# agreement indicators over candidate doc pairs blocked on source.
+# Field ORDER matters — the E-step product and the score chain are
+# built left-assoc in this order in both engines.
+LINK_FIELDS = ["same_lang", "len_close", "same_tok0"]
+
+
+def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs for record linkage: documents blocked on
+    source (a.doc_id < b.doc_id), reduced to the three boolean
+    agreement fields.  ``F.get`` (never ANSI-erroring) pulls the
+    first reference-tokenizer token; NULL comparisons land 0 via the
+    explicit CASE — matching the oracle byte-for-byte."""
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.get(_entry_tokens(), 0).alias("tok0"),
+    )
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    pairs = a.join(
+        b,
+        (F.col("source_a") == F.col("source_b"))
+        & (F.col("doc_id_a") < F.col("doc_id_b")),
+    )
+    return pairs.select(
+        F.when(F.col("lang_a") == F.col("lang_b"), 1)
+        .otherwise(0)
+        .alias("same_lang"),
+        F.when(
+            F.abs(F.col("n_chars_a") - F.col("n_chars_b")) < 20, 1
+        )
+        .otherwise(0)
+        .alias("len_close"),
+        F.when(F.col("tok0_a") == F.col("tok0_b"), 1)
+        .otherwise(0)
+        .alias("same_tok0"),
+    )
+
+
+def _q_em_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter parameters fitted by 4 unrolled in-plan EM
+    rounds over the source-blocked candidate pairs (also a bench
+    headliner)."""
+    return linkage.em_linkage(_linkage_pairs(spark, sf_dir), LINK_FIELDS, iters=4)
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -1478,6 +1530,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             1 << 12, 4,
         ),
+        # Adamic–Adar link prediction over the entity co-occurrence
+        # graph: the rarity-weighted complement of neighbor_jaccard
+        # (shared hub-capped symmetrization; a 3-degree shared
+        # neighbor is strong alias evidence, a hub nearly none)
+        "adamic_adar": lambda s, d: graph_adamic_adar(
+            graph_cooccurrence(
+                _q_entity_spans(s, d), "doc_id", "mention"
+            ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        ),
+        # Efraimidis–Spirakis weighted sampling: 5 docs per language
+        # with probability ∝ n_chars — hash-randomness, so the drawn
+        # set is engine- and partitioning-exact; two-phase
+        # (salt-bucketed) top-k provably equals the global window
+        "weighted_sample": lambda s, d: sampling.weighted_sample(
+            _read(s, d, "documents"),
+            k=5,
+            weight_col="n_chars",
+            strata_col="lang",
+            salt_buckets=8,
+        ),
+        # instruct-tuning pair assembly: every assistant turn with
+        # context becomes (rendered up-to-3-turn prompt, RAW response)
+        # — the terminal operator of the transcript curation funnel
+        "training_pairs": lambda s, d: transcripts.training_pairs(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            context_turns=3,
+        ),
+        # Monroe log-odds-with-prior token drift between the en and
+        # fr corpus slices: WHAT changed between two snapshots/feeds
+        # (corpus_diff says which docs; this says which tokens)
+        "token_drift": lambda s, d: textstats.token_drift(
+            _read(s, d, "documents").where(F.col("lang") == "en"),
+            _read(s, d, "documents").where(F.col("lang") == "fr"),
+            min_count=5,
+        ),
+        # Fellegi–Sunter record linkage fitted by unrolled in-plan EM
+        # over the ≤2^f pattern-count sufficient statistics (the
+        # corpus is scanned once; every EM round is column algebra on
+        # ≤8 rows) — trainable op #4
+        "em_linkage": _q_em_linkage,
+        # the fitted model's DECISION TABLE: composite log2
+        # likelihood-ratio match weight per agreement pattern + pair
+        # count (what a linker thresholds on; ≤2^f rows)
+        "linkage_scores": lambda s, d: (
+            linkage.linkage_scores(_linkage_pairs(s, d), LINK_FIELDS, iters=4)
+            .groupBy(*LINK_FIELDS, "match_weight")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        ),
+        # Iceberg-style small-file compaction planning over a file
+        # manifest (first-fit-decreasing offset chunks per partition;
+        # ≥2-file groups only) — the snapshot-maintenance face
+        "compaction_plan": lambda s, d: maintenance.compaction_plan(
+            _read(s, d, "documents").select(
+                F.col("lang").alias("part"),
+                F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias(
+                    "path"
+                ),
+                F.col("n_chars").alias("bytes"),
+            ),
+            target_bytes=600,
+            partition_col="part",
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -1541,6 +1655,99 @@ def _transcripts_cte(tool_every: int = 4) -> str:
                    unnest(range(0, greatest(
                      CAST(ceil(len(text)/80.0) AS BIGINT), 1))) u(i)
     """
+
+
+_LINK_PAIRS_SQL = f"""
+    SELECT CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS same_lang,
+           CASE WHEN abs(a.n_chars - b.n_chars) < 20
+                THEN 1 ELSE 0 END AS len_close,
+           CASE WHEN a.tok0 = b.tok0 THEN 1 ELSE 0 END AS same_tok0
+    FROM (SELECT doc_id, source, lang, n_chars,
+                 list_extract({_TOKS}, 1) AS tok0 FROM documents) a
+    JOIN (SELECT doc_id, source, lang, n_chars,
+                 list_extract({_TOKS}, 1) AS tok0 FROM documents) b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def _em_ctes(
+    fields: list[str],
+    iters: int,
+    p0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> str:
+    """Unrolled Fellegi–Sunter EM CTE chain (the DuckDB twin of
+    ``linkage._em_state`` over ``_linkage_pairs``): pattern counts
+    once, then per round the 9dp-rounded E-step responsibility (the
+    match/non-match products built left-assoc in field order), the
+    decimal(28,12) M-step sums, and the clamped 9dp parameter
+    update.  Ends at CTE ``s{iters}`` (1 row: p, m_<f>.., u_<f>..)."""
+    cols = ", ".join(fields)
+    ctes = [
+        f"prs AS ({_LINK_PAIRS_SQL})",
+        f"pat AS (SELECT {cols}, CAST(count(*) AS BIGINT) AS n"
+        f" FROM prs GROUP BY {cols})",
+        "s0 AS (SELECT "
+        + ", ".join(
+            [f"{p0!r} AS p"]
+            + [f"{m0!r} AS m_{f}" for f in fields]
+            + [f"{u0!r} AS u_{f}" for f in fields]
+        )
+        + ")",
+    ]
+    pm = "1.0" + "".join(
+        f" * (CASE WHEN {f} = 1 THEN m_{f} ELSE 1.0 - m_{f} END)"
+        for f in fields
+    )
+    pu = "1.0" + "".join(
+        f" * (CASE WHEN {f} = 1 THEN u_{f} ELSE 1.0 - u_{f} END)"
+        for f in fields
+    )
+    clamp = "least(greatest(round({x}, 9), 0.000001), 0.999999)"
+    for i in range(1, iters + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"e{i} AS (SELECT {cols}, n, round((p * ({pm}))"
+            f" / (p * ({pm}) + (1.0 - p) * ({pu})), 9) AS w"
+            f" FROM pat CROSS JOIN {prev})"
+        )
+        sums = [
+            "sum(CAST(n * w AS DECIMAL(28,12))) AS sw",
+            "sum(CAST(n * (1.0 - w) AS DECIMAL(28,12))) AS snw",
+            "sum(n) AS nn",
+        ]
+        for f in fields:
+            sums.append(
+                f"sum(CAST(n * w * {f} AS DECIMAL(28,12))) AS swg_{f}"
+            )
+            sums.append(
+                f"sum(CAST(n * (1.0 - w) * {f} AS DECIMAL(28,12)))"
+                f" AS snwg_{f}"
+            )
+        ctes.append(f"a{i} AS (SELECT {', '.join(sums)} FROM e{i})")
+        parts = [
+            clamp.format(
+                x="CAST(sw AS DOUBLE) / CAST(nn AS DOUBLE)"
+            )
+            + " AS p"
+        ]
+        for f in fields:
+            parts.append(
+                clamp.format(
+                    x=f"CAST(swg_{f} AS DOUBLE) / CAST(sw AS DOUBLE)"
+                )
+                + f" AS m_{f}"
+            )
+        for f in fields:
+            parts.append(
+                clamp.format(
+                    x=f"CAST(snwg_{f} AS DOUBLE) / CAST(snw AS DOUBLE)"
+                )
+                + f" AS u_{f}"
+            )
+        ctes.append(f"s{i} AS (SELECT {', '.join(parts)} FROM a{i})")
+    return "WITH " + ",\n".join(ctes)
 
 
 def _bm25_sql(terms: tuple[str, ...], topk: int = 10) -> str:
@@ -4368,6 +4575,182 @@ def oracle_sql() -> dict[str, str]:
                                       AS DOUBLE), 6) AS jaccard
         FROM cm JOIN dg da ON da.u = cm.a
                 JOIN dg db ON db.u = cm.b
+    """
+
+    # adamic_adar: same capped-undirected CTE chain as
+    # neighbor_jaccard; the middle node's weight 1/ln(d) is rounded
+    # 9dp and lifted to DECIMAL(28,12) before the sum (order-exact on
+    # any partitioning), cast back to double and rounded 6
+    sql["adamic_adar"] = f"""
+        WITH e AS (SELECT a, b FROM ({sql['entity_cooccurrence']})),
+        und AS (SELECT a AS u, b AS v FROM e
+                UNION
+                SELECT b AS u, a AS v FROM e),
+        und2 AS (SELECT u, v FROM und WHERE u <> v),
+        deg AS (SELECT u, count(*) AS d FROM und2 GROUP BY 1),
+        kept AS (SELECT u FROM deg WHERE d <= 64),
+        g AS (SELECT und2.u, und2.v FROM und2
+              JOIN kept k1 ON k1.u = und2.u
+              JOIN kept k2 ON k2.u = und2.v),
+        dg AS (SELECT u, count(*) AS d FROM g GROUP BY 1),
+        wz AS (SELECT u AS z,
+                      CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9)
+                           AS DECIMAL(28,12)) AS wz
+               FROM dg WHERE d >= 2)
+        SELECT x.u AS a, y.u AS b,
+               CAST(count(*) AS BIGINT) AS common,
+               round(CAST(sum(wz.wz) AS DOUBLE), 6) AS score
+        FROM g x JOIN g y ON x.v = y.v AND x.u < y.u
+             JOIN wz ON wz.z = x.v
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+    """
+
+    # weighted_sample: Efraimidis–Spirakis keys from the SAME md5
+    # randomness as deterministic_sample; rank key round(ln(u)/w, 9)
+    # with the id tie-break — the Spark side's two-phase
+    # (salt-bucketed then global) top-k equals this single global
+    # window exactly
+    sql["weighted_sample"] = """
+        WITH w AS (
+          SELECT doc_id, text, lang, source, n_chars,
+                 round(ln((CAST(('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE), 9) AS key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY key DESC, doc_id ASC) AS rn
+              FROM w)
+        SELECT doc_id, text, lang, source, n_chars
+        FROM r WHERE rn <= 5
+    """
+
+    # training_pairs: the context list() window frame is already in
+    # turn order (the window's ORDER BY), matching Spark's
+    # array_sort(collect_list(struct(turn_idx, ...))) — turn_idx is
+    # distinct within a conversation, so struct sort == frame order
+    sql["training_pairs"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        c AS (SELECT conv_id, turn_idx, role, turn_text,
+                     list(struct_pack(
+                       turn_idx := turn_idx,
+                       role := role,
+                       text := turn_text)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+              FROM t)
+        SELECT conv_id,
+               CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(len(ctx) AS BIGINT) AS n_context,
+               array_to_string(list_transform(ctx,
+                 s -> coalesce(s.role, '') || ': '
+                      || coalesce(s.text, '')), chr(10)) AS prompt,
+               turn_text AS response
+        FROM c
+        WHERE role = 'assistant' AND turn_text IS NOT NULL
+          AND turn_text <> '' AND len(ctx) >= 1
+    """
+
+    # token_drift: integer token counts per slice, full-outer joined;
+    # every float is a per-row scalar over the counts (no float
+    # sums), mirrored operation-by-operation, rounded 6
+    sql["token_drift"] = f"""
+        WITH ta AS (SELECT unnest({_TOKS}) AS token
+                    FROM documents WHERE lang = 'en'),
+        tb AS (SELECT unnest({_TOKS}) AS token
+               FROM documents WHERE lang = 'fr'),
+        ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+               FROM ta GROUP BY 1),
+        cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+               FROM tb GROUP BY 1),
+        j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                     coalesce(cnt_a, 0) AS cnt_a,
+                     coalesce(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j),
+        s AS (SELECT token, cnt_a, cnt_b,
+                     100.0 * (cnt_a + cnt_b)
+                       / (n_a + n_b) AS aw,
+                     CAST(cnt_a AS DOUBLE) AS ya,
+                     CAST(cnt_b AS DOUBLE) AS yb,
+                     CAST(n_a AS DOUBLE) AS na,
+                     CAST(n_b AS DOUBLE) AS nb
+              FROM j CROSS JOIN tot
+              WHERE cnt_a + cnt_b >= 5)
+        SELECT token, cnt_a, cnt_b,
+               round(ln((ya + aw) / (na + 100.0 - ya - aw))
+                     - ln((yb + aw) / (nb + 100.0 - yb - aw)),
+                     6) AS delta,
+               round((ln((ya + aw) / (na + 100.0 - ya - aw))
+                      - ln((yb + aw) / (nb + 100.0 - yb - aw)))
+                     / sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)),
+                     6) AS z
+        FROM s
+    """
+
+    # em_linkage: the unrolled-EM CTE chain (one builder, shared with
+    # linkage_scores so the fitted parameters can never drift), then
+    # one row per field + the repeated match prior
+    _em4 = _em_ctes(LINK_FIELDS, iters=4)
+    sql["em_linkage"] = (
+        _em4
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT '{f}' AS field, m_{f} AS m, u_{f} AS u, p FROM s4"
+            for f in LINK_FIELDS
+        )
+    )
+
+    # linkage_scores (decision-table face): composite log2 LR weight
+    # per agreement pattern — per-field weights round 9dp
+    # (ln(x)/ln(2), NOT log2(), mirroring Spark's op order), summed
+    # as a fixed 0.0-seeded chain in field order, rounded 6
+    _wchain = "0.0" + "".join(
+        f" + (CASE WHEN {f} = 1"
+        f" THEN round(ln(m_{f} / u_{f}) / ln(2), 9)"
+        f" ELSE round(ln((1.0 - m_{f}) / (1.0 - u_{f})) / ln(2), 9)"
+        f" END)"
+        for f in LINK_FIELDS
+    )
+    sql["linkage_scores"] = (
+        _em4
+        + f"""
+        SELECT {', '.join(LINK_FIELDS)},
+               round({_wchain}, 6) AS match_weight,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM prs CROSS JOIN s4
+        GROUP BY {', '.join(str(i + 1) for i in range(len(LINK_FIELDS)))},
+                 {len(LINK_FIELDS) + 1}
+    """
+    )
+
+    # compaction_plan: FFD offset-chunking of the under-target files'
+    # size prefix sum per partition; singleton groups dropped
+    sql["compaction_plan"] = """
+        WITH m AS (SELECT lang AS part,
+                          'f' || CAST(doc_id AS VARCHAR) AS path,
+                          CAST(n_chars AS BIGINT) AS bytes
+                   FROM documents WHERE n_chars < 600),
+        g AS (SELECT part, path, bytes,
+                     CAST(floor(coalesce(sum(bytes) OVER (
+                       PARTITION BY part
+                       ORDER BY bytes DESC, path ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) / 600) AS BIGINT)
+                       AS group_id
+              FROM m),
+        gg AS (SELECT part, path, bytes, group_id,
+                      CAST(count(*) OVER (
+                        PARTITION BY part, group_id) AS BIGINT)
+                        AS group_files,
+                      CAST(sum(bytes) OVER (
+                        PARTITION BY part, group_id) AS BIGINT)
+                        AS group_bytes
+               FROM g)
+        SELECT * FROM gg WHERE group_files >= 2
     """
 
     # rrf_fuse: reciprocal-rank fusion of the two BM25 routes, each

@@ -122,6 +122,7 @@ def main() -> None:
     from __spark_entry__ import (
         SMALL_CORPUS_CONFIG,
         _q_agg_pricing,
+        _q_em_linkage,
         _q_embedding_neardup,
         _q_join_revenue,
         _q_quality_classifier,
@@ -271,6 +272,25 @@ def main() -> None:
         # SCD-2 validity intervals over the event stream (the KG
         # evidence→belief layer's window-pass workhorse)
         "temporal_triples": lambda: run(_q_temporal_triples(spark, sf_dir)),
+        # Fellegi–Sunter EM record linkage: source-blocked pair
+        # generation + pattern-count collapse + 4 unrolled EM rounds,
+        # all one plan (trainable op #4).  Aggregating sink: 3 rows
+        "em_linkage": lambda: run(
+            _q_em_linkage(spark, sf_dir).agg(
+                F.sum("m"), F.sum("u"), F.max("p")
+            )
+        ),
+        # instruct-pair assembly over the transcript corpus (ONE
+        # conv_id exchange; the funnel's terminal operator).
+        # Aggregating sink: prompts/responses preserve cardinality
+        "training_pairs": lambda: run(
+            transcripts.training_pairs(
+                transcripts.synthesize_transcripts(docs)
+            ).agg(
+                F.sum("n_context"), F.sum(F.length("prompt")),
+                F.sum(F.length("response")),
+            )
+        ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),
         "join_revenue": lambda: run(_q_join_revenue(spark, sf_dir)),
         "sessionize": lambda: run(relational.sessionize(events)),

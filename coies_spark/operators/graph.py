@@ -482,6 +482,36 @@ def cooccurrence_edges(
     )
 
 
+def _capped_undirected(
+    edges: DataFrame, max_degree: int
+) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized (u, v) graph with every node of degree >
+    ``max_degree`` removed from BOTH sides, plus the per-node degree
+    table RECOMPUTED on the filtered graph — the shared front half of
+    the wedge-join link-prediction scores (:func:`neighbor_jaccard`,
+    :func:`adamic_adar`).  Dropping hubs symmetrically keeps each
+    measure a true score over the surviving graph (the
+    ``ops.dedup.jaccard_pairs`` df-cap convention) and bounds the
+    wedge blowup at ``max_degree²`` pairs per middle node."""
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    kept = deg.where(F.col("d") <= max_degree).select("u")
+    g = (
+        und.join(kept, "u")
+        .join(kept.select(F.col("u").alias("v")), "v")
+        .select("u", "v")
+    )
+    dg = g.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return g, dg
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     max_degree: int = 64,
@@ -516,22 +546,7 @@ def neighbor_jaccard(
     """
     if max_degree < 1:
         raise ValueError("neighbor_jaccard: max_degree must be >= 1")
-    und = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    kept = deg.where(F.col("d") <= max_degree).select("u")
-    g = (
-        und.join(kept, "u")
-        .join(kept.select(F.col("u").alias("v")), "v")
-        .select("u", "v")
-    )
-    dg = g.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    g, dg = _capped_undirected(edges, max_degree)
     x = g.select(F.col("v").alias("z"), F.col("u").alias("a"))
     y = g.select(F.col("v").alias("z"), F.col("u").alias("b"))
     common = (
@@ -556,6 +571,67 @@ def neighbor_jaccard(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, common, score): Adamic–Adar link-prediction score —
+    Σ over shared neighbors z of ``1 / ln(degree(z))`` (Adamic &
+    Adar, "Friends and neighbors on the Web", Social Networks 2003).
+    The rarity-weighted complement of :func:`neighbor_jaccard`: a
+    shared 3-degree neighbor is strong alias evidence, a shared
+    500-degree neighbor nearly none, and Jaccard cannot tell them
+    apart.  Running both over the entity co-occurrence graph gives
+    canonicalize a second, differently-biased structural signal.
+
+    Shares :func:`_capped_undirected` with neighbor_jaccard: the
+    graph is symmetrized and degree-``max_degree`` hubs are dropped
+    from both sides first (so every surviving wedge is bounded and
+    the score is exact over the surviving graph).  A shared neighbor
+    of two distinct nodes necessarily has degree ≥ 2 on the filtered
+    graph, so ``ln(d) ≥ ln 2`` and the weight is always finite.
+
+    Exactness: each per-neighbor weight is ``round(1/ln(d), 9)`` cast
+    to ``decimal(28,12)`` before the sum — 9dp-rounded doubles are
+    decimal-exact terms, so the aggregate is order-independent on any
+    partitioning (the :func:`hits` accumulation convention); the
+    output score is the decimal sum cast back to double, rounded 6.
+
+    Scale: identical plan shape to neighbor_jaccard — one
+    distinct-symmetrize shuffle, one map-side-combinable degree agg,
+    the wedge self-join keyed on the middle node (≤ max_degree² pairs
+    per node), one pair groupBy; AQE splits residual middle skew.
+    """
+    if max_degree < 1:
+        raise ValueError("adamic_adar: max_degree must be >= 1")
+    g, dg = _capped_undirected(edges, max_degree)
+    # the weight belongs to the MIDDLE node z: 1/ln(deg(z)), rounded
+    # 9dp and lifted to decimal before any summation.  Degree-1 nodes
+    # are dropped FIRST: they cannot be a shared neighbor of two
+    # distinct nodes, and under ANSI mode their 1/ln(1) would raise
+    # DIVIDE_BY_ZERO during the projection even though no surviving
+    # wedge ever reads it
+    wz = dg.where(F.col("d") >= 2).select(
+        F.col("u").alias("z"),
+        F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
+        .cast("decimal(28,12)")
+        .alias("wz"),
+    )
+    x = g.select(F.col("v").alias("z"), F.col("u").alias("a")).join(wz, "z")
+    y = g.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    return (
+        x.join(y, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.round(F.sum("wz").cast("double"), 6).alias("score"),
+        )
+        .where(F.col("common") >= min_common)
     )
 
 

@@ -1,0 +1,79 @@
+"""Table-maintenance planning: small-file compaction over a file
+manifest — the housekeeping half of the north rule's snapshot story.
+A KG pipeline that checkpoints every stage into partitioned snapshots
+(``pipeline.checkpoint``, ``pipeline.triples``) accretes small files
+at exactly the rate it scales: 10⁴ partitions × 10³ incremental
+appends = 10⁷ files whose open/seek overhead eventually dominates
+scans.  Real table formats (Iceberg's ``rewrite_data_files``, Delta
+OPTIMIZE) fix this by grouping small files into target-sized rewrite
+tasks; the PLANNER is pure relational work over the manifest and
+belongs in the engine even where the format's jar is absent (the
+documented Iceberg stand-in, ARCHITECTURE.md).
+
+``compaction_plan`` assigns every under-target file to a rewrite
+group within its partition, by offset-chunking the size prefix-sum —
+the ``pack_turns`` convention: a group can overflow the target by at
+most its last file (the standard streaming approximation of bin
+packing, which is NP-hard exactly).  Files already ≥ the target are
+excluded (rewriting them is pure churn), as are singleton groups (a
+lone small file gains nothing until siblings arrive — rewriting it
+would churn every incremental append).
+
+Determinism: files order by (bytes DESC, path) inside a partition —
+first-fit-decreasing order, so group fill is near-optimal and the
+plan is byte-identical on any engine/partitioning.
+
+Scale: ONE window pass keyed on the table partition (manifests are
+small relative to data — 10⁷ files is a few GB — but nothing here
+assumes they fit anywhere: the window shuffles by partition key and
+streams).  No collect, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    path_col: str = "path",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """(part, path, bytes, group_id, group_files, group_bytes):
+    the rewrite work-list — every under-target file, assigned to the
+    rewrite group (part, group_id) whose members one compaction
+    task concatenates into ~``target_bytes``.  Groups with a single
+    member are dropped (no-op rewrites).  See module docstring for
+    ordering/overflow semantics.
+    """
+    if target_bytes < 1:
+        raise ValueError("compaction_plan: target_bytes must be >= 1")
+    small = manifest.select(
+        F.col(partition_col).alias("part"),
+        F.col(path_col).alias("path"),
+        F.col(size_col).cast("long").alias("bytes"),
+    ).where(F.col("bytes") < target_bytes)
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), F.col("path"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = small.withColumn(
+        "group_id",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(target_bytes)
+        ).cast("long"),
+    )
+    gw = Window.partitionBy("part", "group_id")
+    return (
+        grouped.withColumn(
+            "group_files", F.count(F.lit(1)).over(gw).cast("long")
+        )
+        .withColumn("group_bytes", F.sum("bytes").over(gw).cast("long"))
+        .where(F.col("group_files") >= 2)
+    )

@@ -158,3 +158,76 @@ def token_budget_sample(
     return docs.withColumn("cum_before", cum_before).where(
         F.col("cum_before") < budget_tokens
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep exactly ``min(k, |stratum|)`` rows per stratum, drawn
+    WITHOUT replacement with probability proportional to
+    ``weight_col`` — Efraimidis & Spirakis's weighted reservoir
+    scheme (IPL 2006): each row gets key ``u^(1/w)`` for a uniform
+    ``u``, and the top-``k`` keys ARE a weight-proportional sample.
+    The curation move this exists for: "keep 1M documents per
+    language, preferring high quality-score docs" — a hard cut at a
+    score threshold overfits the scorer; weighted sampling keeps the
+    tail represented in proportion.
+
+    Determinism: ``u = (h + 0.5) / 16⁸`` from the row id's md5
+    prefix — the same engine-portable hash-randomness as
+    ``deterministic_sample``, so the selected set is reproducible
+    across runs, partitionings, and engines.  The rank key is the
+    monotone-equivalent ``ln(u)/w`` (largest = best; avoids the
+    underflow of ``u^(1/w)`` at tiny weights), ROUNDED 9dp so the
+    one float expression agrees cross-engine, with the id as an
+    exact tie-break.  Rows with NULL or non-positive weight are
+    dropped (they have probability 0 by definition).
+
+    Scale: per-stratum top-k via TWO windows — first over
+    (stratum, salt) with ``salt_buckets`` md5-derived salt buckets
+    (each task ranks ~|stratum|/salt_buckets rows and keeps ≤ k),
+    then over the stratum on the ≤ ``salt_buckets·k`` survivors —
+    the distributed-TakeOrdered shape, so a hot stratum (one
+    language = half the corpus) never serializes into a single
+    task's sort.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError("weighted_sample: salt_buckets must be >= 1")
+    strata = F.col(strata_col) if strata_col else F.lit("_all")
+    h = F.conv(_hash_key(id_col), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 9)
+    salt = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")),
+                9,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(salt_buckets),
+    )
+    out = df.where(w.isNotNull() & (w > 0)).withColumn("__key", key)
+    w1 = Window.partitionBy(strata, salt).orderBy(
+        F.col("__key").desc(), F.col(id_col)
+    )
+    w2 = Window.partitionBy(strata).orderBy(
+        F.col("__key").desc(), F.col(id_col)
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .where(F.col("__rn2") <= k)
+        .drop("__rn", "__rn2", "__key")
+    )

@@ -841,3 +841,84 @@ def collocations(
     return top.withColumn(
         "rank", F.row_number().over(wr).cast("long")
     ).select("a", "b", "n_ab", "n_a", "n_b", "pmi", "rank")
+
+
+def token_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    min_count: int = 5,
+    alpha0: float = 100.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, cnt_a, cnt_b, delta, z): which tokens shifted between
+    two corpus snapshots — the log-odds-ratio with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn, "Fightin' Words",
+    Political Analysis 2008).  The feed-monitoring gauge behind
+    ``corpus_diff``'s row-level work-list: corpus_diff says WHICH
+    docs changed, token_drift says WHAT the change is about — a
+    template rollout, a language shift, a new spam family — before
+    it reaches training.  Raw frequency ratios overweight rare
+    tokens and χ² overweights common ones; the prior-smoothed
+    z-score is the standard fix.
+
+    Per token w with counts y_aw / y_bw, corpus totals n_a / n_b and
+    prior α_w = alpha0 · (y_aw + y_bw) / (n_a + n_b):
+
+    * delta = ln((y_aw + α_w)/(n_a + alpha0 − y_aw − α_w))
+            − ln((y_bw + α_w)/(n_b + alpha0 − y_bw − α_w))
+    * z = delta / sqrt(1/(y_aw + α_w) + 1/(y_bw + α_w))
+
+    Exactness: counts are integer aggregates; every float is a
+    PER-ROW scalar expression over them (no float summation), so the
+    result is partitioning-independent; delta and z round 6dp.
+
+    Scale: two map-side-combinable token-count groupBys, one
+    full-outer join on token, totals carried by an in-plan broadcast
+    crossJoin (no collect).  Tokens absent from one side get count 0
+    — they drift hardest and must not be dropped by the join.
+    ``min_count`` gates on the COMBINED count, symmetrically.
+    """
+    if alpha0 <= 0:
+        raise ValueError("token_drift: alpha0 must be > 0")
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(tokens_col(text_col)).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    ca = _counts(docs_a, "cnt_a")
+    cb = _counts(docs_b, "cnt_b")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    tot = joined.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    a0 = F.lit(float(alpha0))
+    aw = a0 * (F.col("cnt_a") + F.col("cnt_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    ya, yb = F.col("cnt_a").cast("double"), F.col("cnt_b").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    delta = F.log((ya + aw) / (na + a0 - ya - aw)) - F.log(
+        (yb + aw) / (nb + a0 - yb - aw)
+    )
+    var = F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .where((F.col("cnt_a") + F.col("cnt_b")) >= min_count)
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            F.round(delta, 6).alias("delta"),
+            F.round(delta / F.sqrt(var), 6).alias("z"),
+        )
+    )

@@ -724,3 +724,84 @@ def text_tiling(
         "is_boundary",
         seg.cast("long").alias("segment_id"),
     )
+
+
+def training_pairs(
+    transcripts: DataFrame,
+    context_turns: int = 4,
+    target_role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, turn_idx, n_context, prompt, response): instruct-
+    tuning example assembly — for every ``target_role`` turn with at
+    least one preceding turn, the training pair (prompt = the up-to-
+    ``context_turns`` preceding turns rendered ``role: text`` one per
+    line, response = the turn's RAW text).  This is the terminal
+    operator of the transcript curation funnel: after loop/boilerplate
+    scrubbing and near-dup filtering, what ships to the trainer is
+    exactly these rows.
+
+    Semantics:
+
+    * context = the ``context_turns`` turns immediately before the
+      target under stable turn ordering, whatever their roles (tool
+      and system turns are context too — the model must condition on
+      them);
+    * a context line renders NULL role/text as empty strings
+      (explicitly, so the rendered prompt is deterministic); the
+      RESPONSE is the raw ``text`` column untouched — the per-turn
+      text-equality invariant holds on output rows by construction —
+      and target turns with NULL/empty text are dropped (an empty
+      completion trains nothing);
+    * turns with no predecessor yield no pair (nothing to condition
+      on).
+
+    Plan: ONE window pass over (conv_id, turn_idx) — the context is
+    ``collect_list(struct(turn_idx, role, text))`` over rows
+    [-context_turns, -1], struct-sorted so assembly is deterministic
+    under any task ordering (the ``pack_turns`` convention).  On the
+    conv_id-bucketed layout the exchange is satisfied by storage; no
+    join, no second shuffle, output is a filtered projection.
+    """
+    if context_turns < 1:
+        raise ValueError("training_pairs: context_turns must be >= 1")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    out = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        ctx.alias("__ctx"),
+    )
+    prompt = F.array_join(
+        F.transform(
+            F.col("__ctx"),
+            lambda s: F.concat(
+                F.coalesce(s["role"], F.lit("")),
+                F.lit(": "),
+                F.coalesce(s["text"], F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    return (
+        out.where(
+            (F.col("role") == target_role)
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & (F.size("__ctx") >= 1)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("__ctx").cast("long").alias("n_context"),
+            prompt.alias("prompt"),
+            F.col("text").alias("response"),
+        )
+    )

@@ -1,0 +1,441 @@
+"""Seventh-batch operators: Adamic–Adar link prediction
+(operators.graph.adamic_adar), Efraimidis–Spirakis weighted sampling
+(sampling.weighted_sample), instruct-pair assembly
+(transcripts.training_pairs), and Monroe log-odds token drift
+(textstats.token_drift)."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.operators.graph import adamic_adar
+from coies_spark.ops import textstats, transcripts
+from coies_spark.ops.sampling import weighted_sample
+
+pytestmark = pytest.mark.spark
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+class TestAdamicAdar:
+    def test_hand_graph(self, spark):
+        # wedge a - z - b plus z - c: deg(z) = 3 on the symmetrized
+        # graph, so score(a,b) = 1/ln(3); a and c also pair via z
+        e = _edges(spark, [("a", "z"), ("z", "b"), ("z", "c")])
+        got = {(r.a, r.b): (r.common, r.score)
+               for r in adamic_adar(e).collect()}
+        w = round(round(1.0 / math.log(3.0), 9), 6)
+        assert got[("a", "b")] == (1, w)
+        assert got[("a", "c")] == (1, w)
+        assert got[("b", "c")] == (1, w)
+        assert len(got) == 3
+
+    def test_rare_neighbor_outweighs_hub(self, spark):
+        # x and y share BOTH a degree-2 neighbor (r) and a degree-5
+        # hub (h): the rare neighbor contributes more weight
+        rows = [("x", "r"), ("y", "r"), ("x", "h"), ("y", "h")]
+        rows += [("h", f"l{i}") for i in range(3)]
+        got = {(r.a, r.b): (r.common, r.score)
+               for r in adamic_adar(_edges(spark, rows)).collect()}
+        expect = round(
+            round(1.0 / math.log(2.0), 9) + round(1.0 / math.log(5.0), 9),
+            6,
+        )
+        assert got[("x", "y")] == (2, expect)
+
+    def test_python_parity_randomized(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(30)]
+        rows = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(120)
+            }
+        )
+        rows = [(a, b) for a, b in rows if a != b]
+        adj: dict[str, set] = {}
+        for a, b in rows:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cap = 8
+        kept = {n for n, s in adj.items() if len(s) <= cap}
+        g = {n: {v for v in s if v in kept}
+             for n, s in adj.items() if n in kept}
+        expect = {}
+        ns = sorted(g)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                common = g[a] & g[b]
+                if common:
+                    s = sum(
+                        round(1.0 / math.log(len(g[z])), 9)
+                        for z in common
+                    )
+                    expect[(a, b)] = (len(common), round(s, 6))
+        got = {
+            (r.a, r.b): (r.common, r.score)
+            for r in adamic_adar(
+                _edges(spark, rows), max_degree=cap
+            ).collect()
+        }
+        assert got == expect
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            adamic_adar(_edges(spark, [("a", "b")]), max_degree=0)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+class TestWeightedSample:
+    def test_exact_stratum_sizes(self, spark):
+        rows = [(i, f"t{i}", "en" if i % 2 else "fr", 10 + i)
+                for i in range(40)]
+        out = weighted_sample(
+            _docs(spark, rows), k=5, weight_col="n_chars",
+            strata_col="lang",
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.lang, []).append(r.doc_id)
+        assert sorted(len(v) for v in by.values()) == [5, 5]
+
+    def test_two_phase_equals_global_window(self, spark):
+        rows = [(i, f"t{i}", ["en", "fr", "de"][i % 3], 1 + (i % 7))
+                for i in range(90)]
+        d = _docs(spark, rows)
+        fast = weighted_sample(
+            d, k=4, weight_col="n_chars", strata_col="lang",
+            salt_buckets=16,
+        )
+        slow = weighted_sample(
+            d, k=4, weight_col="n_chars", strata_col="lang",
+            salt_buckets=1,
+        )
+        assert sorted(r.doc_id for r in fast.collect()) == sorted(
+            r.doc_id for r in slow.collect()
+        )
+
+    def test_nonpositive_and_null_weights_dropped(self, spark):
+        rows = [(1, "a", "en", 5), (2, "b", "en", 0),
+                (3, "c", "en", -2), (4, "d", "en", None)]
+        out = weighted_sample(
+            _docs(spark, rows), k=10, weight_col="n_chars",
+            strata_col="lang",
+        ).collect()
+        assert [r.doc_id for r in out] == [1]
+
+    def test_weight_proportional_selection(self, spark):
+        # 200 light rows (w=1) + 20 heavy rows (w=1000): the heavy
+        # minority should dominate a k=20 draw
+        rows = [(i, f"t{i}", "en", 1) for i in range(200)]
+        rows += [(1000 + i, f"h{i}", "en", 1000) for i in range(20)]
+        out = weighted_sample(
+            _docs(spark, rows), k=20, weight_col="n_chars",
+            strata_col="lang",
+        ).collect()
+        heavy = sum(1 for r in out if r.doc_id >= 1000)
+        assert len(out) == 20 and heavy >= 15
+
+    def test_validation(self, spark):
+        d = _docs(spark, [(1, "a", "en", 5)])
+        with pytest.raises(ValueError):
+            weighted_sample(d, k=0, weight_col="n_chars")
+        with pytest.raises(ValueError):
+            weighted_sample(d, k=1, weight_col="n_chars", salt_buckets=0)
+
+
+def _tx(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts long",
+    )
+
+
+class TestTrainingPairs:
+    def test_prompt_rendering_and_raw_response(self, spark):
+        t = _tx(spark, [
+            ("c1", 0, "user", "hello there", None, 0),
+            ("c1", 1, "assistant", "hi!  How can I help?", None, 1),
+            ("c1", 2, "tool", "search(weather)", "search", 2),
+            ("c1", 3, "assistant", "It is sunny.", None, 3),
+        ])
+        got = {r.turn_idx: r for r in transcripts.training_pairs(
+            t, context_turns=2).collect()}
+        assert set(got) == {1, 3}
+        assert got[1].prompt == "user: hello there"
+        assert got[1].n_context == 1
+        # response is the RAW text — double space preserved
+        assert got[1].response == "hi!  How can I help?"
+        assert got[3].prompt == (
+            "assistant: hi!  How can I help?\ntool: search(weather)"
+        )
+        assert got[3].n_context == 2
+
+    def test_first_turn_and_empty_targets_dropped(self, spark):
+        t = _tx(spark, [
+            ("c1", 0, "assistant", "opener with no context", None, 0),
+            ("c2", 0, "user", "q", None, 0),
+            ("c2", 1, "assistant", "", None, 1),
+            ("c2", 2, "assistant", None, None, 2),
+        ])
+        assert transcripts.training_pairs(t).collect() == []
+
+    def test_null_context_fields_render_empty(self, spark):
+        t = _tx(spark, [
+            ("c1", 0, None, None, None, 0),
+            ("c1", 1, "assistant", "ok", None, 1),
+        ])
+        [r] = transcripts.training_pairs(t, context_turns=4).collect()
+        assert r.prompt == ": " and r.response == "ok"
+
+    def test_context_window_truncates(self, spark):
+        t = _tx(spark, [
+            ("c1", i, "user", f"u{i}", None, i) for i in range(5)
+        ] + [("c1", 5, "assistant", "a", None, 5)])
+        [r] = transcripts.training_pairs(t, context_turns=2).collect()
+        assert r.prompt == "user: u3\nuser: u4" and r.n_context == 2
+
+    def test_validation(self, spark):
+        t = _tx(spark, [("c1", 0, "user", "x", None, 0)])
+        with pytest.raises(ValueError):
+            transcripts.training_pairs(t, context_turns=0)
+
+
+def _pytok(s):
+    return [t for t in re.split(r"[\s!-/:-@\[-`{-~]", s.lower()) if t]
+
+
+class TestTokenDrift:
+    def _drift_py(self, docs_a, docs_b, min_count=1, a0=100.0):
+        ca, cb = {}, {}
+        for d in docs_a:
+            for t in _pytok(d):
+                ca[t] = ca.get(t, 0) + 1
+        for d in docs_b:
+            for t in _pytok(d):
+                cb[t] = cb.get(t, 0) + 1
+        na, nb = sum(ca.values()), sum(cb.values())
+        out = {}
+        for t in set(ca) | set(cb):
+            ya, yb = ca.get(t, 0), cb.get(t, 0)
+            if ya + yb < min_count:
+                continue
+            aw = a0 * (ya + yb) / (na + nb)
+            delta = math.log((ya + aw) / (na + a0 - ya - aw)) - math.log(
+                (yb + aw) / (nb + a0 - yb - aw)
+            )
+            z = delta / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+            out[t] = (ya, yb, round(delta, 6), round(z, 6))
+        return out
+
+    def test_python_parity(self, spark):
+        docs_a = ["alpha beta gamma", "alpha alpha delta", "beta zing"]
+        docs_b = ["beta gamma gamma", "epsilon zing zing", "gamma"]
+        da = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs_a)], "doc_id long, text string"
+        )
+        db = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs_b)], "doc_id long, text string"
+        )
+        got = {
+            r.token: (r.cnt_a, r.cnt_b, r.delta, r.z)
+            for r in textstats.token_drift(da, db, min_count=1).collect()
+        }
+        assert got == self._drift_py(docs_a, docs_b)
+
+    def test_planted_drift_sign_and_rank(self, spark):
+        # 'spam' floods snapshot B only: its z must be the most
+        # negative; a token unique to A must be positive
+        docs_a = ["clean text about spark tables"] * 5
+        docs_b = ["spam spam spam buy now"] * 5
+        da = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs_a)], "doc_id long, text string"
+        )
+        db = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs_b)], "doc_id long, text string"
+        )
+        rows = textstats.token_drift(da, db, min_count=1).collect()
+        z = {r.token: r.z for r in rows}
+        assert min(z, key=z.get) == "spam"
+        assert z["spark"] > 0 and z["spam"] < 0
+
+    def test_min_count_gates_combined(self, spark):
+        da = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+        db = spark.createDataFrame([(1, "aa cc")], "doc_id long, text string")
+        toks = {
+            r.token
+            for r in textstats.token_drift(da, db, min_count=2).collect()
+        }
+        assert toks == {"aa"}
+
+    def test_validation(self, spark):
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            textstats.token_drift(d, d, alpha0=0.0)
+
+
+class TestEmLinkage:
+    def _em_py(self, counts, f, iters=4, p0=0.1, m0=0.9, u0=0.1):
+        """counts: {pattern tuple: n}; returns (p, m[], u[])."""
+        eps = 1e-6
+
+        def clamp(x):
+            return min(max(round(x, 9), eps), 1.0 - eps)
+
+        p, m, u = p0, [m0] * f, [u0] * f
+        for _ in range(iters):
+            sw = snw = 0.0
+            swg, snwg = [0.0] * f, [0.0] * f
+            nn = 0
+            for g, n in counts.items():
+                pm = pu = 1.0
+                for j in range(f):
+                    pm *= m[j] if g[j] else 1.0 - m[j]
+                    pu *= u[j] if g[j] else 1.0 - u[j]
+                w = round(p * pm / (p * pm + (1.0 - p) * pu), 9)
+                sw += n * w
+                snw += n * (1.0 - w)
+                nn += n
+                for j in range(f):
+                    if g[j]:
+                        swg[j] += n * w
+                        snwg[j] += n * (1.0 - w)
+            p = clamp(sw / nn)
+            m = [clamp(swg[j] / sw) for j in range(f)]
+            u = [clamp(snwg[j] / snw) for j in range(f)]
+        return p, m, u
+
+    def _pairs(self, spark, counts):
+        rows = []
+        for g, n in counts.items():
+            rows += [tuple(int(x) for x in g)] * n
+        return spark.createDataFrame(rows, "f1 int, f2 int")
+
+    COUNTS = {
+        (1, 1): 40, (1, 0): 15, (0, 1): 25, (0, 0): 320,
+    }
+
+    def test_python_parity(self, spark):
+        from coies_spark.ops.linkage import em_linkage
+
+        got = {r.field: (r.m, r.u, r.p) for r in em_linkage(
+            self._pairs(spark, self.COUNTS), ["f1", "f2"], iters=4
+        ).collect()}
+        p, m, u = self._em_py(self.COUNTS, 2)
+        # python float sums over 4 patterns == decimal sums of
+        # 9dp-rounded terms here because every term is exact at 9dp
+        assert got["f1"] == (pytest.approx(m[0], abs=1e-9),
+                             pytest.approx(u[0], abs=1e-9),
+                             pytest.approx(p, abs=1e-9))
+        assert got["f2"] == (pytest.approx(m[1], abs=1e-9),
+                             pytest.approx(u[1], abs=1e-9),
+                             pytest.approx(p, abs=1e-9))
+
+    def test_separates_planted_mixture(self, spark):
+        from coies_spark.ops.linkage import em_linkage
+
+        # matches (10%) agree on both fields, non-matches rarely do:
+        # EM must learn m >> u for both fields
+        counts = {(1, 1): 50, (1, 0): 30, (0, 1): 30, (0, 0): 390}
+        got = {r.field: r for r in em_linkage(
+            self._pairs(spark, counts), ["f1", "f2"], iters=6
+        ).collect()}
+        for f in ("f1", "f2"):
+            assert got[f].m > got[f].u
+
+    def test_scores_monotone_in_agreement(self, spark):
+        from coies_spark.ops.linkage import linkage_scores
+
+        df = linkage_scores(
+            self._pairs(spark, self.COUNTS), ["f1", "f2"], iters=4
+        )
+        w = {(r.f1, r.f2): r.match_weight for r in df.collect()}
+        assert w[(1, 1)] > w[(1, 0)] > w[(0, 0)]
+        assert w[(1, 1)] > w[(0, 1)] > w[(0, 0)]
+
+    def test_nulls_count_as_disagreement(self, spark):
+        from coies_spark.ops.linkage import comparison_patterns
+
+        pairs = spark.createDataFrame(
+            [(1, None), (1, 0), (None, None)], "f1 int, f2 int"
+        )
+        got = {(r.f1, r.f2): r.n
+               for r in comparison_patterns(pairs, ["f1", "f2"]).collect()}
+        assert got == {(1, 0): 2, (0, 0): 1}
+
+    def test_validation(self, spark):
+        from coies_spark.ops.linkage import comparison_patterns, em_linkage
+
+        p = self._pairs(spark, {(1, 1): 1})
+        with pytest.raises(ValueError):
+            em_linkage(p, ["f1", "f2"], iters=0)
+        with pytest.raises(ValueError):
+            em_linkage(p, ["f1", "f2"], p0=1.5)
+        with pytest.raises(ValueError):
+            comparison_patterns(p, [])
+
+
+class TestCompactionPlan:
+    def _manifest(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "partition string, path string, bytes long"
+        )
+
+    def test_groups_fill_to_target(self, spark):
+        from coies_spark.ops.maintenance import compaction_plan
+
+        rows = [("p1", f"f{i}", 40) for i in range(10)]
+        out = compaction_plan(
+            self._manifest(spark, rows), target_bytes=100
+        ).collect()
+        assert len(out) == 10
+        by = {}
+        for r in out:
+            by.setdefault(r.group_id, []).append(r.bytes)
+        # 40-byte files at target 100: offset chunks of ~100 bytes
+        # (a group may overflow by less than one file)
+        for g, sizes in by.items():
+            assert sum(sizes) <= 100 + 40
+
+    def test_large_files_and_singletons_excluded(self, spark):
+        from coies_spark.ops.maintenance import compaction_plan
+
+        rows = [
+            ("p1", "big", 5000),     # >= target: already compact
+            ("p1", "a", 90), ("p1", "b", 80),
+            ("p2", "lone", 30),      # singleton group: no-op rewrite
+        ]
+        out = compaction_plan(
+            self._manifest(spark, rows), target_bytes=200
+        ).collect()
+        assert sorted(r.path for r in out) == ["a", "b"]
+        [g] = {r.group_id for r in out}
+        assert g == 0 and out[0].group_bytes == 170
+
+    def test_ffd_order_is_deterministic(self, spark):
+        from coies_spark.ops.maintenance import compaction_plan
+
+        rows = [("p1", f"f{i}", 10 + (i * 37) % 50) for i in range(30)]
+        m = self._manifest(spark, rows)
+        r1 = sorted(map(tuple, compaction_plan(m, 120).collect()))
+        r2 = sorted(map(tuple, compaction_plan(
+            m.repartition(7), 120).collect()))
+        assert r1 == r2
+
+    def test_validation(self, spark):
+        from coies_spark.ops.maintenance import compaction_plan
+
+        with pytest.raises(ValueError):
+            compaction_plan(self._manifest(spark, []), 0)

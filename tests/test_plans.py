@@ -500,3 +500,79 @@ def test_classifier_training_is_broadcast_shaped(spark):
     assert "CartesianProduct" not in p
     # every weights->feats join is broadcast (one per margin pass)
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_adamic_adar_no_cartesian(spark):
+    from coies_spark.operators.graph import adamic_adar
+
+    e = spark.createDataFrame(
+        [("a", "z"), ("z", "b")], "src string, dst string"
+    )
+    p = plan_of(adamic_adar(e))
+    # wedge join is keyed on the middle node; weight join keyed on z
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_em_linkage_pattern_agg_is_partial(spark):
+    from coies_spark.ops.linkage import comparison_patterns
+
+    pairs = spark.createDataFrame([(1, 0)], "f1 int, f2 int")
+    p = plan_of(comparison_patterns(pairs, ["f1", "f2"]))
+    # any number of candidate pairs collapses map-side to <= 2^f rows
+    assert "partial_count" in p
+
+
+def test_weighted_sample_two_phase_windows(spark):
+    from coies_spark.ops.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(
+        weighted_sample(
+            docs, k=5, weight_col="n_chars", strata_col="lang",
+            salt_buckets=8,
+        )
+    )
+    # phase 1 partitions by (stratum, salt) — a hot stratum spreads
+    # over salt_buckets tasks; phase 2 ranks only the <= buckets*k
+    # survivors.  Assert both exchanges key as designed.
+    assert p.count("Window") >= 2
+    assert "hashpartitioning(lang" in p
+    # no global single-partition sort anywhere
+    assert "SinglePartition" not in p
+
+
+def test_compaction_plan_partition_keyed_windows(spark):
+    from coies_spark.ops.maintenance import compaction_plan
+
+    m = spark.createDataFrame(
+        [("p1", "f1", 10)], "partition string, path string, bytes long"
+    )
+    p = plan_of(compaction_plan(m, 100))
+    # all three windows key on the table partition — never global
+    assert "SinglePartition" not in p
+
+
+def test_token_drift_counts_are_partial(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(
+        textstats.token_drift(
+            docs.where("lang = 'en'"), docs.where("lang = 'fr'")
+        )
+    )
+    # token counts combine map-side; totals ride an in-plan broadcast
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals crossJoin
+    assert "CartesianProduct" not in p
+
+
+def test_training_pairs_single_exchange(spark):
+    """training_pairs is ONE window pass on conv_id + a filtered
+    projection — a single hash exchange, satisfied by the bucketed
+    transcript layout in production."""
+    from coies_spark.ops import transcripts as tr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = tr.synthesize_transcripts(docs)
+    p = plan_of(tr.training_pairs(t))
+    assert p.count("Exchange") == 1, p
