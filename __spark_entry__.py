@@ -1592,6 +1592,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             target_bytes=600,
             partition_col="part",
         ),
+        # One-Permutation-Hashing MinHash (1 md5/shingle vs k) with
+        # rotation densification — the signature-build cost lever
+        "oph_signatures": lambda s, d: dedup.oph_signatures_wide(
+            _read(s, d, "documents")
+        ),
+        # the LSH band join over OPH signatures (same banding and
+        # downstream verify as minhash_lsh_pairs, 1/k hashing cost)
+        "oph_pairs": lambda s, d: dedup.oph_candidate_pairs(
+            _read(s, d, "documents")
+        ),
+        # Markov surprise of each conversation's tool-call chain
+        # under the corpus's own transition model (behavioral
+        # anomaly gauge; the lm_perplexity move on agent actions)
+        "tool_sequence_score": lambda s, d: transcripts.tool_sequence_score(
+            transcripts.synthesize_transcripts(
+                _read(s, d, "documents"), tool_every=2
+            )
+        ),
+        # classifier reliability diagram: predicted-probability bins
+        # vs observed positive rate over the distilled quality model
+        "calibration_bins": lambda s, d: classify.calibration_bins(
+            _q_quality_classifier(s, d)
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -4751,6 +4774,96 @@ def oracle_sql() -> dict[str, str]:
                         AS group_bytes
                FROM g)
         SELECT * FROM gg WHERE group_files >= 2
+    """
+
+    # oph_signatures / oph_pairs: one md5 per shingle, bucket =
+    # first-8-hex int % k, per-bucket conditional mins, rotation
+    # densification with the ":distance" marker (concat propagates
+    # NULL through empty buckets); bands = the minhash convention
+    _K = 8
+    _oph_mins = ", ".join(
+        f"min(CASE WHEN b = {i} THEN h END) AS r{i}" for i in range(_K)
+    )
+    _oph_dense = ",\n               ".join(
+        "coalesce("
+        + ", ".join(
+            f"r{(i + j) % _K} || ':{j}'" for j in range(_K)
+        )
+        + f") AS m{i}"
+        for i in range(_K)
+    )
+    _oph_sig = f"""
+        WITH {_SHINGLES},
+        r AS (SELECT doc_id, md5(shingle) AS h,
+                     CAST(('0x' || substr(md5(shingle), 1, 8))
+                          AS BIGINT) % {_K} AS b
+              FROM sh),
+        w AS (SELECT doc_id, {_oph_mins} FROM r GROUP BY 1)
+        SELECT doc_id,
+               {_oph_dense}
+        FROM w
+    """
+    sql["oph_signatures"] = _oph_sig
+    _oph_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" m{2 * b} || ',' || m{2 * b + 1} AS band_key FROM sig"
+        for b in range(_K // 2)
+    )
+    sql["oph_pairs"] = f"""
+        WITH sig AS ({_oph_sig}),
+        bands AS ({_oph_bands})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+    # tool_sequence_score: transitions = lag over the TOOL-BEARING
+    # turns only (filter before the window, matching the Spark
+    # projection order); per-edge cost round(-ln(n_edge/n_src), 9)
+    # summed in decimal per conversation
+    sql["tool_sequence_score"] = f"""
+        WITH t AS ({_transcripts_cte(2)}),
+        calls AS (SELECT conv_id, turn_idx, tool AS dst_tool,
+                         coalesce(lag(tool) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx),
+                           '<start>') AS src_tool
+                  FROM t WHERE tool IS NOT NULL),
+        edges AS (SELECT src_tool, dst_tool,
+                         CAST(count(*) AS BIGINT) AS n_edge
+                  FROM calls GROUP BY 1, 2),
+        srcs AS (SELECT src_tool, CAST(sum(n_edge) AS BIGINT) AS n_src
+                 FROM edges GROUP BY 1),
+        cost AS (SELECT e.src_tool, e.dst_tool,
+                        round(-ln(n_edge / n_src), 9) AS c
+                 FROM edges e JOIN srcs s ON s.src_tool = e.src_tool)
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               round(CAST(sum(CAST(c AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS nll,
+               round(CAST(sum(CAST(c AS DECIMAL(28,12)))
+                          AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM calls JOIN cost USING (src_tool, dst_tool)
+        GROUP BY 1
+    """
+
+    # calibration_bins: reliability diagram over the distilled
+    # quality model's scored output (the classifier oracle nested
+    # verbatim); p is already 9dp-rounded, so the decimal mean is
+    # order-exact
+    sql["calibration_bins"] = f"""
+        WITH s AS ({sql['quality_classifier']})
+        SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               round(CAST(sum(CAST(p AS DECIMAL(28,12)))
+                          AS DOUBLE) / count(*), 6) AS mean_p,
+               round(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS pos_rate
+        FROM s WHERE y IS NOT NULL
+        GROUP BY 1
     """
 
     # rrf_fuse: reciprocal-rank fusion of the two BM25 routes, each

@@ -230,3 +230,56 @@ def classify_docs(
             "y",
         )
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    bins: int = 10,
+    p_col: str = "p",
+    label_col: str = "y",
+) -> DataFrame:
+    """(bin, n, n_pos, mean_p, pos_rate): the classifier reliability
+    diagram as a table — labeled rows bucketed by predicted
+    probability, with the observed positive rate per bucket.  The
+    deployment gauge for :func:`classify_docs`: a well-calibrated
+    quality filter has pos_rate ≈ mean_p per bin, and drift between
+    them (as the corpus mixture shifts) is the retraining trigger —
+    THE standard production-ML health check (reliability diagrams,
+    DeGroot & Fienberg 1983).
+
+    * bin = ``least(floor(p·bins), bins-1)`` — the p = 1.0 edge case
+      folds into the top bin instead of creating a phantom one;
+    * unlabeled rows (NULL label) are excluded — calibration is only
+      measurable against known outcomes;
+    * exactness: n / n_pos are integer aggregates; mean_p sums the
+      already-9dp-rounded probabilities in ``decimal(28,12)``
+      (order-independent), then divides and rounds 6; pos_rate is a
+      single integer division rounded 6.
+
+    One map-side-combinable groupBy on ≤ ``bins`` keys — nothing at
+    any scale."""
+    if bins < 2:
+        raise ValueError("calibration_bins: bins must be >= 2")
+    labeled = scored.where(F.col(label_col).isNotNull())
+    b = F.least(
+        F.floor(F.col(p_col) * bins), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        labeled.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col(label_col) > 0.5).cast("long")
+            ).cast("long").alias("n_pos"),
+            F.round(
+                F.sum(F.col(p_col).cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_p"),
+            F.round(
+                F.sum((F.col(label_col) > 0.5).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+    )

@@ -153,6 +153,82 @@ def minhash_signatures(
     )
 
 
+def oph_signatures_wide(
+    docs: DataFrame, n: int = 3, num_buckets: int = 8
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}): One-Permutation-Hashing MinHash (Li,
+    Owen & Zhang, NIPS'12) with rotation densification (Shrivastava
+    & Li, ICML'14) — the signature-BUILD cost lever.  Classic k-hash
+    MinHash evaluates k digests per shingle (``minhash_signatures_
+    wide`` computes 8 sibling md5s); OPH hashes each shingle ONCE,
+    routes it to bucket ``hash % k``, and takes the per-bucket min —
+    at web scale (10¹¹ docs × 10² shingles) that divides the
+    signature pass's dominant cost by k while estimating the same
+    Jaccard.
+
+    Empty buckets (a short doc may hit < k buckets) are densified by
+    cyclic rotation: bucket i borrows the nearest non-empty bucket to
+    its right, with the borrow DISTANCE appended (``"<hex>:j"``, the
+    ICML'14 offset trick in string form) so two docs that borrowed
+    from different distances don't spuriously agree.  A doc with at
+    least one shingle always densifies fully; the coalesce chain is
+    k² column references — constant, in-plan, zero extra passes.
+
+    Engine-portable: one md5 per shingle, bucket = first-8-hex int
+    mod k (both operands non-negative, so ``pmod`` ≡ ``%``), mins
+    compare lexicographically — identical in any engine.  Same
+    single-pass map-side-combinable aggregate shape as the classic
+    signature (k sibling conditional mins).
+    """
+    if num_buckets < 2:
+        raise ValueError("oph_signatures_wide: num_buckets must be >= 2")
+    sh = doc_shingles(docs, n)
+    h = _md5(F.col("shingle"))
+    rows = sh.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            F.lit(num_buckets),
+        ).alias("b"),
+    )
+    mins = [
+        F.min(F.when(F.col("b") == i, F.col("h"))).alias(f"r{i}")
+        for i in range(num_buckets)
+    ]
+    raw = rows.groupBy("doc_id").agg(*mins)
+    dense = [
+        F.coalesce(
+            *[
+                # concat (NOT concat_ws: it skips NULLs and would
+                # promote an empty bucket's bare distance marker)
+                F.concat(
+                    F.col(f"r{(i + j) % num_buckets}"),
+                    F.lit(":"),
+                    F.lit(str(j)),
+                )
+                for j in range(num_buckets)
+            ]
+        ).alias(f"m{i}")
+        for i in range(num_buckets)
+    ]
+    return raw.select("doc_id", *dense)
+
+
+def oph_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_buckets: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b): the LSH band join of :func:`lsh_candidate_
+    pairs` run over OPH signatures — same banding, same bucket
+    equality join, same verify composition downstream, 1/k the
+    signature hashing cost."""
+    wide = oph_signatures_wide(docs, n, num_buckets)
+    return _pairs_from_bands(_band_rows(wide, num_buckets, band_size))
+
+
 def band_keys(
     docs: DataFrame,
     n: int = 3,

@@ -805,3 +805,71 @@ def training_pairs(
             F.col("text").alias("response"),
         )
     )
+
+
+def tool_sequence_score(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_transitions, nll, avg_nll): how SURPRISING each
+    conversation's tool-call sequence is under the corpus's own
+    first-order transition model — the anomaly gauge over
+    :func:`tool_transitions`' graph.  An agent run whose tool chain
+    wanders off the corpus's common paths (a jailbroken loop, a
+    broken harness, a new workload) scores a high average negative
+    log-likelihood; routine runs score near the corpus baseline.
+    This is the Markov-chain twin of ``lm.lm_perplexity``'s text
+    filter, applied to agent BEHAVIOR instead of tokens.
+
+    Semantics: transitions are (prev tool → tool) over the
+    conversation's tool-bearing turns in stable turn order, with
+    ``'<start>'`` before the first call (exactly
+    :func:`tool_transitions`' edges); the model is the corpus MLE
+    p(dst|src) = n_edge / n_src — no smoothing needed because every
+    scored transition was counted into the model.
+
+    Exactness: per-EDGE cost ``round(-ln(n_edge / n_src), 9)`` is a
+    scalar over two integers (edge table is O(tools²), tiny); the
+    per-conversation sum lifts those 9dp costs to decimal(28,12)
+    (order-independent), then avg_nll divides by the integer count
+    and rounds 6.
+
+    Plan: the same ONE conv_id exchange as tool_transitions (window
+    lag), a tiny edge-count groupBy, a broadcast join of edge costs
+    back onto the transition instances, and a conv_id groupBy that
+    reuses the first exchange's partitioning.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        F.col("tool").alias("dst_tool"),
+        F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias(
+            "src_tool"
+        ),
+    )
+    edges = calls.groupBy("src_tool", "dst_tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edge")
+    )
+    srcs = edges.groupBy("src_tool").agg(
+        F.sum("n_edge").cast("long").alias("n_src")
+    )
+    cost = edges.join(srcs, "src_tool").select(
+        "src_tool",
+        "dst_tool",
+        F.round(
+            -F.log(F.col("n_edge") / F.col("n_src")), 9
+        ).alias("c"),
+    )
+    return (
+        calls.join(F.broadcast(cost), ["src_tool", "dst_tool"])
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(28,12)")).cast("double"),
+                6,
+            ).alias("nll"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

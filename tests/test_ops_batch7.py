@@ -439,3 +439,128 @@ class TestCompactionPlan:
 
         with pytest.raises(ValueError):
             compaction_plan(self._manifest(spark, []), 0)
+
+
+class TestOphSignatures:
+    def test_densified_and_agrees_on_identical_docs(self, spark):
+        from coies_spark.ops.dedup import oph_signatures_wide
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "alpha beta gamma delta epsilon"),
+             (3, "totally different words here now")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in oph_signatures_wide(d).collect()}
+        cols = [f"m{i}" for i in range(8)]
+        # every bucket densified (no NULLs) and carries the marker
+        for r in rows.values():
+            assert all(r[c] is not None and ":" in r[c] for c in cols)
+        # identical docs -> identical signatures; different docs differ
+        assert [rows[1][c] for c in cols] == [rows[2][c] for c in cols]
+        assert [rows[1][c] for c in cols] != [rows[3][c] for c in cols]
+
+    def test_short_doc_borrows_with_distance(self, spark):
+        from coies_spark.ops.dedup import oph_signatures_wide
+
+        # a doc with exactly ONE 3-shingle fills one bucket; all
+        # others must borrow it with distance markers 1..7 (cyclic)
+        d = spark.createDataFrame(
+            [(1, "only three tokens")], "doc_id long, text string"
+        )
+        [r] = oph_signatures_wide(d).collect()
+        dists = sorted(int(r[f"m{i}"].split(":")[1]) for i in range(8))
+        assert dists == list(range(8))
+        assert len({r[f"m{i}"].split(":")[0] for i in range(8)}) == 1
+
+    def test_oph_pairs_find_planted_dups(self, spark):
+        from coies_spark.ops.dedup import oph_candidate_pairs
+
+        texts = [
+            (i, f"document number {i} about spark tables and streams "
+                f"with enough distinct tokens {i * 7}")
+            for i in range(20)
+        ]
+        texts.append((100, texts[5][1]))  # exact twin of doc 5
+        d = spark.createDataFrame(texts, "doc_id long, text string")
+        pairs = {(r.doc_a, r.doc_b)
+                 for r in oph_candidate_pairs(d).collect()}
+        assert (5, 100) in pairs
+
+    def test_validation(self, spark):
+        from coies_spark.ops.dedup import oph_signatures_wide
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            oph_signatures_wide(d, num_buckets=1)
+
+
+class TestToolSequenceScore:
+    def test_common_chain_scores_below_rare(self, spark):
+        rows = []
+        # 10 conversations with the common chain search -> code
+        for c in range(10):
+            rows += [(f"c{c}", 0, "user", "q", "search", 0),
+                     (f"c{c}", 1, "assistant", "a", "code", 1)]
+        # one conversation takes a rare turn: search -> browse
+        rows += [("odd", 0, "user", "q", "search", 0),
+                 ("odd", 1, "assistant", "a", "browse", 1)]
+        t = _tx(spark, rows)
+        got = {r.conv_id: r for r in
+               transcripts.tool_sequence_score(t).collect()}
+        assert got["odd"].avg_nll > got["c0"].avg_nll
+        assert got["c0"].n_transitions == 2
+
+    def test_python_parity(self, spark):
+        import math as m
+
+        rows = [
+            ("a", 0, "u", "x", "s", 0), ("a", 1, "u", "x", "c", 1),
+            ("a", 2, "u", "x", None, 2), ("a", 3, "u", "x", "c", 3),
+            ("b", 0, "u", "x", "c", 0), ("b", 1, "u", "x", "s", 1),
+        ]
+        t = _tx(spark, rows)
+        # transitions: a: <start>->s, s->c, c->c ; b: <start>->c, c->s
+        edges = {("<start>", "s"): 1, ("s", "c"): 1, ("c", "c"): 1,
+                 ("<start>", "c"): 1, ("c", "s"): 1}
+        srcs = {"<start>": 2, "s": 1, "c": 2}
+        def cost(s, d):
+            return round(-m.log(edges[(s, d)] / srcs[s]), 9)
+        expect = {
+            "a": [cost("<start>", "s"), cost("s", "c"), cost("c", "c")],
+            "b": [cost("<start>", "c"), cost("c", "s")],
+        }
+        got = {r.conv_id: r for r in
+               transcripts.tool_sequence_score(t).collect()}
+        for cid, cs in expect.items():
+            assert got[cid].n_transitions == len(cs)
+            assert got[cid].nll == pytest.approx(round(sum(cs), 6), abs=2e-6)
+            assert got[cid].avg_nll == pytest.approx(
+                round(sum(cs) / len(cs), 6), abs=2e-6)
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        from coies_spark.ops.classify import calibration_bins
+
+        rows = [(1, 0.05, 0.0), (2, 0.12, 0.0), (3, 0.17, 1.0),
+                (4, 0.95, 1.0), (5, 1.0, 1.0), (6, 0.5, None)]
+        scored = spark.createDataFrame(
+            rows, "doc_id long, p double, y double"
+        )
+        got = {r.bin: r for r in calibration_bins(scored).collect()}
+        assert set(got) == {0, 1, 9}
+        assert (got[1].n, got[1].n_pos) == (2, 1)
+        assert got[1].pos_rate == 0.5
+        # p = 1.0 folds into the TOP bin, not a phantom bin 10
+        assert got[9].n == 2 and got[9].n_pos == 2
+        assert got[0].pos_rate == 0.0
+
+    def test_validation(self, spark):
+        from coies_spark.ops.classify import calibration_bins
+
+        scored = spark.createDataFrame(
+            [(1, 0.5, 1.0)], "doc_id long, p double, y double"
+        )
+        with pytest.raises(ValueError):
+            calibration_bins(scored, bins=1)
