@@ -961,6 +961,24 @@ def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR over the entity co-occurrence graph, restart set = the 2
+    lexicographically smallest entities (deterministic in-plan seed
+    rule, no collect)."""
+    from coies_spark.operators.graph import personalized_pagerank
+
+    edges = graph_cooccurrence(
+        _q_entity_spans(spark, sf_dir), "doc_id", "mention"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(2)
+    return personalized_pagerank(edges, seeds, iters=3)
+
+
 def _q_em_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter parameters fitted by 4 unrolled in-plan EM
     rounds over the source-blocked candidate pairs (also a bench
@@ -1614,6 +1632,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs observed positive rate over the distilled quality model
         "calibration_bins": lambda s, d: classify.calibration_bins(
             _q_quality_classifier(s, d)
+        ),
+        # Personalized PageRank seeded at the 2 lexicographically
+        # smallest entities: the disambiguation coherence walker —
+        # mass concentrates in the seeds' co-occurrence neighborhood
+        "personalized_pagerank": _q_personalized_pagerank,
+        # the mixture planning table: per-stratum keep rates that hit
+        # a token budget at a target mixture, with feasibility flags
+        "mixture_rates": lambda s, d: sampling.mixture_rates(
+            _read(s, d, "documents"),
+            {"en": 0.5, "fr": 0.3, "zh": 0.2},
+            budget_tokens=50000,
+            strata_col="lang",
+            n_tokens_col="n_chars",
         ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
@@ -4864,6 +4895,67 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS pos_rate
         FROM s WHERE y IS NOT NULL
         GROUP BY 1
+    """
+
+    # personalized_pagerank: the pagerank unrolling with a restart
+    # VECTOR (1/|S| on the 2 smallest entities, 0 elsewhere) instead
+    # of the uniform 1/N; left join keeps restart-only nodes; same
+    # 9dp per-round pinning; damping spelled (1-0.85) so both engines
+    # compute the residual in double arithmetic identically
+    ppr_ctes = [
+        f"e AS (SELECT a, b FROM ({sql['entity_cooccurrence']}))",
+        "sym AS (SELECT DISTINCT a, b FROM ("
+        " SELECT a, b FROM e UNION ALL SELECT b, a FROM e)"
+        " WHERE a <> b)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2)",
+        "ns AS (SELECT count(*) AS s FROM seeds)",
+        "deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1)",
+        "r0 AS (SELECT n.node,"
+        " round(CASE WHEN sd.node IS NOT NULL"
+        " THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END, 9) AS r0"
+        " FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node)",
+        "p0 AS (SELECT node, r0 AS ppr FROM r0)",
+    ]
+    for it in range(1, 4):
+        ppr_ctes.append(
+            f"c{it} AS (SELECT s.b AS node, sum(p.ppr/dg.deg) AS s"
+            f" FROM sym s JOIN p{it - 1} p ON p.node = s.a"
+            f" JOIN deg dg ON dg.node = s.a GROUP BY s.b)"
+        )
+        ppr_ctes.append(
+            f"p{it} AS (SELECT r0.node,"
+            f" round((1-0.85)*r0.r0"
+            f" + 0.85*coalesce(c.s, 0.0), 9) AS ppr"
+            f" FROM r0 LEFT JOIN c{it} c ON c.node = r0.node)"
+        )
+    sql["personalized_pagerank"] = (
+        "WITH " + ",\n".join(ppr_ctes) + " SELECT node, ppr FROM p3"
+    )
+
+    # mixture_rates: pure arithmetic over the per-stratum token
+    # inventory — the only float is the rate division (rounded 6);
+    # want_tokens stays the exact int·literal product
+    sql["mixture_rates"] = """
+        WITH inv AS (SELECT lang AS stratum,
+                            CAST(sum(n_chars) AS BIGINT)
+                              AS available_tokens
+                     FROM documents GROUP BY 1),
+        s AS (SELECT stratum, available_tokens,
+                     CASE stratum WHEN 'en' THEN 0.5
+                                  WHEN 'fr' THEN 0.3
+                                  WHEN 'zh' THEN 0.2
+                                  ELSE 0.0 END AS target_share
+              FROM inv)
+        SELECT stratum, available_tokens, target_share,
+               50000 * target_share AS want_tokens,
+               round(CASE WHEN available_tokens > 0
+                           AND target_share > 0
+                          THEN least(1.0, (50000 * target_share)
+                                          / available_tokens)
+                          ELSE 0.0 END, 6) AS rate,
+               available_tokens >= 50000 * target_share AS feasible
+        FROM s
     """
 
     # rrf_fuse: reciprocal-rank fusion of the two BM25 routes, each

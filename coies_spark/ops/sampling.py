@@ -231,3 +231,62 @@ def weighted_sample(
         .where(F.col("__rn2") <= k)
         .drop("__rn", "__rn2", "__key")
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "lang",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(stratum, available_tokens, target_share, want_tokens, rate,
+    feasible): the mixture PLANNING table — given the corpus's actual
+    per-stratum token inventory, a target mixture ("50% en, 30% code,
+    …") and a total token budget, the keep-rate each stratum needs.
+    This is the step every pretraining run does on a whiteboard
+    before calling :func:`stratified_sample`; as a table it composes:
+    ``dict(rates.collect())``-free pipelines feed the rate column
+    straight into downstream CASE-chain filters, and ``feasible``
+    flags strata whose inventory cannot cover their share (the
+    signal to re-normalize or upsample).
+
+    * want_tokens = budget · share (double, round 6 is NOT applied —
+      it stays an exact product of the int budget and the literal
+      share so the rate division below is the only float);
+    * rate = least(1.0, want / available), round 6; an absent or
+      zero-inventory stratum gets rate 0 (nothing to keep);
+    * strata not named in ``targets`` get share 0 — they are being
+      mixed OUT, explicitly visible as a 0-rate row.
+
+    One map-side-combinable groupBy over the corpus; the output is
+    strata-sized (languages/sources), trivially broadcastable.
+    """
+    if budget_tokens < 1:
+        raise ValueError("mixture_rates: budget_tokens must be >= 1")
+    share: Column = F.lit(0.0)
+    for stratum in sorted(targets):
+        share = F.when(
+            F.col("stratum") == stratum, F.lit(float(targets[stratum]))
+        ).otherwise(share)
+    inv = (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.sum(F.col(n_tokens_col).cast("long"))
+            .cast("long")
+            .alias("available_tokens")
+        )
+    )
+    want = F.lit(budget_tokens) * share
+    rate = F.when(
+        (F.col("available_tokens") > 0) & (share > 0),
+        F.least(F.lit(1.0), want / F.col("available_tokens")),
+    ).otherwise(F.lit(0.0))
+    return inv.select(
+        "stratum",
+        "available_tokens",
+        share.alias("target_share"),
+        want.alias("want_tokens"),
+        F.round(rate, 6).alias("rate"),
+        (F.col("available_tokens") >= want).alias("feasible"),
+    )

@@ -564,3 +564,89 @@ class TestCalibrationBins:
         )
         with pytest.raises(ValueError):
             calibration_bins(scored, bins=1)
+
+
+class TestPersonalizedPagerank:
+    def _ppr_py(self, edges, seeds, iters=3, d=0.85):
+        sym = set()
+        for a, b in edges:
+            if a != b:
+                sym.add((a, b))
+                sym.add((b, a))
+        nodes = sorted({a for a, _ in sym} | set(seeds))
+        deg = {}
+        for a, _ in sym:
+            deg[a] = deg.get(a, 0) + 1
+        r0 = {n: round(1.0 / len(seeds), 9) if n in seeds else 0.0
+              for n in nodes}
+        pr = dict(r0)
+        for _ in range(iters):
+            s = {n: 0.0 for n in nodes}
+            for a, b in sym:
+                s[b] += pr[a] / deg[a]
+            pr = {n: round((1.0 - d) * r0[n] + d * s[n], 9)
+                  for n in nodes}
+        return pr
+
+    def test_python_parity_hand_graph(self, spark):
+        from coies_spark.operators.graph import personalized_pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("a", "c"), ("e", "f")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], ["node"])
+        got = {r.node: r.ppr
+               for r in personalized_pagerank(e, seeds).collect()}
+        expect = self._ppr_py(edges, ["a"])
+        assert got == pytest.approx(expect, abs=2e-9)
+
+    def test_mass_concentrates_near_seed(self, spark):
+        from coies_spark.operators.graph import personalized_pagerank
+
+        # chain a-b-c-d-e-f seeded at a: ppr must decay with distance
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("e", "f")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], ["node"])
+        got = {r.node: r.ppr
+               for r in personalized_pagerank(e, seeds).collect()}
+        assert got["a"] > got["c"] > got["e"]
+
+    def test_edgeless_seed_keeps_restart_share(self, spark):
+        from coies_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame([("x", "y")], "src string, dst string")
+        seeds = spark.createDataFrame([("lonely",), ("x",)], ["node"])
+        got = {r.node: r.ppr
+               for r in personalized_pagerank(e, seeds).collect()}
+        # isolated seed: ppr = (1-d)*0.5 every round (no in-edges)
+        assert got["lonely"] == pytest.approx(0.075, abs=1e-9)
+
+
+class TestMixtureRates:
+    def test_rates_and_feasibility(self, spark):
+        from coies_spark.ops.sampling import mixture_rates
+
+        docs = spark.createDataFrame(
+            [(1, "en", 100), (2, "en", 300), (3, "fr", 50),
+             (4, "zh", 1000)],
+            "doc_id long, lang string, n_tokens long",
+        )
+        got = {r.stratum: r for r in mixture_rates(
+            docs, {"en": 0.5, "fr": 0.5}, budget_tokens=400
+        ).collect()}
+        # en: want 200 of 400 available -> rate 0.5, feasible
+        assert got["en"].rate == 0.5 and got["en"].feasible
+        # fr: want 200 of 50 -> rate capped at 1.0, NOT feasible
+        assert got["fr"].rate == 1.0 and not got["fr"].feasible
+        # zh absent from targets: mixed out, rate 0
+        assert got["zh"].rate == 0.0 and got["zh"].target_share == 0.0
+
+    def test_validation(self, spark):
+        from coies_spark.ops.sampling import mixture_rates
+
+        docs = spark.createDataFrame(
+            [(1, "en", 10)], "doc_id long, lang string, n_tokens long"
+        )
+        with pytest.raises(ValueError):
+            mixture_rates(docs, {"en": 1.0}, budget_tokens=0)
