@@ -1203,24 +1203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_turns": lambda s, d: transcripts.pack_turns(
             transcripts.synthesize_transcripts(_read(s, d, "documents"))
         ),
-        # deterministic sync LPA communities over the candidate graph
-        # (separates template families CC merges through one collision)
-        "label_propagation": lambda s, d: graph_lpa(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
-        ),
         # stuck-agent loop detection over injected period-2
         # oscillations (the transcript-native curation filter span
         # dedup cannot express; single-exchange plan)
         "agent_loops": _q_agent_loops,
-        # 2-core of the candidate graph: strips LSH-collision pendants,
-        # keeps duplicate cliques (unrolled peeling, fixpoint no-op)
-        "kcore": lambda s, d: graph_kcore(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-            k=2,
+        # Fellegi–Sunter record linkage fitted by unrolled in-plan EM
+        # over the ≤2^f pattern-count sufficient statistics (the
+        # corpus is scanned once; every EM round is column algebra on
+        # ≤8 rows) — trainable op #4 (r4 seventh batch)
+        "em_linkage": _q_em_linkage,
+        # instruct-tuning pair assembly: every assistant turn with
+        # context becomes (rendered up-to-3-turn prompt, RAW response)
+        # — the terminal operator of the transcript curation funnel
+        "training_pairs": lambda s, d: transcripts.training_pairs(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            context_turns=3,
         ),
         # --- beyond the driver's 50-entry sweep window ---
         # Everything below IS oracled (run scripts/check_oracle.py on
@@ -1568,13 +1565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strata_col="lang",
             salt_buckets=8,
         ),
-        # instruct-tuning pair assembly: every assistant turn with
-        # context becomes (rendered up-to-3-turn prompt, RAW response)
-        # — the terminal operator of the transcript curation funnel
-        "training_pairs": lambda s, d: transcripts.training_pairs(
-            transcripts.synthesize_transcripts(_read(s, d, "documents")),
-            context_turns=3,
-        ),
         # Monroe log-odds-with-prior token drift between the en and
         # fr corpus slices: WHAT changed between two snapshots/feeds
         # (corpus_diff says which docs; this says which tokens)
@@ -1583,11 +1573,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents").where(F.col("lang") == "fr"),
             min_count=5,
         ),
-        # Fellegi–Sunter record linkage fitted by unrolled in-plan EM
-        # over the ≤2^f pattern-count sufficient statistics (the
-        # corpus is scanned once; every EM round is column algebra on
-        # ≤8 rows) — trainable op #4
-        "em_linkage": _q_em_linkage,
+        # deterministic sync LPA communities over the candidate graph
+        # (separates template families CC merges through one
+        # collision) — rotated out of the window for em_linkage (r4
+        # seventh batch); still oracled here + in-suite
+        "label_propagation": lambda s, d: graph_lpa(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # 2-core of the candidate graph: strips LSH-collision
+        # pendants, keeps duplicate cliques — rotated out of the
+        # window for training_pairs; still oracled here + in-suite
+        "kcore": lambda s, d: graph_kcore(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            k=2,
+        ),
         # the fitted model's DECISION TABLE: composite log2
         # likelihood-ratio match weight per agreement pattern + pair
         # count (what a linker thresholds on; ≤2^f rows)
