@@ -926,12 +926,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINK_FIELDS = ["same_lang", "len_close", "same_tok0"]
 
 
-def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _linkage_pairs(
+    spark: SparkSession, sf_dir: str, with_ids: bool = False
+) -> DataFrame:
     """Candidate pairs for record linkage: documents blocked on
     source (a.doc_id < b.doc_id), reduced to the three boolean
-    agreement fields.  ``F.get`` (never ANSI-erroring) pulls the
-    first reference-tokenizer token; NULL comparisons land 0 via the
-    explicit CASE — matching the oracle byte-for-byte."""
+    agreement fields (plus the record ids when ``with_ids`` — the
+    clustering face needs them).  ``F.get`` (never ANSI-erroring)
+    pulls the first reference-tokenizer token; NULL comparisons land
+    0 via the explicit CASE — matching the oracle byte-for-byte."""
     base = _read(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -946,7 +949,9 @@ def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source_a") == F.col("source_b"))
         & (F.col("doc_id_a") < F.col("doc_id_b")),
     )
+    ids = ["doc_id_a", "doc_id_b"] if with_ids else []
     return pairs.select(
+        *ids,
         F.when(F.col("lang_a") == F.col("lang_b"), 1)
         .otherwise(0)
         .alias("same_lang"),
@@ -1599,6 +1604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(*LINK_FIELDS, "match_weight")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         ),
+        # entity resolution END-TO-END: block → compare → EM weights
+        # → threshold (3 bits) → connected components.  The full
+        # modern ER recipe as one declarative plan
+        "linkage_clusters": lambda s, d: linkage.linkage_clusters(
+            _linkage_pairs(s, d, with_ids=True),
+            LINK_FIELDS,
+            id_a="doc_id_a",
+            id_b="doc_id_b",
+            threshold=3.0,
+            iters=4,
+        ),
         # Iceberg-style small-file compaction planning over a file
         # manifest (first-fit-decreasing offset chunks per partition;
         # ≥2-file groups only) — the snapshot-maintenance face
@@ -1727,12 +1743,28 @@ _LINK_PAIRS_SQL = f"""
 """
 
 
+_LINK_PAIRS_IDS_SQL = f"""
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS same_lang,
+           CASE WHEN abs(a.n_chars - b.n_chars) < 20
+                THEN 1 ELSE 0 END AS len_close,
+           CASE WHEN a.tok0 = b.tok0 THEN 1 ELSE 0 END AS same_tok0
+    FROM (SELECT doc_id, source, lang, n_chars,
+                 list_extract({_TOKS}, 1) AS tok0 FROM documents) a
+    JOIN (SELECT doc_id, source, lang, n_chars,
+                 list_extract({_TOKS}, 1) AS tok0 FROM documents) b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
 def _em_ctes(
     fields: list[str],
     iters: int,
     p0: float = 0.1,
     m0: float = 0.9,
     u0: float = 0.1,
+    pairs_sql: str | None = None,
+    recursive: bool = False,
 ) -> str:
     """Unrolled Fellegi–Sunter EM CTE chain (the DuckDB twin of
     ``linkage._em_state`` over ``_linkage_pairs``): pattern counts
@@ -1742,7 +1774,7 @@ def _em_ctes(
     update.  Ends at CTE ``s{iters}`` (1 row: p, m_<f>.., u_<f>..)."""
     cols = ", ".join(fields)
     ctes = [
-        f"prs AS ({_LINK_PAIRS_SQL})",
+        f"prs AS ({pairs_sql or _LINK_PAIRS_SQL})",
         f"pat AS (SELECT {cols}, CAST(count(*) AS BIGINT) AS n"
         f" FROM prs GROUP BY {cols})",
         "s0 AS (SELECT "
@@ -1804,7 +1836,8 @@ def _em_ctes(
                 + f" AS u_{f}"
             )
         ctes.append(f"s{i} AS (SELECT {', '.join(parts)} FROM a{i})")
-    return "WITH " + ",\n".join(ctes)
+    head = "WITH RECURSIVE " if recursive else "WITH "
+    return head + ",\n".join(ctes)
 
 
 def _bm25_sql(terms: tuple[str, ...], topk: int = 10) -> str:
@@ -4781,6 +4814,34 @@ def oracle_sql() -> dict[str, str]:
         FROM prs CROSS JOIN s4
         GROUP BY {', '.join(str(i + 1) for i in range(len(LINK_FIELDS)))},
                  {len(LINK_FIELDS) + 1}
+    """
+    )
+
+    # linkage_clusters: the EM CTE chain re-run over the ids-bearing
+    # pairs (same builder — the fitted parameters cannot drift), the
+    # per-pair weight chain thresholded at 3 bits, then the
+    # recursive-CTE min-label components (the canonicalize_cc twin)
+    sql["linkage_clusters"] = (
+        _em_ctes(
+            LINK_FIELDS, iters=4,
+            pairs_sql=_LINK_PAIRS_IDS_SQL, recursive=True,
+        )
+        + f""",
+        scored AS (SELECT doc_id_a, doc_id_b,
+                          round({_wchain}, 6) AS w
+                   FROM prs CROSS JOIN s4),
+        pe AS (SELECT CAST(doc_id_a AS VARCHAR) AS a,
+                      CAST(doc_id_b AS VARCHAR) AS b
+               FROM scored WHERE w >= 3.0),
+        edges AS (SELECT a, b FROM pe
+                  UNION
+                  SELECT b, a FROM pe),
+        reach AS (
+          SELECT a AS node, a AS r FROM edges
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e
+            ON e.a = reach.r)
+        SELECT node, min(r) AS component FROM reach GROUP BY 1
     """
     )
 

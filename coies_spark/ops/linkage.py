@@ -238,3 +238,43 @@ def linkage_scores(
         *[F.col(c) for c in pairs.columns],
         F.round(total, 6).alias("match_weight"),
     )
+
+
+def linkage_clusters(
+    pairs: DataFrame,
+    fields: list[str],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    threshold: float = 3.0,
+    iters: int = 5,
+    p0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> DataFrame:
+    """(node, component): entity-resolution END-TO-END — candidate
+    pairs are scored by the EM-fitted Fellegi–Sunter weight
+    (:func:`linkage_scores`), pairs at ≥ ``threshold`` bits become
+    link edges, and connected components canonicalize the records
+    into clusters (component = min record id, the
+    ``pipeline.canonicalize`` convention).  This is the full modern
+    ER recipe — block → compare → learn weights → threshold →
+    cluster (Fellegi–Sunter 1969 + transitive closure) — as one
+    declarative plan.
+
+    ``pairs`` carries the two record-id columns plus the agreement
+    fields; ids are cast to string so the min-label component is
+    lexicographic on every engine.  Link graphs have bounded
+    diameter by construction (duplicate clusters are dense), so the
+    neighbor-min propagation of ``operators.graph.connected_
+    components`` converges in a handful of rounds.
+    """
+    scored = linkage_scores(pairs, fields, iters, p0, m0, u0)
+    edges = scored.where(
+        F.col("match_weight") >= threshold
+    ).select(
+        F.col(id_a).cast("string").alias("src"),
+        F.col(id_b).cast("string").alias("dst"),
+    )
+    from ..operators.graph import connected_components
+
+    return connected_components(edges)

@@ -650,3 +650,27 @@ class TestMixtureRates:
         )
         with pytest.raises(ValueError):
             mixture_rates(docs, {"en": 1.0}, budget_tokens=0)
+
+
+class TestLinkageClusters:
+    def test_end_to_end_clusters(self, spark):
+        from coies_spark.ops.linkage import linkage_clusters
+
+        # two clear duplicate groups (agree on both fields) and noise
+        # pairs (agree on nothing): EM learns the mixture, the
+        # threshold keeps only the agreeing pairs, CC merges chains
+        rows = [
+            ("a1", "a2", 1, 1), ("a2", "a3", 1, 1),  # chain a1-a2-a3
+            ("b1", "b2", 1, 1),
+            ("a1", "b1", 0, 0), ("a3", "b2", 0, 0),  # noise
+        ] + [(f"x{i}", f"y{i}", 0, 0) for i in range(60)]
+        pairs = spark.createDataFrame(
+            rows, "id_a string, id_b string, f1 int, f2 int"
+        )
+        got = {r.node: r.component for r in linkage_clusters(
+            pairs, ["f1", "f2"], threshold=1.0, iters=5
+        ).collect()}
+        assert got["a1"] == got["a2"] == got["a3"] == "a1"
+        assert got["b1"] == got["b2"] == "b1"
+        # noise records never cross the threshold -> not in any cluster
+        assert "x0" not in got and "y0" not in got
