@@ -1604,6 +1604,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(*LINK_FIELDS, "match_weight")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         ),
+        # belief-snapshot diff: added/removed/changed triples between
+        # the even-ts evidence snapshot and the full stream (the KG
+        # twin of corpus_diff — the per-snapshot re-index work-list)
+        "triple_diff": lambda s, d: kg.triple_diff(
+            kg.triple_confidence(
+                _kg_evidence(s, d).where(F.col("ts") % 2 == 0)
+            ),
+            kg.triple_confidence(_kg_evidence(s, d)),
+        ),
         # entity resolution END-TO-END: block → compare → EM weights
         # → threshold (3 bits) → connected components.  The full
         # modern ER recipe as one declarative plan
@@ -4816,6 +4825,39 @@ def oracle_sql() -> dict[str, str]:
                  {len(LINK_FIELDS) + 1}
     """
     )
+
+    # triple_diff: two nested triple_confidence twins (even-ts
+    # snapshot vs full stream) full-outer joined on the triple key;
+    # 6dp-rounded confidences make the changed-test engine-exact
+    sql["triple_diff"] = f"""
+        WITH {kg_ev},
+        o AS (SELECT subj, pred, obj,
+                     round(1 - exp(sum(ln(1 - least(score,
+                           0.999999)))), 6) AS conf_old
+              FROM ev WHERE ts % 2 = 0 GROUP BY 1, 2, 3),
+        nw AS (SELECT subj, pred, obj,
+                      round(1 - exp(sum(ln(1 - least(score,
+                            0.999999)))), 6) AS conf_new
+               FROM ev GROUP BY 1, 2, 3),
+        j AS (SELECT coalesce(o.subj, nw.subj) AS subj,
+                     coalesce(o.pred, nw.pred) AS pred,
+                     coalesce(o.obj, nw.obj) AS obj,
+                     o.conf_old, nw.conf_new
+              FROM o FULL OUTER JOIN nw
+                ON o.subj = nw.subj AND o.pred = nw.pred
+               AND o.obj = nw.obj)
+        SELECT subj, pred, obj,
+               CASE WHEN conf_old IS NULL THEN 'added'
+                    WHEN conf_new IS NULL THEN 'removed'
+                    WHEN conf_old <> conf_new THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               conf_old, conf_new
+        FROM j
+        WHERE CASE WHEN conf_old IS NULL THEN 'added'
+                   WHEN conf_new IS NULL THEN 'removed'
+                   WHEN conf_old <> conf_new THEN 'changed'
+                   ELSE 'unchanged' END <> 'unchanged'
+    """
 
     # linkage_clusters: the EM CTE chain re-run over the ids-bearing
     # pairs (same builder — the fitted parameters cannot drift), the

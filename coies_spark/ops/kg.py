@@ -1149,3 +1149,48 @@ def gazetteer_mentions(
         .where(F.col("n_toks") == F.col("_max_n"))
         .select("conv_id", "turn_idx", "pos", "n_toks", "surface", "entity")
     )
+
+
+def triple_diff(
+    old: DataFrame,
+    new: DataFrame,
+    conf_col: str = "confidence",
+    keep_unchanged: bool = False,
+) -> DataFrame:
+    """(subj, pred, obj, status, conf_old, conf_new): what changed
+    between two belief snapshots — the KG twin of ``corpus_diff``.
+    ``status`` ∈ {added, removed, changed[, unchanged]}: a triple is
+    *added* when only the new snapshot asserts it, *removed* when
+    only the old one did, *changed* when both assert it at different
+    confidence.  This is the review queue an incremental KG build
+    publishes per snapshot: downstream consumers re-index exactly
+    these rows, and ``functional_conflicts`` triage reads the
+    *changed* set first (a confidence that MOVED is evidence in
+    motion).
+
+    Exactness: the join key is the triple itself; confidences arrive
+    already 6dp-rounded from :func:`triple_confidence`, so the
+    equality test is engine-exact.  One full-outer hash join on the
+    triple key — at 10¹⁰ beliefs both sides are partitioned by the
+    same key and the join co-locates; unchanged rows (the vast
+    majority between adjacent snapshots) are dropped before anything
+    downstream unless ``keep_unchanged``.
+    """
+    o = old.select(
+        "subj", "pred", "obj", F.col(conf_col).alias("conf_old")
+    )
+    nw = new.select(
+        "subj", "pred", "obj", F.col(conf_col).alias("conf_new")
+    )
+    j = o.join(nw, ["subj", "pred", "obj"], "full_outer")
+    status = (
+        F.when(F.col("conf_old").isNull(), F.lit("added"))
+        .when(F.col("conf_new").isNull(), F.lit("removed"))
+        .when(F.col("conf_old") != F.col("conf_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select("subj", "pred", "obj", status.alias("status"),
+                   "conf_old", "conf_new")
+    if keep_unchanged:
+        return out
+    return out.where(F.col("status") != "unchanged")

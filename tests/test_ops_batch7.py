@@ -674,3 +674,33 @@ class TestLinkageClusters:
         assert got["b1"] == got["b2"] == "b1"
         # noise records never cross the threshold -> not in any cluster
         assert "x0" not in got and "y0" not in got
+
+
+class TestTripleDiff:
+    def _beliefs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, confidence double"
+        )
+
+    def test_all_statuses(self, spark):
+        from coies_spark.ops.kg import triple_diff
+
+        old = self._beliefs(spark, [
+            ("a", "p", "x", 0.5),   # removed
+            ("b", "p", "y", 0.5),   # changed
+            ("c", "p", "z", 0.7),   # unchanged -> dropped
+        ])
+        new = self._beliefs(spark, [
+            ("b", "p", "y", 0.9),
+            ("c", "p", "z", 0.7),
+            ("d", "p", "w", 0.4),   # added
+        ])
+        got = {(r.subj, r.status): (r.conf_old, r.conf_new)
+               for r in triple_diff(old, new).collect()}
+        assert got == {
+            ("a", "removed"): (0.5, None),
+            ("b", "changed"): (0.5, 0.9),
+            ("d", "added"): (None, 0.4),
+        }
+        kept = triple_diff(old, new, keep_unchanged=True).count()
+        assert kept == 4
