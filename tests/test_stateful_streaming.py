@@ -161,3 +161,76 @@ def test_stream_agent_loops_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_training_pairs_matches_batch(spark, tmp_path):
+    """Instruct pairs from the stateful stream equal the batch
+    training_pairs rows on the same turns, under out-of-order arrival
+    across micro-batches."""
+    import pandas as pd
+
+    from coies_spark.ops import transcripts as tr
+    from coies_spark.streaming.pairs import stream_training_pairs
+
+    rows = []
+    for c in range(5):
+        rows += [
+            (f"c{c}", 0, "user", f"question {c}", None, None),
+            (f"c{c}", 1, "assistant", f"answer {c}", None, None),
+            (f"c{c}", 2, "tool", f"tool out {c}", "search", None),
+            (f"c{c}", 3, "assistant", f"final {c}", None, None),
+        ]
+    # edge conversations: opener-only assistant, empty response, NULLs
+    rows += [("edge-1", 0, "assistant", "no context", None, None)]
+    rows += [("edge-2", 0, "user", "q", None, None),
+             ("edge-2", 1, "assistant", "", None, None),
+             ("edge-2", 2, None, None, None, None),
+             ("edge-2", 3, "assistant", "late", None, None)]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {(r.conv_id, r.turn_idx): (r.n_context, r.prompt, r.response)
+            for r in tr.training_pairs(batch_df, context_turns=2).collect()}
+    assert want  # non-trivial
+
+    pdf = pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    shuffled = pdf.sample(frac=1.0, random_state=11).reset_index(drop=True)
+    in_dir = tmp_path / "turns"
+    in_dir.mkdir()
+    n = 0
+    for i in range(2):
+        spark.createDataFrame(shuffled.iloc[i::2], schema).coalesce(
+            1).write.parquet(str(tmp_path / f"d{i}"))
+        for root, _, files in os.walk(tmp_path / f"d{i}"):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(root, fn),
+                            in_dir / f"p{n}.parquet")
+                    n += 1
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_training_pairs(stream, context_turns=2,
+                              idle_timeout_ms=500)
+        .writeStream.format("memory")
+        .queryName("pair_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_pairs"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from pair_stream").count() >= len(want):
+                break
+            time.sleep(2)
+        got = {(r.conv_id, r.turn_idx): (r.n_context, r.prompt, r.response)
+               for r in spark.sql("select * from pair_stream").collect()}
+    finally:
+        q.stop()
+    assert got == want
