@@ -1604,6 +1604,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(*LINK_FIELDS, "match_weight")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         ),
+        # conversation-level benchmark decontamination: assembled
+        # conversations (shingles cross turn boundaries) probed
+        # against the benchmark stand-in — a contaminated eval item
+        # hides inside a transcript even when no single turn holds it
+        "conversation_contamination": lambda s, d: dedup.contamination_pairs(
+            transcripts.conversation_docs(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                )
+            ),
+            _read(s, d, "documents").where("doc_id % 43 = 0"),
+            n=3,
+            min_overlap=0.25,
+        ),
         # belief-snapshot diff: added/removed/changed triples between
         # the even-ts evidence snapshot and the full stream (the KG
         # twin of corpus_diff — the per-snapshot re-index work-list)
@@ -4823,6 +4837,39 @@ def oracle_sql() -> dict[str, str]:
         FROM prs CROSS JOIN s4
         GROUP BY {', '.join(str(i + 1) for i in range(len(LINK_FIELDS)))},
                  {len(LINK_FIELDS) + 1}
+    """
+    )
+
+    # conversation_contamination: the contamination rule over
+    # ASSEMBLED conversations (string_agg in turn order, the
+    # conversation_neardup assembly twin) vs the benchmark stand-in;
+    # no same-id exclusion — the id spaces are disjoint
+    sql["conversation_contamination"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + f"""),
+        docs AS (SELECT conv_id AS doc_id,
+                        string_agg(turn_text, ' ' ORDER BY turn_idx)
+                          AS text
+                 FROM t GROUP BY 1),
+        {_shingle_rows_sql(source="docs", alias="csh")},
+        bt AS (SELECT doc_id, {_TOKS} AS tokens
+               FROM documents WHERE doc_id % 43 = 0),
+        bsh AS (SELECT DISTINCT doc_id AS bench_id,
+                       array_to_string(tokens[i:i+2], ' ') AS shingle
+                FROM bt, unnest(range(1,
+                       greatest(len(tokens)-2, 1)+1)) u(i)),
+        bs AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench
+               FROM bsh GROUP BY 1),
+        j AS (SELECT s.doc_id, b.bench_id,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM csh s JOIN bsh b USING (shingle)
+              GROUP BY 1, 2)
+        SELECT doc_id, bench_id, n_shared, n_bench,
+               round(n_shared/CAST(n_bench AS DOUBLE), 6) AS overlap,
+               (n_shared/CAST(n_bench AS DOUBLE) >= 0.25)
+                 AS contaminated
+        FROM j JOIN bs USING (bench_id)
     """
     )
 

@@ -376,14 +376,24 @@ def conversation_neardup(
     """
     from . import dedup
 
-    docs = transcripts.groupBy("conv_id").agg(
-        _assembled_turns_col().alias("text")
-    ).select(F.col("conv_id").alias("doc_id"), "text")
     return dedup.lsh_candidate_pairs(
-        docs, n=n, num_hashes=num_hashes, band_size=band_size
+        conversation_docs(transcripts),
+        n=n, num_hashes=num_hashes, band_size=band_size,
     ).select(
         F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
     )
+
+
+def conversation_docs(transcripts: DataFrame) -> DataFrame:
+    """(doc_id, text): each conversation reassembled into one
+    document — turns in stable order, space-joined
+    (``_assembled_turns_col``, shared with pack_turns) — so any
+    document-granularity operator (near-dup, decontamination,
+    quality) runs at CONVERSATION granularity unchanged.  One
+    conv_id-keyed groupBy, zero exchanges on the bucketed layout."""
+    return transcripts.groupBy("conv_id").agg(
+        _assembled_turns_col().alias("text")
+    ).select(F.col("conv_id").alias("doc_id"), "text")
 
 
 def boilerplate_turns(

@@ -704,3 +704,25 @@ class TestTripleDiff:
         }
         kept = triple_diff(old, new, keep_unchanged=True).count()
         assert kept == 4
+
+
+class TestConversationContamination:
+    def test_cross_turn_shingles_catch_split_benchmark(self, spark):
+        from coies_spark.ops import dedup
+        from coies_spark.ops.transcripts import conversation_docs
+
+        # the benchmark item's 3-gram spans a TURN BOUNDARY in the
+        # transcript: only cross-boundary shingling can catch it
+        t = _tx(spark, [
+            ("c1", 0, "user", "alpha beta", None, 0),
+            ("c1", 1, "assistant", "gamma delta", None, 1),
+            ("c2", 0, "user", "completely unrelated words here", None, 0),
+        ])
+        bench = spark.createDataFrame(
+            [(900, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        got = dedup.contamination_pairs(
+            conversation_docs(t), bench, n=3, min_overlap=0.5
+        ).collect()
+        hit = {(r.doc_id, r.bench_id): r.contaminated for r in got}
+        assert hit == {("c1", 900): True}
