@@ -1638,6 +1638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=3.0,
             iters=4,
         ),
+        # Z-order (Morton) layout keys over (doc_id, n_chars): the
+        # multi-dim sort key behind Iceberg/Delta Z-ORDER — exact
+        # integer normalization, so the key is engine-bit-exact
+        "zorder_key": lambda s, d: maintenance.zorder_key(
+            _read(s, d, "documents").select("doc_id", "n_chars"),
+            ["doc_id", "n_chars"],
+            bits=16,
+        ),
         # Iceberg-style small-file compaction planning over a file
         # manifest (first-fit-decreasing offset chunks per partition;
         # ≥2-file groups only) — the snapshot-maintenance face
@@ -4933,6 +4941,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(r) AS component FROM reach GROUP BY 1
     """
     )
+
+    # zorder_key: the same exact-integer normalization + unrolled
+    # 16-bit interleave (DuckDB // == Spark DIV on non-negative
+    # operands)
+    _zbits = 16
+    _interleave = " | ".join(
+        f"(((v{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(_zbits)
+        for i in range(2)
+    )
+    sql["zorder_key"] = f"""
+        WITH r AS (SELECT min(doc_id) AS mn0, max(doc_id) AS mx0,
+                          min(n_chars) AS mn1, max(n_chars) AS mx1
+                   FROM documents),
+        n AS (SELECT doc_id, n_chars,
+                     CASE WHEN mx0 > mn0 THEN
+                       ((doc_id - mn0) * {(1 << _zbits) - 1})
+                         // (mx0 - mn0) ELSE 0 END AS v0,
+                     CASE WHEN mx1 > mn1 THEN
+                       ((n_chars - mn1) * {(1 << _zbits) - 1})
+                         // (mx1 - mn1) ELSE 0 END AS v1
+              FROM documents CROSS JOIN r)
+        SELECT doc_id, n_chars,
+               CAST({_interleave} AS BIGINT) AS zkey
+        FROM n
+    """
 
     # compaction_plan: FFD offset-chunking of the under-target files'
     # size prefix sum per partition; singleton groups dropped

@@ -31,7 +31,7 @@ streams).  No collect, no driver loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -77,3 +77,66 @@ def compaction_plan(
         .withColumn("group_bytes", F.sum("bytes").over(gw).cast("long"))
         .where(F.col("group_files") >= 2)
     )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Input + ``zkey``: the Morton (Z-order) interleaving of the
+    given integer columns — the multi-dimensional sort key behind
+    Iceberg's/Delta's Z-ORDER table layout.  Sorting (or
+    range-partitioning) files by ``zkey`` clusters rows that are
+    close in EVERY dimension into the same files, so min/max file
+    statistics prune scans filtered on ANY of the dimensions — the
+    data-skipping property a single-column sort only provides for
+    its leading column.  The write-side complement of
+    :func:`compaction_plan`: compaction decides WHICH files to
+    rewrite, Z-ordering decides the ROW ORDER inside the rewrite.
+
+    Determinism (so the key is oracle-checkable and stable across
+    engines): each column is normalized to ``bits`` bits by EXACT
+    integer arithmetic against the column's in-plan min/max —
+    ``(v − min) · (2^bits − 1) DIV (max − min)`` (constant columns
+    map to 0) — then bit b of every normalized column interleaves
+    into bit ``b·k + i`` of the key (column i of k).  No floats, no
+    sampling — unlike ``repartitionByRange`` (whose sampled
+    boundaries vary run-to-run), the KEY is bit-exact; production
+    writes then ``repartitionByRange(zkey).sortWithinPartitions
+    (zkey)``, where boundary sampling only moves file splits, never
+    row order.
+
+    ``bits·k`` must fit a signed 64-bit key (≤ 62); 16 bits × 2-3
+    dims is the standard layout resolution (file-level stats don't
+    benefit from finer).  One in-plan broadcast min/max agg, then a
+    pure projection — zero shuffles.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key: need >= 2 columns")
+    if bits * k > 62:
+        raise ValueError("zorder_key: bits * len(cols) must be <= 62")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"__mx_{c}"))
+    ranges = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(ranges))
+    z: Column = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        # integer DIV (Spark's / on longs is float division); the
+        # (v-min)·(2^bits−1) product wants span < 2^47 — ANSI mode
+        # errors loudly on a wider span rather than wrapping
+        norm = F.when(
+            span > 0,
+            F.expr(
+                f"(CAST(({c} - __mn_{c}) AS BIGINT)"
+                f" * {(1 << bits) - 1}) DIV (__mx_{c} - __mn_{c})"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits):
+            bit = F.shiftright(norm, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * k + i)
+            )
+    return out.select(*df.columns, z.alias("zkey"))

@@ -726,3 +726,71 @@ class TestConversationContamination:
         ).collect()
         hit = {(r.doc_id, r.bench_id): r.contaminated for r in got}
         assert hit == {("c1", 900): True}
+
+
+class TestZorderKey:
+    def test_exact_morton_small_case(self, spark):
+        from coies_spark.ops.maintenance import zorder_key
+
+        # x,y in 0..3 with bits=2: normalized v = (v*3)//3 = v, so
+        # zkey is the plain 2-bit Morton interleave
+        rows = [(x, y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {(r.x, r.y): r.zkey
+               for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+
+        def morton(x, y):
+            z = 0
+            for b in range(2):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        assert got == {(x, y): morton(x, y)
+                       for x in range(4) for y in range(4)}
+
+    def test_locality_beats_single_column_sort(self, spark):
+        from coies_spark.ops.maintenance import zorder_key
+
+        # on a grid, rows sorted by zkey then cut into files give
+        # tighter per-file Y ranges than sorting by X alone — the
+        # data-skipping property
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        z = sorted(
+            zorder_key(df, ["x", "y"], bits=4).collect(),
+            key=lambda r: r.zkey,
+        )
+        files = [z[i:i + 32] for i in range(0, 256, 32)]
+        z_spread = sum(
+            max(r.y for r in f) - min(r.y for r in f) for f in files
+        )
+        xs = sorted(rows)
+        xfiles = [xs[i:i + 32] for i in range(0, 256, 32)]
+        x_spread = sum(
+            max(y for _, y in f) - min(y for _, y in f) for f in xfiles
+        )
+        assert z_spread < x_spread
+
+    def test_constant_column_maps_to_zero(self, spark):
+        from coies_spark.ops.maintenance import zorder_key
+
+        df = spark.createDataFrame(
+            [(1, 7), (2, 7), (3, 7)], "x long, y long"
+        )
+        got = zorder_key(df, ["x", "y"], bits=4).collect()
+        # y constant -> contributes 0 bits; key is x's bits spread
+        # onto even positions
+        for r in got:
+            assert r.zkey >= 0
+            for b in range(4):
+                assert (r.zkey >> (2 * b + 1)) & 1 == 0
+
+    def test_validation(self, spark):
+        from coies_spark.ops.maintenance import zorder_key
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError):
+            zorder_key(df, ["x"])
+        with pytest.raises(ValueError):
+            zorder_key(df, ["x", "y"], bits=32)
