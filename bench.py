@@ -30,6 +30,9 @@ Headliners cover the engine's load-bearing paths:
 * quality_classifier— hashed-feature logistic regression: the
                       declarative GD training loop + corpus scoring
 * temporal_triples  — SCD-2 validity intervals over the event stream
+* em_linkage        — Fellegi-Sunter EM record linkage (pattern-count
+                      sufficient statistics, 4 unrolled in-plan rounds)
+* training_pairs    — instruct-pair assembly (one conv_id window pass)
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
