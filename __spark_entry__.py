@@ -1638,6 +1638,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=3.0,
             iters=4,
         ),
+        # dedup route-quality gauge: recall/precision of the LSH band
+        # route against the exact df-capped Jaccard pairs — the
+        # number that picks num_hashes/band_size instead of guessing
+        "dedup_pair_recall": lambda s, d: dedup.pair_recall(
+            dedup.jaccard_pairs(_read(s, d, "documents")),
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")),
+        ),
         # Z-order (Morton) layout keys over (doc_id, n_chars): the
         # multi-dim sort key behind Iceberg/Delta Z-ORDER — exact
         # integer normalization, so the key is engine-bit-exact
@@ -4941,6 +4948,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(r) AS component FROM reach GROUP BY 1
     """
     )
+
+    # dedup_pair_recall: the two route oracles nested verbatim,
+    # canonicalized (least, greatest) + distinct, one pair join +
+    # three counts
+    sql["dedup_pair_recall"] = f"""
+        WITH t AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                          greatest(doc_a, doc_b) AS b
+                   FROM ({sql['jaccard_pairs']})),
+        c AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM ({sql['minhash_lsh_pairs']})),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM t JOIN c USING (a, b)),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM c)
+        SELECT n_true, n_candidates, n_hit,
+               CASE WHEN n_true > 0
+                    THEN round(n_hit / n_true, 6) END AS recall,
+               CASE WHEN n_candidates > 0
+                    THEN round(n_hit / n_candidates, 6)
+               END AS precision
+        FROM nt CROSS JOIN nc CROSS JOIN h
+    """
 
     # zorder_key: the same exact-integer normalization + unrolled
     # 16-bit interleave (DuckDB // == Spark DIV on non-negative

@@ -1169,3 +1169,53 @@ def ingest_screen(
         "dup_of",
     )
     return exact_rows.unionByName(near_rows)
+
+
+def pair_recall(
+    truth: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """(n_true, n_candidates, n_hit, recall, precision): the dedup
+    ROUTE-quality gauge — how much of the exact ground-truth pair set
+    an approximate candidate route (LSH bands, OPH bands, SimHash
+    blocks, containment index) recovers, and how much of what it
+    emits is real.  The :func:`~coies_spark.ops.similarity.ann_recall`
+    move applied to dedup: the number that decides num_hashes /
+    band_size / bits, instead of guessing.
+
+    Both inputs are (doc_a, doc_b) frames; pairs are canonicalized
+    (min, max) before comparison so either orientation counts.
+    Integer-exact: recall = n_hit / n_true, precision = n_hit /
+    n_candidates (rounded 6; 0-denominator reports NULL via ANSI-safe
+    ``try_divide``-equivalent CASE).  One inner join on the pair key
+    plus three map-side-combinable counts.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("a"),
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("b"),
+        ).distinct()
+
+    t, c = canon(truth), canon(candidates)
+    hit = t.join(c, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    nt = t.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_hit") / F.col("n_candidates"), 6),
+            ).alias("precision"),
+        )
+    )

@@ -794,3 +794,28 @@ class TestZorderKey:
             zorder_key(df, ["x"])
         with pytest.raises(ValueError):
             zorder_key(df, ["x", "y"], bits=32)
+
+
+class TestPairRecall:
+    def test_counts_and_orientation(self, spark):
+        from coies_spark.ops.dedup import pair_recall
+
+        truth = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+        )
+        # candidate route: finds 2 of 3 (one flipped), plus 1 false
+        # positive and 1 duplicate emission
+        cand = spark.createDataFrame(
+            [(2, 1), (3, 4), (3, 4), (7, 8)], "doc_a long, doc_b long"
+        )
+        [r] = pair_recall(truth, cand).collect()
+        assert (r.n_true, r.n_candidates, r.n_hit) == (3, 3, 2)
+        assert r.recall == round(2 / 3, 6) and r.precision == round(2 / 3, 6)
+
+    def test_empty_truth_reports_null(self, spark):
+        from coies_spark.ops.dedup import pair_recall
+
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        [r] = pair_recall(empty, cand).collect()
+        assert r.n_true == 0 and r.recall is None and r.precision == 0.0
