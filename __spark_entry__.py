@@ -1638,6 +1638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=3.0,
             iters=4,
         ),
+        # leakage-free train/test split: near-dup clusters (CC over
+        # the LSH candidate graph) assigned to one side atomically —
+        # a raw-id split would let the eval set measure memorization
+        # of a training-side twin
+        "leakage_free_split": lambda s, d: sampling.leakage_free_split(
+            _read(s, d, "documents"),
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")),
+            test_fraction=0.2,
+        ),
         # dedup route-quality gauge: recall/precision of the LSH band
         # route against the exact df-capped Jaccard pairs — the
         # number that picks num_hashes/band_size instead of guessing
@@ -4948,6 +4957,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(r) AS component FROM reach GROUP BY 1
     """
     )
+
+    # leakage_free_split: the canonicalize_cc oracle nested verbatim
+    # (same LSH edge derivation), singleton fallback to the doc's own
+    # id, then the shared md5 hash-Bernoulli threshold on the GROUP
+    _split_thr = sampling.threshold_hex(0.2)
+    sql["leakage_free_split"] = f"""
+        WITH cc AS (SELECT * FROM ({sql['canonicalize_cc']}))
+        SELECT d.doc_id,
+               coalesce(cc.component,
+                        CAST(d.doc_id AS VARCHAR)) AS group_key,
+               CASE WHEN substr(md5(coalesce(cc.component,
+                      CAST(d.doc_id AS VARCHAR))), 1, 8)
+                      < '{_split_thr}'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents d
+        LEFT JOIN cc ON CAST(d.doc_id AS VARCHAR) = cc.node
+    """
 
     # dedup_pair_recall: the two route oracles nested verbatim,
     # canonicalized (least, greatest) + distinct, one pair join +

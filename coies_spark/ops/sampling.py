@@ -290,3 +290,61 @@ def mixture_rates(
         F.round(rate, 6).alias("rate"),
         (F.col("available_tokens") >= want).alias("feasible"),
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group_key, split): train/test assignment where every
+    near-duplicate CLUSTER lands on one side — the leakage-free
+    split.  A hash split on raw doc ids sends near-identical twins
+    to both sides, and the eval set silently measures memorization
+    of the training copy (the contamination failure mode INSIDE one
+    corpus); splitting on the duplicate-cluster id closes it.
+
+    ``dup_pairs`` is any near-dup pair frame (doc_a, doc_b) — LSH
+    candidates, verified Jaccard pairs, containment pairs.  Clusters
+    come from connected components (min-id label); unpaired docs are
+    their own singleton group.  The split key is the GROUP id under
+    the same md5 hash-Bernoulli rule as ``deterministic_sample``, so
+    assignment is engine-portable, partitioning-independent, and
+    NESTED across fractions — growing the test share only MOVES
+    whole groups from train to test, never splits one.
+
+    Scale: the CC of a near-dup graph (bounded diameter) plus one
+    left join and a zero-shuffle hash filter.
+    """
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError(
+            "leakage_free_split: test_fraction must be in (0, 1)"
+        )
+    from ..operators.graph import connected_components
+
+    edges = dup_pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    key = F.coalesce(
+        F.col("component"), F.col(id_col).cast("string")
+    )
+    thr = threshold_hex(test_fraction)
+    hk = F.substring(F.md5(F.encode(key, "utf-8")), 1, _HEX_WIDTH)
+    return (
+        docs.select(F.col(id_col))
+        .join(
+            cc.withColumnRenamed("node", "__node"),
+            F.col(id_col).cast("string") == F.col("__node"),
+            "left",
+        )
+        .select(
+            id_col,
+            key.alias("group_key"),
+            F.when(hk < F.lit(thr), F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

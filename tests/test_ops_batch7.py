@@ -819,3 +819,43 @@ class TestPairRecall:
         cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         [r] = pair_recall(empty, cand).collect()
         assert r.n_true == 0 and r.recall is None and r.precision == 0.0
+
+
+class TestLeakageFreeSplit:
+    def test_clusters_never_straddle(self, spark):
+        from coies_spark.ops.sampling import leakage_free_split
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(30)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = leakage_free_split(docs, pairs, test_fraction=0.3).collect()
+        assert len(out) == 30
+        side = {r.doc_id: r.split for r in out}
+        group = {r.doc_id: r.group_key for r in out}
+        for a, b in [(0, 1), (1, 2), (5, 6), (10, 11)]:
+            assert side[a] == side[b] and group[a] == group[b]
+        assert {r.split for r in out} == {"train", "test"}
+
+    def test_nested_fractions(self, spark):
+        from coies_spark.ops.sampling import leakage_free_split
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(120)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        t10 = {r.doc_id for r in leakage_free_split(
+            docs, pairs, 0.1).collect() if r.split == "test"}
+        t30 = {r.doc_id for r in leakage_free_split(
+            docs, pairs, 0.3).collect() if r.split == "test"}
+        assert t10 < t30  # strictly nested
+
+    def test_validation(self, spark):
+        from coies_spark.ops.sampling import leakage_free_split
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        p = spark.createDataFrame([], "doc_a long, doc_b long")
+        with pytest.raises(ValueError):
+            leakage_free_split(d, p, test_fraction=0.0)
