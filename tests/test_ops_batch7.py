@@ -859,3 +859,38 @@ class TestLeakageFreeSplit:
         p = spark.createDataFrame([], "doc_a long, doc_b long")
         with pytest.raises(ValueError):
             leakage_free_split(d, p, test_fraction=0.0)
+
+
+class TestLinkPredictionMrr:
+    def test_perfect_scorer_on_clique(self, spark):
+        from coies_spark.operators.graph import link_prediction_mrr
+
+        # an 8-clique (node names chosen so the md5 edge-holdout is
+        # non-empty at 0.3): any held-out edge's endpoints still
+        # share ~6 neighbors on the train graph — the hidden partner
+        # should rank near the top, mrr high
+        nodes = [f"v{i}" for i in range(8)]
+        rows = [(a, b) for i, a in enumerate(nodes)
+                for b in nodes[i + 1:]]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        [r] = link_prediction_mrr(e, holdout_fraction=0.3).collect()
+        assert r.n_holdout >= 1
+        assert r.mrr is not None and r.mrr > 0.3
+
+    def test_empty_holdout_reports_null(self, spark):
+        from coies_spark.operators.graph import link_prediction_mrr
+
+        e = spark.createDataFrame(
+            [("a", "b")], "src string, dst string"
+        )
+        # tiny fraction: the single edge hashes above the threshold
+        [r] = link_prediction_mrr(e, holdout_fraction=0.0001).collect()
+        if r.n_holdout == 0:
+            assert r.mrr is None and r.hits_at_1 is None
+
+    def test_validation(self, spark):
+        from coies_spark.operators.graph import link_prediction_mrr
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            link_prediction_mrr(e, holdout_fraction=0.0)
