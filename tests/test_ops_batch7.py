@@ -1,8 +1,12 @@
-"""Seventh-batch operators: Adamic–Adar link prediction
-(operators.graph.adamic_adar), Efraimidis–Spirakis weighted sampling
-(sampling.weighted_sample), instruct-pair assembly
-(transcripts.training_pairs), and Monroe log-odds token drift
-(textstats.token_drift)."""
+"""Seventh/eighth-batch operators: Adamic–Adar + personalized
+PageRank + link-prediction MRR (operators.graph), Fellegi–Sunter EM
+linkage and end-to-end clustering (ops.linkage), weighted sampling,
+mixture planning and the leakage-free split (ops.sampling),
+instruct-pair assembly and tool-sequence anomaly scoring
+(ops.transcripts), Monroe token drift (ops.textstats), OPH MinHash
+and the pair-recall gauge (ops.dedup), calibration bins
+(ops.classify), belief-snapshot diff (ops.kg), and compaction
+planning + Z-order keys (ops.maintenance)."""
 
 import math
 import re
@@ -894,3 +898,29 @@ class TestLinkPredictionMrr:
         e = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError):
             link_prediction_mrr(e, holdout_fraction=0.0)
+
+
+def test_pair_recall_gauges_oph_against_classic(spark):
+    """Composition: pair_recall measures the OPH band route against
+    the classic MinHash band route's candidates on a planted-dup
+    corpus — both routes must recover every planted exact twin
+    (recall 1.0 on that truth set)."""
+    from coies_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        oph_candidate_pairs,
+        pair_recall,
+    )
+
+    texts = [
+        (i, f"document number {i} about spark tables and streams "
+            f"with enough distinct tokens {i * 7} to shingle")
+        for i in range(30)
+    ]
+    twins = [(1000 + i, texts[i][1]) for i in range(6)]  # exact twins
+    d = spark.createDataFrame(texts + twins, "doc_id long, text string")
+    truth = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(6)], "doc_a long, doc_b long"
+    )
+    for route in (lsh_candidate_pairs, oph_candidate_pairs):
+        [r] = pair_recall(truth, route(d)).collect()
+        assert r.recall == 1.0, route.__name__
