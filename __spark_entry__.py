@@ -1605,6 +1605,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(*LINK_FIELDS, "match_weight")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         ),
+        # SPARQL-style BGP query over the evidence triples: which
+        # conversations mention engine 'spark' AND some op ?o —
+        # two filtered scans natural-joined on the shared variable
+        # (the query face a KG is for; Catalyst = the BGP optimizer)
+        "kg_bgp_query": lambda s, d: kg.bgp_query(
+            _kg_evidence(s, d),
+            [
+                ("?c", "mentions_engine", "spark"),
+                ("?c", "mentions_op", "?o"),
+            ],
+        ),
         # conversation-level benchmark decontamination: assembled
         # conversations (shingles cross turn boundaries) probed
         # against the benchmark stand-in — a contaminated eval item
@@ -4874,6 +4885,19 @@ def oracle_sql() -> dict[str, str]:
                  {len(LINK_FIELDS) + 1}
     """
     )
+
+    # kg_bgp_query: two filtered scans of the SAME evidence CTE the
+    # confidence oracles use, natural-joined on the shared variable,
+    # DISTINCT per pattern and on the result (BGP set semantics)
+    sql["kg_bgp_query"] = f"""
+        WITH {kg_ev},
+        p0 AS (SELECT DISTINCT subj AS c FROM ev
+               WHERE pred = 'mentions_engine' AND obj = 'spark'),
+        p1 AS (SELECT DISTINCT subj AS c, obj AS o FROM ev
+               WHERE pred = 'mentions_op')
+        SELECT DISTINCT p0.c, p1.o
+        FROM p0 JOIN p1 ON p0.c = p1.c
+    """
 
     # conversation_contamination: the contamination rule over
     # ASSEMBLED conversations (string_agg in turn order, the

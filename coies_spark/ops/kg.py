@@ -1194,3 +1194,68 @@ def triple_diff(
     if keep_unchanged:
         return out
     return out.where(F.col("status") != "unchanged")
+
+
+def bgp_query(
+    triples: DataFrame, patterns: list[tuple[str, str, str]]
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern evaluation over the triple
+    table: each pattern is a (subj, pred, obj) template where a
+    ``"?name"`` term is a VARIABLE and anything else is a constant;
+    the result has one column per variable and one row per binding
+    that satisfies EVERY pattern simultaneously (set semantics, like
+    ``SELECT DISTINCT``).  This is the query face a KG is FOR —
+    "which conversations mention engine spark AND some op ?o"
+    becomes two patterns sharing ``?c`` — and it compiles to exactly
+    what a SPARQL engine compiles to: one filtered scan per pattern,
+    natural-joined on the shared variables (W3C SPARQL 1.1 BGP
+    semantics, join-identity table for the empty pattern list not
+    supported — at least one pattern required).
+
+    Catalyst does the SPARQL optimizer's job for free: constants
+    push into the triple scans as predicate filters (partition
+    pruning on the predicate-partitioned sink), and AQE re-orders /
+    broadcasts the equi-joins by measured selectivity — hand-rolled
+    join planning would fight it.
+
+    Semantics notes:
+
+    * a variable repeated INSIDE one pattern (``("?x", p, "?x")``)
+      constrains equality before projection;
+    * patterns sharing no variable form a cross product (legal BGP
+      algebra; keep patterns connected unless that is intended —
+      the plan makes the CartesianProduct visible);
+    * constants match exactly (the triple store is canonicalized
+      upstream by design).
+    """
+    if not patterns:
+        raise ValueError("bgp_query: need >= 1 pattern")
+    out: DataFrame | None = None
+    for s, p, o in patterns:
+        t = triples.select("subj", "pred", "obj")
+        seen: dict[str, str] = {}
+        cols = []
+        for col, term in (("subj", s), ("pred", p), ("obj", o)):
+            if term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError("bgp_query: empty variable name")
+                if var in seen:
+                    t = t.where(F.col(col) == F.col(seen[var]))
+                else:
+                    seen[var] = col
+                    cols.append(F.col(col).alias(var))
+            else:
+                t = t.where(F.col(col) == term)
+        if not cols:
+            raise ValueError(
+                "bgp_query: a pattern with no variables selects "
+                "nothing — make it a filter on another pattern"
+            )
+        t = t.select(*cols).distinct()
+        if out is None:
+            out = t
+        else:
+            shared = [c for c in out.columns if c in t.columns]
+            out = out.join(t, shared) if shared else out.crossJoin(t)
+    return out.distinct()

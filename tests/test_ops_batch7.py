@@ -924,3 +924,61 @@ def test_pair_recall_gauges_oph_against_classic(spark):
     for route in (lsh_candidate_pairs, oph_candidate_pairs):
         [r] = pair_recall(truth, route(d)).collect()
         assert r.recall == 1.0, route.__name__
+
+
+class TestBgpQuery:
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_shared_variable_join(self, spark):
+        from coies_spark.ops.kg import bgp_query
+
+        t = self._triples(spark, [
+            ("c1", "uses", "spark"), ("c1", "calls", "scan"),
+            ("c2", "uses", "spark"), ("c3", "calls", "scan"),
+            ("c1", "calls", "join"),
+        ])
+        got = {(r.c, r.o) for r in bgp_query(t, [
+            ("?c", "uses", "spark"), ("?c", "calls", "?o"),
+        ]).collect()}
+        assert got == {("c1", "scan"), ("c1", "join")}
+
+    def test_repeated_variable_in_pattern(self, spark):
+        from coies_spark.ops.kg import bgp_query
+
+        t = self._triples(spark, [
+            ("a", "same_as", "a"), ("a", "same_as", "b"),
+        ])
+        got = {r.x for r in bgp_query(
+            t, [("?x", "same_as", "?x")]).collect()}
+        assert got == {"a"}
+
+    def test_disconnected_patterns_cross(self, spark):
+        from coies_spark.ops.kg import bgp_query
+
+        t = self._triples(spark, [
+            ("a", "p", "x"), ("b", "q", "y"),
+        ])
+        got = {(r.u, r.v) for r in bgp_query(t, [
+            ("?u", "p", "x"), ("?v", "q", "y"),
+        ]).collect()}
+        assert got == {("a", "b")}
+
+    def test_set_semantics(self, spark):
+        from coies_spark.ops.kg import bgp_query
+
+        t = self._triples(spark, [
+            ("c1", "uses", "spark"), ("c1", "uses", "spark"),
+        ])
+        assert bgp_query(t, [("?c", "uses", "spark")]).count() == 1
+
+    def test_validation(self, spark):
+        from coies_spark.ops.kg import bgp_query
+
+        t = self._triples(spark, [("a", "p", "x")])
+        with pytest.raises(ValueError):
+            bgp_query(t, [])
+        with pytest.raises(ValueError):
+            bgp_query(t, [("a", "p", "x")])
