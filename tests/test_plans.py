@@ -576,3 +576,28 @@ def test_training_pairs_single_exchange(spark):
     t = tr.synthesize_transcripts(docs)
     p = plan_of(tr.training_pairs(t))
     assert p.count("Exchange") == 1, p
+
+
+def test_bgp_query_pushes_constants_to_scan(spark, tmp_path):
+    """bgp_query's constant terms must reach the triple-sink scan:
+    the constant pred partition-prunes the pred-partitioned read, and
+    the constant obj lands in PushedFilters — the 'Catalyst is the
+    BGP optimizer' claim, asserted on the physical plan."""
+    from coies_spark.ops.kg import bgp_query
+
+    triples = spark.createDataFrame(
+        [("c1", "uses", "spark", 0.9), ("c1", "calls", "scan", 0.8),
+         ("c2", "uses", "flink", 0.7), ("c2", "calls", "join", 0.6)],
+        "subj string, pred string, obj string, score double",
+    )
+    out = str(tmp_path / "triples")
+    triples.write.partitionBy("pred").parquet(out)
+    back = spark.read.parquet(out)
+    q = bgp_query(back, [("?c", "uses", "spark"), ("?c", "calls", "?o")])
+    p = plan_of(q, "formatted")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("uses" in l for l in pf), p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("spark" in l for l in pushed), p
+    got = {(r.c, r.o) for r in q.collect()}
+    assert got == {("c1", "scan")}
