@@ -2342,3 +2342,69 @@ class TestSlidingChunks:
         out = tr.sliding_chunks(df, window_tokens=20, stride_tokens=20)
         # stride == window -> every turn in exactly one chunk
         assert sum(r.n_turns for r in out.collect()) == 4
+
+
+class TestSeventhBatchEmptyInputs:
+    """Empty/degenerate inputs through the seventh/eighth-batch ops:
+    every operator must return an empty (or correctly-degenerate)
+    frame, never raise — the behavior incremental pipelines hit on
+    an empty partition or a quiet ingest window."""
+
+    def test_empty_frames(self, spark):
+        from coies_spark.operators.graph import (
+            adamic_adar, link_prediction_mrr, personalized_pagerank,
+        )
+        from coies_spark.ops import textstats
+        from coies_spark.ops.dedup import oph_signatures_wide, pair_recall
+        from coies_spark.ops.kg import bgp_query, triple_diff
+        from coies_spark.ops.linkage import em_linkage
+        from coies_spark.ops.maintenance import compaction_plan, zorder_key
+        from coies_spark.ops.sampling import mixture_rates, weighted_sample
+        from coies_spark.ops.transcripts import (
+            tool_sequence_score, training_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, n_chars long"
+        )
+        edges = spark.createDataFrame([], "src string, dst string")
+        tx = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, role string,"
+                " text string, tool string, ts long"
+        )
+        beliefs = spark.createDataFrame(
+            [], "subj string, pred string, obj string, confidence double"
+        )
+        manifest = spark.createDataFrame(
+            [], "partition string, path string, bytes long"
+        )
+        assert adamic_adar(edges).collect() == []
+        seeds = spark.createDataFrame([("s",)], ["node"])
+        # an edgeless graph still reports the seed's restart share
+        [r] = personalized_pagerank(edges, seeds).collect()
+        assert r.node == "s" and r.ppr > 0
+        [m] = link_prediction_mrr(edges).collect()
+        assert m.n_holdout == 0 and m.mrr is None
+        assert oph_signatures_wide(docs).collect() == []
+        [pr] = pair_recall(
+            spark.createDataFrame([], "doc_a long, doc_b long"),
+            spark.createDataFrame([], "doc_a long, doc_b long"),
+        ).collect()
+        assert pr.n_true == 0 and pr.recall is None
+        assert bgp_query(beliefs, [("?s", "p", "?o")]).collect() == []
+        assert triple_diff(beliefs, beliefs).collect() == []
+        # EM on zero pairs: the pattern frame is empty, sums NULL —
+        # parameters clamp to the floor instead of erroring
+        out = em_linkage(
+            spark.createDataFrame([], "f1 int, f2 int"), ["f1", "f2"]
+        ).collect()
+        assert len(out) == 2
+        assert compaction_plan(manifest, 100).collect() == []
+        assert zorder_key(docs.select("doc_id", "n_chars"),
+                          ["doc_id", "n_chars"]).collect() == []
+        assert mixture_rates(docs, {"en": 1.0}, 100,
+                             n_tokens_col="n_chars").collect() == []
+        assert weighted_sample(docs, 3, "n_chars").collect() == []
+        assert training_pairs(tx).collect() == []
+        assert tool_sequence_score(tx).collect() == []
+        assert textstats.token_drift(docs, docs).collect() == []
