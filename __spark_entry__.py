@@ -41,6 +41,8 @@ from coies_spark.operators.graph import neighbor_jaccard as graph_neighbor_jacca
 from coies_spark.operators.graph import adamic_adar as graph_adamic_adar
 from coies_spark.operators.graph import link_prediction_mrr as graph_link_mrr
 from coies_spark.operators.graph import hits as graph_hits
+from coies_spark.operators.graph import random_walks as graph_random_walks
+from coies_spark.operators.graph import walk_pairs as graph_walk_pairs
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     bpe,
@@ -992,6 +994,78 @@ def _q_em_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.em_linkage(_linkage_pairs(spark, sf_dir), LINK_FIELDS, iters=4)
 
 
+def _q_walk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity co-occurrence graph as (src, dst) edges — shared by
+    the DeepWalk queries (same graph adamic_adar walks)."""
+    return graph_cooccurrence(
+        _q_entity_spans(spark, sf_dir), "doc_id", "mention"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def _q_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal alignment of two SCD-2 histories per user: the
+    last_event attribute vs the value band (lo/hi at 100) — every
+    co-validity period with the aligned value pair."""
+    base = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("subj"),
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    ev_a = base.select(
+        "subj",
+        F.lit("last_event").alias("pred"),
+        F.col("event_type").alias("obj"),
+        "ts",
+    )
+    ev_b = base.select(
+        "subj",
+        F.lit("band").alias("pred"),
+        F.when(F.col("value") < 100, "lo").otherwise("hi").alias("obj"),
+        "ts",
+    )
+    return kg.interval_align(
+        kg.temporal_triples(ev_a), kg.temporal_triples(ev_b)
+    )
+
+
+def _q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest contract check over a DETERMINISTICALLY corrupted
+    transcript feed (the planted-corpus pattern — clean synth turns
+    would gauge all-zero): conv%7 duplicates turn 1 onto 0, conv%5
+    shifts turn 2's clock 100 s backwards, conv%11 nulls turn 0's
+    role, conv%9 empties / nulls turn 0's text."""
+    t = transcripts.synthesize_transcripts(_read(spark, sf_dir, "documents"))
+    n = F.regexp_replace("conv_id", "^conv-", "").cast("long")
+    corrupted = t.select(
+        "conv_id",
+        F.when((n % 7 == 0) & (F.col("turn_idx") == 1), 0)
+        .otherwise(F.col("turn_idx"))
+        .alias("turn_idx"),
+        F.when(
+            (n % 11 == 4) & (F.col("turn_idx") == 0), F.lit(None)
+        )
+        .otherwise(F.col("role"))
+        .alias("role"),
+        F.when(
+            (n % 9 == 2) & (F.col("turn_idx") == 0), F.lit("")
+        )
+        .when(
+            (n % 9 == 5) & (F.col("turn_idx") == 0),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(
+            (n % 5 == 3) & (F.col("turn_idx") == 2),
+            F.col("ts") - F.expr("INTERVAL 100 SECONDS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return transcripts.transcript_integrity(corrupted)
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -1733,6 +1807,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budget_tokens=50000,
             strata_col="lang",
             n_tokens_col="n_chars",
+        ),
+        # DeepWalk corpus over the entity co-occurrence graph:
+        # hash-random truncated walks (engine-exact; same walks on
+        # any run/partitioning) — the KG/node-embedding recipe's
+        # first stage
+        "random_walks": lambda s, d: graph_random_walks(
+            _q_walk_edges(s, d), length=3, walks_per_node=2
+        ),
+        # skip-gram co-occurrence counts over those walks — DeepWalk
+        # stage 2, directly consumable by the CBOW trainer
+        "walk_training_pairs": lambda s, d: graph_walk_pairs(
+            graph_random_walks(_q_walk_edges(s, d), length=3,
+                               walks_per_node=2),
+            window=2,
+        ),
+        # interval intersection of two SCD-2 histories (the temporal
+        # join kg_at_time cannot express): last_event × value band
+        # co-validity periods per user
+        "interval_align": _q_interval_align,
+        # Deequ-style ingest contract check over a deterministically
+        # corrupted transcript feed: duplicate/missing turn_idx,
+        # clock inversions, null/empty text, null role — the audit
+        # that must gate every stage assuming stable turn ordering
+        "transcript_integrity": _q_transcript_integrity,
+        # SQ8 scalar-quantized ANN: 4x-smaller code scan, queries
+        # full-precision, targets dequantized to bucket midpoints —
+        # the quantization rung between brute force and PQ
+        "ann_sq8_topk": lambda s, d: similarity.sq8_topk(
+            _read(s, d, "embeddings")
         ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
@@ -5588,5 +5691,207 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.doc_id, bool_and(a.pos IS NOT NULL) AS maybe_member
         FROM probe p LEFT JOIN acc a USING(pos)
         GROUP BY 1
+    """
+
+    # random_walks: the DeepWalk corpus over the entity
+    # co-occurrence graph — identical hash-randomness (md5 of
+    # start:walk:step:cur, first 32 bits, mod degree) and identical
+    # neighbor ranking (row_number over nbr asc), so the walks are
+    # bit-equal to the engine's on any run or partitioning
+    _walk_cte = f"""
+        e AS (SELECT a, b FROM ({sql['entity_cooccurrence']})),
+        sym AS (SELECT a AS cur, b AS nbr FROM e
+                UNION
+                SELECT b AS cur, a AS nbr FROM e),
+        sym2 AS (SELECT cur, nbr FROM sym WHERE cur <> nbr),
+        idx AS (SELECT cur, nbr,
+                  CAST(row_number() OVER (
+                    PARTITION BY cur ORDER BY nbr ASC) - 1
+                    AS BIGINT) AS pick
+                FROM sym2),
+        dg AS (SELECT cur, CAST(count(*) AS BIGINT) AS deg
+               FROM sym2 GROUP BY 1),
+        s0 AS (SELECT cur AS start, CAST(w AS BIGINT) AS walk, cur
+               FROM dg, unnest(range(0, 2)) u(w)),
+        s1 AS (SELECT s0.start, s0.walk, i.nbr AS cur
+               FROM s0 JOIN dg d ON d.cur = s0.cur
+               JOIN idx i ON i.cur = s0.cur AND i.pick =
+                 CAST(('0x' || substr(md5(s0.start || ':'
+                   || CAST(s0.walk AS VARCHAR) || ':1:' || s0.cur),
+                   1, 8)) AS BIGINT) % d.deg),
+        s2 AS (SELECT s1.start, s1.walk, i.nbr AS cur
+               FROM s1 JOIN dg d ON d.cur = s1.cur
+               JOIN idx i ON i.cur = s1.cur AND i.pick =
+                 CAST(('0x' || substr(md5(s1.start || ':'
+                   || CAST(s1.walk AS VARCHAR) || ':2:' || s1.cur),
+                   1, 8)) AS BIGINT) % d.deg),
+        s3 AS (SELECT s2.start, s2.walk, i.nbr AS cur
+               FROM s2 JOIN dg d ON d.cur = s2.cur
+               JOIN idx i ON i.cur = s2.cur AND i.pick =
+                 CAST(('0x' || substr(md5(s2.start || ':'
+                   || CAST(s2.walk AS VARCHAR) || ':3:' || s2.cur),
+                   1, 8)) AS BIGINT) % d.deg),
+        wk AS (
+          SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node
+          FROM s0
+          UNION ALL
+          SELECT start, walk, CAST(1 AS BIGINT), cur FROM s1
+          UNION ALL
+          SELECT start, walk, CAST(2 AS BIGINT), cur FROM s2
+          UNION ALL
+          SELECT start, walk, CAST(3 AS BIGINT), cur FROM s3)
+    """
+    sql["random_walks"] = f"""
+        WITH {_walk_cte}
+        SELECT start, walk, step, node FROM wk
+    """
+
+    # walk_training_pairs: skip-gram co-occurrence counts within
+    # window 2 over the SAME walk corpus (self-join on the walk key)
+    sql["walk_training_pairs"] = f"""
+        WITH {_walk_cte}
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM wk a JOIN wk b
+          ON a.start = b.start AND a.walk = b.walk
+         AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
+    """
+
+    # interval_align: two SCD-2 chains (the temporal_triples
+    # construction, verbatim) over the last_event and value-band
+    # evidence, then the half-open interval intersection —
+    # NULL valid_to = open current version on both sides
+    def _scd2(prefix: str, ev_sql: str) -> str:
+        return f"""
+        {prefix}c AS (SELECT subj, pred, obj, ts,
+               CASE WHEN lag(obj) OVER w IS NULL
+                      OR lag(obj) OVER w <> obj
+                    THEN 1 ELSE 0 END AS chg
+             FROM ({ev_sql})
+             WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, obj)),
+        {prefix}r AS (SELECT subj, pred, obj, ts,
+               sum(chg) OVER (PARTITION BY subj, pred
+                              ORDER BY ts, obj
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS version
+             FROM {prefix}c),
+        {prefix}runs AS (SELECT subj, pred, version, obj,
+                  min(ts) AS valid_from
+                FROM {prefix}r GROUP BY 1, 2, 3, 4),
+        {prefix}h AS (SELECT subj, obj,
+               CAST(valid_from AS BIGINT) AS vf,
+               CAST(lead(valid_from) OVER w2 AS BIGINT) AS vt
+             FROM {prefix}runs
+             WINDOW w2 AS (PARTITION BY subj, pred ORDER BY version))
+        """
+
+    _ev_a = """SELECT CAST(user_id AS VARCHAR) AS subj,
+                      'last_event' AS pred, event_type AS obj,
+                      epoch_us(ts) AS ts FROM events"""
+    _ev_b = """SELECT CAST(user_id AS VARCHAR) AS subj,
+                      'band' AS pred,
+                      CASE WHEN value < 100 THEN 'lo' ELSE 'hi' END
+                        AS obj,
+                      epoch_us(ts) AS ts FROM events"""
+    sql["interval_align"] = f"""
+        WITH {_scd2('a', _ev_a)},
+        {_scd2('b', _ev_b)}
+        SELECT a.subj, a.obj AS obj_a, b.obj AS obj_b,
+               greatest(a.vf, b.vf) AS valid_from,
+               CASE WHEN a.vt IS NULL AND b.vt IS NULL
+                    THEN NULL
+                    ELSE least(coalesce(a.vt, b.vt),
+                               coalesce(b.vt, a.vt)) END AS valid_to
+        FROM ah a JOIN bh b ON a.subj = b.subj
+        WHERE (b.vt IS NULL OR a.vf < b.vt)
+          AND (a.vt IS NULL OR b.vf < a.vt)
+    """
+
+    # transcript_integrity: the same deterministic corruption the
+    # Spark query injects (dup idx, backdated clock, null role,
+    # empty/null text), then the one-window-one-groupBy audit
+    sql["transcript_integrity"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        n AS (SELECT conv_id,
+                     CAST(substr(conv_id, 6) AS BIGINT) AS num,
+                     turn_idx, role, turn_text, ts_s
+              FROM t),
+        corr AS (SELECT conv_id,
+            CASE WHEN num % 7 = 0 AND turn_idx = 1
+                 THEN 0 ELSE turn_idx END AS turn_idx,
+            CASE WHEN num % 11 = 4 AND turn_idx = 0
+                 THEN NULL ELSE role END AS role,
+            CASE WHEN num % 9 = 2 AND turn_idx = 0 THEN ''
+                 WHEN num % 9 = 5 AND turn_idx = 0 THEN NULL
+                 ELSE turn_text END AS text,
+            CASE WHEN num % 5 = 3 AND turn_idx = 2
+                 THEN ts_s - 100 ELSE ts_s END AS ts
+          FROM n),
+        inv AS (SELECT conv_id, turn_idx, role, text, ts,
+                  CASE WHEN lag(ts) OVER w > ts THEN 1 ELSE 0 END
+                    AS inv
+                FROM corr
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx, ts))
+        SELECT conv_id,
+          CAST(count(*) AS BIGINT) AS n_turns,
+          CAST(count(*) - count(DISTINCT turn_idx)
+               - sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS dup_turn_idx,
+          CAST(max(turn_idx) - min(turn_idx) + 1
+               - count(DISTINCT turn_idx) AS BIGINT)
+            AS missing_turn_idx,
+          CAST(coalesce(sum(inv), 0) AS BIGINT) AS ts_inversions,
+          CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_turn_idx,
+          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_text,
+          CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS empty_text,
+          CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_role
+        FROM inv GROUP BY 1
+    """
+
+    # ann_sq8_topk: per-dim min/max grid (rounded 6dp), floor
+    # bucketing (no tie semantics), bucket-midpoint dequantization,
+    # cosine of full-precision query vs dequantized target — every
+    # arithmetic step in the same order as the engine
+    sql["ann_sq8_topk"] = f"""
+        WITH st AS (
+          SELECT i-1 AS pos,
+                 round(min(CAST(embedding[i] AS DOUBLE)), 6) AS mn,
+                 round(max(CAST(embedding[i] AS DOUBLE)), 6) AS mx
+          FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+          GROUP BY 1),
+        sa AS (SELECT list(mn ORDER BY pos) AS mns,
+                      list(mx ORDER BY pos) AS mxs FROM st),
+        codes AS (
+          SELECT vec_id AS target_id,
+                 list_transform(range(1, len(embedding)+1),
+                   i -> CASE WHEN mxs[i] > mns[i]
+                        THEN CAST(greatest(0, least(255,
+                          floor((CAST(embedding[i] AS DOUBLE)
+                                 - mns[i]) * 256.0
+                                / (mxs[i] - mns[i])))) AS INT)
+                        ELSE 0 END) AS code
+          FROM embeddings, sa),
+        tv AS (
+          SELECT target_id,
+                 list_transform(range(1, len(code)+1),
+                   i -> mns[i] + (CAST(code[i] AS DOUBLE) + 0.5)
+                        * (mxs[i] - mns[i]) / 256.0) AS tv
+          FROM codes, sa),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8),
+        scored AS (SELECT query_id, target_id,
+                     {_COS.format(a='qv', b='tv')} AS sim
+                   FROM q, tv WHERE query_id <> target_id)
+        SELECT query_id, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM scored) WHERE rank <= 5
     """
     return sql

@@ -910,3 +910,161 @@ def link_prediction_mrr(
             nz, F.round(F.col("__h") / F.col("n_holdout"), 6)
         ).alias("hits_at_1"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 3,
+    walks_per_node: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, walk, step, node): DeepWalk-style truncated random
+    walks (Perozzi et al., KDD'14) over the undirected graph —
+    ``walks_per_node`` walks of ``length`` steps from every node, in
+    long form (step 0 is the start node itself).
+
+    The "random" step is hash-randomness, the engine-portable
+    convention of ``ops.sampling``: at step t the walker at ``cur``
+    moves to the neighbor whose rank (row_number over the node's
+    neighbors, ordered by neighbor id) equals
+    ``H(start:walk:t:cur) mod deg(cur)``, H = first-32-bits-of-md5.
+    The same graph therefore yields the SAME walk corpus on every
+    run, any partitioning, and any SQL engine (the DuckDB twin
+    unrolls identical joins) — resumable epochs and exact tests, the
+    property np.random walkers cannot give on a cluster.
+
+    Plan shape: the neighbor index (node, rank, nbr) and the degree
+    table are built once from one symmetrize pass; each unrolled step
+    is two equi-joins (state→deg to compute the pick, state→index on
+    (node, pick)) — no explode, no per-row Python, cardinality
+    exactly n_nodes × walks_per_node per step.  At 10^9 edges both
+    joins shuffle on the node key; hot nodes cost one skewed lookup
+    per step (AQE skew-split applies), never a fan-out, because the
+    index join selects exactly ONE neighbor row per walker.
+
+    Walks feed :func:`walk_pairs` (skip-gram co-occurrence) and the
+    CBOW trainer (``ops.cbow``) — the DeepWalk recipe for KG/node
+    embeddings.  Nodes appearing only in self-loop edges have no
+    sym-neighbors and start no walks (a walker must have somewhere
+    to go); deg >= 1 for every walker by construction, so walks
+    never die early.
+    """
+    if length < 1:
+        raise ValueError("random_walks: length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("random_walks: walks_per_node must be >= 1")
+    sym = _symmetrize(edges, src, dst)
+    wr = Window.partitionBy("cur").orderBy("nbr")
+    index = sym.select(
+        F.col("a").alias("cur"), F.col("b").alias("nbr")
+    ).select(
+        "cur",
+        "nbr",
+        (F.row_number().over(wr) - 1).cast("long").alias("pick"),
+    )
+    degs = (
+        sym.groupBy(F.col("a").alias("cur"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    state = (
+        degs.select("cur")
+        .select(
+            F.col("cur").alias("start"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(walks_per_node - 1).cast("long"),
+                )
+            ).alias("walk"),
+            "cur",
+        )
+    )
+    frames = [
+        state.select(
+            "start",
+            "walk",
+            F.lit(0).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for t in range(1, length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            ":",
+                            F.col("start"),
+                            F.col("walk").cast("string"),
+                            F.lit(str(t)),
+                            F.col("cur"),
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        state = (
+            state.join(degs, "cur")
+            .withColumn("pick", h % F.col("deg"))
+            .join(index, ["cur", "pick"])
+            .select("start", "walk", F.col("nbr").alias("cur"))
+        )
+        frames.append(
+            state.select(
+                "start",
+                "walk",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs): skip-gram co-occurrence counts over
+    a :func:`random_walks` corpus — every ordered (center, context)
+    pair whose steps lie within ``window`` of each other on the same
+    walk, aggregated.  This is DeepWalk's training-pair extraction:
+    the aggregated table is both the word2vec-style corpus statistic
+    and directly consumable as weighted positive pairs for the
+    embedding trainer.
+
+    Plan shape: a self-join on the (start, walk) key — walk groups
+    are (length+1) rows, so the join output is bounded by
+    n_walks × (length+1) × 2·window, never quadratic in the corpus —
+    then one map-side-combinable count.  Both shuffles key on
+    high-cardinality columns (walk id, then the pair), so no skew
+    beyond the graph's own hot nodes.
+    """
+    if window < 1:
+        raise ValueError("walk_pairs: window must be >= 1")
+    a = walks.select(
+        "start",
+        "walk",
+        F.col("step").alias("s1"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        "start",
+        "walk",
+        F.col("step").alias("s2"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["start", "walk"])
+        .where(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

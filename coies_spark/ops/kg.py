@@ -1259,3 +1259,73 @@ def bgp_query(
             shared = [c for c in out.columns if c in t.columns]
             out = out.join(t, shared) if shared else out.crossJoin(t)
     return out.distinct()
+
+
+def interval_align(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...] = ("subj",),
+) -> DataFrame:
+    """(keys…, obj_a, obj_b, valid_from, valid_to): the interval
+    intersection of two SCD-2 histories — for every key, each period
+    during which BOTH attributes held a value, with the aligned value
+    pair.  This is the temporal join :func:`kg_at_time` cannot
+    express (that probes one instant; this aligns whole histories):
+    "what was each user's last_event WHILE their value band was X",
+    audit diffs between belief snapshots, co-validity features for
+    the linker.
+
+    Inputs are :func:`temporal_triples`-shaped (obj, valid_from,
+    valid_to with NULL = open current version).  Intervals are
+    half-open [from, to); two versions align iff they overlap:
+    ``l.from < r.to AND r.from < l.to`` (NULL to = +∞).  The
+    intersection is [greatest(froms), least(tos)] with NULL
+    propagating only when BOTH ends are open — so output rows are
+    themselves a valid SCD-2 history over the composite attribute.
+
+    Plan shape: an equi-join on the key columns with the overlap
+    predicate as a residual filter — never a range-only join, so no
+    cartesian anywhere.  Per-key version counts are small by
+    construction (SCD-2 compresses runs), so the join output is
+    bounded by Σ_key |versions_l| × |versions_r| with both factors
+    key-local; hot keys take the AQE skew-split path like any other
+    key-equality join.
+    """
+    ks = list(keys)
+    l = left.select(
+        *ks,
+        F.col("obj").alias("obj_a"),
+        F.col("valid_from").alias("from_a"),
+        F.col("valid_to").alias("to_a"),
+    )
+    r = right.select(
+        *ks,
+        F.col("obj").alias("obj_b"),
+        F.col("valid_from").alias("from_b"),
+        F.col("valid_to").alias("to_b"),
+    )
+    overlap = (
+        (F.col("to_b").isNull() | (F.col("from_a") < F.col("to_b")))
+        & (F.col("to_a").isNull() | (F.col("from_b") < F.col("to_a")))
+    )
+    return (
+        l.join(r, ks)
+        .where(overlap)
+        .select(
+            *ks,
+            "obj_a",
+            "obj_b",
+            F.greatest("from_a", "from_b").alias("valid_from"),
+            F.when(
+                F.col("to_a").isNull() & F.col("to_b").isNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.least(
+                    F.coalesce("to_a", "to_b"),
+                    F.coalesce("to_b", "to_a"),
+                )
+            )
+            .alias("valid_to"),
+        )
+    )

@@ -1256,3 +1256,147 @@ def ann_recall(
         .cast("long")
         .alias("exact_queries"),
     )
+
+
+def sq8_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(pos, mn, mx): per-dimension min/max over the corpus — the
+    scalar-quantizer training table (one tiny map-side-combinable
+    aggregate; dim rows).  Rounded 6dp so every engine derives the
+    identical quantization grid."""
+    return (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.min(F.col("x").cast("double")), 6).alias("mn"),
+            F.round(F.max(F.col("x").cast("double")), 6).alias("mx"),
+        )
+    )
+
+
+def _sq8_stats_row(stats: DataFrame) -> DataFrame:
+    """1-row (mns array, mxs array) frame, position-ordered — the
+    broadcastable form of :func:`sq8_stats`."""
+    return stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn"))
+        ).alias("__s1"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mx"))
+        ).alias("__s2"),
+    ).select(
+        F.transform("__s1", lambda s: s["mn"]).alias("mns"),
+        F.transform("__s2", lambda s: s["mx"]).alias("mxs"),
+    )
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code array<int>): 8-bit scalar quantization (SQ8) —
+    each dimension mapped onto its own 256-bucket uniform grid
+    between the corpus per-dimension min/max.  The standard 4×
+    memory reduction BEFORE product quantization is worth its
+    training cost (FAISS's ``SQ8`` index type): float32 → one byte
+    per dimension, with each dimension independently decodable.
+
+    ``code_i = clamp(floor((x_i − mn_i)·256 / (mx_i − mn_i)), 0,
+    255)`` — floor, not round, so the bucketing is exact on every
+    engine (no tie semantics); constant dimensions (mx = mn) encode
+    as 0.  Encoding is a zero-shuffle projection against the
+    broadcast 1-row stats frame; the only shuffle anywhere is the
+    dim-row stats aggregate.
+    """
+    row = _sq8_stats_row(sq8_stats(embeddings, vec_col))
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(F.col("mxs"), i + 1)
+            > F.element_at(F.col("mns"), i + 1),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (
+                            x.cast("double")
+                            - F.element_at(F.col("mns"), i + 1)
+                        )
+                        * 256.0
+                        / (
+                            F.element_at(F.col("mxs"), i + 1)
+                            - F.element_at(F.col("mns"), i + 1)
+                        )
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return embeddings.crossJoin(F.broadcast(row)).select(
+        F.col(id_col).alias("vec_id"), code.alias("code")
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, sim, rank): asymmetric-distance top-k
+    over the SQ8-encoded corpus — queries stay full precision,
+    targets are dequantized to their bucket midpoints
+    (``mn_i + (c_i + 0.5)·(mx_i − mn_i)/256``), sim = cosine of
+    query vs dequantized target.  The scalar-quantization
+    counterpart of :func:`pq_topk`'s ADC scan: one code array per
+    target (dim bytes in production storage), queries broadcast,
+    ranking ties broken on target_id.
+
+    Plan shape: the dequantized target array is computed ONCE per
+    target row (before the query fan-out), so the scan does
+    n_targets array builds + n_targets × n_queries fold dot
+    products — the same shape as :func:`brute_topk` with a 4×
+    smaller scan payload at 10^10 vectors.
+    """
+    row = _sq8_stats_row(sq8_stats(embeddings, vec_col))
+    deq = F.transform(
+        F.col("code"),
+        lambda c, i: F.element_at(F.col("mns"), i + 1)
+        + (c.cast("double") + 0.5)
+        * (
+            F.element_at(F.col("mxs"), i + 1)
+            - F.element_at(F.col("mns"), i + 1)
+        )
+        / 256.0,
+    )
+    targets = (
+        sq8_codes(embeddings, id_col, vec_col)
+        .crossJoin(F.broadcast(row))
+        .select(
+            F.col("vec_id").alias("target_id"), deq.alias("tv")
+        )
+    )
+    q = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = targets.join(
+        F.broadcast(q), F.col("query_id") != F.col("target_id")
+    ).select(
+        "query_id",
+        "target_id",
+        cosine_sim(F.col("qv"), F.col("tv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "target_id", "sim", "rank")
+    )

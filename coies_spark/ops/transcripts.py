@@ -883,3 +883,81 @@ def tool_sequence_score(transcripts: DataFrame) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def transcript_integrity(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, dup_turn_idx, missing_turn_idx,
+    ts_inversions, null_turn_idx, null_text, empty_text, null_role):
+    the ingest contract check for the north-rule input shape —
+    Deequ-style data-quality gauges computed per conversation, BEFORE
+    any stage that assumes "stable turn ordering" (every window pass
+    in this module; the per-turn text-equality invariant is only
+    meaningful when (conv_id, turn_idx) is a key).
+
+    * ``dup_turn_idx`` — turns sharing a turn_idx with another turn
+      (n_turns − distinct non-null idx − null idx): the invariant
+      breaker that silently corrupts window assembly.
+    * ``missing_turn_idx`` — holes in the idx range (max − min + 1 −
+      distinct): evidence of dropped turns upstream.
+    * ``ts_inversions`` — turns whose timestamp precedes the previous
+      turn's under stable (turn_idx, ts) ordering: clock skew or
+      mis-merged shards.  Equal timestamps are NOT inversions, so the
+      count is order-deterministic even under idx duplicates.
+    * ``null_turn_idx`` / ``null_text`` / ``empty_text`` /
+      ``null_role`` — plain completeness counters.
+
+    One window pass feeding one groupBy on the same conv_id key —
+    the exchange is shared (the conversation_stats plan shape), so
+    the audit costs a single shuffle at any corpus size.  A healthy
+    feed reports all-zero gauges; route any non-zero conversation to
+    quarantine before extraction, not after.
+    """
+    # NULL idx sorts LAST explicitly: Spark's asc default is
+    # nulls-first, DuckDB's is nulls-last — pin the DuckDB order so
+    # the inversion count is engine-deterministic under null idx too
+    w = Window.partitionBy("conv_id").orderBy(
+        F.asc_nulls_last("turn_idx"), F.asc_nulls_last("ts")
+    )
+    flagged = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "ts",
+        (F.lag("ts").over(w) > F.col("ts")).cast("int").alias("inv"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("turn_idx"))
+            - F.sum(F.col("turn_idx").isNull().cast("int"))
+        )
+        .cast("long")
+        .alias("dup_turn_idx"),
+        (
+            F.max("turn_idx")
+            - F.min("turn_idx")
+            + 1
+            - F.count_distinct(F.col("turn_idx"))
+        )
+        .cast("long")
+        .alias("missing_turn_idx"),
+        F.coalesce(F.sum("inv"), F.lit(0))
+        .cast("long")
+        .alias("ts_inversions"),
+        F.sum(F.col("turn_idx").isNull().cast("int"))
+        .cast("long")
+        .alias("null_turn_idx"),
+        F.sum(F.col("text").isNull().cast("int"))
+        .cast("long")
+        .alias("null_text"),
+        # per-row coalesce: (NULL = '') is NULL, and a conversation
+        # whose every text is NULL must gauge 0 empties, not NULL
+        F.sum(F.coalesce((F.col("text") == "").cast("int"), F.lit(0)))
+        .cast("long")
+        .alias("empty_text"),
+        F.sum(F.col("role").isNull().cast("int"))
+        .cast("long")
+        .alias("null_role"),
+    )
