@@ -43,6 +43,7 @@ from coies_spark.operators.graph import link_prediction_mrr as graph_link_mrr
 from coies_spark.operators.graph import hits as graph_hits
 from coies_spark.operators.graph import random_walks as graph_random_walks
 from coies_spark.operators.graph import walk_pairs as graph_walk_pairs
+from coies_spark.operators.graph import node2vec_walks as graph_node2vec
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     bpe,
@@ -1066,6 +1067,62 @@ def _q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts.transcript_integrity(corrupted)
 
 
+def _q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style expire-snapshots planning over a snapshot log
+    synthesized from events (one table per event_type, the latest
+    snapshot per table branch-head 'main'); now = the in-plan corpus
+    max instant, retention = last 3 + 7 days."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("table_name"),
+        F.col("event_id").cast("long").alias("snapshot_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias(
+            "committed_at"
+        ),
+    )
+    w = Window.partitionBy("table_name").orderBy(
+        F.desc("committed_at"), F.desc("snapshot_id")
+    )
+    snaps = ev.withColumn(
+        "ref", F.when(F.row_number().over(w) == 1, "main")
+    )
+    now = ev.agg(F.max("committed_at").alias("t0"))
+    return maintenance.snapshot_expiry(
+        snaps, retain_last=3, retain_s=7 * 24 * 3600 * 1_000_000,
+        now=now,
+    )
+
+
+def _q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-refusal gauge over a planted feed (clean synth turns
+    never refuse): conv%6==1 gets a refusal as assistant turn 1."""
+    t = transcripts.synthesize_transcripts(_read(spark, sf_dir, "documents"))
+    n = F.regexp_replace("conv_id", "^conv-", "").cast("long")
+    planted = t.withColumn(
+        "text",
+        F.when(
+            (n % 6 == 1) & (F.col("turn_idx") == 1),
+            F.lit("I cannot help with that request."),
+        ).otherwise(F.col("text")),
+    )
+    return transcripts.refusal_stats(planted)
+
+
+def _q_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kg.entity_profile(_kg_evidence(spark, sf_dir))
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (p=0.5 return-friendly, q=2.0
+    BFS-ish) over the entity co-occurrence graph."""
+    return graph_node2vec(
+        _q_walk_edges(spark, sf_dir),
+        length=3,
+        walks_per_node=1,
+        p=0.5,
+        q=2.0,
+    )
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -1260,11 +1317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "salted_event_counts": _q_salted_counts,
         "running_value": _q_running_value,
-        # incremental SCD-2 upsert proven equal to the FULL recompute
-        # on an append-only split — the oracle IS the plain
-        # temporal_triples twin over all evidence, so this row is the
-        # driver-checked resume/upsert contract of the versioned store
-        "merge_temporal": _q_merge_temporal,
+        # transcript ingest contract check over a deterministically
+        # corrupted feed (r4 ninth batch): duplicate/missing
+        # turn_idx, clock inversions, null gauges — the audit gating
+        # every stable-turn-ordering stage; rotated into the window
+        # for merge_temporal, whose oracle is literally the
+        # temporal_triples twin already checked 7 rows up
+        "transcript_integrity": _q_transcript_integrity,
         # per-predicate schema induction (functionality gauges decide
         # which predicates need the salted/AQE path)
         "predicate_profile": lambda s, d: kg.predicate_profile(
@@ -1826,17 +1885,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join kg_at_time cannot express): last_event × value band
         # co-validity periods per user
         "interval_align": _q_interval_align,
-        # Deequ-style ingest contract check over a deterministically
-        # corrupted transcript feed: duplicate/missing turn_idx,
-        # clock inversions, null/empty text, null role — the audit
-        # that must gate every stage assuming stable turn ordering
-        "transcript_integrity": _q_transcript_integrity,
+        # incremental SCD-2 upsert proven equal to the FULL recompute
+        # on an append-only split — the oracle IS the plain
+        # temporal_triples twin over all evidence (checked in-window);
+        # demoted to the tail for transcript_integrity (r4 batch 9)
+        "merge_temporal": _q_merge_temporal,
         # SQ8 scalar-quantized ANN: 4x-smaller code scan, queries
         # full-precision, targets dequantized to bucket midpoints —
         # the quantization rung between brute force and PQ
         "ann_sq8_topk": lambda s, d: similarity.sq8_topk(
             _read(s, d, "embeddings")
         ),
+        # node2vec second-order biased walks (p=0.5, q=2.0) — the
+        # DFS/BFS-tunable sibling of random_walks; inverse-CDF draw
+        # over hash randomness, bit-equal on any engine
+        "node2vec_walks": _q_node2vec_walks,
+        # Iceberg expire-snapshots planning: ref / last_n / recent
+        # retention with deterministic reason precedence — the GC
+        # policy face of the checkpointed pipeline
+        "snapshot_expiry": _q_snapshot_expiry,
+        # assistant-refusal gauge over a planted feed: the instruct-
+        # data curation signal (report, then let the sampler decide)
+        "refusal_stats": _q_refusal_stats,
+        # exponent-smoothed multilingual mixture rates (XLM-R q_i ~
+        # p_i^alpha): per-language boost factors, char-weighted
+        "temperature_rates": lambda s, d: sampling.temperature_rates(
+            _read(s, d, "documents"), alpha=0.3, weight_col="n_chars"
+        ),
+        # per-entity summary card over mention evidence: counts,
+        # first/last seen, modal predicate (argmax window)
+        "entity_profile": _q_entity_profile,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -5893,5 +5971,182 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
             AS rank
           FROM scored) WHERE rank <= 5
+    """
+
+    # node2vec: unrolled second-order steps over the same walk CTE
+    # machinery — step 1 is the modular uniform pick; steps 2..3 draw
+    # by inverse CDF over the (1/p, 1, 1/q) weights in neighbor-rank
+    # order (cumsum in rank order on both engines, identical doubles)
+    sql["node2vec_walks"] = f"""
+        WITH e AS (SELECT a, b FROM ({sql['entity_cooccurrence']})),
+        sym AS (SELECT a AS cur, b AS nbr FROM e
+                UNION
+                SELECT b AS cur, a AS nbr FROM e),
+        sym2 AS (SELECT cur, nbr FROM sym WHERE cur <> nbr),
+        idx AS (SELECT cur, nbr,
+                  CAST(row_number() OVER (
+                    PARTITION BY cur ORDER BY nbr ASC) - 1
+                    AS BIGINT) AS pick
+                FROM sym2),
+        dg AS (SELECT cur, CAST(count(*) AS BIGINT) AS deg
+               FROM sym2 GROUP BY 1),
+        s0 AS (SELECT cur AS start, CAST(w AS BIGINT) AS walk, cur
+               FROM dg, unnest(range(0, 1)) u(w)),
+        n1 AS (SELECT s0.start, s0.walk, s0.cur AS prev,
+                      i.nbr AS cur
+               FROM s0 JOIN dg d ON d.cur = s0.cur
+               JOIN idx i ON i.cur = s0.cur AND i.pick =
+                 CAST(('0x' || substr(md5(s0.start || ':'
+                   || CAST(s0.walk AS VARCHAR) || ':1:' || s0.cur),
+                   1, 8)) AS BIGINT) % d.deg),
+        c2 AS (SELECT n1.start, n1.walk, n1.prev, n1.cur, i.nbr,
+                      i.pick,
+                      CASE WHEN i.nbr = n1.prev THEN 2.0
+                           WHEN m.nbr IS NOT NULL THEN 1.0
+                           ELSE 0.5 END AS w
+               FROM n1 JOIN idx i ON i.cur = n1.cur
+               LEFT JOIN sym2 m
+                 ON m.cur = n1.prev AND m.nbr = i.nbr),
+        w2 AS (SELECT *,
+                 sum(w) OVER (PARTITION BY start, walk
+                              ORDER BY pick
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY start, walk) AS tot
+               FROM c2),
+        n2 AS (SELECT start, walk, cur AS prev, nbr AS cur FROM (
+                 SELECT *, CAST(('0x' || substr(md5(start || ':'
+                     || CAST(walk AS VARCHAR) || ':2:' || cur),
+                     1, 8)) AS BIGINT) / 4294967296.0 * tot AS thr
+                 FROM w2)
+               WHERE cum - w <= thr AND thr < cum),
+        c3 AS (SELECT n2.start, n2.walk, n2.prev, n2.cur, i.nbr,
+                      i.pick,
+                      CASE WHEN i.nbr = n2.prev THEN 2.0
+                           WHEN m.nbr IS NOT NULL THEN 1.0
+                           ELSE 0.5 END AS w
+               FROM n2 JOIN idx i ON i.cur = n2.cur
+               LEFT JOIN sym2 m
+                 ON m.cur = n2.prev AND m.nbr = i.nbr),
+        w3 AS (SELECT *,
+                 sum(w) OVER (PARTITION BY start, walk
+                              ORDER BY pick
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY start, walk) AS tot
+               FROM c3),
+        n3 AS (SELECT start, walk, cur AS prev, nbr AS cur FROM (
+                 SELECT *, CAST(('0x' || substr(md5(start || ':'
+                     || CAST(walk AS VARCHAR) || ':3:' || cur),
+                     1, 8)) AS BIGINT) / 4294967296.0 * tot AS thr
+                 FROM w3)
+               WHERE cum - w <= thr AND thr < cum)
+        SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node
+        FROM s0
+        UNION ALL
+        SELECT start, walk, CAST(1 AS BIGINT), cur FROM n1
+        UNION ALL
+        SELECT start, walk, CAST(2 AS BIGINT), cur FROM n2
+        UNION ALL
+        SELECT start, walk, CAST(3 AS BIGINT), cur FROM n3
+    """
+
+    # snapshot_expiry: the same synthesized snapshot log (one table
+    # per event_type, branch head = latest), ranked retention with
+    # the ref > last_n > recent reason precedence
+    sql["snapshot_expiry"] = """
+        WITH s AS (
+          SELECT event_type AS table_name,
+                 CAST(event_id AS BIGINT) AS snapshot_id,
+                 epoch_us(ts) AS committed_at
+          FROM events),
+        r AS (SELECT *,
+                row_number() OVER (
+                  PARTITION BY table_name
+                  ORDER BY committed_at DESC, snapshot_id DESC)
+                  AS rk
+              FROM s),
+        n AS (SELECT max(committed_at) AS t0 FROM s)
+        SELECT table_name, snapshot_id,
+               CASE WHEN rk = 1 OR rk <= 3
+                      OR committed_at > t0 - 604800000000
+                    THEN 'retain' ELSE 'expire' END AS action,
+               CASE WHEN rk = 1 THEN 'ref'
+                    WHEN rk <= 3 THEN 'last_n'
+                    WHEN committed_at > t0 - 604800000000
+                    THEN 'recent' END AS reason
+        FROM r, n
+    """
+
+    # refusal_stats: the planted refusal (conv%6==1, assistant turn
+    # 1) then the per-conversation gauge; same regex, lowercased
+    sql["refusal_stats"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        pl AS (SELECT conv_id, turn_idx, role,
+                 CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 6 = 1
+                       AND turn_idx = 1
+                      THEN 'I cannot help with that request.'
+                      ELSE turn_text END AS text
+               FROM t)
+        SELECT conv_id,
+          CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_assistant,
+          CAST(sum(CASE WHEN role = 'assistant' AND regexp_matches(
+                 lower(text),
+                 '(i cannot|i can.t|i.m sorry|i am sorry|as an ai'
+                 || '|i.m unable|i am unable|i won.t be able)')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_refusals,
+          round(CAST(sum(CASE WHEN role = 'assistant'
+                     AND regexp_matches(lower(text),
+                 '(i cannot|i can.t|i.m sorry|i am sorry|as an ai'
+                 || '|i.m unable|i am unable|i won.t be able)')
+                 THEN 1 ELSE 0 END) AS DOUBLE)
+            / nullif(sum(CASE WHEN role = 'assistant' THEN 1
+                         ELSE 0 END), 0), 6) AS refusal_rate
+        FROM pl GROUP BY 1
+    """
+
+    # temperature_rates: n_chars-weighted language shares, alpha=0.3
+    # exponent smoothing; pa rounded 9dp pre-sum and summed in
+    # decimal, matching the engine's order-exact convention
+    sql["temperature_rates"] = """
+        WITH per AS (SELECT lang AS stratum,
+                            sum(CAST(n_chars AS DOUBLE)) AS n
+                     FROM documents GROUP BY 1),
+        t AS (SELECT sum(n) AS tt FROM per),
+        pq AS (SELECT stratum, n, round(n / tt, 9) AS p,
+                      round(pow(round(n / tt, 9), 0.3), 9) AS pa
+               FROM per, t),
+        ta AS (SELECT CAST(sum(CAST(pa AS DECIMAL(28,12)))
+                           AS DOUBLE) AS sa FROM pq)
+        SELECT stratum, CAST(n AS BIGINT) AS n, p,
+               round(pa / sa, 9) AS q,
+               round(round(pa / sa, 9) / p, 9) AS boost
+        FROM pq, ta
+    """
+
+    # entity_profile: per-entity counts + argmax modal predicate
+    # (ties to the smallest predicate) over the mention evidence
+    sql["entity_profile"] = f"""
+        WITH {kg_ev},
+        pp AS (SELECT obj AS entity, pred,
+                      CAST(count(*) AS BIGINT) AS pn
+               FROM ev GROUP BY 1, 2),
+        top AS (SELECT entity, pred AS top_pred, pn AS top_pred_n
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY entity
+                        ORDER BY pn DESC, pred ASC) AS r
+                      FROM pp) WHERE r = 1),
+        b AS (SELECT obj AS entity,
+                CAST(count(*) AS BIGINT) AS n_evidence,
+                CAST(count(DISTINCT subj) AS BIGINT) AS n_convs,
+                CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+                CAST(min(ts) AS BIGINT) AS first_seen,
+                CAST(max(ts) AS BIGINT) AS last_seen
+              FROM ev GROUP BY 1)
+        SELECT b.entity, b.n_evidence, b.n_convs, b.n_preds,
+               b.first_seen, b.last_seen, top.top_pred,
+               top.top_pred_n
+        FROM b JOIN top USING(entity)
     """
     return sql

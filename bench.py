@@ -34,6 +34,10 @@ Headliners cover the engine's load-bearing paths:
                       sufficient statistics, 4 unrolled in-plan rounds)
 * training_pairs    — instruct-pair assembly (one conv_id window pass)
 * embedding_neardup — banded-LSH + exact-verify near-dup pairs
+* transcript_integrity — ingest contract audit (dup/missing idx,
+                      clock inversions, null gauges; one exchange)
+* random_walks      — DeepWalk hash-random walks, 100k walkers × 4
+                      unrolled two-join steps on a 50k-node graph
 * agg_pricing       — Q1-style wide aggregation over lineitem
 * join_revenue      — broadcast equi-join + agg
 * sessionize        — windowed span assembly over events
@@ -105,6 +109,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from coies_spark.core.oneshot import build_example_artifacts
+    from coies_spark.operators.graph import (
+        random_walks as graph_random_walks,
+    )
     from coies_spark.data import synth
     from coies_spark.ops import (
         bpe,
@@ -292,6 +299,45 @@ def main() -> None:
             ).agg(
                 F.sum("n_context"), F.sum(F.length("prompt")),
                 F.sum(F.length("response")),
+            )
+        ),
+        # transcript ingest contract check (one shared conv_id
+        # exchange for the window pass + groupBy).  Aggregating sink:
+        # unused gauge columns would otherwise be pruned out of the
+        # HashAggregate
+        "transcript_integrity": lambda: run(
+            transcripts.transcript_integrity(
+                transcripts.synthesize_transcripts(docs)
+            ).agg(
+                F.sum("n_turns"), F.sum("ts_inversions"),
+                F.sum("dup_turn_idx"), F.sum("missing_turn_idx"),
+                F.sum("null_text"), F.sum("empty_text"),
+            )
+        ),
+        # DeepWalk hash-random walks over a synthesized 50k-node
+        # ring+chord graph (100k edges): 100k walkers × 4 unrolled
+        # steps, each step two equi-joins — measures the walk
+        # machinery at real walker counts (count() cannot prune the
+        # joins: step survival depends on them)
+        "random_walks": lambda: run(
+            graph_random_walks(
+                spark.range(50_000)
+                .select(
+                    F.col("id").cast("string").alias("src"),
+                    ((F.col("id") + 1) % 50_000)
+                    .cast("string")
+                    .alias("dst"),
+                )
+                .union(
+                    spark.range(50_000).select(
+                        F.col("id").cast("string").alias("src"),
+                        ((F.col("id") * 7 + 3) % 50_000)
+                        .cast("string")
+                        .alias("dst"),
+                    )
+                ),
+                length=4,
+                walks_per_node=2,
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),

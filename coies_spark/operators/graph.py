@@ -1068,3 +1068,184 @@ def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 3,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, walk, step, node): node2vec second-order biased walks
+    (Grover & Leskovec, KDD'16) — like :func:`random_walks` but each
+    step after the first is biased by the PREVIOUS node: returning to
+    it weighs 1/p, moving to a common neighbor of (prev, cur) weighs
+    1, and escaping outward weighs 1/q.  Small q → DFS-like outward
+    exploration (structural roles), small p discourages backtracking;
+    p = q = 1 degenerates to the first-order walk (but via the
+    continuous draw below, not the modular one, so the two operators'
+    corpora differ even then — by design, each is self-consistent).
+
+    Hash-randomness throughout: the step draw is
+    ``u = H(start:walk:t:cur) / 2^32 ∈ [0,1)`` and the walker takes
+    the unique neighbor whose cumulative-weight interval
+    ``[cum − w, cum)`` (neighbors in rank order) contains
+    ``u · total`` — inverse-CDF sampling with an engine-exact
+    cumsum, so walks are bit-identical on any run, partitioning, or
+    SQL engine.
+
+    Cost model (honesty note): unlike the first-order walk's
+    one-row indexed lookup, the bias NEEDS every candidate's weight,
+    so each step fans out deg(cur) rows per walker, left-joins the
+    (prev, nbr) edge-existence marker, and windows the cumsum per
+    walker — the real price of node2vec at any scale, not an
+    artifact of this implementation (alias-table samplers pay the
+    same fan-out at table-build time).  Hot hubs therefore cost
+    deg(hub) rows per visiting walker and ride the AQE skew path;
+    if the graph is hub-heavy, cap degrees upstream (the
+    neighbor_jaccard ``max_degree`` move) or prefer
+    :func:`random_walks`.
+    """
+    if length < 1:
+        raise ValueError("node2vec_walks: length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("node2vec_walks: walks_per_node must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec_walks: p and q must be > 0")
+    sym = _symmetrize(edges, src, dst)
+    wr = Window.partitionBy("cur").orderBy("nbr")
+    index = sym.select(
+        F.col("a").alias("cur"), F.col("b").alias("nbr")
+    ).select(
+        "cur",
+        "nbr",
+        (F.row_number().over(wr) - 1).cast("long").alias("pick"),
+    )
+    degs = sym.groupBy(F.col("a").alias("cur")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    marker = sym.select(
+        F.col("a").alias("prev"),
+        F.col("b").alias("nbr"),
+        F.lit(1).alias("__e"),
+    )
+    state = degs.select("cur").select(
+        F.col("cur").alias("start"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(walks_per_node - 1).cast("long"),
+            )
+        ).alias("walk"),
+        F.col("cur").alias("prev"),  # step-1 prev = start (unused)
+        "cur",
+    )
+    frames = [
+        state.select(
+            "start",
+            "walk",
+            F.lit(0).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+
+    def _hash(t: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            ":",
+                            F.col("start"),
+                            F.col("walk").cast("string"),
+                            F.lit(str(t)),
+                            F.col("cur"),
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # step 1: uniform (no prev yet) — the random_walks modular pick
+    state = (
+        state.join(degs, "cur")
+        .withColumn("pick", _hash(1) % F.col("deg"))
+        .join(index, ["cur", "pick"])
+        .select(
+            "start",
+            "walk",
+            F.col("cur").alias("prev"),
+            F.col("nbr").alias("cur"),
+        )
+    )
+    frames.append(
+        state.select(
+            "start",
+            "walk",
+            F.lit(1).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    )
+    ww = Window.partitionBy("start", "walk").orderBy("pick")
+    for t in range(2, length + 1):
+        cand = (
+            state.join(index, "cur")
+            .join(marker, ["prev", "nbr"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("nbr") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("__e").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+            .withColumn(
+                "cum",
+                F.sum("w").over(
+                    ww.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .withColumn(
+                "tot",
+                F.sum("w").over(
+                    ww.rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                ),
+            )
+            .withColumn(
+                "thr",
+                (_hash(t).cast("double") / F.lit(4294967296.0))
+                * F.col("tot"),
+            )
+        )
+        state = cand.where(
+            (F.col("cum") - F.col("w") <= F.col("thr"))
+            & (F.col("thr") < F.col("cum"))
+        ).select(
+            "start",
+            "walk",
+            F.col("cur").alias("prev"),
+            F.col("nbr").alias("cur"),
+        )
+        frames.append(
+            state.select(
+                "start",
+                "walk",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1329,3 +1329,47 @@ def interval_align(
             .alias("valid_to"),
         )
     )
+
+
+def entity_profile(evidence: DataFrame) -> DataFrame:
+    """(entity, n_evidence, n_convs, n_preds, first_seen, last_seen,
+    top_pred, top_pred_n): the per-entity summary card over mention
+    evidence (subj=conversation, pred, obj=entity, ts) — the
+    at-a-glance table an entity-resolution reviewer or a KG browse UI
+    reads before drilling into triples.  ``top_pred`` is the modal
+    predicate, ties broken to the smallest predicate string
+    (deterministic, the label_propagation convention).
+
+    Plan shape: one groupBy to (entity, pred) counts, a per-entity
+    argmax window over those (predicate-cardinality rows, not
+    evidence rows), and the per-entity aggregate — all keyed on
+    entity, so hot entities cost one skewed key (AQE), never a
+    fan-out.  count_distinct(subj) is the only expensive aggregate;
+    swap for approx_count_distinct at 10¹² evidence rows if exact
+    conversation counts stop earning their shuffle (the
+    embedding_norm_stats honesty convention).
+    """
+    per_pred = (
+        evidence.groupBy(F.col("obj").alias("entity"), "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("pn"))
+    )
+    wtop = Window.partitionBy("entity").orderBy(
+        F.desc("pn"), F.asc("pred")
+    )
+    top = (
+        per_pred.withColumn("__r", F.row_number().over(wtop))
+        .where(F.col("__r") == 1)
+        .select(
+            "entity",
+            F.col("pred").alias("top_pred"),
+            F.col("pn").alias("top_pred_n"),
+        )
+    )
+    base = evidence.groupBy(F.col("obj").alias("entity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evidence"),
+        F.count_distinct(F.col("subj")).cast("long").alias("n_convs"),
+        F.count_distinct(F.col("pred")).cast("long").alias("n_preds"),
+        F.min("ts").cast("long").alias("first_seen"),
+        F.max("ts").cast("long").alias("last_seen"),
+    )
+    return base.join(top, "entity")

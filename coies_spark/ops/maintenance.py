@@ -140,3 +140,75 @@ def zorder_key(
                 F.shiftleft(bit.cast("long"), b * k + i)
             )
     return out.select(*df.columns, z.alias("zkey"))
+
+
+def snapshot_expiry(
+    snapshots: DataFrame,
+    retain_last: int = 3,
+    retain_s: int = 7 * 24 * 3600,
+    now=None,
+) -> DataFrame:
+    """(table_name, snapshot_id, action, reason): the expire-snapshots
+    plan — which checkpoint snapshots the versioned store may drop,
+    and why each survivor survives.  Iceberg's
+    ``expire_snapshots(older_than, retain_last)`` semantics: a
+    snapshot is RETAINED iff it is (in precedence order, which fixes
+    ``reason`` deterministically)
+
+    1. ``ref``     — referenced by a branch/tag head (non-null
+                     ``ref`` column): never expirable,
+    2. ``last_n``  — among the ``retain_last`` most recent snapshots
+                     of its table (committed_at DESC, snapshot_id
+                     DESC tiebreak), or
+    3. ``recent``  — committed within ``retain_s`` of ``now``
+                     (half-open: ``committed_at > now − retain_s``).
+
+    Everything else is ``action='expire'`` (reason NULL) — the
+    work-list the GC pass feeds on.  ``now`` may be a plain epoch int
+    or a 1-row/1-column DataFrame (e.g. the in-plan corpus max), the
+    ``kg_at_time`` convention, so the whole plan stays declarative.
+
+    Scale: one window pass keyed on table_name (the recency rank) +
+    pure filters; manifests are metadata-sized but nothing assumes a
+    single task — the window shuffles by table and streams.  The
+    resumable pipeline (``pipeline.checkpoint``) keeps every stage
+    snapshot forever by default; this planner is its GC policy face.
+    """
+    if retain_last < 1:
+        raise ValueError("snapshot_expiry: retain_last must be >= 1")
+    if isinstance(now, DataFrame):
+        frame = snapshots.crossJoin(
+            F.broadcast(
+                now.select(
+                    F.col(now.columns[0]).cast("long").alias("__now")
+                )
+            )
+        )
+        now_col = F.col("__now")
+    else:
+        if now is None:
+            raise ValueError(
+                "snapshot_expiry: now must be an epoch int or a "
+                "1-row DataFrame"
+            )
+        frame = snapshots
+        now_col = F.lit(int(now)).cast("long")
+    w = Window.partitionBy("table_name").orderBy(
+        F.desc("committed_at"), F.desc("snapshot_id")
+    )
+    ranked = frame.withColumn("__rk", F.row_number().over(w))
+    reason = (
+        F.when(F.col("ref").isNotNull(), "ref")
+        .when(F.col("__rk") <= retain_last, "last_n")
+        .when(
+            F.col("committed_at") > now_col - F.lit(retain_s), "recent"
+        )
+    )
+    return ranked.select(
+        "table_name",
+        "snapshot_id",
+        F.when(reason.isNotNull(), "retain")
+        .otherwise("expire")
+        .alias("action"),
+        reason.alias("reason"),
+    )

@@ -348,3 +348,74 @@ def leakage_free_split(
             .alias("split"),
         )
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(stratum, n, p, q, boost): exponent-smoothed mixture rates —
+    the multilingual sampling rule of mBERT/XLM-R (Conneau et al.,
+    ACL'20 §3: q_i ∝ p_i^α with α≈0.3): raising small strata and
+    damping head strata so low-resource languages are seen more than
+    their corpus share without destroying the head.
+
+    ``p`` is the stratum's observed share (row count, or
+    ``weight_col`` sum — e.g. tokens — when given), ``q`` the
+    smoothed target share, ``boost`` = q/p the per-stratum
+    resampling factor to feed :func:`stratified_sample` /
+    :func:`mixture_rates` (boost > 1 → upsample via epochs, < 1 →
+    a keep rate).  α=1 is proportional (boost≡1), α=0 uniform.
+    All shares rounded 9dp after double-precision ``pow`` — the
+    engine-portable convention.
+
+    Scale: one map-side-combinable groupBy to stratum rows (strata
+    are languages/sources — tiny), then a 1-row total broadcast
+    cross-join; zero corpus-sized shuffles.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("temperature_rates: alpha must be in [0, 1]")
+    w = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        w.alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("__t"))
+    # __pa rounded 9dp BEFORE the sum and the sum lifted to decimal:
+    # Σ pow() in raw doubles would depend on addition order (strata
+    # arrive in engine-specific order), the 1-ulp drift the repo's
+    # decimal convention exists to kill
+    pq = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.round(F.col("n") / F.col("__t"), 9))
+        .withColumn(
+            "__pa",
+            F.round(F.pow(F.col("p"), F.lit(float(alpha))), 9),
+        )
+    )
+    tot_a = pq.agg(
+        F.sum(F.col("__pa").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("__ta")
+    )
+    return (
+        pq.crossJoin(F.broadcast(tot_a))
+        .select(
+            "stratum",
+            F.col("n").cast("long").alias("n"),
+            "p",
+            F.round(F.col("__pa") / F.col("__ta"), 9).alias("q"),
+            F.round(
+                F.try_divide(
+                    F.round(F.col("__pa") / F.col("__ta"), 9),
+                    F.col("p"),
+                ),
+                9,
+            ).alias("boost"),
+        )
+    )

@@ -961,3 +961,54 @@ def transcript_integrity(transcripts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("null_role"),
     )
+
+
+# Assistant-refusal surface forms (lowercased match).  Kept to plain
+# alternation + '.'-wildcards so the SAME pattern string runs on
+# Java's regex, RE2, and DuckDB — the PII_PATTERNS portability rule.
+REFUSAL_PATTERN = (
+    "(i cannot|i can.t|i.m sorry|i am sorry|as an ai"
+    "|i.m unable|i am unable|i won.t be able)"
+)
+
+
+def refusal_stats(
+    transcripts: DataFrame, pattern: str = REFUSAL_PATTERN
+) -> DataFrame:
+    """(conv_id, n_assistant, n_refusals, refusal_rate): per-
+    conversation assistant-refusal gauge — the instruct-data curation
+    signal every RLHF/SFT funnel filters on (a transcript whose
+    assistant mostly refuses teaches refusal, not capability;
+    conversely a 0%-refusal corpus teaches sycophancy — the MIXTURE
+    is a training choice, so the gauge reports, the sampler decides).
+
+    A refusal is an assistant turn whose lowercased text matches
+    ``pattern`` anywhere.  ``refusal_rate`` = refusals/assistant
+    turns, 6dp, NULL for conversations with no assistant turns
+    (try_divide semantics — distinguishable from a true 0.0).
+
+    Scale: one map-side-combinable groupBy on conv_id; the regex
+    runs once per turn in whole-stage codegen.  Compose with
+    ``training_pairs`` upstream (drop or down-weight flagged
+    conversations before pair assembly).
+    """
+    is_a = (F.col("role") == "assistant").cast("int")
+    is_r = (
+        (F.col("role") == "assistant")
+        & F.lower(F.col("text")).rlike(pattern)
+    ).cast("int")
+    return transcripts.groupBy("conv_id").agg(
+        F.coalesce(F.sum(is_a), F.lit(0)).cast("long").alias(
+            "n_assistant"
+        ),
+        F.coalesce(F.sum(is_r), F.lit(0)).cast("long").alias(
+            "n_refusals"
+        ),
+        F.round(
+            F.try_divide(
+                F.coalesce(F.sum(is_r), F.lit(0)),
+                F.coalesce(F.sum(is_a), F.lit(0)),
+            ),
+            6,
+        ).alias("refusal_rate"),
+    )
