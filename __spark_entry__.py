@@ -48,6 +48,7 @@ from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     bpe,
     classify,
+    profile,
     curate,
     dedup,
     dsir,
@@ -1123,6 +1124,50 @@ def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless temporal join via time binning: per-user activity
+    intervals x 1-hour incident windows opened by error events —
+    which users were active during which incidents.  The bin
+    equi-join keeps the plan sort-merge/hash (no nested loop)."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # per-(user, hour) activity intervals — hour-granular, so the
+    # join is genuinely selective (a user-lifetime interval overlaps
+    # nearly every incident and degenerates to all-pairs)
+    hour = F.floor(us / F.lit(3_600_000_000)).cast("long")
+    left = (
+        ev.groupBy(
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"),
+                hour.cast("string"),
+            ).alias("id_a")
+        )
+        .agg(
+            F.min(us).alias("from_a"),
+            (F.max(us) + 1).alias("to_a"),
+        )
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").cast("string").alias("id_b"),
+        us.alias("from_b"),
+        (us + F.lit(3_600_000_000)).alias("to_b"),
+    )
+    return relational.interval_join(
+        left, right, bin_s=3_600 * 1_000_000
+    )
+
+
+def _q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR trade-off of the distilled quality classifier against its
+    training labels — the threshold-picking table."""
+    # grid_dp=6: the distilled model's sigmoid saturates (p within
+    # 5e-4 of 1.0 on this corpus), so the default 3dp grid collapses
+    # to one row; 6dp keeps the sweep bounded AND populated
+    return classify.pr_curve(
+        _q_quality_classifier(spark, sf_dir), grid_dp=6
+    )
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -1915,6 +1960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-entity summary card over mention evidence: counts,
         # first/last seen, modal predicate (argmax window)
         "entity_profile": _q_entity_profile,
+        # one-pass numeric data-quality card: exact decimal mean +
+        # mergeable histogram-interpolated quantile estimates
+        "numeric_profile": lambda s, d: profile.numeric_profile(
+            _read(s, d, "events"), "value"
+        ),
+        # keyless temporal join via time binning (equi-join on the
+        # bin, exact overlap filter): users active during incidents
+        "session_incidents": _q_session_incidents,
+        # precision/recall trade-off of the quality classifier over
+        # a bounded threshold grid — where to cut the score
+        "quality_pr_curve": _q_quality_pr_curve,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -6148,5 +6204,90 @@ def oracle_sql() -> dict[str, str]:
                b.first_seen, b.last_seen, top.top_pred,
                top.top_pred_n
         FROM b JOIN top USING(entity)
+    """
+
+    # numeric_profile: the same stats row, 32-bin histogram, and
+    # covering-bin interpolation (cum - c < q*n <= cum is unique),
+    # every arithmetic step in engine order
+    sql["numeric_profile"] = """
+        WITH st AS (SELECT
+            CAST(count(value) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1
+                               ELSE 0 END), 0) AS BIGINT) AS n_null,
+            round(min(CAST(value AS DOUBLE)), 9) AS mn,
+            round(max(CAST(value AS DOUBLE)), 9) AS mx,
+            round(CAST(sum(CAST(CAST(value AS DOUBLE)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                  / count(value), 9) AS mean
+          FROM events),
+        b AS (SELECT CAST(CASE WHEN mx > mn THEN least(31,
+                   floor((CAST(value AS DOUBLE) - mn) * 32
+                         / (mx - mn)))
+                 ELSE 0 END AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS c
+              FROM events, st WHERE value IS NOT NULL GROUP BY 1),
+        cu AS (SELECT bin, c,
+                 CAST(sum(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+               FROM b),
+        q AS (SELECT
+            max(CASE WHEN cum >= 0.5*n AND cum - c < 0.5*n THEN
+              round(CASE WHEN mx <= mn THEN mn ELSE
+                mn + (bin + (0.5*n - (cum - c)) / c) * (mx - mn)
+                / 32 END, 9) END) AS p50,
+            max(CASE WHEN cum >= 0.9*n AND cum - c < 0.9*n THEN
+              round(CASE WHEN mx <= mn THEN mn ELSE
+                mn + (bin + (0.9*n - (cum - c)) / c) * (mx - mn)
+                / 32 END, 9) END) AS p90,
+            max(CASE WHEN cum >= 0.99*n AND cum - c < 0.99*n THEN
+              round(CASE WHEN mx <= mn THEN mn ELSE
+                mn + (bin + (0.99*n - (cum - c)) / c) * (mx - mn)
+                / 32 END, 9) END) AS p99
+          FROM cu, st)
+        SELECT st.n, st.n_null, st.mn, st.mx, st.mean,
+               q.p50, q.p90, q.p99
+        FROM st, q
+    """
+
+    # session_incidents: the plain range-predicate join (small data;
+    # the engine's binned equi-join must emit the identical pair set)
+    sql["session_incidents"] = """
+        WITH l AS (SELECT CAST(user_id AS VARCHAR) || ':' ||
+                          CAST(epoch_us(ts) // 3600000000 AS VARCHAR)
+                            AS id_a,
+                          min(epoch_us(ts)) AS from_a,
+                          max(epoch_us(ts)) + 1 AS to_a
+                   FROM events GROUP BY 1),
+        r AS (SELECT CAST(event_id AS VARCHAR) AS id_b,
+                     epoch_us(ts) AS from_b,
+                     epoch_us(ts) + 3600000000 AS to_b
+              FROM events WHERE event_type = 'error')
+        SELECT DISTINCT id_a, id_b,
+               greatest(from_a, from_b) AS overlap_from,
+               least(to_a, to_b) AS overlap_to
+        FROM l JOIN r ON from_a < to_b AND from_b < to_a
+    """
+
+    # quality_pr_curve: the classifier twin nested verbatim, then
+    # the 3dp threshold grid and the cumulative desc window
+    sql["quality_pr_curve"] = f"""
+        WITH s AS ({sql['quality_classifier']}),
+        per AS (SELECT round(p, 6) AS threshold,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np
+                FROM s WHERE y IS NOT NULL GROUP BY 1)
+        SELECT threshold,
+               CAST(sum(np) OVER w AS BIGINT) AS tp,
+               CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
+               round(CAST(sum(np) OVER w AS DOUBLE)
+                     / sum(n) OVER w, 6) AS "precision",
+               round(CAST(sum(np) OVER w AS DOUBLE)
+                     / nullif(sum(np) OVER (), 0), 6) AS recall
+        FROM per
+        WINDOW w AS (ORDER BY threshold DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
     """
     return sql

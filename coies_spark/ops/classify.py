@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.tokenize import tokens_col
 from .dsir import N_BUCKETS, md5_bucket  # noqa: F401 (shared trick)
@@ -282,4 +283,68 @@ def calibration_bins(
                 6,
             ).alias("pos_rate"),
         )
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    p_col: str = "p",
+    label_col: str = "y",
+    grid_dp: int = 3,
+) -> DataFrame:
+    """(threshold, tp, fp, precision, recall): the full
+    precision/recall trade-off of a scorer against known labels —
+    one row per score level, reading "if you gate at ≥ threshold,
+    you keep tp true / fp false positives".  The threshold-picking
+    face of the classifier family: :func:`calibration_bins` says
+    whether probabilities are honest, this says where to cut them
+    (and it applies unchanged to ANY ranked decision — dedup
+    verify scores, linkage weights, ANN sims).
+
+    ``grid_dp`` quantizes scores to that many decimals BEFORE the
+    sweep (default 3 → ≤ 1001 threshold rows).  This is the scale
+    cap: the cumulative pass runs a GLOBAL ordered window, which is
+    exact and single-task-safe only because the threshold grid is
+    bounded — raw 9dp scores at web scale would put 10⁹ distinct
+    levels on one task (the embedding_norm_stats honesty rule;
+    raise grid_dp only with that trade understood).
+
+    Unlabeled rows are excluded (the calibration_bins convention);
+    ties at a threshold move together, which is the correct PR
+    semantics for a deterministic gate.  precision/recall are
+    single integer divisions rounded 6; an all-negative input has
+    recall NULL (0/0 try_divide), not an error.
+    """
+    if grid_dp < 1 or grid_dp > 6:
+        raise ValueError("pr_curve: grid_dp must be in [1, 6]")
+    labeled = scored.where(F.col(label_col).isNotNull())
+    per = labeled.groupBy(
+        F.round(F.col(p_col), grid_dp).alias("threshold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum((F.col(label_col) > 0.5).cast("long"))
+        .cast("long")
+        .alias("__np"),
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "threshold",
+        F.sum("__np").over(w).cast("long").alias("tp"),
+        (F.sum("__n").over(w) - F.sum("__np").over(w))
+        .cast("long")
+        .alias("fp"),
+        F.round(
+            F.sum("__np").over(w) / F.sum("__n").over(w), 6
+        ).alias("precision"),
+        F.round(
+            F.try_divide(
+                F.sum("__np").over(w), F.sum("__np").over(wall)
+            ),
+            6,
+        ).alias("recall"),
     )
