@@ -234,3 +234,76 @@ def test_stream_training_pairs_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Session tables from the stateful stream equal batch sessionize
+    on the same events, with users spanning micro-batches out of
+    order."""
+    import pandas as pd
+
+    from coies_spark.ops.relational import sessionize
+    from coies_spark.streaming.sessions import stream_sessionize
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: two sessions split by a 2h gap; user 2: one session;
+    # user 3: three single-event sessions
+    for off in [0, 60, 120, 7800, 7860]:
+        rows.append((eid, 1, t0 + dt.timedelta(seconds=off))); eid += 1
+    for off in [0, 10, 20, 30]:
+        rows.append((eid, 2, t0 + dt.timedelta(seconds=off))); eid += 1
+    for off in [0, 4000, 8000]:
+        rows.append((eid, 3, t0 + dt.timedelta(seconds=off))); eid += 1
+    schema = "event_id long, user_id long, ts timestamp"
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_s)
+        for r in sessionize(batch_df, gap_seconds=1800).collect()
+    }
+    assert len(want) == 6
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    shuffled = pdf.sample(frac=1.0, random_state=11).reset_index(drop=True)
+    in_dir = tmp_path / "events"
+    in_dir.mkdir()
+    n = 0
+    for i in range(2):
+        spark.createDataFrame(shuffled.iloc[i::2], schema).coalesce(
+            1).write.parquet(str(tmp_path / f"d{i}"))
+        for root, _, files in os.walk(tmp_path / f"d{i}"):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(root, fn),
+                            in_dir / f"p{n}.parquet")
+                    n += 1
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=1800, idle_timeout_ms=500)
+        .writeStream.format("memory")
+        .queryName("session_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from session_rows").count() >= len(want):
+                break
+            time.sleep(2)
+        got = {
+            (r.user_id, r.session_idx): (r.n_events, r.duration_s)
+            for r in spark.sql("select * from session_rows").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
