@@ -1168,6 +1168,28 @@ def _q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against a graded relevance rule
+    (rel = how many of the 3 query terms the doc contains) — the
+    graded retrieval gauge beside MRR and the PR sweep."""
+    from coies_spark.functions.tokenize import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = ["scan", "vector", "stream"]
+    ranked = textstats.bm25_topk(docs, terms, topk=10).withColumn(
+        "query_id", F.lit("q0")
+    )
+    toks = tokens_col("text")
+    rel = docs.select(
+        "doc_id",
+        sum(
+            (F.array_contains(toks, t).cast("int") for t in terms),
+            F.lit(0),
+        ).alias("rel"),
+    )
+    return relational.ndcg_at_k(ranked.join(rel, "doc_id"), k=10)
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -1971,6 +1993,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precision/recall trade-off of the quality classifier over
         # a bounded threshold grid — where to cut the score
         "quality_pr_curve": _q_quality_pr_curve,
+        # trapezoidal ROC-AUC of the quality classifier over the
+        # same bounded grid as the PR sweep (its 1-number summary)
+        "quality_roc_auc": lambda s, d: classify.roc_auc(
+            _q_quality_classifier(s, d), grid_dp=6
+        ),
+        # Zipf exponent of the corpus token distribution: the
+        # naturalness gauge (templated corpora flatten alpha / drop
+        # r2); OLS on (ln rank, ln freq) over the top-200 tokens
+        "zipf_alpha": lambda s, d: textstats.zipf_alpha(
+            _read(s, d, "documents")
+        ),
+        # nDCG@10 of the BM25 ranking against graded term-coverage
+        # relevance — the graded retrieval metric
+        "retrieval_ndcg": _q_retrieval_ndcg,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -6289,5 +6325,107 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (ORDER BY threshold DESC
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW)
+    """
+
+    # quality_roc_auc: the classifier twin nested, 6dp grid, ROC
+    # points from the same cumulative window as pr_curve, trapezoid
+    # terms rounded 9dp and summed in decimal
+    sql["quality_roc_auc"] = f"""
+        WITH s AS ({sql['quality_classifier']}),
+        per AS (SELECT round(p, 6) AS threshold,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np
+                FROM s WHERE y IS NOT NULL GROUP BY 1),
+        pts AS (SELECT threshold,
+                  CAST(sum(np) OVER () AS BIGINT) AS p_tot,
+                  CAST(sum(n) OVER () - sum(np) OVER () AS BIGINT)
+                    AS n_tot,
+                  CAST(sum(np) OVER w AS DOUBLE)
+                    / nullif(sum(np) OVER (), 0) AS tpr,
+                  CAST(sum(n) OVER w - sum(np) OVER w AS DOUBLE)
+                    / nullif(sum(n) OVER () - sum(np) OVER (), 0)
+                    AS fpr
+                FROM per
+                WINDOW w AS (ORDER BY threshold DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)),
+        terms AS (SELECT p_tot, n_tot,
+                    round((fpr - coalesce(lag(fpr) OVER o, 0.0))
+                          * (tpr + coalesce(lag(tpr) OVER o, 0.0))
+                          / 2.0, 9) AS t
+                  FROM pts
+                  WINDOW o AS (ORDER BY threshold DESC))
+        SELECT p_tot AS n_pos, n_tot AS n_neg,
+               round(CAST(sum(CAST(t AS DECIMAL(28,12))) AS DOUBLE),
+                     6) AS auc
+        FROM terms GROUP BY 1, 2
+    """
+
+    # zipf_alpha: token counts -> top-200 rank table -> decimal OLS
+    # sums -> closed-form slope/intercept/r2, every step in engine
+    # order
+    sql["zipf_alpha"] = f"""
+        WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                   FROM (SELECT unnest({_TOKS}) AS tok
+                         FROM documents)
+                   GROUP BY 1
+                   ORDER BY cnt DESC, tok ASC LIMIT 200),
+        xy AS (SELECT
+                 round(ln(CAST(row_number() OVER (
+                   ORDER BY cnt DESC, tok ASC) AS DOUBLE)), 9) AS x,
+                 round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+               FROM c),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE)
+                  AS sxy,
+                CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+                  AS sxx,
+                CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE)
+                  AS syy
+              FROM xy)
+        SELECT k AS n_ranks,
+               round(-((k * sxy - sx * sy)
+                       / (k * sxx - sx * sx)), 6) AS alpha,
+               round((sy - ((k * sxy - sx * sy)
+                            / (k * sxx - sx * sx)) * sx) / k, 6)
+                 AS intercept,
+               round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                     / ((k * sxx - sx * sx)
+                        * (k * syy - sy * sy)), 6) AS r2
+        FROM s
+    """
+
+    # retrieval_ndcg: the bm25 twin nested verbatim, graded rel =
+    # query-term coverage, ideal ordering (rel DESC, rank ASC),
+    # 9dp gains summed in decimal
+    sql["retrieval_ndcg"] = f"""
+        WITH bm AS ({_bm25_sql(("scan", "vector", "stream"))}),
+        rel AS (SELECT doc_id,
+                  CAST(list_contains({_TOKS}, 'scan') AS INT)
+                  + CAST(list_contains({_TOKS}, 'vector') AS INT)
+                  + CAST(list_contains({_TOKS}, 'stream') AS INT)
+                    AS rel
+                FROM documents),
+        take AS (SELECT 'q0' AS query_id, bm.rank AS rnk,
+                        CAST(rel AS DOUBLE) AS rel
+                 FROM bm JOIN rel USING(doc_id) WHERE rank <= 10),
+        g AS (SELECT query_id,
+                round(rel / log2(rnk + 1.0), 9) AS g,
+                round(rel / log2(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rel DESC, rnk ASC) + 1.0), 9) AS ig
+              FROM take),
+        a AS (SELECT query_id,
+                round(CAST(sum(CAST(g AS DECIMAL(28,12)))
+                           AS DOUBLE), 9) AS dcg,
+                round(CAST(sum(CAST(ig AS DECIMAL(28,12)))
+                           AS DOUBLE), 9) AS idcg
+              FROM g GROUP BY 1)
+        SELECT query_id, dcg, idcg,
+               round(dcg / idcg, 6) AS ndcg
+        FROM a
     """
     return sql

@@ -348,3 +348,75 @@ def pr_curve(
             6,
         ).alias("recall"),
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    p_col: str = "p",
+    label_col: str = "y",
+    grid_dp: int = 3,
+) -> DataFrame:
+    """1 row (n_pos, n_neg, auc): exact trapezoidal ROC-AUC over the
+    same bounded threshold grid as :func:`pr_curve` — the single
+    number the PR table refuses to be.  Grid quantization makes ties
+    move together (standard mid-rank/trapezoid semantics), so the
+    value equals the Mann-Whitney U statistic computed on the
+    quantized scores.
+
+    Geometry: thresholds descend from (fpr, tpr) = (0, 0) to (1, 1);
+    each level contributes (fpr − fpr_prev)·(tpr + tpr_prev)/2.
+    Terms are rounded 9dp and summed in decimal(28,12) — order-exact
+    — then the total rounds to 6.  Degenerate inputs (no positives
+    or no negatives) report NULL auc rather than an 0/0 error.
+
+    Same scale shape as pr_curve: one map-side-combinable groupBy to
+    ≤ 10^grid_dp+1 rows, then window algebra on that bounded table.
+    """
+    if grid_dp < 1 or grid_dp > 6:
+        raise ValueError("roc_auc: grid_dp must be in [1, 6]")
+    labeled = scored.where(F.col(label_col).isNotNull())
+    per = labeled.groupBy(
+        F.round(F.col(p_col), grid_dp).alias("threshold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum((F.col(label_col) > 0.5).cast("long"))
+        .cast("long")
+        .alias("__np"),
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lagw = Window.orderBy(F.desc("threshold"))
+    pts = per.select(
+        F.col("threshold"),
+        F.sum("__np").over(wall).cast("long").alias("P"),
+        (F.sum("__n").over(wall) - F.sum("__np").over(wall))
+        .cast("long")
+        .alias("N"),
+        F.try_divide(F.sum("__np").over(w), F.sum("__np").over(wall))
+        .alias("tpr"),
+        F.try_divide(
+            F.sum("__n").over(w) - F.sum("__np").over(w),
+            F.sum("__n").over(wall) - F.sum("__np").over(wall),
+        ).alias("fpr"),
+    )
+    terms = pts.select(
+        "P",
+        "N",
+        F.round(
+            (F.col("fpr") - F.lag("fpr", 1, 0.0).over(lagw))
+            * (F.col("tpr") + F.lag("tpr", 1, 0.0).over(lagw))
+            / 2.0,
+            9,
+        ).alias("t"),
+    )
+    return terms.groupBy("P", "N").agg(
+        F.round(
+            F.sum(F.col("t").cast(_DEC)).cast("double"), 6
+        ).alias("auc")
+    ).select(
+        F.col("P").alias("n_pos"), F.col("N").alias("n_neg"), "auc"
+    )

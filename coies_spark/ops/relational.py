@@ -400,3 +400,69 @@ def interval_join(
         )
         .distinct()
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query_id, dcg, idcg, ndcg): normalized discounted cumulative
+    gain at ``k`` (Järvelin & Kekäläinen, TOIS'02) per query — the
+    graded-relevance retrieval gauge alongside the binary MRR
+    (``graph.link_prediction_mrr``) and the threshold sweep
+    (``classify.pr_curve``).  Input is any ranked candidate table
+    with a relevance column; the ideal ordering is computed over the
+    SAME candidate set (the judged-pool convention — pass the pool
+    you want the ranking judged against).
+
+    Exactness: per-item gains rel/log2(rank+1) round 9dp and sum in
+    decimal(28,12) (order-independent); the ideal ranking orders by
+    (rel DESC, rank ASC) — the original rank as tiebreak, so ideal
+    positions are deterministic under equal relevance.  ndcg rounds
+    6; a query whose pool has zero total relevance reports NULL (0/0
+    try_divide), distinguishable from a genuinely bad ranking.
+
+    One exchange on query_id serves both window passes and the final
+    groupBy — the conversation_stats plan shape.
+    """
+    if k < 1:
+        raise ValueError("ndcg_at_k: k must be >= 1")
+    take = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(rank_col).alias("rnk"),
+        F.col(rel_col).cast("double").alias("rel"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("rnk")
+    )
+    gains = take.select(
+        "query_id",
+        F.round(
+            F.col("rel") / F.log2(F.col("rnk").cast("double") + 1.0), 9
+        ).alias("g"),
+        F.round(
+            F.col("rel")
+            / F.log2(F.row_number().over(wi).cast("double") + 1.0),
+            9,
+        ).alias("ig"),
+    )
+    agg = gains.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.col("g").cast("decimal(28,12)")).cast("double"), 9
+        ).alias("dcg"),
+        F.round(
+            F.sum(F.col("ig").cast("decimal(28,12)")).cast("double"),
+            9,
+        ).alias("idcg"),
+    )
+    return agg.select(
+        "query_id",
+        "dcg",
+        "idcg",
+        F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 6).alias(
+            "ndcg"
+        ),
+    )

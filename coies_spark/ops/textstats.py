@@ -19,6 +19,8 @@ from pyspark.sql.window import Window
 
 from ..functions.tokenize import tokens_col
 
+_DEC = "decimal(28,12)"  # the order-exact accumulation convention
+
 # BPE-ish pre-tokenization classes: letter runs, digit runs, single
 # non-alphanumeric marks (GPT-2-style pre-split, simplified; RE2- and
 # Java-regex-compatible).
@@ -921,4 +923,70 @@ def token_drift(
             F.round(delta, 6).alias("delta"),
             F.round(delta / F.sqrt(var), 6).alias("z"),
         )
+    )
+
+
+def zipf_alpha(docs: DataFrame, top_k: int = 200) -> DataFrame:
+    """1 row (n_ranks, alpha, intercept, r2): the Zipf exponent of the
+    corpus's token frequency distribution — OLS of ln(freq) on
+    ln(rank) over the ``top_k`` most frequent tokens.  Natural
+    language sits near alpha ≈ 1 (Zipf 1949); templated/synthetic/
+    boilerplate-heavy corpora flatten (small alpha) or cliff (the
+    r2 drops) — a corpus-level naturalness gauge alongside the
+    per-doc quality/repetition filters, and a drift tripwire between
+    snapshots (compare alpha, not 10⁶ token rows).
+
+    Exactness: the (x, y) = (ln rank, ln count) terms are rounded 9dp
+    and every OLS sum (Σx, Σy, Σxy, Σx²) runs in decimal(28,12) —
+    order-independent — with slope/intercept/r² as closed-form
+    column algebra on the 1-row sums, rounded 6.  alpha = −slope.
+
+    Plan: one map-side-combinable token count, a distributed top-k
+    (orderBy count desc, token asc + limit — TakeOrdered, no global
+    sort materialized), then math on ``top_k`` rows.  r2 is NULL for
+    degenerate fits (all counts equal → zero variance).
+    """
+    if top_k < 3:
+        raise ValueError("zipf_alpha: top_k must be >= 3")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    xy = counts.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+    d = F.col
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(d("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(d("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((d("x") * d("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((d("x") * d("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((d("y") * d("y")).cast(_DEC)).cast("double").alias("syy"),
+    )
+    slope = F.try_divide(
+        d("k") * d("sxy") - d("sx") * d("sy"),
+        d("k") * d("sxx") - d("sx") * d("sx"),
+    )
+    return sums.select(
+        F.col("k").alias("n_ranks"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round((d("sy") - slope * d("sx")) / d("k"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.try_divide(
+                (d("k") * d("sxy") - d("sx") * d("sy"))
+                * (d("k") * d("sxy") - d("sx") * d("sy")),
+                (d("k") * d("sxx") - d("sx") * d("sx"))
+                * (d("k") * d("syy") - d("sy") * d("sy")),
+            ),
+            6,
+        ).alias("r2"),
     )
