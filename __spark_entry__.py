@@ -1190,6 +1190,46 @@ def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.ndcg_at_k(ranked.join(rel, "doc_id"), k=10)
 
 
+def _q_incremental_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion canonicalization: CC labels built from
+    the doc_b-even half of the LSH candidate pairs, then the odd
+    half arrives as the new batch and only the CONTRACTED star
+    edges + delta are re-clustered.  The oracle is the FULL-graph
+    recursive-CTE components twin (canonicalize_cc's, verbatim) —
+    the incremental result must equal the full recompute."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+        (F.col("doc_b") % 2 == 0).alias("__old"),
+    )
+    from coies_spark.operators.graph import incremental_components
+
+    labels = connected_components_star(
+        pairs.where("__old").select("src", "dst")
+    )
+    return incremental_components(
+        labels, pairs.where("NOT __old").select("src", "dst")
+    )
+
+
+def _q_conversation_topics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type votes keyed on the conversation: each mention votes its
+    predicate's range type; the modal type labels the conversation
+    (dominant-topic inference by predicate signature)."""
+    pred_types = spark.createDataFrame(
+        [("mentions_op", "operator"), ("mentions_engine", "engine")],
+        ["pred", "obj_type"],
+    )
+    return kg.entity_types(
+        _kg_evidence(spark, sf_dir), pred_types, key_col="subj"
+    )
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -2007,6 +2047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nDCG@10 of the BM25 ranking against graded term-coverage
         # relevance — the graded retrieval metric
         "retrieval_ndcg": _q_retrieval_ndcg,
+        # incremental connected components: contracted star edges +
+        # the new-batch delta, PROVEN equal to the full recompute
+        # (the oracle is the full-graph recursive-CTE twin)
+        "incremental_components": _q_incremental_components,
+        # predicate-signature type inference, keyed on the
+        # conversation: modal mention type = dominant topic
+        "conversation_topics": _q_conversation_topics,
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -6427,5 +6474,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, dcg, idcg,
                round(dcg / idcg, 6) AS ndcg
         FROM a
+    """
+
+    # incremental_components: the contract IS equality with the full
+    # recompute, so the oracle is canonicalize_cc's whole-graph
+    # recursive-CTE twin, verbatim
+    sql["incremental_components"] = sql["canonicalize_cc"]
+
+    # conversation_topics: the evidence CTE + the VALUES type table,
+    # modal vote with smallest-type tiebreak
+    sql["conversation_topics"] = f"""
+        WITH {kg_ev},
+        pt AS (SELECT * FROM (VALUES
+                 ('mentions_op', 'operator'),
+                 ('mentions_engine', 'engine'))
+               AS pt(pred, obj_type)),
+        v AS (SELECT ev.subj AS entity, pt.obj_type AS entity_type,
+                     CAST(count(*) AS BIGINT) AS votes
+              FROM ev JOIN pt USING (pred) GROUP BY 1, 2),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY entity
+                  ORDER BY votes DESC, entity_type ASC) AS rk,
+                CAST(sum(votes) OVER (PARTITION BY entity)
+                     AS BIGINT) AS total
+              FROM v)
+        SELECT entity, entity_type, votes, total,
+               round(CAST(votes AS DOUBLE) / total, 6) AS confidence
+        FROM r WHERE rk = 1
     """
     return sql

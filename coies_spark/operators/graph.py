@@ -1249,3 +1249,43 @@ def node2vec_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, component): connected components of (old graph ∪ new
+    edges) WITHOUT rescanning the old graph — the continuous-
+    ingestion face of canonicalization, the graph sibling of
+    ``dedup.incremental_neardup`` and ``kg.merge_temporal``.
+
+    ``labels`` is a previous (node, component) labeling from any of
+    this module's CC operators.  The old graph is CONTRACTED to its
+    star edges (node → component): component ids are min node ids —
+    themselves nodes — so the stars preserve old connectivity
+    exactly, and components over (stars ∪ new_edges) equal the full
+    recompute over (old ∪ new) edges.  That equality is the
+    operator's contract: the driver oracle for the shipped query IS
+    the full-graph recursive-CTE twin, the merge_temporal proof
+    pattern.
+
+    Cost: the CC rounds run on |labels| + |new| edges instead of
+    |old| + |new| — at 10¹² accumulated pairs with a daily delta,
+    that is the difference between touching the corpus-scale pair
+    history and touching the entity-scale labeling.  Singleton nodes
+    (component = themselves, no new edges) ride through as
+    self-loops, which ``connected_components_star`` preserves as
+    their own components.
+    """
+    stars = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    combined = stars.unionByName(
+        new_edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        )
+    )
+    return connected_components_star(combined)

@@ -1373,3 +1373,53 @@ def entity_profile(evidence: DataFrame) -> DataFrame:
         F.max("ts").cast("long").alias("last_seen"),
     )
     return base.join(top, "entity")
+
+
+def entity_types(
+    evidence: DataFrame,
+    pred_types: DataFrame,
+    key_col: str = "obj",
+) -> DataFrame:
+    """(entity, entity_type, votes, total, confidence): type
+    inference by predicate signature — each evidence row votes its
+    predicate's declared range type onto ``key_col``, the modal type
+    wins (ties to the smallest type string), confidence = winning
+    votes / typed votes.  With ``key_col="obj"`` this types entities
+    from the predicates that mention them (the classic range-typing
+    rule); with ``key_col="subj"`` it types conversations by their
+    dominant topic — same machinery, the caller picks the side.
+
+    ``pred_types`` is a (pred, obj_type) table — schema-sized, so it
+    broadcast-joins; evidence rows whose predicate declares no type
+    abstain (inner join).  Plan: one groupBy to (entity, type) votes,
+    one argmax window + one total window on those vote rows — all
+    keyed on the entity, hot entities ride AQE like everywhere else.
+    """
+    votes = (
+        evidence.join(F.broadcast(pred_types), "pred")
+        .groupBy(
+            F.col(key_col).alias("entity"),
+            F.col("obj_type").alias("entity_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    wtop = Window.partitionBy("entity").orderBy(
+        F.desc("votes"), F.asc("entity_type")
+    )
+    wtot = Window.partitionBy("entity")
+    return (
+        votes.withColumn("__r", F.row_number().over(wtop))
+        .withColumn(
+            "total", F.sum("votes").over(wtot).cast("long")
+        )
+        .where(F.col("__r") == 1)
+        .select(
+            "entity",
+            "entity_type",
+            "votes",
+            "total",
+            F.round(F.col("votes") / F.col("total"), 6).alias(
+                "confidence"
+            ),
+        )
+    )
