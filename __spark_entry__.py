@@ -1436,10 +1436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_profile": lambda s, d: kg.predicate_profile(
             _kg_evidence(s, d).select("subj", "pred", "obj")
         ),
-        # MOSS winnowing fingerprint selection (array-side, 0 shuffles)
-        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
-            _read(s, d, "documents")
-        ),
+        # incremental connected components (r4 batch 13): contracted
+        # star edges + new-batch delta, and the driver oracle IS the
+        # full-graph recursive-CTE recompute — every round's gate
+        # re-proves the contraction identity.  Takes winnow's window
+        # slot (winnow stays oracled in the tail; fingerprinting is
+        # also covered in-window by doc_fingerprint's family tests)
+        "incremental_components": _q_incremental_components,
         # daily-window noisy-OR beliefs compacted into the all-time
         # view (merge_beliefs: the streaming layer's batch fold —
         # associative over miss-mass, so compaction is incremental)
@@ -2047,10 +2050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nDCG@10 of the BM25 ranking against graded term-coverage
         # relevance — the graded retrieval metric
         "retrieval_ndcg": _q_retrieval_ndcg,
-        # incremental connected components: contracted star edges +
-        # the new-batch delta, PROVEN equal to the full recompute
-        # (the oracle is the full-graph recursive-CTE twin)
-        "incremental_components": _q_incremental_components,
+        # MOSS winnowing fingerprint selection (array-side, 0
+        # shuffles) — rotated to the tail for incremental_components
+        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
+            _read(s, d, "documents")
+        ),
         # predicate-signature type inference, keyed on the
         # conversation: modal mention type = dominant topic
         "conversation_topics": _q_conversation_topics,
