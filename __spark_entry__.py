@@ -1645,6 +1645,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,
+        # Matryoshka prefix-dim ladder: recall@5 of the 8/16/32-dim
+        # truncations vs the full 64-dim exact neighbours — picks the
+        # cheapest prefix width that clears the recall bar
+        "matryoshka_eval": lambda s, d: similarity.matryoshka_eval(
+            _read(s, d, "embeddings"), dims=(8, 16, 32)
+        ),
         # the loop-detection apply step: drop flagged conversations
         "scrub_agent_loops": _q_scrub_agent_loops,
         # KG ingest monitoring: per-(entity, day) burst flags vs the
@@ -1968,6 +1974,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smallest entities: the disambiguation coherence walker —
         # mass concentrates in the seeds' co-occurrence neighborhood
         "personalized_pagerank": _q_personalized_pagerank,
+        # the multi-EPOCH mixture plan: repeats per stratum under the
+        # 4-epoch value cap (the data-constrained regime — fr is
+        # capped with a deficit, zh multi-epoch, en sub-epoch)
+        "epoch_plan": lambda s, d: sampling.epoch_plan(
+            _read(s, d, "documents"),
+            {"en": 0.2, "fr": 0.5, "zh": 0.3},
+            budget_tokens=200000,
+            strata_col="lang",
+            n_tokens_col="n_chars",
+        ),
         # the mixture planning table: per-stratum keep rates that hit
         # a token budget at a target mixture, with feasibility flags
         "mixture_rates": lambda s, d: sampling.mixture_rates(
@@ -4983,6 +4999,50 @@ def oracle_sql() -> dict[str, str]:
         FROM perq
     """
 
+    # matryoshka_eval: one recall@5 rung per prefix width, each rung
+    # the ann_recall aggregate with the approx route = brute force
+    # over the DuckDB list slice embedding[1:d] (same 4dp-rounded
+    # cosine + (sim DESC, target_id ASC) tiebreak as ann_brute_topk)
+    def _mat_brute(vec_expr: str) -> str:
+        return f"""
+            SELECT query_id, target_id FROM (
+              SELECT query_id, target_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, target_id ASC) AS rank
+              FROM (
+                SELECT q.query_id, t.target_id,
+                       {_COS.format(a='q.qv', b='t.tv')} AS sim
+                FROM (SELECT vec_id AS query_id, {vec_expr} AS qv
+                      FROM embeddings WHERE vec_id < 8) q,
+                     (SELECT vec_id AS target_id, {vec_expr} AS tv
+                      FROM embeddings) t
+                WHERE q.query_id <> t.target_id))
+            WHERE rank <= 5"""
+
+    _mat_rungs = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({d} AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(5 AS BIGINT) AS k,
+               round(avg(recall), 6) AS mean_recall,
+               round(min(recall), 6) AS min_recall,
+               CAST(sum(CAST(recall >= 1.0 AS INT)) AS BIGINT)
+                 AS exact_queries
+        FROM (
+          WITH ex AS ({_mat_brute('embedding')}),
+          ap AS ({_mat_brute(f'embedding[1:{d}]')}),
+          hits AS (SELECT ex.query_id, count(*) AS n_hit
+                   FROM ap JOIN ex ON ex.query_id = ap.query_id
+                     AND ex.target_id = ap.target_id
+                   GROUP BY 1)
+          SELECT e.query_id,
+                 CAST(COALESCE(any_value(h.n_hit), 0) AS DOUBLE)
+                   / least(count(*), 5) AS recall
+          FROM ex e LEFT JOIN hits h ON h.query_id = e.query_id
+          GROUP BY e.query_id)"""
+        for d in (8, 16, 32)
+    )
+    sql["matryoshka_eval"] = _mat_rungs
+
     # pattern_triples: the VERBATIM rule table (PATTERN_RULES) run
     # through RE2's regexp_extract_all — leftmost non-overlapping,
     # same as java.util.regex; DuckDB's same-level unnests iterate in
@@ -5614,6 +5674,40 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS rate,
                available_tokens >= 50000 * target_share AS feasible
         FROM s
+    """
+
+    # epoch_plan: the data-constrained twin of mixture_rates — the
+    # only floats are the 6dp epochs division and the round-0 casts;
+    # effective/deficit both derive from the ROUNDED epochs column,
+    # matching the engine's two-step select
+    sql["epoch_plan"] = """
+        WITH inv AS (SELECT lang AS stratum,
+                            CAST(sum(n_chars) AS BIGINT)
+                              AS available_tokens
+                     FROM documents GROUP BY 1),
+        s AS (SELECT stratum, available_tokens,
+                     CASE stratum WHEN 'en' THEN 0.2
+                                  WHEN 'fr' THEN 0.5
+                                  WHEN 'zh' THEN 0.3
+                                  ELSE 0.0 END AS target_share
+              FROM inv),
+        e AS (SELECT stratum, available_tokens, target_share,
+                     200000 * target_share AS want_tokens,
+                     round(CASE WHEN available_tokens > 0
+                                 AND target_share > 0
+                                THEN least(4.0, (200000 * target_share)
+                                                / available_tokens)
+                                ELSE 0.0 END, 6) AS epochs
+              FROM s)
+        SELECT stratum, available_tokens, target_share, want_tokens,
+               epochs,
+               CAST(ceil(epochs) AS BIGINT) AS n_passes,
+               CAST(round(available_tokens * epochs, 0) AS BIGINT)
+                 AS effective_tokens,
+               CAST(greatest(0.0,
+                 round(want_tokens - available_tokens * epochs, 0))
+                 AS BIGINT) AS deficit_tokens
+        FROM e
     """
 
     # rrf_fuse: reciprocal-rank fusion of the two BM25 routes, each

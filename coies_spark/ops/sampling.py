@@ -292,6 +292,86 @@ def mixture_rates(
     )
 
 
+def epoch_plan(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    strata_col: str = "lang",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(stratum, available_tokens, target_share, want_tokens, epochs,
+    n_passes, effective_tokens, deficit_tokens): the multi-EPOCH
+    mixture plan — :func:`mixture_rates` answers "what fraction do I
+    keep when I have too much data"; this answers the opposite
+    regime, "how many times do I REPEAT a stratum when I have too
+    little" (the data-constrained setting of Muennighoff et al.,
+    "Scaling Data-Constrained Language Models", NeurIPS 2023: repeats
+    help up to ~4 epochs, then returns decay to ~zero — hence the
+    ``max_epochs`` cap, after which the remaining want is an honest
+    ``deficit_tokens``, the signal to re-normalize the mixture or
+    source more data).
+
+    * epochs = want / available, capped at ``max_epochs``, round 6;
+      0 for absent shares or empty inventories;
+    * n_passes = ceil(epochs) — the number of full-dataset reads the
+      training loop actually schedules (the last pass partial via a
+      :func:`deterministic_sample` at rate epochs - floor(epochs),
+      which is what makes the plan executable, not just descriptive);
+    * effective_tokens = round(available · epochs) — what the budget
+      line actually receives; deficit_tokens = want - effective
+      (0 when uncapped, up to rounding).
+
+    Same shape/scale story as :func:`mixture_rates`: one map-side-
+    combinable groupBy, strata-sized output, broadcastable into any
+    downstream scheduling join.
+    """
+    if budget_tokens < 1:
+        raise ValueError("epoch_plan: budget_tokens must be >= 1")
+    if max_epochs <= 0:
+        raise ValueError("epoch_plan: max_epochs must be > 0")
+    share: Column = F.lit(0.0)
+    for stratum in sorted(targets):
+        share = F.when(
+            F.col("stratum") == stratum, F.lit(float(targets[stratum]))
+        ).otherwise(share)
+    inv = (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.sum(F.col(n_tokens_col).cast("long"))
+            .cast("long")
+            .alias("available_tokens")
+        )
+    )
+    want = F.lit(budget_tokens) * share
+    raw_epochs = F.when(
+        (F.col("available_tokens") > 0) & (share > 0),
+        F.least(F.lit(float(max_epochs)), want / F.col("available_tokens")),
+    ).otherwise(F.lit(0.0))
+    eff = F.col("available_tokens") * F.col("epochs")
+    return (
+        inv.select(
+            "stratum",
+            "available_tokens",
+            share.alias("target_share"),
+            want.alias("want_tokens"),
+            F.round(raw_epochs, 6).alias("epochs"),
+        )
+        .select(
+            "*",
+            F.ceil("epochs").cast("long").alias("n_passes"),
+            F.round(eff, 0).cast("long").alias("effective_tokens"),
+        )
+        .withColumn(
+            "deficit_tokens",
+            F.greatest(
+                F.lit(0.0),
+                F.round(F.col("want_tokens") - eff, 0),
+            ).cast("long"),
+        )
+    )
+
+
 def leakage_free_split(
     docs: DataFrame,
     dup_pairs: DataFrame,

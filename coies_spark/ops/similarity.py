@@ -1258,6 +1258,63 @@ def ann_recall(
     )
 
 
+def matryoshka_eval(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, n_queries, k, mean_recall, min_recall, exact_queries):
+    recall@k of PREFIX-truncated vectors against the full-dimension
+    exact neighbours, one row per prefix width — the Matryoshka
+    representation evaluation (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022): if an embedding family
+    was trained nested, its first d' coordinates should already rank
+    neighbours nearly as well as all d, and THIS table is how you
+    pick the cheapest d' that clears your recall bar (shorter
+    vectors = proportionally smaller ANN index, faster scans, and a
+    coarse-to-fine rerank ladder).
+
+    Ground truth is :func:`brute_topk` on the full vectors; each
+    candidate route is :func:`brute_topk` on ``slice(vec, 1, d')`` —
+    truncation is a zero-copy projection (Catalyst ``slice``), no
+    re-embedding, no UDF.  Scoring reuses :func:`ann_recall`
+    unchanged (set recall, rank ties broken deterministically).  The
+    dims ladder is a static unrolled union of 1-row aggregates —
+    len(dims)+1 top-k jobs over the same (cached-by-Spark) scan, and
+    each job is the documented brute_topk shape (broadcast queries,
+    one window).  At 100× the corpus swap brute_topk for
+    :func:`ivf_pq_topk` per rung; the scoring join is unchanged.
+    """
+    if not dims:
+        raise ValueError("matryoshka_eval: dims must be non-empty")
+    if any(d < 1 for d in dims):
+        raise ValueError("matryoshka_eval: dims must be >= 1")
+    exact = brute_topk(
+        embeddings, n_queries=n_queries, k=k, id_col=id_col,
+        vec_col=vec_col,
+    )
+    rungs = []
+    for d in sorted(dims):
+        truncated = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        approx = brute_topk(
+            truncated, n_queries=n_queries, k=k, id_col=id_col,
+            vec_col=vec_col,
+        )
+        rungs.append(
+            ann_recall(exact, approx, k=k)
+            .select(F.lit(int(d)).cast("long").alias("dim"), "*")
+        )
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def sq8_stats(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
