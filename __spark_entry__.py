@@ -2022,6 +2022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": lambda s, d: similarity.sq8_topk(
             _read(s, d, "embeddings")
         ),
+        # two-stage serving ladder: the SQ8 route over-fetches C=20,
+        # exact cosine re-scores only those pairs down to k=5
+        "rerank_topk": lambda s, d: similarity.rerank_topk(
+            _read(s, d, "embeddings"),
+            similarity.sq8_topk(_read(s, d, "embeddings"), k=20),
+            k=5,
+        ),
         # node2vec second-order biased walks (p=0.5, q=2.0) — the
         # DFS/BFS-tunable sibling of random_walks; inverse-CDF draw
         # over hash randomness, bit-equal on any engine
@@ -2045,6 +2052,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable histogram-interpolated quantile estimates
         "numeric_profile": lambda s, d: profile.numeric_profile(
             _read(s, d, "events"), "value"
+        ),
+        # re-identification audit: (lang, 200-char length bin)
+        # equivalence classes with source l-diversity — small or
+        # sensitive-homogeneous classes flagged at_risk
+        "k_anonymity": lambda s, d: profile.k_anonymity(
+            _read(s, d, "documents").select(
+                "lang",
+                F.floor(F.col("n_chars") / 200)
+                .cast("long")
+                .alias("len_bin"),
+                "source",
+            ),
+            quasi_cols=("lang", "len_bin"),
+            sensitive_col="source",
+            k=5,
+        ),
+        # per-doc Unicode-script composition: mixed-script /
+        # mojibake / wrong-shard gate ahead of model-based lang-ID
+        "script_profile": lambda s, d: textstats.script_profile(
+            _read(s, d, "documents")
         ),
         # keyless temporal join via time binning (equi-join on the
         # bin, exact overlap filter): users active during incidents
@@ -6173,7 +6200,8 @@ def oracle_sql() -> dict[str, str]:
     # bucketing (no tie semantics), bucket-midpoint dequantization,
     # cosine of full-precision query vs dequantized target — every
     # arithmetic step in the same order as the engine
-    sql["ann_sq8_topk"] = f"""
+    def _sq8_sql(k: int) -> str:
+        return f"""
         WITH st AS (
           SELECT i-1 AS pos,
                  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS mn,
@@ -6203,6 +6231,33 @@ def oracle_sql() -> dict[str, str]:
         scored AS (SELECT query_id, target_id,
                      {_COS.format(a='qv', b='tv')} AS sim
                    FROM q, tv WHERE query_id <> target_id)
+        SELECT query_id, target_id, sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
+            AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+    sql["ann_sq8_topk"] = _sq8_sql(5)
+
+    # rerank_topk: the SQ8 route over-fetched to C=20 (nested via the
+    # SAME parameterized builder the ann_sq8_topk entry uses), then
+    # exact full-precision cosine over just those pairs, re-ranked to
+    # k=5 with the engine-standard (sim DESC, target_id ASC) tiebreak
+    sql["rerank_topk"] = f"""
+        WITH cand AS (SELECT DISTINCT query_id, target_id
+                      FROM ({_sq8_sql(20)})),
+        qv AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings
+               WHERE vec_id IN (SELECT DISTINCT query_id FROM cand)),
+        tv AS (SELECT vec_id AS target_id, embedding AS tv
+               FROM embeddings),
+        scored AS (
+          SELECT c.query_id, c.target_id,
+                 {_COS.format(a='qv', b='tv')} AS sim
+          FROM cand c
+          JOIN tv ON tv.target_id = c.target_id
+          JOIN qv ON qv.query_id = c.query_id)
         SELECT query_id, target_id, sim, rank FROM (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY sim DESC, target_id ASC)
@@ -6390,6 +6445,53 @@ def oracle_sql() -> dict[str, str]:
     # numeric_profile: the same stats row, 32-bin histogram, and
     # covering-bin interpolation (cum - c < q*n <= cum is unique),
     # every arithmetic step in engine order
+    # k_anonymity: one groupBy on the quasi-identifier pair; at_risk
+    # mirrors the engine's (class_size < k OR l_diversity <= 1) rule
+    sql["k_anonymity"] = """
+        SELECT lang,
+               CAST(floor(n_chars / 200) AS BIGINT) AS len_bin,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT source) AS BIGINT) AS l_diversity,
+               (count(*) < 5 OR count(DISTINCT source) <= 1)
+                 AS at_risk
+        FROM documents GROUP BY 1, 2
+    """
+
+    # script_profile: built from the SAME SCRIPT_RANGES constant the
+    # engine compiles (\x{..} classes parse identically in RE2 and
+    # java.util.regex); counts via len(regexp_extract_all) == Spark's
+    # regexp_count for single-code-point classes; x/0 -> NULL on
+    # both engines (try_divide convention)
+    _sp_counts = {
+        name: f"len(regexp_extract_all(text, '{pat}'))"
+        for name, pat in textstats.SCRIPT_RANGES
+    }
+    _sp_sum = " + ".join(_sp_counts.values())
+    _sp_max = (
+        "greatest(" + ", ".join(
+            _sp_counts[s] for s in ("latin", "cjk", "cyrillic", "arabic")
+        ) + ")"
+    )
+    _sp_ratios = ",\n               ".join(
+        f"round({c} / length(text), 6) AS {name}_ratio"
+        for name, c in _sp_counts.items()
+    )
+    _sp_arms = "\n                 ".join(
+        f"WHEN {_sp_counts[s]} = {_sp_max} THEN '{s}'"
+        for s in ("latin", "cjk", "cyrillic", "arabic")
+    )
+    sql["script_profile"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {_sp_ratios},
+               round((length(text) - ({_sp_sum})) / length(text), 6)
+                 AS other_ratio,
+               CASE WHEN {_sp_max} = 0 THEN 'none'
+                 {_sp_arms}
+                 ELSE 'none' END AS dominant_script
+        FROM documents
+    """
+
     sql["numeric_profile"] = """
         WITH st AS (SELECT
             CAST(count(value) AS BIGINT) AS n,

@@ -124,3 +124,46 @@ def numeric_profile(
         )
     qrow = cum.agg(*qcols)
     return stats.crossJoin(F.broadcast(qrow))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """(quasi cols…, class_size, [l_diversity,] at_risk): the
+    re-identification audit over a release candidate — rows grouped
+    by their quasi-identifier combination are an EQUIVALENCE CLASS;
+    a class smaller than ``k`` fails k-anonymity (Sweeney 2002: any
+    member is re-identifiable by linking those attributes to an
+    outside table).  With ``sensitive_col`` set, the class also
+    reports its l-diversity (Machanavajjhala et al. 2007: distinct
+    sensitive values in the class) and a class is at_risk when EITHER
+    it is small OR every member shares one sensitive value
+    (l_diversity <= 1 — the homogeneity attack: the attacker needn't
+    re-identify the row to learn the secret).
+
+    The caller picks the quasi-identifier columns — and BINS any
+    high-cardinality ones first (raw lengths/timestamps make every
+    row its own class and the audit trivially fails); the op stays a
+    single map-side-combinable groupBy either way, output sized by
+    the quasi-identifier domain, not the corpus.  Filter
+    ``at_risk`` downstream to drive suppression/generalization.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("l_diversity")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    risk = F.col("class_size") < k
+    if sensitive_col is not None:
+        risk = risk | (F.col("l_diversity") <= 1)
+    return out.withColumn("at_risk", risk)

@@ -1315,6 +1315,63 @@ def matryoshka_eval(
     return out
 
 
+def rerank_topk(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, sim, rank): exact-cosine RERANK of a
+    coarse candidate table — the second stage of the standard
+    two-stage retrieval ladder (FAISS/ScaNN serving shape: a cheap
+    compressed-domain route over-fetches C ≫ k candidates, then full
+    precision re-scores only those C).  ``candidates`` is any
+    (query_id, target_id) frame: :func:`sq8_topk` / :func:`pq_topk` /
+    :func:`ivf_pq_topk` at k=C, an LSH bucket probe, or a fused union
+    of routes — reranking a UNION of cheap routes is how you buy
+    recall without ever paying a brute-force scan.
+
+    Plan shape: candidate pairs join the vector store ONCE on
+    target_id (reads C×Q vector rows, never the corpus — at 10^10
+    vectors this is the entire point), the Q query vectors are
+    fetched by a distinct-queries join and broadcast into the
+    re-score, and one per-query window takes the exact top-k.  Any
+    score column the coarse route emitted is dropped: rank is
+    recomputed from full-precision cosine with the engine-standard
+    (sim DESC, target_id ASC) tiebreak.
+    """
+    if k < 1:
+        raise ValueError("rerank_topk: k must be >= 1")
+    cand = candidates.select("query_id", "target_id").distinct()
+    tv = embeddings.select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv")
+    )
+    qv = cand.select("query_id").distinct().join(
+        embeddings.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id",
+    )
+    scored = (
+        cand.join(tv, "target_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "target_id",
+            cosine_sim(F.col("qv"), F.col("tv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "target_id", "sim", "rank")
+    )
+
+
 def sq8_stats(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

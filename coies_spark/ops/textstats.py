@@ -990,3 +990,67 @@ def zipf_alpha(docs: DataFrame, top_k: int = 200) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# Unicode script ranges shared by script_profile and its DuckDB twin:
+# \x{...} class escapes parse identically in java.util.regex and RE2,
+# and each named class matches EXACTLY one code point per hit, so
+# regexp_count (Spark) == len(regexp_extract_all) (DuckDB).
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[\\x{4e00}-\\x{9fff}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04ff}]"),
+    ("arabic", "[\\x{0600}-\\x{06ff}]"),
+    ("digit", "[0-9]"),
+    ("space", "[\\x{0009}\\x{000a}\\x{000d}\\x{0020}]"),
+)
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, latin_ratio, cjk_ratio, cyrillic_ratio,
+    arabic_ratio, digit_ratio, space_ratio, other_ratio,
+    dominant_script): per-document Unicode-SCRIPT composition — the
+    lang-ID complement that catches what a token-profile model
+    cannot: mixed-script spam (Cyrillic lookalikes inside Latin
+    words), mojibake/encoding damage (high other_ratio), and
+    wrong-script contamination inside a language shard (a "zh" shard
+    whose docs are 90% Latin).  Web-scale curation gates on these
+    ratios BEFORE spending model-based lang-ID or quality scoring.
+
+    Each ratio counts code points in an explicit range class
+    (``SCRIPT_RANGES`` — \\x{…} classes behave identically in Java
+    regex and RE2, one code point per match) over total string
+    length; other = 1 − Σ named.  Empty text → NULL ratios
+    (try_divide) and dominant_script 'none'.  dominant_script is the
+    argmax over the four SCRIPT classes (latin/cjk/cyrillic/arabic,
+    ties to the first in that fixed order), 'none' when all four are
+    zero.  Pure single-pass projection: no shuffle, no UDF,
+    whole-stage codegen, embarrassingly parallel at any corpus size.
+    """
+    counts = {
+        name: F.regexp_count(F.col("text"), F.lit(pat))
+        for name, pat in SCRIPT_RANGES
+    }
+    n = F.length("text")
+    named_sum = None
+    for c in counts.values():
+        named_sum = c if named_sum is None else named_sum + c
+    scripts = ("latin", "cjk", "cyrillic", "arabic")
+    mx = F.greatest(*[counts[s] for s in scripts])
+    dominant = F.lit("none")
+    for s in reversed(scripts):
+        dominant = F.when(
+            (counts[s] > 0) & (counts[s] == mx), F.lit(s)
+        ).otherwise(dominant)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        *[
+            F.round(F.try_divide(counts[name], n), 6).alias(
+                f"{name}_ratio"
+            )
+            for name, _ in SCRIPT_RANGES
+        ],
+        F.round(F.try_divide(n - named_sum, n), 6).alias("other_ratio"),
+        dominant.alias("dominant_script"),
+    )
