@@ -575,6 +575,25 @@ def _kg_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _taxonomy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subClassOf edge table derived from the part catalog: brand
+    subClassOf type subClassOf 'part' — a deterministic 3-level
+    taxonomy (a brand spanning several types simply gets several
+    superclasses: a DAG, which RDFS allows)."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_brand").alias("sub"), F.col("p_type").alias("sup")
+        )
+        .unionByName(
+            part.select(
+                F.col("p_type").alias("sub"), F.lit("part").alias("sup")
+            )
+        )
+        .distinct()
+    )
+
+
 def _q_temporal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 validity intervals over event-stream evidence: per user
     the history of event_type runs (subj=user, pred='last_event')."""
@@ -1290,6 +1309,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-hop ≤3 reachability over the entity co-occurrence DAG
         # (unrolled frontier joins; DuckDB twin is a recursive CTE)
         "kg_reachability": _q_kg_reachability,
+        # --- RDFS-lite entailment (ops.kg, batch 16) ---
+        # rdfs11: strict transitive closure (min derivation depth)
+        # of the part brand->type->root taxonomy, by path doubling
+        "subclass_closure": lambda s, d: kg.subclass_closure(
+            _taxonomy_edges(s, d), max_depth=4
+        ),
+        # rdfs9: every part typed by its brand inherits the brand's
+        # superclasses; assertion wins over derivation (direct flag)
+        "inherit_types": lambda s, d: kg.inherit_types(
+            _read(s, d, "part").select(
+                F.concat(F.lit("part:"), F.col("p_partkey")).alias(
+                    "entity"
+                ),
+                F.col("p_brand").alias("cls"),
+            ),
+            kg.subclass_closure(_taxonomy_edges(s, d), max_depth=4),
+        ),
+        # owl:inverseOf: mirror the mention evidence so "incoming
+        # edge" queries become forward scans; provenance kept
+        "materialize_inverses": lambda s, d: kg.materialize_inverses(
+            _kg_evidence(s, d).select("subj", "pred", "obj"),
+            {
+                "mentions_op": "op_mentioned_in",
+                "mentions_engine": "engine_mentioned_in",
+            },
+        ),
         "multimodal_features": _q_multimodal,
         # --- text analysis (documents) ---
         "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
@@ -3941,6 +3986,60 @@ def oracle_sql() -> dict[str, str]:
                  AS confidence
         FROM ev GROUP BY 1, 2, 3
     """
+    # subclass_closure: exact ≤4-depth closure of the brand→type→
+    # 'part' taxonomy — d1 ∪ (d1⋈d1) ∪ ((d1∪d2)⋈(d1∪d2)) covers
+    # depths 1..4, min-depth groupBy mirrors the engine's doubling
+    sql["subclass_closure"] = """
+        WITH e AS (SELECT DISTINCT p_brand AS sub, p_type AS sup
+                   FROM part
+                   UNION
+                   SELECT DISTINCT p_type AS sub, 'part' AS sup
+                   FROM part),
+        d1 AS (SELECT sub, sup, 1 AS depth FROM e WHERE sub <> sup),
+        d2 AS (SELECT a.sub, b.sup, a.depth + b.depth AS depth
+               FROM d1 a JOIN d1 b ON a.sup = b.sub),
+        d12 AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        d4 AS (SELECT a.sub, b.sup, a.depth + b.depth AS depth
+               FROM d12 a JOIN d12 b ON a.sup = b.sub),
+        u AS (SELECT * FROM d12 UNION ALL SELECT * FROM d4)
+        SELECT sub, sup, CAST(min(depth) AS BIGINT) AS depth
+        FROM u WHERE sub <> sup AND depth <= 4 GROUP BY 1, 2
+    """
+
+    # inherit_types: direct brand assertions ∪ closure-join
+    # inheritance; max(direct) = assertion wins
+    sql["inherit_types"] = f"""
+        WITH cl AS ({sql['subclass_closure']}),
+        ty AS (SELECT 'part:' || p_partkey AS entity,
+                      p_brand AS cls FROM part),
+        u AS (SELECT entity, cls, TRUE AS direct FROM ty
+              UNION ALL
+              SELECT ty.entity, cl.sup AS cls, FALSE AS direct
+              FROM ty JOIN cl ON cl.sub = ty.cls)
+        SELECT entity, cls, max(direct) AS direct
+        FROM u GROUP BY 1, 2
+    """
+
+    # materialize_inverses: asserted rows ∪ rule-mirrored rows,
+    # min(inferred) keeps asserted provenance when a mirror was also
+    # asserted — same CASE-chain rules as the engine
+    sql["materialize_inverses"] = f"""
+        WITH {kg_ev},
+        base AS (SELECT subj, pred, obj, FALSE AS inferred FROM ev),
+        mir AS (SELECT obj AS subj,
+                       CASE pred
+                         WHEN 'mentions_engine'
+                           THEN 'engine_mentioned_in'
+                         WHEN 'mentions_op' THEN 'op_mentioned_in'
+                       END AS pred,
+                       subj AS obj, TRUE AS inferred
+                FROM ev
+                WHERE pred IN ('mentions_op', 'mentions_engine'))
+        SELECT subj, pred, obj, min(inferred) AS inferred
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM mir)
+        GROUP BY 1, 2, 3
+    """
+
     # resolve_pronouns: one window pass carrying the latest preceding
     # mention; three parallel IGNORE NULLS carries are null together,
     # so they equal the engine's single-struct carry

@@ -1423,3 +1423,161 @@ def entity_types(
             ),
         )
     )
+
+
+def subclass_closure(
+    edges: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """(sub, sup, depth): the transitive closure of an ontology's
+    subClassOf edge table with the SHORTEST derivation depth — the
+    rdfs:subClassOf materialization step of RDFS entailment (rule
+    rdfs11): downstream type queries become one equality join against
+    this table instead of a runtime graph walk.
+
+    Algorithm: path DOUBLING (the O(log d) trick every bounded-depth
+    closure uses at scale) — each round self-joins the current path
+    table on ``a.sup = b.sub``, so after r rounds every path of
+    length <= 2^r is present; ceil(log2(max_depth)) rounds reach the
+    cap with that many shuffles, NOT max_depth of them.  Each round
+    ends in a (sub, sup) min-depth groupBy, which both dedups the
+    exploding path multiset and makes cycles harmless (a cycle can
+    only re-derive pairs at greater depth, which min() discards, and
+    nothing exceeds ``max_depth``).  Self-pairs are dropped: the
+    output is the strict (irreflexive) closure.
+
+    Taxonomies are tiny next to a corpus (thousands of classes, not
+    billions of rows) — the closure is broadcastable into every
+    downstream inheritance join; lineage across the unrolled rounds
+    is cut the connected-components way (lazy localCheckpoint).
+    """
+    if max_depth < 1:
+        raise ValueError("subclass_closure: max_depth must be >= 1")
+    paths = (
+        edges.select(
+            F.col("sub").cast("string").alias("sub"),
+            F.col("sup").cast("string").alias("sup"),
+        )
+        .where(F.col("sub") != F.col("sup"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    rounds = max(0, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        a, b = paths.alias("a"), paths.alias("b")
+        ext = a.join(
+            b, F.col("a.sup") == F.col("b.sub")
+        ).select(
+            F.col("a.sub").alias("sub"),
+            F.col("b.sup").alias("sup"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        )
+        paths = (
+            paths.unionByName(ext)
+            .where(
+                (F.col("depth") <= max_depth)
+                & (F.col("sub") != F.col("sup"))
+            )
+            .groupBy("sub", "sup")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+    return paths
+
+
+def inherit_types(
+    types: DataFrame, closure: DataFrame
+) -> DataFrame:
+    """(entity, cls, direct): rdf:type inheritance (RDFS rule rdfs9)
+    — every entity typed C is also typed every superclass of C in
+    the :func:`subclass_closure` table.  ``direct`` marks classes the
+    input asserted (an entity both asserted AND derivable as C stays
+    direct=true: assertion wins, so provenance survives
+    materialization).
+
+    Plan: ONE broadcast join of the corpus-sized type table against
+    the taxonomy-sized closure plus a (entity, cls) dedup — the
+    shape that holds at 10^10 typed entities because the closure
+    side, not the entity side, is the small one.
+    """
+    direct = types.select(
+        F.col("entity").cast("string").alias("entity"),
+        F.col("cls").cast("string").alias("cls"),
+        F.lit(True).alias("direct"),
+    )
+    inherited = types.join(
+        F.broadcast(closure),
+        F.col("cls") == F.col("sub"),
+    ).select(
+        F.col("entity").cast("string").alias("entity"),
+        F.col("sup").alias("cls"),
+        F.lit(False).alias("direct"),
+    )
+    return (
+        direct.unionByName(inherited)
+        .groupBy("entity", "cls")
+        .agg(F.max("direct").alias("direct"))
+    )
+
+
+def materialize_inverses(
+    triples: DataFrame,
+    inverse_rules: dict[str, str],
+    symmetric: tuple[str, ...] = (),
+) -> DataFrame:
+    """(subj, pred, obj, inferred): OWL-style inverse/symmetric
+    predicate materialization — for each rule p -> q, every asserted
+    (s, p, o) also entails (o, q, s) (owl:inverseOf); predicates in
+    ``symmetric`` entail their own mirror (owl:SymmetricProperty).
+    Materializing these once turns every "incoming edge" query into
+    a plain forward scan — the denormalization that saves the
+    exchange-heavy direction flip on a predicate-partitioned store.
+
+    ``inferred`` is provenance: false for asserted rows, true for
+    rows ONLY derivable by a rule (a mirror that was also asserted
+    stays inferred=false — min() over the union, same
+    assertion-wins convention as :func:`inherit_types`).  Rules are
+    a literal CASE chain (rule tables are tiny), so the whole op is
+    one projection + one dedup groupBy: no join, no UDF.
+    """
+    overlap = set(inverse_rules) & set(symmetric)
+    if overlap:
+        raise ValueError(
+            f"materialize_inverses: predicates {sorted(overlap)} are "
+            "both inverse-ruled and symmetric"
+        )
+    if not inverse_rules and not symmetric:
+        raise ValueError(
+            "materialize_inverses: no rules given (nothing to entail)"
+        )
+    inv_pred = None
+    for p in sorted(symmetric):
+        cond = F.when(F.col("pred") == p, F.lit(p))
+        inv_pred = cond if inv_pred is None else inv_pred.when(
+            F.col("pred") == p, F.lit(p)
+        )
+    for p in sorted(inverse_rules):
+        q = inverse_rules[p]
+        cond_expr = (F.col("pred") == p, F.lit(q))
+        inv_pred = (
+            F.when(*cond_expr)
+            if inv_pred is None
+            else inv_pred.when(*cond_expr)
+        )
+    base = triples.select("subj", "pred", "obj").withColumn(
+        "inferred", F.lit(False)
+    )
+    mirrored = (
+        triples.withColumn("__q", inv_pred)
+        .where(F.col("__q").isNotNull())
+        .select(
+            F.col("obj").alias("subj"),
+            F.col("__q").alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(True).alias("inferred"),
+        )
+    )
+    return (
+        base.unionByName(mirrored)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("inferred").alias("inferred"))
+    )
