@@ -2019,6 +2019,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smallest entities: the disambiguation coherence walker —
         # mass concentrates in the seeds' co-occurrence neighborhood
         "personalized_pagerank": _q_personalized_pagerank,
+        # serialize -> parse round trip over the SAME planted-escape
+        # serialization the kg_ntriples entry emits: the RDF ingest
+        # face — IRIs come back bracket-stripped (percent-encoding
+        # kept verbatim), literals ECHAR-unescaped exactly
+        "kg_ntriples_roundtrip": lambda s, d: kg.parse_ntriples(
+            _q_kg_ntriples(s, d).select("line")
+        ),
         # the multi-EPOCH mixture plan: repeats per stratum under the
         # 4-epoch value cap (the data-constrained regime — fr is
         # capped with a deficit, zh multi-epoch, en sub-epoch)
@@ -4297,6 +4304,35 @@ def oracle_sql() -> dict[str, str]:
           AND NOT regexp_matches(subj, '[\\x00-\\x1f\\x7f{{}}|^`]')
           AND NOT regexp_matches(pred, '[\\x00-\\x1f\\x7f{{}}|^`]')
     """
+
+    # kg_ntriples_roundtrip: parse the kg_ntriples lines back — same
+    # statement regex on both engines (RE2 == java.util.regex here:
+    # no backrefs) and the NUL-sentinel ECHAR unescape chain, so an
+    # escaped backslash + n never collapses into a newline
+    _nt_pat = (
+        "'^<([^>]*)> <([^>]*)> "
+        "(<[^>]*>|\"(?:[^\"\\\\]|\\\\.)*\") \\.$'"
+    )
+    _nt_unesc = (
+        "replace(replace(replace(replace(replace(replace("
+        "substr(rawobj, 2, length(rawobj) - 2), "
+        "'\\\\', chr(0)), '\\\"', '\"'), '\\n', chr(10)), "
+        "'\\r', chr(13)), '\\t', chr(9)), chr(0), '\\')"
+    )
+    sql["kg_ntriples_roundtrip"] = f"""
+        WITH ln AS (SELECT line FROM ({sql['kg_ntriples']})),
+        p AS (SELECT regexp_extract(line, {_nt_pat}, 1) AS subj,
+                     regexp_extract(line, {_nt_pat}, 2) AS pred,
+                     regexp_extract(line, {_nt_pat}, 3) AS rawobj
+              FROM ln)
+        SELECT subj, pred,
+               CASE WHEN rawobj LIKE '<%'
+                    THEN substr(rawobj, 2, length(rawobj) - 2)
+                    ELSE {_nt_unesc} END AS obj,
+               (rawobj LIKE '<%') AS obj_is_iri
+        FROM p WHERE subj <> ''
+    """
+
     # corpus_diff: the same planted evolution (every 11th removed,
     # every 7th edited, every 13th re-added shifted), full-outer
     # digest compare, unchanged rows never emitted

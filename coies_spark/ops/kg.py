@@ -1581,3 +1581,56 @@ def materialize_inverses(
         .groupBy("subj", "pred", "obj")
         .agg(F.min("inferred").alias("inferred"))
     )
+
+
+# N-Triples literal escape table (W3C N-Triples canonical form,
+# ECHAR) as written by pipeline.triples.to_ntriples (backslash
+# first); parse reverses it through a NUL sentinel (NUL cannot occur
+# in N-Triples data, so it is collision-free).  Shared with the
+# DuckDB twin — every step is a plain replace() both engines execute
+# identically.
+_NT_ESCAPES: tuple[tuple[str, str], ...] = (
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+)
+
+
+def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """(subj, pred, obj, obj_is_iri): parse N-Triples statement lines
+    back into a triple table — the INGEST face (loading a public RDF
+    dump, or round-tripping
+    :func:`coies_spark.pipeline.triples.to_ntriples` output).
+    Malformed lines are dropped (the regex is the filter), which is
+    the documented bulk-load posture: count-based QA happens
+    downstream, not via per-row exceptions.
+
+    IRI terms are returned WITHOUT angle brackets (the full IRI —
+    no base-stripping guesswork); literal objects are ECHAR-
+    unescaped through a NUL sentinel so ``\\\\n`` (an escaped
+    backslash + n) never collapses into a newline — the property
+    that makes the serialize→parse pair the identity on literals.
+    Pure projection + filter, embarrassingly parallel.
+    """
+    pat = r'^<([^>]*)> <([^>]*)> (<[^>]*>|"(?:[^"\\]|\\.)*") \.$'
+    parsed = lines.select(
+        F.regexp_extract(F.col(line_col), pat, 1).alias("subj"),
+        F.regexp_extract(F.col(line_col), pat, 2).alias("pred"),
+        F.regexp_extract(F.col(line_col), pat, 3).alias("rawobj"),
+    ).where(F.col("subj") != "")
+    is_iri = F.col("rawobj").startswith("<")
+    inner = F.substring(
+        F.col("rawobj"), 2, F.length("rawobj") - 2
+    )
+    lit = F.replace(inner, F.lit("\\\\"), F.lit("\x00"))
+    for raw, esc in _NT_ESCAPES[1:]:
+        lit = F.replace(lit, F.lit(esc), F.lit(raw))
+    lit = F.replace(lit, F.lit("\x00"), F.lit("\\"))
+    return parsed.select(
+        "subj",
+        "pred",
+        F.when(is_iri, inner).otherwise(lit).alias("obj"),
+        is_iri.alias("obj_is_iri"),
+    )

@@ -1,0 +1,106 @@
+"""Seventeenth batch: N-Triples parsing (the RDF ingest face) with a
+serialize->parse round trip against the pipeline serializer, plus
+plan-shape pins for the batch-14..16 operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.ops.kg import inherit_types, parse_ntriples, subclass_closure
+from coies_spark.ops.similarity import rerank_topk, sq8_topk
+from coies_spark.ops.textstats import script_profile
+from coies_spark.pipeline.triples import to_ntriples
+
+pytestmark = pytest.mark.spark
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+class TestParseNtriples:
+    def test_roundtrip_on_escape_stress_rows(self, spark):
+        rows = [
+            ("plain", "p", "simple text"),
+            ('q"uote', "p", 'say "hi"'),
+            ("back\\slash", "p", "a\\b"),
+            ("ctl", "p", "l1\nl2\r\tend"),
+            # the classic trap: escaped backslash followed by n must
+            # NOT collapse into a newline on the way back
+            ("trap", "p", "not\\nnewline"),
+            ("angle", "p", "a <b> c"),
+        ]
+        t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        back = parse_ntriples(to_ntriples(t).select("line"))
+        got = {r.obj for r in back.collect()}
+        assert got == {o for _, _, o in rows}
+        assert back.count() == len(rows)
+        # all objects are literals; all subjects come back as IRIs
+        assert all(not r.obj_is_iri for r in back.collect())
+        assert all(
+            r.subj.startswith("http://example.org/kg/id/")
+            for r in back.collect()
+        )
+
+    def test_malformed_lines_dropped(self, spark):
+        lines = spark.createDataFrame(
+            [
+                ('<urn:a> <urn:p> "ok" .',),
+                ("garbage",),
+                ('<urn:a> <urn:p> missing_quotes .',),
+                ('<urn:a> <urn:p> "unterminated .',),
+                ("",),
+            ],
+            "line string",
+        )
+        out = parse_ntriples(lines).collect()
+        assert len(out) == 1
+        assert (out[0].subj, out[0].pred, out[0].obj) == (
+            "urn:a", "urn:p", "ok",
+        )
+
+    def test_iri_objects(self, spark):
+        lines = spark.createDataFrame(
+            [('<urn:a> <urn:p> <urn:b> .',)], "line string"
+        )
+        row = parse_ntriples(lines).collect()[0]
+        assert row.obj == "urn:b"
+        assert row.obj_is_iri is True
+
+
+class TestPlanShapes:
+    def test_inherit_types_closure_is_broadcast(self, spark):
+        closure = subclass_closure(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c")], "sub string, sup string"
+            ),
+            max_depth=2,
+        )
+        types = spark.createDataFrame(
+            [("e1", "a")], "entity string, cls string"
+        )
+        p = plan_of(inherit_types(types, closure))
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p
+
+    def test_rerank_no_cartesian(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        p = plan_of(rerank_topk(emb, sq8_topk(emb, k=5), k=3))
+        assert "CartesianProduct" not in p
+
+    def test_script_profile_no_exchange(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        p = plan_of(script_profile(docs))
+        assert "Exchange" not in p
+        # column pruning: only doc_id + text reach the scan
+        pf = plan_of(script_profile(docs), "formatted")
+        read = [l for l in pf.splitlines() if "ReadSchema" in l][0]
+        assert "text" in read and "lang" not in read
