@@ -727,6 +727,17 @@ def _q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_segment(docs, merges)
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the same trained merge table the
+    bpe_compression entry applies — the tokenizer-equity gauge."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe.bpe_merges(docs, BPE_MERGES).orderBy("rank").collect()
+    ]
+    return bpe.bpe_fertility(docs, merges)
+
+
 def _q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_confidence(_kg_evidence(spark, sf_dir))
 
@@ -1579,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the trained tokenizer applied corpus-wide: symbols/token
         # compression per doc (zero-shuffle string projection)
         "bpe_compression": _q_bpe_compression,
+        # per-language fertility of the same trained merges: the
+        # multilingual tokenizer-equity table
+        "bpe_fertility": _q_bpe_fertility,
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -1705,6 +1719,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jaccard band (close but not near-dup)
         "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
             _read(s, d, "documents"), lo=0.01, hi=0.9
+        ),
+        # embedding-level decontamination: planted twins of the
+        # first 8 "benchmark" vectors must light up at >= 0.9 (the
+        # paraphrase-leak catch the n-gram rule misses)
+        "semantic_contamination": lambda s, d: (
+            similarity.semantic_contamination(
+                _planted_corpus(s, d),
+                _read(s, d, "embeddings")
+                .where(F.col("vec_id") < 8)
+                .select(F.col("vec_id").alias("bench_id"), "embedding"),
+                threshold=0.9,
+            )
         ),
         # the curation FUNNEL: every doc attributed to exactly one
         # outcome (first-failure), so the pass drops nothing silently
@@ -1991,6 +2017,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             target_bytes=600,
             partition_col="part",
+        ),
+        # contiguous fixed-size output shards via the two-phase
+        # distributed prefix sum (the oracle is the naive global
+        # window — the match proves the decomposition)
+        "shard_plan": lambda s, d: maintenance.shard_plan(
+            _read(s, d, "documents"), target_bytes=5000
         ),
         # One-Permutation-Hashing MinHash (1 md5/shingle vs k) with
         # rotation densification — the signature-build cost lever
@@ -4486,6 +4518,75 @@ def oracle_sql() -> dict[str, str]:
         FROM dt LEFT JOIN ag USING (doc_id)
     """
     )
+    # bpe_fertility: the SAME trained-merge CTEs, aggregated to
+    # languages — corpus-level symbols/tokens ratio per lang
+    sql["bpe_fertility"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + f""",
+        mp AS (SELECT {mp_cols}),
+        seg AS (SELECT doc_id, {seg_expr} AS s
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                      FROM documents) CROSS JOIN mp),
+        ag AS (SELECT doc_id,
+                      CAST(sum(len(string_split(trim(s), '  ')))
+                        AS BIGINT) AS ns
+               FROM seg GROUP BY doc_id),
+        dt AS (SELECT doc_id, lang,
+                      CAST(len({_TOKS}) AS BIGINT) AS nt
+               FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(ag.ns, 0)) AS BIGINT) AS n_symbols,
+               CASE WHEN sum(nt) = 0 THEN NULL
+                    ELSE round(sum(coalesce(ag.ns, 0))
+                               / CAST(sum(nt) AS DOUBLE), 6)
+               END AS fertility
+        FROM dt LEFT JOIN ag USING (doc_id)
+        GROUP BY lang
+    """
+    )
+
+    # semantic_contamination: planted-twin corpus × 8-item benchmark,
+    # rounded cosine threshold — same derivation constants as the
+    # neardup family
+    sql["semantic_contamination"] = f"""
+        WITH corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS cv
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + {_NEARDUP_ID_OFFSET},
+                 list_transform(range(1, {EMB_DIM}+1), i ->
+                   CAST(embedding[i] AS DOUBLE)
+                   + 0.25 * CAST(embedding[(i % {EMB_DIM}) + 1]
+                                 AS DOUBLE))
+          FROM embeddings WHERE vec_id < {_NEARDUP_PLANT}),
+        bench AS (SELECT vec_id AS bench_id,
+                         list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE)) AS bv
+                  FROM embeddings WHERE vec_id < 8)
+        SELECT vec_id, bench_id,
+               {_COS.format(a='cv', b='bv')} AS sim
+        FROM corpus, bench
+        WHERE {_COS.format(a='cv', b='bv')} >= 0.9
+    """
+
+    # shard_plan: the NAIVE single-window exclusive prefix sum — the
+    # engine's two-phase bucketed scan must equal it exactly
+    sql["shard_plan"] = """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes,
+               CAST(floor(
+                 CAST(coalesce(sum(n_chars) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS DOUBLE)
+                 / 5000) AS BIGINT) AS shard_id
+        FROM documents
+    """
+
     # CCNet bigram-LM perplexity (stupid backoff, trained on the
     # doc_id%2=0 slice; <2-token docs have no bigram and drop out)
     sql["lm_perplexity"] = f"""

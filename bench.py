@@ -131,10 +131,12 @@ def main() -> None:
 
     from __spark_entry__ import (
         SMALL_CORPUS_CONFIG,
+        _kg_evidence,
         _q_agg_pricing,
         _q_em_linkage,
         _q_embedding_neardup,
         _q_join_revenue,
+        _q_kg_ntriples,
         _q_quality_classifier,
         _q_semdedup,
         _q_temporal_triples,
@@ -338,6 +340,32 @@ def main() -> None:
                 ),
                 length=4,
                 walks_per_node=2,
+            )
+        ),
+        # owl:inverseOf materialization over the evidence KG (one
+        # projection + one dedup shuffle; the incoming-edge
+        # denormalization).  Aggregating sink: provenance column
+        "materialize_inverses": lambda: run(
+            kg.materialize_inverses(
+                _kg_evidence(spark, sf_dir).select(
+                    "subj", "pred", "obj"
+                ),
+                {
+                    "mentions_op": "op_mentioned_in",
+                    "mentions_engine": "engine_mentioned_in",
+                },
+            ).agg(F.sum(F.col("inferred").cast("int")), F.count("subj"))
+        ),
+        # N-Triples serialize -> parse round trip over the evidence
+        # KG (the RDF materialize/ingest pair; two pure projections).
+        # Aggregating sink: the parse columns preserve cardinality
+        "kg_ntriples_roundtrip": lambda: run(
+            kg.parse_ntriples(
+                _q_kg_ntriples(spark, sf_dir).select("line")
+            ).agg(
+                F.count("subj"),
+                F.sum(F.length("obj")),
+                F.sum(F.col("obj_is_iri").cast("int")),
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),

@@ -143,7 +143,9 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 
 
 def bpe_segment(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_tokens, n_bpe_symbols, compression): apply a
     trained merge list (``[(r.lhs, r.rhs) for r in
@@ -181,4 +183,47 @@ def bpe_segment(
         F.round(
             F.try_divide(n_sym, F.size(toks).cast("long")), 6
         ).alias("compression"),
+        *keep_cols,
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, n_symbols, fertility): per-language
+    tokenizer-equity table — corpus-level BPE symbols per whitespace
+    word, by language.  Fertility is THE multilingual tokenizer
+    gauge: a merge table trained on one language's distribution
+    segments other languages into more symbols per word, which taxes
+    their context budget and training compute proportionally
+    (the reason tokenizer reports always publish per-language
+    fertility next to vocabulary size).
+
+    Corpus-level ratio (Σ symbols / Σ tokens, round 6) rather than a
+    mean of per-doc ratios, so long documents weigh what they cost;
+    empty-token languages yield NULL (try_divide).
+
+    Scale: :func:`bpe_segment`'s zero-shuffle projection with the
+    language column riding along, then one map-side-combinable
+    groupBy onto languages-many keys.
+    """
+    seg = bpe_segment(docs, merges, keep_cols=(lang_col,))
+    return (
+        seg.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bpe_symbols").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_symbols",
+            F.round(
+                F.try_divide(F.col("n_symbols"), F.col("n_tokens")), 6
+            ).alias("fertility"),
+        )
     )

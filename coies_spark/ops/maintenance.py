@@ -212,3 +212,84 @@ def snapshot_expiry(
         .alias("action"),
         reason.alias("reason"),
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, bytes, shard_id): assign every document to a
+    fixed-size output shard — contiguous in ``id_col`` order, each
+    shard packed to ~``target_bytes`` (overflow bounded by one
+    document, the ``compaction_plan``/``pack_turns`` streaming
+    bin-packing convention).  This is the WebDataset/TFRecord shard
+    builder's planning step: training loaders want shards of equal
+    byte weight so data-parallel readers finish together, and
+    contiguity in id order keeps the plan stable under re-runs
+    (shard k always holds the same documents — resumable writes).
+
+    shard_id = floor(prefix_sum_exclusive(bytes) / target), i.e. the
+    global running total BEFORE each doc, over ids ascending.  A
+    naive global window is a single-task sort at 10^10 docs, so the
+    prefix sum is computed the two-phase scan way instead:
+
+    1. order-preserving range bucketing — ``floor(id·B/(max+1))``
+       (one tiny max aggregate, broadcast back) keeps every bucket's
+       ids strictly between its neighbours', unlike hash bucketing;
+    2. per-bucket local prefix sums in parallel (window keyed by
+       bucket — B-way parallel, never global);
+    3. bucket totals (B rows) get their own exclusive prefix sum on
+       one trivially small task, and the offsets broadcast-join back.
+
+    The DuckDB twin is the NAIVE single-window definition, so the
+    oracle match IS the proof that the two-phase decomposition equals
+    the global scan.
+    """
+    if target_bytes < 1:
+        raise ValueError("shard_plan: target_bytes must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("shard_plan: n_buckets must be >= 1")
+    sized = docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(size_col).cast("long").alias("bytes"),
+    )
+    mx = sized.agg(F.max("__id").alias("__mx"))
+    bucketed = sized.crossJoin(F.broadcast(mx)).select(
+        "__id",
+        "bytes",
+        (F.col("__id") * n_buckets / (F.col("__mx") + 1))
+        .cast("long")
+        .alias("__bkt"),
+    )
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__cum", F.sum("bytes").over(w_local))
+    w_bkt = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("bytes").alias("__tot"))
+        .select(
+            "__bkt",
+            (F.sum("__tot").over(w_bkt) - F.col("__tot")).alias(
+                "__off"
+            ),
+        )
+    )
+    prev = F.col("__off") + F.col("__cum") - F.col("bytes")
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .select(
+            F.col("__id").alias(id_col),
+            "bytes",
+            F.floor(prev / target_bytes).cast("long").alias("shard_id"),
+        )
+    )

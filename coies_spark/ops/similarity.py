@@ -1514,3 +1514,56 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "target_id", "sim", "rank")
     )
+
+
+def semantic_contamination(
+    embeddings: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(vec_id, bench_id, sim): the EMBEDDING-level decontamination
+    sweep — every (corpus vector, benchmark item) pair whose cosine
+    clears ``threshold``.  The n-gram rule
+    (:func:`~coies_spark.ops.dedup.contamination_pairs`) misses
+    paraphrased leakage; cosine over the same embedding space the
+    dedup stack already maintains catches a benchmark item that was
+    reworded into the training set — the semantic-dedup argument
+    applied to eval integrity.
+
+    Plan: the benchmark side is broadcast (eval suites are thousands
+    of items, never corpus-sized) and the corpus is scanned ONCE with
+    the pair filter inside whole-stage codegen — the same
+    shape as :func:`brute_topk` but filter-bounded instead of
+    top-k-bounded, so output is only the audit trail, not N×B.  At
+    10^10 corpus vectors the scan is embarrassingly parallel; if the
+    benchmark outgrows broadcast, route both sides through
+    :func:`banded_lsh_buckets` and verify exactly — same composition
+    the near-dup path uses.
+
+    Emits every qualifying pair (not just the best) because the
+    decontamination report wants the full evidence; dedup to
+    per-vector verdicts downstream with a groupBy if needed.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            "semantic_contamination: threshold must be in (0, 1]"
+        )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    )
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.col(vec_col).alias("_bv"),
+    )
+    return (
+        corpus.join(F.broadcast(bench), how="cross")
+        .select(
+            "vec_id",
+            "bench_id",
+            cosine_sim(F.col("_cv"), F.col("_bv")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
