@@ -1699,6 +1699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_neardup": lambda s, d: transcripts.conversation_neardup(
             transcripts.synthesize_transcripts(_read(s, d, "documents"))
         ),
+        # extractive one-turn summary: the degree-centrality TextRank
+        # special case (max mean token-Jaccard to the other turns)
+        "central_turns": lambda s, d: transcripts.central_turns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        ),
         # KG-embedding training pairs: deterministic corrupted-tail
         # negatives (TransE/DistMult data prep)
         "kg_negatives": _q_kg_negatives,
@@ -1719,6 +1724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jaccard band (close but not near-dup)
         "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
             _read(s, d, "documents"), lo=0.01, hi=0.9
+        ),
+        # quality-aware near-dup canonicalization: each LSH cluster
+        # keeps its longest member (vs bag_dedup's arbitrary min-id)
+        "dedup_representatives": lambda s, d: dedup.dedup_representatives(
+            _read(s, d, "documents"),
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")),
+            score_col="n_chars",
         ),
         # embedding-level decontamination: planted twins of the
         # first 8 "benchmark" vectors must light up at >= 0.9 (the
@@ -6937,5 +6949,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT entity, entity_type, votes, total,
                round(CAST(votes AS DOUBLE) / total, 6) AS confidence
         FROM r WHERE rk = 1
+    """
+
+    # central_turns: within-conv pairwise token-set Jaccard, mean per
+    # turn, argmax (centrality DESC NULLS LAST, turn ASC) — the same
+    # distinct-token convention as the jaccard family; both-empty
+    # pairs yield NULL and drop out of the mean on both engines
+    sql["central_turns"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tk AS (SELECT DISTINCT conv_id, turn_idx, tok FROM (
+                 SELECT conv_id, turn_idx,
+                        unnest(list_filter(regexp_split_to_array(
+                          lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                          x -> x <> '')) AS tok
+                 FROM t)),
+        sz AS (SELECT conv_id, turn_idx, count(*) AS n
+               FROM tk GROUP BY 1, 2),
+        turns AS (SELECT conv_id, turn_idx FROM t),
+        pairs AS (SELECT a.conv_id, a.turn_idx AS ta,
+                         b.turn_idx AS tb
+                  FROM turns a JOIN turns b
+                    ON a.conv_id = b.conv_id
+                   AND a.turn_idx <> b.turn_idx),
+        sh AS (SELECT x.conv_id, x.turn_idx AS ta,
+                      y.turn_idx AS tb, count(*) AS shared
+               FROM tk x JOIN tk y
+                 ON x.conv_id = y.conv_id AND x.tok = y.tok
+                AND x.turn_idx <> y.turn_idx
+               GROUP BY 1, 2, 3),
+        j AS (SELECT p.conv_id, p.ta,
+                CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                          - coalesce(sh.shared, 0) = 0 THEN NULL
+                     ELSE CAST(coalesce(sh.shared, 0) AS DOUBLE)
+                          / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                             - coalesce(sh.shared, 0)) END AS jac
+              FROM pairs p
+              LEFT JOIN sh ON sh.conv_id = p.conv_id
+                AND sh.ta = p.ta AND sh.tb = p.tb
+              LEFT JOIN sz sa ON sa.conv_id = p.conv_id
+                AND sa.turn_idx = p.ta
+              LEFT JOIN sz sb ON sb.conv_id = p.conv_id
+                AND sb.turn_idx = p.tb),
+        c AS (SELECT conv_id, ta AS turn_idx,
+                     round(avg(jac), 6) AS centrality
+              FROM j GROUP BY 1, 2),
+        n AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+              FROM turns GROUP BY 1),
+        r AS (SELECT turns.conv_id, turns.turn_idx, c.centrality,
+                     n.n_turns,
+                     row_number() OVER (PARTITION BY turns.conv_id
+                       ORDER BY c.centrality DESC NULLS LAST,
+                                turns.turn_idx ASC) AS rk
+              FROM turns
+              LEFT JOIN c ON c.conv_id = turns.conv_id
+                AND c.turn_idx = turns.turn_idx
+              JOIN n ON n.conv_id = turns.conv_id)
+        SELECT conv_id, turn_idx, centrality, n_turns
+        FROM r WHERE rk = 1
+    """
+    )
+
+    # dedup_representatives: the canonicalize_cc component table
+    # (nested verbatim), then keep-best-by-n_chars with the string-id
+    # tiebreak; singletons are their own component
+    sql["dedup_representatives"] = f"""
+        WITH comp AS (SELECT node, component
+                      FROM ({sql['canonicalize_cc']})),
+        lab AS (SELECT d.doc_id,
+                       CAST(d.doc_id AS VARCHAR) AS sid,
+                       d.n_chars,
+                       coalesce(c.component,
+                                CAST(d.doc_id AS VARCHAR))
+                         AS component
+                FROM documents d
+                LEFT JOIN comp c
+                  ON c.node = CAST(d.doc_id AS VARCHAR)),
+        r AS (SELECT *,
+                first_value(sid) OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, sid ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS rep_id
+              FROM lab)
+        SELECT doc_id, component, rep_id, (sid = rep_id) AS kept
+        FROM r
     """
     return sql

@@ -1219,3 +1219,76 @@ def pair_recall(
             ).alias("precision"),
         )
     )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component, rep_id, kept): quality-aware near-dup
+    canonicalization — connected components over any near-dup pair
+    frame (LSH candidates, verified Jaccard, containment), then each
+    cluster keeps its HIGHEST-``score_col`` member (ties → smallest
+    id in STRING order — the component-label convention, identical
+    on every engine) instead of the arbitrary min-id representative
+    :func:`bag_dedup` uses.  When near-copies differ (one is
+    truncated, one is boilerplate-wrapped, one is the clean
+    original), min-id keeps a random-quality copy; keep-best is the
+    curation rule that preserves corpus quality while removing the
+    same number of rows.
+
+    Unpaired docs are their own singleton component (kept).  The
+    component key is the cluster min-id (string, the
+    connected-components convention); ``rep_id`` is the winner's id
+    as a string; filter ``kept`` for the deduped corpus, or join
+    ``rep_id`` back for provenance.
+
+    Scale: the O(log² n) star-contraction CC (near-dup candidate
+    graphs CHAIN, so diameter is not bounded by construction —
+    the canonicalize_cc lesson) + one left join + one
+    component-keyed window — no step is all-pairs.
+    """
+    from ..operators.graph import connected_components_star
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components_star(edges).withColumnRenamed(
+        "node", "__node"
+    )
+    labeled = docs.select(
+        F.col(id_col),
+        F.col(score_col).alias("__score"),
+    ).join(
+        cc, F.col(id_col).cast("string") == F.col("__node"), "left"
+    ).select(
+        id_col,
+        "__score",
+        F.coalesce(
+            F.col("component"), F.col(id_col).cast("string")
+        ).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__score"), F.asc(F.col(id_col).cast("string"))
+    )
+    return (
+        labeled.withColumn(
+            "__rep",
+            F.first(F.col(id_col).cast("string")).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select(
+            id_col,
+            "component",
+            F.col("__rep").alias("rep_id"),
+            (F.col(id_col).cast("string") == F.col("__rep")).alias(
+                "kept"
+            ),
+        )
+    )

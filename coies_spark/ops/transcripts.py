@@ -1012,3 +1012,64 @@ def refusal_stats(
             6,
         ).alias("refusal_rate"),
     )
+
+
+def central_turns(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, centrality, n_turns): the most CENTRAL
+    turn of each conversation — the turn whose mean token-Jaccard to
+    every other turn is highest (ties → earliest turn).  This is the
+    degree-centrality special case of TextRank's extractive-summary
+    rule (Mihalcea & Tarau, EMNLP 2004): one representative turn per
+    conversation, for preview cards, retrieval snippets, and cheap
+    conversation-level dedup keys.
+
+    ``centrality`` = round(mean over other turns of
+    \\|A∩B\\| / \\|A∪B\\| on distinct token sets, 6) — integer set
+    sizes, one final division, engine-exact.  Single-turn
+    conversations are still emitted with centrality NULL (their only
+    turn IS the summary; NULL says "trivially central", not
+    "missing").  Empty-token pairs score NULL and drop out of the
+    mean on both engines alike.
+
+    Scale: one conv_id-keyed self-join — within-conversation
+    quadratic, bounded by the turn cap the ingest contract enforces
+    (the rouge-pairs family shape), never cross-conversation; then
+    one window argmax on the same conv_id partitioning.
+    """
+    sets = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(tokens_col("text")).alias("tset"),
+    )
+    a = sets.alias("a")
+    b = sets.select(
+        "conv_id",
+        F.col("turn_idx").alias("turn_b"),
+        F.col("tset").alias("tset_b"),
+    ).alias("b")
+    jac = F.try_divide(
+        F.size(F.array_intersect(F.col("a.tset"), F.col("tset_b"))),
+        F.size(F.array_union(F.col("a.tset"), F.col("tset_b"))),
+    )
+    scored = (
+        a.join(b, "conv_id")
+        .where(F.col("a.turn_idx") != F.col("turn_b"))
+        .groupBy("conv_id", F.col("a.turn_idx").alias("turn_idx"))
+        .agg(F.round(F.avg(jac), 6).alias("centrality"))
+    )
+    counts = sets.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    ranked = (
+        sets.select("conv_id", "turn_idx")
+        .join(scored, ["conv_id", "turn_idx"], "left")
+        .join(counts, "conv_id")
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc_nulls_last("centrality"), F.asc("turn_idx")
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("conv_id", "turn_idx", "centrality", "n_turns")
+    )
