@@ -44,6 +44,7 @@ from coies_spark.operators.graph import hits as graph_hits
 from coies_spark.operators.graph import random_walks as graph_random_walks
 from coies_spark.operators.graph import walk_pairs as graph_walk_pairs
 from coies_spark.operators.graph import node2vec_walks as graph_node2vec
+from coies_spark.operators.graph import degree_histogram as graph_degree_histogram
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     bpe,
@@ -591,6 +592,24 @@ def _taxonomy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
+    )
+
+
+def _part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-catalog triples for the navigational path query:
+    (part:N, has_brand, brand) ∪ distinct (brand, has_type, type) —
+    a brand spanning several types gives real path fan-out."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        F.concat(F.lit("part:"), F.col("p_partkey")).alias("subj"),
+        F.lit("has_brand").alias("pred"),
+        F.col("p_brand").alias("obj"),
+    ).unionByName(
+        part.select(
+            F.col("p_brand").alias("subj"),
+            F.lit("has_type").alias("pred"),
+            F.col("p_type").alias("obj"),
+        ).distinct()
     )
 
 
@@ -1707,6 +1726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG-embedding training pairs: deterministic corrupted-tail
         # negatives (TransE/DistMult data prep)
         "kg_negatives": _q_kg_negatives,
+        # SPARQL sequence path has_brand/has_type over the part
+        # catalog triples: part -> (all its brand's) types
+        "path_query": lambda s, d: kg.path_query(
+            _part_triples(s, d), ("has_brand", "has_type")
+        ),
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,
         # Matryoshka prefix-dim ladder: recall@5 of the 8/16/32-dim
@@ -1887,6 +1911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph: the rarity-weighted complement of neighbor_jaccard
         # (shared hub-capped symmetrization; a 3-degree shared
         # neighbor is strong alias evidence, a hub nearly none)
+        # degree distribution of the near-dup candidate graph: the
+        # one-glance naturalness/hub gauge (the salting signal)
+        "degree_histogram": lambda s, d: graph_degree_histogram(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
         "adamic_adar": lambda s, d: graph_adamic_adar(
             graph_cooccurrence(
                 _q_entity_spans(s, d), "doc_id", "mention"
@@ -4968,6 +4999,18 @@ def oracle_sql() -> dict[str, str]:
     # skipping past the true object's own index — exactly uniform
     # (the engine's hash convention: first 32 bits of md5 of
     # subj:pred:obj:rank)
+    # path_query: the two sequence hops as plain joins; "end"/"start"
+    # quoted (END is reserved), path multiplicity collapsed
+    sql["path_query"] = """
+        WITH t1 AS (SELECT DISTINCT 'part:' || p_partkey AS s,
+                           p_brand AS mid
+                    FROM part),
+        t2 AS (SELECT DISTINCT p_brand AS mid, p_type AS e
+               FROM part)
+        SELECT DISTINCT t1.s AS "start", t2.e AS "end"
+        FROM t1 JOIN t2 USING (mid)
+    """
+
     sql["kg_negatives"] = f"""
         WITH {kg_ev},
         pos AS (SELECT DISTINCT subj, pred, obj FROM ev),
@@ -5399,6 +5442,22 @@ def oracle_sql() -> dict[str, str]:
     # neighbor_jaccard; the middle node's weight 1/ln(d) is rounded
     # 9dp and lifted to DECIMAL(28,12) before the sum (order-exact on
     # any partitioning), cast back to double and rounded 6
+    # degree_histogram: symmetric distinct neighbours over the same
+    # LSH candidate pairs, two groupBys
+    sql["degree_histogram"] = f"""
+        WITH e AS (SELECT doc_a, doc_b
+                   FROM ({sql['minhash_lsh_pairs']})),
+        sym AS (SELECT CAST(doc_a AS VARCHAR) AS node,
+                       CAST(doc_b AS VARCHAR) AS nbr FROM e
+                UNION
+                SELECT CAST(doc_b AS VARCHAR),
+                       CAST(doc_a AS VARCHAR) FROM e),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM sym GROUP BY 1)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
+    """
+
     sql["adamic_adar"] = f"""
         WITH e AS (SELECT a, b FROM ({sql['entity_cooccurrence']})),
         und AS (SELECT a AS u, b AS v FROM e

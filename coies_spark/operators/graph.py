@@ -1289,3 +1289,39 @@ def incremental_components(
         )
     )
     return connected_components_star(combined)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes): the degree distribution of an undirected
+    edge set — the one-glance KG health gauge (a healthy entity graph
+    is heavy-tailed; a flat histogram says the extractor is emitting
+    templated junk, and a single monster degree says one entity is a
+    stopword-like hub that will skew every downstream join — the
+    salting signal).  Complements :func:`~coies_spark.ops.textstats.
+    zipf_alpha`, which gauges the same naturalness property on token
+    frequencies.
+
+    Degree counts DISTINCT neighbours (parallel edges collapsed,
+    both directions, self-loops counted once); two
+    map-side-combinable groupBys — (node) then (degree) — so the
+    output is degree-many rows, broadcastable into any monitoring
+    join, and nothing after the first aggregate is graph-sized.
+    """
+    sym = edges.select(
+        F.col("src").cast("string").alias("node"),
+        F.col("dst").cast("string").alias("nbr"),
+    ).unionByName(
+        edges.select(
+            F.col("dst").cast("string").alias("node"),
+            F.col("src").cast("string").alias("nbr"),
+        )
+    )
+    deg = (
+        sym.distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

@@ -1634,3 +1634,49 @@ def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(is_iri, inner).otherwise(lit).alias("obj"),
         is_iri.alias("obj_is_iri"),
     )
+
+
+def path_query(
+    triples: DataFrame,
+    path: tuple[str, ...],
+    start: str | None = None,
+) -> DataFrame:
+    """(start, end): endpoint pairs connected by the predicate
+    SEQUENCE ``path`` = (p1, ..., pk) — SPARQL property paths of the
+    ``p1/p2/.../pk`` form (sequence paths; the other SPARQL path
+    operator families map onto existing ops: ``p+`` is
+    :func:`subclass_closure` over the p-filtered edge set, ``p|q``
+    is a union of two path_query calls, ``^p`` swaps the join side).
+    :func:`bgp_query` answers "which bindings satisfy this star
+    shape"; THIS answers "what does following this relation chain
+    reach" — the navigational half of a KG query engine.
+
+    Plan: k-1 equi-joins, each against the triple store FILTERED to
+    one predicate — on a predicate-partitioned store
+    (pipeline.triples' layout) every hop is a partition-pruned read
+    of just its predicate (the tests/test_plans.py:155 property),
+    and each join key is the frontier's current node set, never the
+    whole store.  ``start`` pushes an origin filter into hop 1, so
+    single-entity navigation never materializes the global frontier.
+    Output pairs are distinct (path multiplicity collapsed — SPARQL
+    path semantics, which is also what keeps the frontier from
+    exploding on diamond shapes).
+    """
+    if not path:
+        raise ValueError("path_query: path must be non-empty")
+    hop = triples.where(F.col("pred") == path[0])
+    if start is not None:
+        hop = hop.where(F.col("subj") == start)
+    frontier = hop.select(
+        F.col("subj").alias("start"), F.col("obj").alias("end")
+    ).distinct()
+    for p in path[1:]:
+        nxt = triples.where(F.col("pred") == p).select(
+            F.col("subj").alias("__n"), F.col("obj").alias("__o")
+        )
+        frontier = (
+            frontier.join(nxt, F.col("end") == F.col("__n"))
+            .select("start", F.col("__o").alias("end"))
+            .distinct()
+        )
+    return frontier
