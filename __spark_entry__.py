@@ -45,6 +45,7 @@ from coies_spark.operators.graph import random_walks as graph_random_walks
 from coies_spark.operators.graph import walk_pairs as graph_walk_pairs
 from coies_spark.operators.graph import node2vec_walks as graph_node2vec
 from coies_spark.operators.graph import degree_histogram as graph_degree_histogram
+from coies_spark.operators.graph import pmi_edges as graph_pmi_edges
 from coies_spark.pipeline import triples as pipeline_triples
 from coies_spark.ops import (
     bpe,
@@ -1730,6 +1731,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # catalog triples: part -> (all its brand's) types
         "path_query": lambda s, d: kg.path_query(
             _part_triples(s, d), ("has_brand", "has_type")
+        ),
+        # AMIE-lite rule mining over the same catalog + the direct
+        # part_type shortcut: has_brand/has_type => part_type should
+        # surface with confidence = parts / brand-type fan-out
+        "mine_path_rules": lambda s, d: kg.mine_path_rules(
+            _part_triples(s, d).unionByName(
+                _read(s, d, "part").select(
+                    F.concat(
+                        F.lit("part:"), F.col("p_partkey")
+                    ).alias("subj"),
+                    F.lit("part_type").alias("pred"),
+                    F.col("p_type").alias("obj"),
+                )
+            ),
+            min_support=2,
+        ),
+        # PMI-weighted entity co-occurrence over conversations: the
+        # link-proposal weighting (hubs normalized away)
+        "entity_pmi": lambda s, d: graph_pmi_edges(
+            _kg_evidence(s, d), "subj", "obj"
         ),
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,
@@ -5009,6 +5030,58 @@ def oracle_sql() -> dict[str, str]:
                FROM part)
         SELECT DISTINCT t1.s AS "start", t2.e AS "end"
         FROM t1 JOIN t2 USING (mid)
+    """
+
+    # mine_path_rules: the same catalog + direct-shortcut triple set,
+    # distinct endpoint pairs per predicate pair, CWA confidence
+    sql["mine_path_rules"] = """
+        WITH t AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'part:' || p_partkey AS subj,
+                   'has_brand' AS pred, p_brand AS obj FROM part
+            UNION ALL
+            SELECT p_brand, 'has_type', p_type FROM part
+            UNION ALL
+            SELECT 'part:' || p_partkey, 'part_type', p_type
+            FROM part)),
+        paths AS (
+          SELECT DISTINCT a.subj AS s, a.pred AS p1,
+                          b.pred AS p2, b.obj AS o
+          FROM t a JOIN t b ON a.obj = b.subj),
+        body AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_paths
+                 FROM paths GROUP BY 1, 2),
+        sup AS (SELECT p.p1, p.p2, h.pred AS p3,
+                       CAST(count(*) AS BIGINT) AS support
+                FROM paths p
+                JOIN t h ON h.subj = p.s AND h.obj = p.o
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= 2)
+        SELECT sup.p1, sup.p2, sup.p3, body.n_paths, sup.support,
+               round(CAST(sup.support AS DOUBLE) / body.n_paths, 6)
+                 AS confidence
+        FROM sup JOIN body USING (p1, p2)
+    """
+
+    # entity_pmi: distinct (conv, entity) membership, within-group
+    # a<b pairs, ln-PMI with the same marginals/N derivation
+    sql["entity_pmi"] = f"""
+        WITH {kg_ev},
+        m AS (SELECT DISTINCT subj AS g, obj AS v FROM ev),
+        ng AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM m),
+        marg AS (SELECT v, CAST(count(*) AS BIGINT) AS nx
+                 FROM m GROUP BY 1),
+        pairs AS (SELECT x.v AS a, y.v AS b,
+                         CAST(count(*) AS BIGINT) AS n_ab
+                  FROM m x JOIN m y ON x.g = y.g AND x.v < y.v
+                  GROUP BY 1, 2)
+        SELECT a, b, n_ab,
+               ma.nx AS n_a, mb.nx AS n_b,
+               round(ln(CAST(n_ab AS DOUBLE) * ng.n
+                        / (ma.nx * mb.nx)), 6) AS pmi
+        FROM pairs
+        JOIN marg ma ON ma.v = a
+        JOIN marg mb ON mb.v = b
+        CROSS JOIN ng
     """
 
     sql["kg_negatives"] = f"""

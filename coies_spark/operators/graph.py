@@ -1325,3 +1325,79 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+def pmi_edges(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, pmi): co-occurrence edges weighted by
+    pointwise mutual information over GROUPS — P(a,b)/(P(a)·P(b))
+    with probabilities as group frequencies.  Raw co-occurrence
+    counts (:func:`cooccurrence_edges`) rank stopword-like hub
+    entities first because they are everywhere; PMI normalizes by
+    the marginals, so the top edges are pairs that seek each other
+    out — the link-PROPOSAL weighting for the entity graph, and the
+    set-membership sibling of the adjacency-PMI collocation table
+    (:func:`~coies_spark.ops.textstats.collocations`).
+
+    pmi = round(ln(n_ab · N / (n_a · n_b)), 6) where N = distinct
+    groups, n_x = groups containing x, n_ab = groups containing both
+    (membership distinct — multiplicity inside a group never counts
+    twice).  Negative PMI (co-occurring LESS than chance) is emitted
+    too: it flags entities an extractor should stop linking.
+
+    Plan: one distinct, two group-sized aggregates, one within-group
+    self-join (a < b — the cooccurrence_edges shape, quadratic only
+    inside a group), marginals joined back on the tiny entity side,
+    N broadcast as a 1-row cross join.
+    """
+    if min_pairs < 1:
+        raise ValueError("pmi_edges: min_pairs must be >= 1")
+    m = df.select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("string").alias("__v"),
+    ).distinct()
+    n_groups = m.select("__g").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    marg = m.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__nx")
+    )
+    x = m.select("__g", F.col("__v").alias("a"))
+    y = m.select("__g", F.col("__v").alias("b"))
+    pairs = (
+        x.join(y, "__g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(
+            marg.select(F.col("__v").alias("a"), F.col("__nx").alias("n_a")),
+            "a",
+        )
+        .join(
+            marg.select(F.col("__v").alias("b"), F.col("__nx").alias("n_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("__n")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

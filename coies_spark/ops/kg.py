@@ -1680,3 +1680,71 @@ def path_query(
             .distinct()
         )
     return frontier
+
+
+def mine_path_rules(
+    triples: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """(p1, p2, p3, n_paths, support, confidence): AMIE-style 2-hop
+    horn-rule mining — for every predicate triple (p1, p2, p3), how
+    often does the path body ``p1(x,y) ∧ p2(y,z)`` imply the direct
+    head ``p3(x,z)``?  (Galárraga et al., WWW 2013: support = number
+    of (x,z) endpoint pairs satisfying body AND head; confidence =
+    support / number of endpoint pairs satisfying the body — the
+    closed-world PCA-free baseline.)  High-confidence rules are the
+    KG-completion proposal set: they predict missing p3 edges
+    wherever the path exists without the shortcut, and they expose
+    redundant predicates an extractor emits twice under two names.
+
+    Plan: one triple self-join on the shared midpoint (distinct
+    endpoint pairs per predicate pair — the same multiplicity
+    collapse as :func:`path_query`, which also bounds the diamond
+    blow-up), one endpoint-join against the direct edges, and two
+    predicate-pair-sized groupBys.  At 10^10 triples the midpoint
+    join is the cost — it shuffles on entity ids, which is exactly
+    the join AQE's skew handling and the hub-salting signal
+    (:func:`~coies_spark.operators.graph.degree_histogram`) exist
+    for.  Output is |preds|³-bounded (tiny).
+    """
+    if min_support < 1:
+        raise ValueError("mine_path_rules: min_support must be >= 1")
+    t = triples.select("subj", "pred", "obj").distinct()
+    a = t.select(
+        F.col("subj").alias("__s"),
+        F.col("pred").alias("p1"),
+        F.col("obj").alias("__m"),
+    )
+    b = t.select(
+        F.col("subj").alias("__m2"),
+        F.col("pred").alias("p2"),
+        F.col("obj").alias("__o"),
+    )
+    paths = (
+        a.join(b, F.col("__m") == F.col("__m2"))
+        .select("__s", "p1", "p2", "__o")
+        .distinct()
+    )
+    body = paths.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    head = t.select(
+        F.col("subj").alias("__s"),
+        F.col("pred").alias("p3"),
+        F.col("obj").alias("__o"),
+    )
+    support = (
+        paths.join(head, ["__s", "__o"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return support.join(body, ["p1", "p2"]).select(
+        "p1",
+        "p2",
+        "p3",
+        "n_paths",
+        "support",
+        F.round(F.col("support") / F.col("n_paths"), 6).alias(
+            "confidence"
+        ),
+    )
