@@ -1613,6 +1613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language fertility of the same trained merges: the
         # multilingual tokenizer-equity table
         "bpe_fertility": _q_bpe_fertility,
+        # T5 denoising data prep: block-aligned deterministic span
+        # corruption (hash-Bernoulli block pick, sentinel agreement
+        # by block id) — input/target pairs in one projection
+        "span_corruption": lambda s, d: lm.span_corruption(
+            _read(s, d, "documents")
+        ),
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -4649,6 +4655,49 @@ def oracle_sql() -> dict[str, str]:
                                  AND 1 PRECEDING), 0) AS DOUBLE)
                  / 5000) AS BIGINT) AS shard_id
         FROM documents
+    """
+
+    # span_corruption: the same block-hash pick and slice arithmetic
+    # — DuckDB list slicing is 1-based inclusive (l[a:b]), matching
+    # Spark's slice(t, pos, len) truncation/empty behavior exactly
+    _sc_hit = (
+        "substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(b AS VARCHAR)), 1, 8) < '80000000'"
+    )
+    sql["span_corruption"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n,
+                        CAST(ceil(len(t) / 10.0) AS INT) AS nb
+                 FROM tk),
+        frag AS (
+          SELECT doc_id, t, n, nb,
+            list_transform(range(0, nb), b -> CASE WHEN {_sc_hit}
+              THEN '<extra_id_' || b || '>' ||
+                   CASE WHEN len(t[b*10+4 : b*10+10]) > 0
+                        THEN ' ' || array_to_string(
+                               t[b*10+4 : b*10+10], ' ')
+                        ELSE '' END
+              ELSE array_to_string(t[b*10+1 : b*10+10], ' ')
+              END) AS infrags,
+            list_filter(
+              list_transform(range(0, nb), b -> CASE WHEN {_sc_hit}
+                THEN '<extra_id_' || b || '> ' ||
+                     array_to_string(t[b*10+1 : b*10+3], ' ')
+                ELSE NULL END), x -> x IS NOT NULL) AS tgfrags,
+            len(list_filter(range(0, nb),
+                            b -> {_sc_hit})) AS n_cor
+          FROM base)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN n > 0 THEN n_cor ELSE 0 END AS BIGINT)
+                 AS n_corrupted,
+               CASE WHEN n > 0
+                    THEN array_to_string(infrags, ' ')
+                    ELSE '' END AS input,
+               CASE WHEN n > 0
+                    THEN coalesce(array_to_string(tgfrags, ' '), '')
+                    ELSE '' END AS target
+        FROM frag
     """
 
     # CCNet bigram-LM perplexity (stupid backoff, trained on the

@@ -158,3 +158,119 @@ def lm_perplexity(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    block: int = 10,
+    span: int = 3,
+    rate: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_corrupted, input, target): T5-style span
+    corruption (Raffel et al., JMLR 2020) as ONE deterministic
+    projection — the denoising-objective data-prep step: selected
+    token spans are cut from the input and replaced with sentinel
+    tokens; the target is the sentinel-prefixed concatenation of the
+    cut spans.
+
+    Determinism/scale variant: the corpus position stream is cut
+    into fixed ``block``-token windows; window b of a document is
+    corrupted iff the first 8 hex chars of ``md5(doc_id:b)`` fall
+    below the ``rate`` threshold (the hash-Bernoulli convention of
+    ``deterministic_sample`` — reproducible across engines, runs,
+    partitionings), and a corrupted window loses its FIRST ``span``
+    tokens to the sentinel ``<extra_id_b>``.  T5's reference
+    implementation draws Poisson span lengths sequentially per
+    document — an inherently serial scan a distributed projection
+    cannot replay — so this is the block-ALIGNED variant: expected
+    corruption density = rate · span/block (defaults: 15%, the T5
+    number), sentinel ids are block indices (not consecutive — T5
+    only requires input/target sentinel AGREEMENT, which block ids
+    give for free, sparing the serial renumbering fold).
+
+    Whole-stage-codegen plan: tokenize, one ``transform`` over the
+    block index sequence building per-block fragments (slice + join
+    — no explode, the document never becomes rows), two
+    ``array_join``s.  Zero shuffle, embarrassingly parallel.
+    """
+    if block < 1 or span < 1 or span > block:
+        raise ValueError(
+            "span_corruption: need 1 <= span <= block"
+        )
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("span_corruption: rate must be in [0, 1]")
+    from .sampling import threshold_hex
+
+    thr = threshold_hex(rate)
+    toks = tokens_col("text")
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(block)).cast("int")
+    bidx = F.sequence(F.lit(0), nb - 1)
+
+    def _hit(b):
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    b.cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        if thr is None:  # rate == 1.0: every block corrupted
+            return F.lit(True)
+        return h < F.lit(thr)
+
+    def _in_frag(t, b):
+        kept = F.slice(t, b * block + span + 1, block - span)
+        full = F.slice(t, b * block + 1, block)
+        return F.when(
+            _hit(b),
+            F.concat(
+                F.lit("<extra_id_"),
+                b.cast("string"),
+                F.lit(">"),
+                F.when(
+                    F.size(kept) > 0,
+                    F.concat(F.lit(" "), F.array_join(kept, " ")),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.array_join(full, " "))
+
+    def _tg_frag(t, b):
+        cut = F.slice(t, b * block + 1, span)
+        return F.when(
+            _hit(b),
+            F.concat(
+                F.lit("<extra_id_"),
+                b.cast("string"),
+                F.lit("> "),
+                F.array_join(cut, " "),
+            ),
+        ).otherwise(F.lit(None))
+
+    t = toks
+    inp = F.array_join(
+        F.transform(bidx, lambda b: _in_frag(t, b)), " "
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(bidx, lambda b: _tg_frag(t, b)),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    n_cor = F.size(
+        F.filter(bidx, lambda b: _hit(b))
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, n_cor).otherwise(F.lit(0)).cast("long").alias(
+            "n_corrupted"
+        ),
+        F.when(n > 0, inp).otherwise(F.lit("")).alias("input"),
+        F.when(n > 0, tgt).otherwise(F.lit("")).alias("target"),
+    )
