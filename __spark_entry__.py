@@ -1758,6 +1758,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": lambda s, d: graph_pmi_edges(
             _kg_evidence(s, d), "subj", "obj"
         ),
+        # AIDA-style coherence disambiguation: 'spark' is ambiguous
+        # (engine vs plug); the conversation's unambiguous co-mention
+        # seeds vote through the co-occurrence graph
+        "disambiguate_mentions": lambda s, d: (
+            kg.disambiguate_by_coherence(
+                _kg_evidence(s, d).select(
+                    F.col("subj").alias("conv_id"),
+                    F.col("obj").alias("surface"),
+                ),
+                s.createDataFrame(
+                    [(surf, surf) for surf, _ in KG_DICT]
+                    + [("spark", "sparkplug")],
+                    ["surface", "entity"],
+                ),
+                graph_pmi_edges(_kg_evidence(s, d), "subj", "obj")
+                .select(
+                    "a", "b", F.col("n_ab").cast("double").alias("weight")
+                ),
+            )
+        ),
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,
         # Matryoshka prefix-dim ladder: recall@5 of the 8/16/32-dim
@@ -5131,6 +5151,59 @@ def oracle_sql() -> dict[str, str]:
         JOIN marg ma ON ma.v = a
         JOIN marg mb ON mb.v = b
         CROSS JOIN ng
+    """
+
+    # disambiguate_mentions: the entity_pmi edges (nested, n_ab as
+    # weight), the VALUES dictionary with the planted 'spark'
+    # ambiguity, seeds = single-candidate surfaces, 1-hop coherence
+    # sum, argmax with (coherence DESC NULLS LAST, entity ASC)
+    _dd_vals = ", ".join(
+        f"('{s_}', '{s_}')" for s_, _ in KG_DICT
+    ) + ", ('spark', 'sparkplug')"
+    sql["disambiguate_mentions"] = f"""
+        WITH {kg_ev},
+        m AS (SELECT DISTINCT subj AS conv_id, obj AS surface
+              FROM ev),
+        dd AS (SELECT * FROM (VALUES {_dd_vals})
+              AS dd(surface, entity)),
+        kc AS (SELECT surface,
+                      CAST(count(*) AS BIGINT) AS n_candidates
+               FROM dd GROUP BY 1),
+        linked AS (SELECT m.conv_id, m.surface, dd.entity,
+                          kc.n_candidates
+                   FROM m JOIN dd USING (surface)
+                   JOIN kc USING (surface)),
+        seeds AS (SELECT DISTINCT conv_id, entity AS seed
+                  FROM linked WHERE n_candidates = 1),
+        pe AS (SELECT a, b, CAST(n_ab AS DOUBLE) AS weight
+               FROM ({sql['entity_pmi']})),
+        sym AS (SELECT a AS x, b AS y, weight FROM pe
+                UNION ALL
+                SELECT b, a, weight FROM pe),
+        amb AS (SELECT * FROM linked WHERE n_candidates > 1),
+        scored AS (SELECT amb.conv_id, amb.surface, amb.entity,
+                          round(sum(sym.weight), 6) AS coherence
+                   FROM amb
+                   JOIN sym ON sym.x = amb.entity
+                   JOIN seeds ON seeds.conv_id = amb.conv_id
+                     AND seeds.seed = sym.y
+                   GROUP BY 1, 2, 3),
+        ranked AS (SELECT amb.conv_id, amb.surface, amb.entity,
+                          s.coherence, amb.n_candidates,
+                          row_number() OVER (
+                            PARTITION BY amb.conv_id, amb.surface
+                            ORDER BY s.coherence DESC NULLS LAST,
+                                     amb.entity ASC) AS rk
+                   FROM amb
+                   LEFT JOIN scored s ON s.conv_id = amb.conv_id
+                     AND s.surface = amb.surface
+                     AND s.entity = amb.entity)
+        SELECT conv_id, surface, entity, coherence, n_candidates
+        FROM ranked WHERE rk = 1
+        UNION ALL
+        SELECT conv_id, surface, entity,
+               CAST(NULL AS DOUBLE) AS coherence, n_candidates
+        FROM linked WHERE n_candidates = 1
     """
 
     sql["kg_negatives"] = f"""

@@ -1748,3 +1748,94 @@ def mine_path_rules(
             "confidence"
         ),
     )
+
+
+def disambiguate_by_coherence(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """(conv_id, surface, entity, coherence, n_candidates): collective
+    entity disambiguation by LOCAL COHERENCE — for each ambiguous
+    mention, pick the candidate entity most connected to the
+    conversation's unambiguous entities (the AIDA rule, Hoffart et
+    al., EMNLP 2011, reduced to its 1-hop deterministic core: the
+    seed set is every surface with exactly one dictionary candidate,
+    and a candidate's score is the summed edge weight to the seeds
+    co-mentioned in the SAME conversation).  This is the stage after
+    broadcast dictionary linking: the dictionary says "spark could be
+    the engine or the plug"; the conversation's other entities say
+    which.
+
+    * ``mentions``: (conv_id, surface) — the detected mention table;
+    * ``candidates``: (surface, entity) — the dictionary, 1..k rows
+      per surface; single-candidate surfaces become seeds;
+    * ``edges``: (a, b, weight) — any entity coherence graph
+      (:func:`~coies_spark.operators.graph.pmi_edges` output, raw
+      co-occurrence counts, alias confidences); treated undirected.
+
+    Unambiguous mentions pass through with coherence NULL (nothing
+    to decide).  Ambiguous candidates with NO seed support score
+    NULL and lose to any scored sibling; an entirely unsupported
+    mention resolves to its smallest candidate entity (deterministic,
+    and honest: coherence NULL says the graph had no opinion).
+
+    Plan: the candidate table is dictionary-sized → broadcast; the
+    scoring join fans each ambiguous mention out to (candidates ×
+    conversation seeds) and collapses immediately in a
+    map-side-combinable sum — bounded by mention count × k × seeds
+    per conversation, never corpus².
+    """
+    k = candidates.groupBy("surface").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    cand = candidates.join(k, "surface")
+    linked = mentions.select("conv_id", "surface").distinct().join(
+        F.broadcast(cand), "surface"
+    )
+    seeds = (
+        linked.where(F.col("n_candidates") == 1)
+        .select("conv_id", F.col("entity").alias("__seed"))
+        .distinct()
+    )
+    sym = edges.select(
+        F.col("a").alias("__x"), F.col("b").alias("__y"), "weight"
+    ).unionByName(
+        edges.select(
+            F.col("b").alias("__x"), F.col("a").alias("__y"), "weight"
+        )
+    )
+    amb = linked.where(F.col("n_candidates") > 1)
+    scored = (
+        amb.join(sym, F.col("entity") == F.col("__x"))
+        .join(
+            seeds,
+            (amb["conv_id"] == seeds["conv_id"])
+            & (F.col("__y") == F.col("__seed")),
+        )
+        .groupBy(amb["conv_id"], "surface", "entity")
+        .agg(F.round(F.sum("weight"), 6).alias("coherence"))
+    )
+    ranked = amb.join(
+        scored,
+        ["conv_id", "surface", "entity"],
+        "left",
+    )
+    w = Window.partitionBy("conv_id", "surface").orderBy(
+        F.desc_nulls_last("coherence"), F.asc("entity")
+    )
+    winners = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "conv_id", "surface", "entity", "coherence", "n_candidates"
+        )
+    )
+    passthrough = linked.where(F.col("n_candidates") == 1).select(
+        "conv_id",
+        "surface",
+        "entity",
+        F.lit(None).cast("double").alias("coherence"),
+        "n_candidates",
+    )
+    return winners.unionByName(passthrough)
