@@ -1619,6 +1619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": lambda s, d: lm.span_corruption(
             _read(s, d, "documents")
         ),
+        # fill-in-the-middle: hash-pivot prefix/middle/suffix cuts,
+        # PSM/SPM 50/50 — the document-level denoising sibling
+        "fim_split": lambda s, d: lm.fim_split(
+            _read(s, d, "documents")
+        ),
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -4718,6 +4723,47 @@ def oracle_sql() -> dict[str, str]:
                     THEN coalesce(array_to_string(tgfrags, ' '), '')
                     ELSE '' END AS target
         FROM frag
+    """
+
+    # fim_split: the same hash pivots via DuckDB's 0x-cast, list
+    # slicing 1-based inclusive, empty slices coalesced to ''
+    def _fim_mod(tag: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            f"|| ':{tag}'), 1, 8)) AS BIGINT) % (len(t) + 1)"
+        )
+
+    sql["fim_split"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n,
+                        {_fim_mod('a')} AS ha,
+                        {_fim_mod('b')} AS hb,
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':m'),
+                               1, 8) < '80000000' AS is_spm
+                 FROM tk),
+        cut AS (SELECT doc_id, t, n,
+                       CAST(least(ha, hb) AS INT) AS lo,
+                       CAST(greatest(ha, hb) AS INT) AS hi, is_spm
+                FROM base),
+        parts AS (SELECT doc_id, n, lo, hi, is_spm,
+                    coalesce(array_to_string(t[1 : lo], ' '), '')
+                      AS pre,
+                    coalesce(array_to_string(t[lo+1 : hi], ' '), '')
+                      AS mid,
+                    coalesce(array_to_string(t[hi+1 : n], ' '), '')
+                      AS suf
+                  FROM cut)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(lo AS BIGINT) AS n_prefix,
+               CAST(hi - lo AS BIGINT) AS n_middle,
+               CASE WHEN is_spm THEN 'spm' ELSE 'psm' END AS mode,
+               CASE WHEN is_spm
+                    THEN '<SUF> ' || suf || ' <PRE> ' || pre
+                         || ' <MID> ' || mid
+                    ELSE '<PRE> ' || pre || ' <SUF> ' || suf
+                         || ' <MID> ' || mid END AS output
+        FROM parts
     """
 
     # CCNet bigram-LM perplexity (stupid backoff, trained on the

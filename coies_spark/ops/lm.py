@@ -274,3 +274,95 @@ def span_corruption(
         F.when(n > 0, inp).otherwise(F.lit("")).alias("input"),
         F.when(n > 0, tgt).otherwise(F.lit("")).alias("target"),
     )
+
+
+def fim_split(docs: DataFrame, spm_rate: float = 0.5) -> DataFrame:
+    """(doc_id, n_tokens, n_prefix, n_middle, mode, output): the
+    fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle") —
+    each document is cut into prefix/middle/suffix at two
+    deterministic pivots and re-serialized with sentinel tokens so a
+    causal LM learns infilling "for free".  The document-level
+    complement of :func:`span_corruption`'s many-small-spans
+    objective.
+
+    * pivots: ``md5(doc_id:a) mod (n+1)`` and ``md5(doc_id:b) mod
+      (n+1)``, sorted — engine-portable hash randomness (uniform per
+      document, reproducible on any run/partitioning; degenerate
+      cuts — empty prefix/middle/suffix — are kept, as in the paper:
+      the model must handle them at inference);
+    * mode: PSM (``<PRE> p <SUF> s <MID> m``) or SPM (``<SUF> s
+      <PRE> p <MID> m``), chosen per document by the same hash rule
+      at ``spm_rate`` (the paper's 50/50 joint training);
+    * the untouched token counts ride along so a loss-masking
+      packer (``pack_turns``'s offset convention) can find the
+      middle without re-tokenizing.
+
+    Pure zero-shuffle projection: tokenize, two hash mods, three
+    slices, one concat — whole-stage codegen, embarrassingly
+    parallel.
+    """
+    if not 0.0 <= spm_rate <= 1.0:
+        raise ValueError("fim_split: spm_rate must be in [0, 1]")
+    from .sampling import threshold_hex
+
+    thr = threshold_hex(spm_rate)
+    toks = tokens_col("text")
+    n = F.size(toks)
+
+    def _mod(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":" + tag)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % (n.cast("long") + 1)
+
+    a, b = _mod("a"), _mod("b")
+    lo, hi = F.least(a, b).cast("int"), F.greatest(a, b).cast("int")
+    pre = F.array_join(F.slice(toks, 1, lo), " ")
+    mid = F.array_join(
+        F.slice(toks, lo + 1, hi - lo), " "
+    )
+    suf = F.array_join(
+        F.slice(toks, hi + 1, n - hi), " "
+    )
+    if thr is None:
+        is_spm = F.lit(True)
+    else:
+        is_spm = (
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":m"))
+                ),
+                1,
+                8,
+            )
+            < F.lit(thr)
+        )
+    psm = F.concat(
+        F.lit("<PRE> "), pre, F.lit(" <SUF> "), suf,
+        F.lit(" <MID> "), mid,
+    )
+    spm = F.concat(
+        F.lit("<SUF> "), suf, F.lit(" <PRE> "), pre,
+        F.lit(" <MID> "), mid,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        lo.cast("long").alias("n_prefix"),
+        (hi - lo).cast("long").alias("n_middle"),
+        F.when(is_spm, F.lit("spm")).otherwise(F.lit("psm")).alias(
+            "mode"
+        ),
+        F.when(is_spm, spm).otherwise(psm).alias("output"),
+    )
