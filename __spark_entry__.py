@@ -1544,6 +1544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             transcripts.synthesize_transcripts(_read(s, d, "documents")),
             context_turns=3,
         ),
+        # DPO preference-pair mining over the same instruct funnel:
+        # same-prompt groups, best-vs-worst under a length score
+        "preference_pairs": lambda s, d: transcripts.preference_pairs(
+            transcripts.training_pairs(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                ),
+                context_turns=3,
+            ).withColumn("score", F.length("response").cast("double"))
+        ),
         # --- beyond the driver's 50-entry sweep window ---
         # Everything below IS oracled (run scripts/check_oracle.py on
         # any of them) except the two rows-only kernels at the very
@@ -5770,6 +5780,28 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         WHERE role = 'assistant' AND turn_text IS NOT NULL
           AND turn_text <> '' AND len(ctx) >= 1
+    """
+
+    # preference_pairs: nest the training_pairs twin, length score,
+    # best-per-distinct-response collapse, struct min/max extremes
+    # (DuckDB struct_pack compares fields in order, same as Spark)
+    sql["preference_pairs"] = f"""
+        WITH ex0 AS (SELECT prompt, response,
+                            CAST(length(response) AS DOUBLE) AS score
+                     FROM ({sql['training_pairs']})),
+        ex AS (SELECT prompt, response, max(score) AS score
+               FROM ex0 GROUP BY 1, 2),
+        agg AS (SELECT prompt,
+                  max(struct_pack(score := score,
+                                  response := response)) AS b,
+                  min(struct_pack(score := score,
+                                  response := response)) AS w,
+                  CAST(count(*) AS BIGINT) AS n_responses
+                FROM ex GROUP BY 1)
+        SELECT prompt, b.response AS chosen, w.response AS rejected,
+               round(b.score, 6) AS chosen_score,
+               round(w.score, 6) AS rejected_score, n_responses
+        FROM agg WHERE n_responses >= 2
     """
 
     # token_drift: integer token counts per slice, full-outer joined;

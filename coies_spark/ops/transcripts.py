@@ -1073,3 +1073,59 @@ def central_turns(transcripts: DataFrame) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("conv_id", "turn_idx", "centrality", "n_turns")
     )
+
+
+def preference_pairs(
+    examples: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+) -> DataFrame:
+    """(prompt, chosen, rejected, chosen_score, rejected_score,
+    n_responses): preference-pair mining for DPO/RLHF-style training
+    — wherever the SAME prompt has accumulated several distinct
+    responses (multi-turn agent logs replay the same question;
+    resampled generations land in the same table), emit the
+    best-vs-worst pair under ``score_col`` (any quality signal:
+    classifier score, length-normalized heuristic, human rating).
+    Prompts with fewer than two DISTINCT responses emit nothing —
+    a pair needs a contrast.
+
+    Determinism: duplicate (prompt, response) rows collapse FIRST to
+    their best score (a resampled identical generation is one
+    candidate, at its best showing — this is also what guarantees
+    chosen ≠ rejected); then chosen = max (score, response) struct
+    and rejected = min (score, response) struct — under fully tied
+    scores the pair degrades to (max response, min response), still
+    distinct.  Scores are surfaced so a margin filter
+    (``chosen_score - rejected_score >= m``) composes downstream
+    without re-mining.
+
+    Plan: two prompt-keyed map-side-combinable aggregates — no
+    window, no self-join; at 10^10 examples the only shuffles are
+    the groupBys on the prompt key (hash the prompt to a digest
+    column first if prompt strings are long — same advice as the
+    dedup family).
+    """
+    ex = (
+        examples.select(
+            F.col(prompt_col).alias("prompt"),
+            F.col(response_col).alias("response"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+        .groupBy("prompt", "response")
+        .agg(F.max("score").alias("score"))
+    )
+    agg = ex.groupBy("prompt").agg(
+        F.max(F.struct(F.col("score"), F.col("response"))).alias("__b"),
+        F.min(F.struct(F.col("score"), F.col("response"))).alias("__w"),
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+    )
+    return agg.where(F.col("n_responses") >= 2).select(
+        "prompt",
+        F.col("__b.response").alias("chosen"),
+        F.col("__w.response").alias("rejected"),
+        F.round(F.col("__b.score"), 6).alias("chosen_score"),
+        F.round(F.col("__w.score"), 6).alias("rejected_score"),
+        "n_responses",
+    )
