@@ -1811,6 +1811,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": lambda s, d: dedup.hard_negative_pairs(
             _read(s, d, "documents"), lo=0.01, hi=0.9
         ),
+        # SOFT dedup: weight 1/cluster_size instead of dropping —
+        # each near-dup cluster contributes one doc's expected mass
+        "soft_dedup_weights": lambda s, d: dedup.soft_dedup_weights(
+            _read(s, d, "documents"),
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")),
+        ),
+        # tf-idf aboutness of entities per conversation: the triple-
+        # subject / topic ranking over the mention evidence
+        "mention_salience": lambda s, d: kg.mention_salience(
+            _kg_evidence(s, d)
+        ),
         # quality-aware near-dup canonicalization: each LSH cluster
         # keeps its longest member (vs bag_dedup's arbitrary min-id)
         "dedup_representatives": lambda s, d: dedup.dedup_representatives(
@@ -7342,6 +7353,55 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rk = 1
     """
     )
+
+    # soft_dedup_weights: the same nested component table, sizes +
+    # 1/size weights, singletons weight 1.0
+    sql["soft_dedup_weights"] = f"""
+        WITH comp AS (SELECT node, component
+                      FROM ({sql['canonicalize_cc']})),
+        lab AS (SELECT d.doc_id,
+                       coalesce(c.component,
+                                CAST(d.doc_id AS VARCHAR))
+                         AS component
+                FROM documents d
+                LEFT JOIN comp c
+                  ON c.node = CAST(d.doc_id AS VARCHAR)),
+        sz AS (SELECT component,
+                      CAST(count(*) AS BIGINT) AS cluster_size
+               FROM lab GROUP BY 1)
+        SELECT lab.doc_id, lab.component, sz.cluster_size,
+               round(1.0 / sz.cluster_size, 6) AS weight
+        FROM lab JOIN sz USING (component)
+    """
+
+    # mention_salience: evidence-row counts (NOT distinct — tf is
+    # mention mass), rounded factors multiplied post-rounding
+    sql["mention_salience"] = f"""
+        WITH {kg_ev},
+        counts AS (SELECT subj AS conv_id, obj AS entity,
+                          CAST(count(*) AS BIGINT) AS n_mentions
+                   FROM ev GROUP BY 1, 2),
+        ct AS (SELECT conv_id,
+                      CAST(sum(n_mentions) AS BIGINT) AS tot
+               FROM counts GROUP BY 1),
+        ed AS (SELECT entity, CAST(count(*) AS BIGINT) AS df
+               FROM counts GROUP BY 1),
+        nn AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n
+               FROM counts),
+        tfidf AS (SELECT counts.conv_id, counts.entity,
+                         counts.n_mentions,
+                         round(CAST(counts.n_mentions AS DOUBLE)
+                               / ct.tot, 6) AS tf,
+                         round(ln(CAST(nn.n AS DOUBLE) / ed.df), 6)
+                           AS idf
+                  FROM counts
+                  JOIN ct USING (conv_id)
+                  JOIN ed USING (entity)
+                  CROSS JOIN nn)
+        SELECT conv_id, entity, n_mentions, tf, idf,
+               round(tf * idf, 6) AS salience
+        FROM tfidf
+    """
 
     # dedup_representatives: the canonicalize_cc component table
     # (nested verbatim), then keep-best-by-n_chars with the string-id

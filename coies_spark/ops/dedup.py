@@ -1292,3 +1292,54 @@ def dedup_representatives(
             ),
         )
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component, cluster_size, weight): SOFT deduplication
+    — instead of dropping near-duplicates, every document gets
+    sampling weight 1/cluster_size, so each duplicate CLUSTER
+    contributes one document's worth of expected training mass while
+    every variant stays available (the soft-dedup/commonality
+    reweighting idea: hard removal loses the variation between
+    near-copies; down-weighting keeps it at unchanged effective
+    epochs).  Feed ``weight`` into
+    :func:`~coies_spark.ops.sampling.weighted_sample` (or multiply
+    into a mixture rate) — the two-op composition IS the method.
+
+    Same cluster machinery as :func:`dedup_representatives`
+    (star-contraction components over any near-dup pair frame,
+    singletons weight 1.0); weight = round(1/size, 6).
+
+    Scale: the bounded CC + one size groupBy + one component-keyed
+    join — nothing all-pairs, output corpus-sized but only 4 columns.
+    """
+    from ..operators.graph import connected_components_star
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components_star(edges).withColumnRenamed(
+        "node", "__node"
+    )
+    labeled = docs.select(F.col(id_col)).join(
+        cc, F.col(id_col).cast("string") == F.col("__node"), "left"
+    ).select(
+        id_col,
+        F.coalesce(
+            F.col("component"), F.col(id_col).cast("string")
+        ).alias("component"),
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

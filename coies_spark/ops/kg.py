@@ -1839,3 +1839,56 @@ def disambiguate_by_coherence(
         "n_candidates",
     )
     return winners.unionByName(passthrough)
+
+
+def mention_salience(evidence: DataFrame) -> DataFrame:
+    """(conv_id, entity, n_mentions, tf, idf, salience): what is this
+    conversation ABOUT — tf-idf over the mention evidence, the
+    aboutness ranking that picks triple SUBJECTS and conversation
+    topics (an entity mentioned five times in one conversation but
+    everywhere in the corpus is background; one mentioned twice but
+    rarely elsewhere is the subject).
+
+    * tf = mentions of the entity in the conversation / total
+      mentions in the conversation (round 6);
+    * idf = ln(N_conversations / conversations containing the
+      entity), natural log, round 6 — 0 for an entity present in
+      every conversation (fully background);
+    * salience = round(tf · idf, 6), computed from the ROUNDED
+      factors so every engine derives the identical ranking.
+
+    Two map-side-combinable groupBys ((conv, entity) then the two
+    marginals), one broadcastable entity-side join, one 1-row N
+    broadcast.  Input is any (subj, obj) evidence frame
+    (:func:`mention_evidence` output: subj = conversation).
+    """
+    ce = evidence.select(
+        F.col("subj").alias("conv_id"), F.col("obj").alias("entity")
+    )
+    counts = ce.groupBy("conv_id", "entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    conv_tot = counts.groupBy("conv_id").agg(
+        F.sum("n_mentions").cast("long").alias("__tot")
+    )
+    ent_df = counts.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    n = counts.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        counts.join(conv_tot, "conv_id")
+        .join(F.broadcast(ent_df), "entity")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "conv_id",
+            "entity",
+            "n_mentions",
+            F.round(F.col("n_mentions") / F.col("__tot"), 6).alias("tf"),
+            F.round(F.log(F.col("__n") / F.col("__df")), 6).alias("idf"),
+        )
+        .withColumn(
+            "salience", F.round(F.col("tf") * F.col("idf"), 6)
+        )
+    )
