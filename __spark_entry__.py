@@ -1634,6 +1634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_split": lambda s, d: lm.fim_split(
             _read(s, d, "documents")
         ),
+        # GPT-style packing manifest: docs concatenated in id order,
+        # cut into 256-token rows, split segments with both offsets
+        "pack_documents": lambda s, d: lm.pack_documents(
+            _read(s, d, "documents"), row_tokens=256
+        ),
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -4785,6 +4790,36 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '<PRE> ' || pre || ' <SUF> ' || suf
                          || ' <MID> ' || mid END AS output
         FROM parts
+    """
+
+    # pack_documents: naive-window prefix sum + range() row fan-out —
+    # the oracle proof of the two-phase scan, again
+    sql["pack_documents"] = f"""
+        WITH tk AS (SELECT doc_id,
+                           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                    FROM documents),
+        nz AS (SELECT * FROM tk WHERE n_tokens > 0),
+        ps AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                   AS prev
+               FROM nz),
+        seg AS (SELECT doc_id, n_tokens, prev,
+                  unnest(range(prev // 256,
+                               (prev + n_tokens - 1) // 256 + 1))
+                    AS row_id
+                FROM ps)
+        SELECT doc_id, CAST(row_id AS BIGINT) AS row_id,
+               CAST(greatest(prev, row_id * 256) - row_id * 256
+                 AS BIGINT) AS offset_in_row,
+               CAST(greatest(prev, row_id * 256) - prev
+                 AS BIGINT) AS offset_in_doc,
+               CAST(least(prev + n_tokens, (row_id + 1) * 256)
+                    - greatest(prev, row_id * 256)
+                 AS BIGINT) AS seg_tokens,
+               n_tokens
+        FROM seg
     """
 
     # CCNet bigram-LM perplexity (stupid backoff, trained on the

@@ -366,3 +366,80 @@ def fim_split(docs: DataFrame, spm_rate: float = 0.5) -> DataFrame:
         ),
         F.when(is_spm, spm).otherwise(psm).alias("output"),
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    row_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, row_id, offset_in_row, offset_in_doc, seg_tokens,
+    n_tokens): the GPT-style PACKING MANIFEST — documents
+    concatenated in id order and cut into fixed ``row_tokens``
+    training rows, documents SPLITTING across row boundaries (the
+    pretraining convention; :func:`~coies_spark.ops.transcripts.
+    pack_turns` is the never-split instruct-data sibling).  One
+    output row per (document, training-row) segment: where in the
+    row it sits, where in the document it starts, and how many
+    tokens it contributes — everything a loader needs to materialize
+    row k without touching any other row, and everything a
+    loss-masker needs to put document boundaries back.
+
+    Token counts come from ``n_tokens_col`` if given, else the
+    engine tokenizer; zero-token documents occupy no space and emit
+    nothing.  Global token positions come from
+    :func:`~coies_spark.ops.maintenance.exclusive_prefix_sum` (the
+    two-phase scan — no single-task global sort), and the row fan-out
+    is ``sequence(first_row, last_row)`` exploded per document —
+    bounded by ceil(n_tokens / row_tokens) + 1 segments per doc.
+    Invariants pinned by test: every row except the last is exactly
+    full, segments tile each document, and segment offsets tile each
+    row.
+    """
+    if row_tokens < 1:
+        raise ValueError("pack_documents: row_tokens must be >= 1")
+    from .maintenance import exclusive_prefix_sum
+
+    if n_tokens_col is None:
+        sized = docs.select(
+            F.col(id_col),
+            F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        )
+    else:
+        sized = docs.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+    sized = sized.where(F.col("n_tokens") > 0)
+    ps = exclusive_prefix_sum(sized, id_col, "n_tokens", n_buckets)
+    start = F.col("prev")
+    end = F.col("prev") + F.col("n_tokens")
+    first_row = F.floor(start / row_tokens).cast("long")
+    last_row = F.floor((end - 1) / row_tokens).cast("long")
+    rows = ps.select(
+        id_col,
+        "n_tokens",
+        start.alias("__start"),
+        F.explode(F.sequence(first_row, last_row)).alias("row_id"),
+    )
+    seg_start = F.greatest(
+        F.col("__start"), F.col("row_id") * row_tokens
+    )
+    seg_end = F.least(
+        F.col("__start") + F.col("n_tokens"),
+        (F.col("row_id") + 1) * row_tokens,
+    )
+    return rows.select(
+        id_col,
+        "row_id",
+        (seg_start - F.col("row_id") * row_tokens)
+        .cast("long")
+        .alias("offset_in_row"),
+        (seg_start - F.col("__start")).cast("long").alias(
+            "offset_in_doc"
+        ),
+        (seg_end - seg_start).cast("long").alias("seg_tokens"),
+        "n_tokens",
+    )

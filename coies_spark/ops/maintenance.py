@@ -214,6 +214,67 @@ def snapshot_expiry(
     )
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(id_col, size_col, prev): the global EXCLUSIVE prefix sum of
+    ``size_col`` over ``id_col`` ascending, computed the two-phase
+    scan way (order-preserving range buckets → parallel local
+    cumsums → B-row offset table broadcast back) so no step sorts
+    the corpus on one task.  Shared by :func:`shard_plan` and the
+    document packer (`ops.lm.pack_documents`); the oracle of each
+    consumer is the naive single-window definition, so every green
+    gate re-proves the decomposition.  Requires non-negative ids.
+    """
+    if n_buckets < 1:
+        raise ValueError("exclusive_prefix_sum: n_buckets must be >= 1")
+    sized = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(size_col).cast("long").alias("__sz"),
+    )
+    mx = sized.agg(F.max("__id").alias("__mx"))
+    bucketed = sized.crossJoin(F.broadcast(mx)).select(
+        "__id",
+        "__sz",
+        (F.col("__id") * n_buckets / (F.col("__mx") + 1))
+        .cast("long")
+        .alias("__bkt"),
+    )
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__cum", F.sum("__sz").over(w_local))
+    w_bkt = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("__sz").alias("__tot"))
+        .select(
+            "__bkt",
+            (F.sum("__tot").over(w_bkt) - F.col("__tot")).alias(
+                "__off"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__sz").alias(size_col),
+            (F.col("__off") + F.col("__cum") - F.col("__sz")).alias(
+                "prev"
+            ),
+        )
+    )
+
+
 def shard_plan(
     docs: DataFrame,
     target_bytes: int,
@@ -250,46 +311,16 @@ def shard_plan(
     """
     if target_bytes < 1:
         raise ValueError("shard_plan: target_bytes must be >= 1")
-    if n_buckets < 1:
-        raise ValueError("shard_plan: n_buckets must be >= 1")
-    sized = docs.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(size_col).cast("long").alias("bytes"),
-    )
-    mx = sized.agg(F.max("__id").alias("__mx"))
-    bucketed = sized.crossJoin(F.broadcast(mx)).select(
-        "__id",
+    ps = exclusive_prefix_sum(
+        docs.select(F.col(id_col), F.col(size_col).alias("bytes")),
+        id_col,
         "bytes",
-        (F.col("__id") * n_buckets / (F.col("__mx") + 1))
-        .cast("long")
-        .alias("__bkt"),
+        n_buckets,
     )
-    w_local = (
-        Window.partitionBy("__bkt")
-        .orderBy("__id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = bucketed.withColumn("__cum", F.sum("bytes").over(w_local))
-    w_bkt = (
-        Window.orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        bucketed.groupBy("__bkt")
-        .agg(F.sum("bytes").alias("__tot"))
-        .select(
-            "__bkt",
-            (F.sum("__tot").over(w_bkt) - F.col("__tot")).alias(
-                "__off"
-            ),
-        )
-    )
-    prev = F.col("__off") + F.col("__cum") - F.col("bytes")
-    return (
-        local.join(F.broadcast(offsets), "__bkt")
-        .select(
-            F.col("__id").alias(id_col),
-            "bytes",
-            F.floor(prev / target_bytes).cast("long").alias("shard_id"),
-        )
+    return ps.select(
+        id_col,
+        "bytes",
+        F.floor(F.col("prev") / target_bytes).cast("long").alias(
+            "shard_id"
+        ),
     )
