@@ -1639,6 +1639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": lambda s, d: lm.pack_documents(
             _read(s, d, "documents"), row_tokens=256
         ),
+        # the manifest materialized: actual 256-token training rows,
+        # stitched in offset order (semi-join shape — a subset of
+        # rows never rescans the corpus)
+        "materialize_rows": lambda s, d: lm.materialize_rows(
+            _read(s, d, "documents"),
+            lm.pack_documents(_read(s, d, "documents"), row_tokens=256),
+        ),
         # overlapping RAG chunks (stride < window): turn-granular
         # membership from integer token offsets, one conv exchange
         "sliding_chunks": lambda s, d: transcripts.sliding_chunks(
@@ -4820,6 +4827,28 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS seg_tokens,
                n_tokens
         FROM seg
+    """
+
+    # materialize_rows: the manifest twin joined back to the token
+    # lists, fragments stitched in offset order via the sorted-struct
+    # fold; list slicing start is offset+1 (1-based)
+    sql["materialize_rows"] = f"""
+        WITH mf AS ({sql['pack_documents']}),
+        tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        segs AS (SELECT mf.row_id, mf.offset_in_row, mf.seg_tokens,
+                   array_to_string(
+                     tk.t[CAST(mf.offset_in_doc + 1 AS INT) :
+                          CAST(mf.offset_in_doc + mf.seg_tokens
+                               AS INT)], ' ') AS frag
+                 FROM mf JOIN tk USING (doc_id))
+        SELECT row_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(seg_tokens) AS BIGINT) AS n_tokens,
+               array_to_string(list_transform(
+                 list_sort(list(struct_pack(
+                   offset_in_row := offset_in_row, frag := frag))),
+                 s -> s.frag), ' ') AS text
+        FROM segs GROUP BY 1
     """
 
     # CCNet bigram-LM perplexity (stupid backoff, trained on the

@@ -443,3 +443,65 @@ def pack_documents(
         (seg_end - seg_start).cast("long").alias("seg_tokens"),
         "n_tokens",
     )
+
+
+def materialize_rows(
+    docs: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(row_id, n_docs, n_tokens, text): materialize the
+    :func:`pack_documents` manifest into actual training-row text —
+    each document segment's tokens are sliced by (offset_in_doc,
+    seg_tokens) and stitched in offset_in_row order.  The manifest
+    IS the contract: this op reads only the documents a row
+    references (semi-join shape), so materializing any subset of
+    rows — one shard, one retry, one debugging row — never rescans
+    the corpus.
+
+    Trailing rows may be short (n_tokens < row size); everything
+    else arrives exactly full (the manifest invariant, re-checked
+    here only by construction).  Token slicing re-runs the engine
+    tokenizer, so text joined back from the SAME docs frame used for
+    planning reproduces the counts bit-for-bit.
+
+    Plan: one join manifest→docs on the doc id (the manifest side
+    carries only offsets — tiny columns), per-segment slice+join
+    projection, then ONE row_id groupBy whose concat orders by a
+    sorted struct array (the char_entropy convention: deterministic
+    on any partitioning).
+    """
+    segs = manifest.join(
+        docs.select(F.col(id_col), tokens_col("text").alias("__t")),
+        id_col,
+    ).select(
+        "row_id",
+        "offset_in_row",
+        "seg_tokens",
+        F.array_join(
+            F.slice(
+                F.col("__t"),
+                F.col("offset_in_doc").cast("int") + 1,
+                F.col("seg_tokens").cast("int"),
+            ),
+            " ",
+        ).alias("__frag"),
+    )
+    return (
+        segs.groupBy("row_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("seg_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("offset_in_row", "__frag")
+                        )
+                    ),
+                    lambda s: s["__frag"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
