@@ -1366,6 +1366,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "mentions_engine": "engine_mentioned_in",
             },
         ),
+        # AIDA-style coherence disambiguation: 'spark' is ambiguous
+        # (engine vs plug); the conversation's unambiguous co-mention
+        # seeds vote through the co-occurrence graph
+        "disambiguate_mentions": lambda s, d: (
+            kg.disambiguate_by_coherence(
+                _kg_evidence(s, d).select(
+                    F.col("subj").alias("conv_id"),
+                    F.col("obj").alias("surface"),
+                ),
+                s.createDataFrame(
+                    [(surf, surf) for surf, _ in KG_DICT]
+                    + [("spark", "sparkplug")],
+                    ["surface", "entity"],
+                ),
+                graph_pmi_edges(_kg_evidence(s, d), "subj", "obj")
+                .select(
+                    "a", "b", F.col("n_ab").cast("double").alias("weight")
+                ),
+            )
+        ),
         "multimodal_features": _q_multimodal,
         # --- text analysis (documents) ---
         "token_stats": lambda s, d: textstats.token_stats(_read(s, d, "documents")),
@@ -1784,26 +1804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-proposal weighting (hubs normalized away)
         "entity_pmi": lambda s, d: graph_pmi_edges(
             _kg_evidence(s, d), "subj", "obj"
-        ),
-        # AIDA-style coherence disambiguation: 'spark' is ambiguous
-        # (engine vs plug); the conversation's unambiguous co-mention
-        # seeds vote through the co-occurrence graph
-        "disambiguate_mentions": lambda s, d: (
-            kg.disambiguate_by_coherence(
-                _kg_evidence(s, d).select(
-                    F.col("subj").alias("conv_id"),
-                    F.col("obj").alias("surface"),
-                ),
-                s.createDataFrame(
-                    [(surf, surf) for surf, _ in KG_DICT]
-                    + [("spark", "sparkplug")],
-                    ["surface", "entity"],
-                ),
-                graph_pmi_edges(_kg_evidence(s, d), "subj", "obj")
-                .select(
-                    "a", "b", F.col("n_ab").cast("double").alias("weight")
-                ),
-            )
         ),
         # ANN index-quality gauge: recall@5 of IVF probe-1 vs brute
         "ann_recall": _q_ann_recall,

@@ -1806,14 +1806,17 @@ def disambiguate_by_coherence(
         )
     )
     amb = linked.where(F.col("n_candidates") > 1)
+    seeds_r = seeds.select(
+        F.col("conv_id").alias("__sconv"), "__seed"
+    )
     scored = (
         amb.join(sym, F.col("entity") == F.col("__x"))
         .join(
-            seeds,
-            (amb["conv_id"] == seeds["conv_id"])
+            seeds_r,
+            (F.col("conv_id") == F.col("__sconv"))
             & (F.col("__y") == F.col("__seed")),
         )
-        .groupBy(amb["conv_id"], "surface", "entity")
+        .groupBy("conv_id", "surface", "entity")
         .agg(F.round(F.sum("weight"), 6).alias("coherence"))
     )
     ranked = amb.join(
