@@ -4465,32 +4465,47 @@ def oracle_sql() -> dict[str, str]:
           AND NOT regexp_matches(pred, '[\\x00-\\x1f\\x7f{{}}|^`]')
     """
 
-    # kg_ntriples_roundtrip: parse the kg_ntriples lines back — same
-    # statement regex on both engines (RE2 == java.util.regex here:
-    # no backrefs) and the NUL-sentinel ECHAR unescape chain, so an
-    # escaped backslash + n never collapses into a newline
-    _nt_pat = (
-        "'^<([^>]*)> <([^>]*)> "
-        "(<[^>]*>|\"(?:[^\"\\\\]|\\\\.)*\") \\.$'"
-    )
+    # kg_ntriples_roundtrip: parse the kg_ntriples lines back — the
+    # statement grammar is imported from ops.kg (_NT_STMT: one source
+    # of truth; RE2 == java.util.regex here, no backrefs), literals
+    # unescaped through the NUL-sentinel ECHAR chain
+    _nt_pat = "'" + kg._NT_STMT + "'"
     _nt_unesc = (
         "replace(replace(replace(replace(replace(replace("
-        "substr(rawobj, 2, length(rawobj) - 2), "
+        "regexp_extract(rawobj, '^\"((?:[^\"\\\\]|\\\\.)*)\"', 1), "
         "'\\\\', chr(0)), '\\\"', '\"'), '\\n', chr(10)), "
         "'\\r', chr(13)), '\\t', chr(9)), chr(0), '\\')"
     )
     sql["kg_ntriples_roundtrip"] = f"""
         WITH ln AS (SELECT line FROM ({sql['kg_ntriples']})),
-        p AS (SELECT regexp_extract(line, {_nt_pat}, 1) AS subj,
+        p AS (SELECT regexp_extract(line, {_nt_pat}, 1) AS rawsubj,
                      regexp_extract(line, {_nt_pat}, 2) AS pred,
                      regexp_extract(line, {_nt_pat}, 3) AS rawobj
-              FROM ln)
-        SELECT subj, pred,
-               CASE WHEN rawobj LIKE '<%'
-                    THEN substr(rawobj, 2, length(rawobj) - 2)
-                    ELSE {_nt_unesc} END AS obj,
-               (rawobj LIKE '<%') AS obj_is_iri
-        FROM p WHERE subj <> ''
+              FROM ln),
+        k AS (SELECT rawsubj, pred, rawobj,
+                CASE WHEN rawobj LIKE '<%' THEN 'iri'
+                     WHEN rawobj LIKE '_:%' THEN 'blank'
+                     ELSE 'literal' END AS obj_kind,
+                regexp_extract(rawobj, '@([A-Za-z0-9-]+)$', 1)
+                  AS lang,
+                regexp_extract(rawobj, '\\^\\^<([^>]*)>$', 1)
+                  AS dtype
+              FROM p WHERE rawsubj <> '')
+        SELECT CASE WHEN rawsubj LIKE '<%'
+                    THEN substr(rawsubj, 2, length(rawsubj) - 2)
+                    ELSE rawsubj END AS subj,
+               pred,
+               CASE obj_kind
+                 WHEN 'iri'
+                   THEN substr(rawobj, 2, length(rawobj) - 2)
+                 WHEN 'blank' THEN rawobj
+                 ELSE {_nt_unesc} END AS obj,
+               obj_kind,
+               CASE WHEN obj_kind = 'literal' AND lang <> ''
+                    THEN lang
+                    WHEN obj_kind = 'literal' AND dtype <> ''
+                    THEN dtype END AS obj_qualifier
+        FROM k
     """
 
     # corpus_diff: the same planted evolution (every 11th removed,
@@ -6363,10 +6378,16 @@ def oracle_sql() -> dict[str, str]:
     # effective/deficit both derive from the ROUNDED epochs column,
     # matching the engine's two-step select
     sql["epoch_plan"] = """
-        WITH inv AS (SELECT lang AS stratum,
-                            CAST(sum(n_chars) AS BIGINT)
-                              AS available_tokens
-                     FROM documents GROUP BY 1),
+        WITH inv0 AS (SELECT lang AS stratum,
+                             CAST(sum(n_chars) AS BIGINT)
+                               AS available_tokens
+                      FROM documents GROUP BY 1),
+        tgt AS (SELECT * FROM (VALUES ('en'), ('fr'), ('zh'))
+                t(stratum)),
+        inv AS (SELECT stratum,
+                       CAST(coalesce(available_tokens, 0) AS BIGINT)
+                         AS available_tokens
+                FROM inv0 FULL OUTER JOIN tgt USING (stratum)),
         s AS (SELECT stratum, available_tokens,
                      CASE stratum WHEN 'en' THEN 0.2
                                   WHEN 'fr' THEN 0.5

@@ -365,7 +365,7 @@ def main() -> None:
             ).agg(
                 F.count("subj"),
                 F.sum(F.length("obj")),
-                F.sum(F.col("obj_is_iri").cast("int")),
+                F.sum((F.col("obj_kind") == "iri").cast("int")),
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),

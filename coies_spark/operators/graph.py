@@ -1391,11 +1391,15 @@ def pmi_edges(
             "n_ab",
             "n_a",
             "n_b",
+            # n_ab cast to double BEFORE the product: long·long
+            # overflows at 10^10 groups × 10^9-df hub pairs (exactly
+            # the rows PMI exists to normalize); the DuckDB twin
+            # already multiplies in double
             F.round(
                 F.log(
-                    F.col("n_ab")
+                    F.col("n_ab").cast("double")
                     * F.col("__n")
-                    / (F.col("n_a") * F.col("n_b"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
                 ),
                 6,
             ).alias("pmi"),

@@ -1221,6 +1221,38 @@ def pair_recall(
     )
 
 
+
+def _component_labels(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """docs columns + ``component``: star-contraction components of
+    the near-dup pair graph, every unpaired doc its own singleton
+    (min-string-id labels — the CC convention).  Shared by
+    :func:`dedup_representatives` and :func:`soft_dedup_weights` so
+    the edge projection / labeling conventions cannot drift."""
+    from ..operators.graph import connected_components_star
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components_star(edges).withColumnRenamed(
+        "node", "__node"
+    )
+    return (
+        docs.join(
+            cc, F.col(id_col).cast("string") == F.col("__node"), "left"
+        )
+        .select(
+            *docs.columns,
+            F.coalesce(
+                F.col("component"), F.col(id_col).cast("string")
+            ).alias("__component"),
+        )
+        .withColumnRenamed("__component", "component")
+    )
+
+
 def dedup_representatives(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1250,26 +1282,10 @@ def dedup_representatives(
     the canonicalize_cc lesson) + one left join + one
     component-keyed window — no step is all-pairs.
     """
-    from ..operators.graph import connected_components_star
-
-    edges = pairs.select(
-        F.col("doc_a").cast("string").alias("src"),
-        F.col("doc_b").cast("string").alias("dst"),
-    )
-    cc = connected_components_star(edges).withColumnRenamed(
-        "node", "__node"
-    )
-    labeled = docs.select(
-        F.col(id_col),
-        F.col(score_col).alias("__score"),
-    ).join(
-        cc, F.col(id_col).cast("string") == F.col("__node"), "left"
-    ).select(
+    labeled = _component_labels(
+        docs.select(F.col(id_col), F.col(score_col).alias("__score")),
+        pairs,
         id_col,
-        "__score",
-        F.coalesce(
-            F.col("component"), F.col(id_col).cast("string")
-        ).alias("component"),
     )
     w = Window.partitionBy("component").orderBy(
         F.desc("__score"), F.asc(F.col(id_col).cast("string"))
@@ -1317,23 +1333,7 @@ def soft_dedup_weights(
     Scale: the bounded CC + one size groupBy + one component-keyed
     join — nothing all-pairs, output corpus-sized but only 4 columns.
     """
-    from ..operators.graph import connected_components_star
-
-    edges = pairs.select(
-        F.col("doc_a").cast("string").alias("src"),
-        F.col("doc_b").cast("string").alias("dst"),
-    )
-    cc = connected_components_star(edges).withColumnRenamed(
-        "node", "__node"
-    )
-    labeled = docs.select(F.col(id_col)).join(
-        cc, F.col(id_col).cast("string") == F.col("__node"), "left"
-    ).select(
-        id_col,
-        F.coalesce(
-            F.col("component"), F.col(id_col).cast("string")
-        ).alias("component"),
-    )
+    labeled = _component_labels(docs.select(F.col(id_col)), pairs, id_col)
     sizes = labeled.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

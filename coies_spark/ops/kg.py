@@ -1549,19 +1549,12 @@ def materialize_inverses(
         raise ValueError(
             "materialize_inverses: no rules given (nothing to entail)"
         )
+    mapping = {**{p: p for p in symmetric}, **dict(inverse_rules)}
     inv_pred = None
-    for p in sorted(symmetric):
-        cond = F.when(F.col("pred") == p, F.lit(p))
-        inv_pred = cond if inv_pred is None else inv_pred.when(
-            F.col("pred") == p, F.lit(p)
-        )
-    for p in sorted(inverse_rules):
-        q = inverse_rules[p]
-        cond_expr = (F.col("pred") == p, F.lit(q))
+    for p in sorted(mapping):
+        arm = (F.col("pred") == p, F.lit(mapping[p]))
         inv_pred = (
-            F.when(*cond_expr)
-            if inv_pred is None
-            else inv_pred.when(*cond_expr)
+            F.when(*arm) if inv_pred is None else inv_pred.when(*arm)
         )
     base = triples.select("subj", "pred", "obj").withColumn(
         "inferred", F.lit(False)
@@ -1598,41 +1591,80 @@ _NT_ESCAPES: tuple[tuple[str, str], ...] = (
 )
 
 
-def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
-    """(subj, pred, obj, obj_is_iri): parse N-Triples statement lines
-    back into a triple table — the INGEST face (loading a public RDF
-    dump, or round-tripping
-    :func:`coies_spark.pipeline.triples.to_ntriples` output).
-    Malformed lines are dropped (the regex is the filter), which is
-    the documented bulk-load posture: count-based QA happens
-    downstream, not via per-row exceptions.
+# statement grammar shared with the DuckDB twin: IRI or blank-node
+# subject, IRI predicate, IRI / blank / (optionally lang-tagged or
+# datatyped) literal object, tab-or-space separated — the W3C
+# N-Triples production set real dumps actually use
+_NT_STMT = (
+    r'^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+'
+    r'(<[^>]*>|_:[^ \t]+|"(?:[^"\\]|\\.)*"'
+    r'(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)[ \t]*\.[ \t]*$'
+)
 
-    IRI terms are returned WITHOUT angle brackets (the full IRI —
-    no base-stripping guesswork); literal objects are ECHAR-
-    unescaped through a NUL sentinel so ``\\\\n`` (an escaped
-    backslash + n) never collapses into a newline — the property
-    that makes the serialize→parse pair the identity on literals.
+
+def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """(subj, pred, obj, obj_kind, obj_qualifier): parse N-Triples
+    statement lines into a triple table — the INGEST face (loading a
+    public RDF dump, or round-tripping
+    :func:`coies_spark.pipeline.triples.to_ntriples` output).
+    Covers what real dumps contain: IRI and blank-node (``_:b0``)
+    subjects/objects, plain, language-tagged (``"x"@en``) and
+    datatyped (``"1"^^<…int>``) literals, and tab-or-multi-space term
+    separation.  Genuinely malformed lines are dropped (the regex is
+    the filter) — the documented bulk-load posture: count-based QA
+    happens downstream, not via per-row exceptions.
+
+    * IRI terms come back WITHOUT angle brackets (the full IRI — no
+      base-stripping guesswork); blank-node labels verbatim;
+    * ``obj_kind`` ∈ ('iri', 'literal', 'blank');
+    * ``obj_qualifier`` carries the literal's language tag or
+      datatype IRI (NULL for plain literals and non-literals) — the
+      VALUE arrives unescaped in ``obj`` either way;
+    * literals are ECHAR-unescaped through a NUL sentinel so
+      ``\\\\n`` (an escaped backslash + n) never collapses into a
+      newline — the property that makes the serialize→parse pair the
+      identity on literals.
+
     Pure projection + filter, embarrassingly parallel.
     """
-    pat = r'^<([^>]*)> <([^>]*)> (<[^>]*>|"(?:[^"\\]|\\.)*") \.$'
     parsed = lines.select(
-        F.regexp_extract(F.col(line_col), pat, 1).alias("subj"),
-        F.regexp_extract(F.col(line_col), pat, 2).alias("pred"),
-        F.regexp_extract(F.col(line_col), pat, 3).alias("rawobj"),
-    ).where(F.col("subj") != "")
-    is_iri = F.col("rawobj").startswith("<")
-    inner = F.substring(
+        F.regexp_extract(F.col(line_col), _NT_STMT, 1).alias("rawsubj"),
+        F.regexp_extract(F.col(line_col), _NT_STMT, 2).alias("pred"),
+        F.regexp_extract(F.col(line_col), _NT_STMT, 3).alias("rawobj"),
+    ).where(F.col("rawsubj") != "")
+    subj = F.when(
+        F.col("rawsubj").startswith("<"),
+        F.substring(F.col("rawsubj"), 2, F.length("rawsubj") - 2),
+    ).otherwise(F.col("rawsubj"))
+    kind = (
+        F.when(F.col("rawobj").startswith("<"), F.lit("iri"))
+        .when(F.col("rawobj").startswith("_:"), F.lit("blank"))
+        .otherwise(F.lit("literal"))
+    )
+    iri_inner = F.substring(
         F.col("rawobj"), 2, F.length("rawobj") - 2
     )
-    lit = F.replace(inner, F.lit("\\\\"), F.lit("\x00"))
+    lit_inner = F.regexp_extract(
+        F.col("rawobj"), r'^"((?:[^"\\]|\\.)*)"', 1
+    )
+    lit = F.replace(lit_inner, F.lit("\\\\"), F.lit("\x00"))
     for raw, esc in _NT_ESCAPES[1:]:
         lit = F.replace(lit, F.lit(esc), F.lit(raw))
     lit = F.replace(lit, F.lit("\x00"), F.lit("\\"))
+    lang = F.regexp_extract(F.col("rawobj"), r'@([A-Za-z0-9-]+)$', 1)
+    dtype = F.regexp_extract(F.col("rawobj"), r'\^\^<([^>]*)>$', 1)
+    qualifier = F.when(
+        (kind == "literal") & (lang != ""), lang
+    ).when((kind == "literal") & (dtype != ""), dtype)
     return parsed.select(
-        "subj",
+        subj.alias("subj"),
         "pred",
-        F.when(is_iri, inner).otherwise(lit).alias("obj"),
-        is_iri.alias("obj_is_iri"),
+        F.when(kind == "iri", iri_inner)
+        .when(kind == "blank", F.col("rawobj"))
+        .otherwise(lit)
+        .alias("obj"),
+        kind.alias("obj_kind"),
+        qualifier.alias("obj_qualifier"),
     )
 
 
@@ -1786,10 +1818,14 @@ def disambiguate_by_coherence(
     map-side-combinable sum — bounded by mention count × k × seeds
     per conversation, never corpus².
     """
-    k = candidates.groupBy("surface").agg(
+    # dictionaries merged from several sources repeat rows; a
+    # duplicate (surface, entity) must not fake ambiguity (it would
+    # silently drain the seed set), so candidacy is set-valued
+    cands = candidates.select("surface", "entity").distinct()
+    k = cands.groupBy("surface").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
-    cand = candidates.join(k, "surface")
+    cand = cands.join(k, "surface")
     linked = mentions.select("conv_id", "surface").distinct().join(
         F.broadcast(cand), "surface"
     )

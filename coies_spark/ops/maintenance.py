@@ -231,6 +231,14 @@ def exclusive_prefix_sum(
     """
     if n_buckets < 1:
         raise ValueError("exclusive_prefix_sum: n_buckets must be >= 1")
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"exclusive_prefix_sum: {id_col!r} must be an integer "
+            f"column (got {id_type or 'missing'}) — a string id would "
+            "cast to NULL and silently join away every row; hash or "
+            "zip ids to integers first"
+        )
     sized = df.select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(size_col).cast("long").alias("__sz"),

@@ -343,6 +343,22 @@ def epoch_plan(
             .alias("available_tokens")
         )
     )
+    # a TARGET stratum entirely absent from the corpus must still
+    # emit its row (available 0, epochs 0, the full want as deficit)
+    # — that row IS the "source more data" signal; a groupBy alone
+    # would silently drop it
+    wanted = docs.sparkSession.createDataFrame(
+        [(s,) for s in sorted(targets)], ["stratum"]
+    )
+    inv = (
+        inv.join(wanted, "stratum", "full")
+        .select(
+            "stratum",
+            F.coalesce(F.col("available_tokens"), F.lit(0))
+            .cast("long")
+            .alias("available_tokens"),
+        )
+    )
     want = F.lit(budget_tokens) * share
     raw_epochs = F.when(
         (F.col("available_tokens") > 0) & (share > 0),

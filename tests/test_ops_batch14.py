@@ -80,6 +80,22 @@ class TestEpochPlan:
                 max_epochs=0,
             )
 
+    def test_absent_target_stratum_reports_full_deficit(self, spark):
+        # a target language with NO corpus inventory must still emit
+        # its row — that row IS the "source more data" signal
+        p = {
+            r.stratum: r
+            for r in epoch_plan(
+                _docs(spark), {"en": 0.5, "ja": 0.5},
+                budget_tokens=1000,
+            ).collect()
+        }
+        ja = p["ja"]
+        assert ja.available_tokens == 0
+        assert ja.epochs == 0.0
+        assert ja.effective_tokens == 0
+        assert ja.deficit_tokens == 500
+
 
 def _emb(spark, n=24, dim=8):
     # deterministic vectors: coordinates from a fixed affine recipe

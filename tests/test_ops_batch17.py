@@ -39,8 +39,9 @@ class TestParseNtriples:
         got = {r.obj for r in back.collect()}
         assert got == {o for _, _, o in rows}
         assert back.count() == len(rows)
-        # all objects are literals; all subjects come back as IRIs
-        assert all(not r.obj_is_iri for r in back.collect())
+        # all objects are plain literals; all subjects come back IRIs
+        assert all(r.obj_kind == "literal" for r in back.collect())
+        assert all(r.obj_qualifier is None for r in back.collect())
         assert all(
             r.subj.startswith("http://example.org/kg/id/")
             for r in back.collect()
@@ -69,7 +70,30 @@ class TestParseNtriples:
         )
         row = parse_ntriples(lines).collect()[0]
         assert row.obj == "urn:b"
-        assert row.obj_is_iri is True
+        assert row.obj_kind == "iri"
+        assert row.obj_qualifier is None
+
+    def test_real_dump_forms(self, spark):
+        lines = spark.createDataFrame(
+            [
+                ('<urn:a> <urn:p> "hello"@en .',),
+                ('<urn:a> <urn:p> "1"^^<http://www.w3.org/2001/'
+                 'XMLSchema#integer> .',),
+                ('_:b0 <urn:p> <urn:b> .',),
+                ('<urn:a> <urn:p> _:b1 .',),
+                ('<urn:a>\t<urn:p>\t"tabbed"  .',),
+            ],
+            "line string",
+        )
+        out = parse_ntriples(lines).collect()
+        assert len(out) == 5
+        by_obj = {r.obj: r for r in out}
+        assert by_obj["hello"].obj_kind == "literal"
+        assert by_obj["hello"].obj_qualifier == "en"
+        assert by_obj["1"].obj_qualifier.endswith("#integer")
+        assert by_obj["urn:b"].subj == "_:b0"
+        assert by_obj["_:b1"].obj_kind == "blank"
+        assert by_obj["tabbed"].obj_qualifier is None
 
 
 class TestPlanShapes:

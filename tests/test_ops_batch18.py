@@ -149,3 +149,12 @@ class TestShardPlan:
             shard_plan(docs, target_bytes=0)
         with pytest.raises(ValueError):
             shard_plan(docs, target_bytes=10, n_buckets=0)
+
+    def test_rejects_string_ids(self, spark):
+        # a string id would cast to NULL and silently join away every
+        # row — the guard turns that into an explicit error
+        docs = spark.createDataFrame(
+            [("doc-1", 10)], "doc_id string, n_chars long"
+        )
+        with pytest.raises(TypeError):
+            shard_plan(docs, target_bytes=10)

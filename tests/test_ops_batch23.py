@@ -79,6 +79,20 @@ class TestDisambiguateByCoherence:
             out.select("conv_id", "surface").distinct().count() == 6
         )
 
+    def test_duplicate_dictionary_rows_do_not_fake_ambiguity(self, spark):
+        m, c, e = _frames(spark)
+        doubled = c.unionByName(c)  # merged dictionaries repeat rows
+        a = {
+            (r.conv_id, r.surface): (r.entity, r.n_candidates)
+            for r in disambiguate_by_coherence(m, c, e).collect()
+        }
+        b = {
+            (r.conv_id, r.surface): (r.entity, r.n_candidates)
+            for r in disambiguate_by_coherence(m, doubled, e).collect()
+        }
+        assert a == b
+        assert b[("c1", "engine")][1] == 1  # still a seed
+
     def test_edge_direction_irrelevant(self, spark):
         m, c, e = _frames(spark)
         flipped = e.selectExpr("b as a", "a as b", "weight")
