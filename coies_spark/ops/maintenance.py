@@ -214,6 +214,41 @@ def snapshot_expiry(
     )
 
 
+def _quantile_order_buckets(
+    sized: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(__id, __sz) + ``__bkt``: order-preserving bucket label from
+    the B-quantile boundaries of ``__id`` (``percentile_approx``).
+    Every bucket's ids sit strictly between its neighbours' (equal
+    ids always share a bucket), so per-bucket cumsums compose into a
+    global one; quantile boundaries keep buckets ~equal-sized even
+    for gappy/clustered id spaces, and the arithmetic never
+    multiplies the id (a value-range split's ``id·B`` wrapped for
+    near-2^63 hashed ids).  Split out of
+    :func:`exclusive_prefix_sum` so the balance property is directly
+    testable.
+    """
+    if n_buckets == 1:
+        return sized.select(
+            "__id", "__sz", F.lit(0).cast("long").alias("__bkt")
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = sized.agg(
+        F.percentile_approx("__id", qs, 10_000).alias("__bnds")
+    )
+    return sized.crossJoin(F.broadcast(bnds)).select(
+        "__id",
+        "__sz",
+        F.aggregate(
+            "__bnds",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(b <= F.col("__id"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ).alias("__bkt"),
+    )
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     id_col: str,
@@ -227,7 +262,19 @@ def exclusive_prefix_sum(
     the corpus on one task.  Shared by :func:`shard_plan` and the
     document packer (`ops.lm.pack_documents`); the oracle of each
     consumer is the naive single-window definition, so every green
-    gate re-proves the decomposition.  Requires non-negative ids.
+    gate re-proves the decomposition.
+
+    Bucket boundaries are the B-quantiles of the id column
+    (``percentile_approx``), NOT a value-range split of
+    [0, max_id]: quantiles stay balanced under gappy id spaces
+    (snowflake-style ids, post-delete compaction — where a value
+    split concentrates rows in few buckets and recreates the
+    local-cumsum straggler this decomposition exists to avoid) and
+    involve no ``id * B`` multiply, which silently wrapped for
+    near-2^63 hashed ids.  The OUTPUT is bucketing-invariant — any
+    order-preserving boundary set yields the same prefix sums — so
+    the sketch's approximation affects balance only, never values;
+    negative ids are fine.
     """
     if n_buckets < 1:
         raise ValueError("exclusive_prefix_sum: n_buckets must be >= 1")
@@ -243,14 +290,7 @@ def exclusive_prefix_sum(
         F.col(id_col).cast("long").alias("__id"),
         F.col(size_col).cast("long").alias("__sz"),
     )
-    mx = sized.agg(F.max("__id").alias("__mx"))
-    bucketed = sized.crossJoin(F.broadcast(mx)).select(
-        "__id",
-        "__sz",
-        (F.col("__id") * n_buckets / (F.col("__mx") + 1))
-        .cast("long")
-        .alias("__bkt"),
-    )
+    bucketed = _quantile_order_buckets(sized, n_buckets)
     w_local = (
         Window.partitionBy("__bkt")
         .orderBy("__id")
@@ -305,9 +345,11 @@ def shard_plan(
     naive global window is a single-task sort at 10^10 docs, so the
     prefix sum is computed the two-phase scan way instead:
 
-    1. order-preserving range bucketing — ``floor(id·B/(max+1))``
-       (one tiny max aggregate, broadcast back) keeps every bucket's
-       ids strictly between its neighbours', unlike hash bucketing;
+    1. order-preserving QUANTILE bucketing — B-quantile boundaries of
+       the id column (one tiny sketch aggregate, broadcast back) keep
+       every bucket's ids between its neighbours' (unlike hash
+       bucketing) AND balanced under gappy id spaces (unlike a
+       value-range split);
     2. per-bucket local prefix sums in parallel (window keyed by
        bucket — B-way parallel, never global);
     3. bucket totals (B rows) get their own exclusive prefix sum on

@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from coies_spark.ops.bpe import bpe_fertility
-from coies_spark.ops.maintenance import shard_plan
+from coies_spark.ops.maintenance import (
+    _quantile_order_buckets,
+    exclusive_prefix_sum,
+    shard_plan,
+)
 from coies_spark.ops.similarity import semantic_contamination
 
 pytestmark = pytest.mark.spark
@@ -158,3 +162,85 @@ class TestShardPlan:
         )
         with pytest.raises(TypeError):
             shard_plan(docs, target_bytes=10)
+
+
+class TestPrefixSumBucketing:
+    """Quantile bucketing inside exclusive_prefix_sum: correct for
+    overflow-range and gappy id spaces, and balanced where a
+    value-range split would not be."""
+
+    def _naive(self, pairs):
+        out, run = {}, 0
+        for i, s in sorted(pairs):
+            out[i] = run
+            run += s
+        return out
+
+    def test_near_2e63_hashed_ids_exact(self, spark):
+        # xxhash64-style ids cluster anywhere in [-2^63, 2^63); the
+        # old floor(id*B/(max+1)) wrapped the multiply and scrambled
+        # bucket order.  Mixed-sign ids cover the full long range.
+        ids = [
+            -(2**62) - 17, -(2**40), -3, 0, 5,
+            2**31, 2**62, 2**62 + 1, 2**63 - 2, 2**63 - 1,
+        ]
+        pairs = [(i, 10 + k) for k, i in enumerate(ids)]
+        df = spark.createDataFrame(pairs, "doc_id long, n_chars long")
+        got = {
+            r.doc_id: r.prev
+            for r in exclusive_prefix_sum(
+                df, "doc_id", "n_chars", n_buckets=4
+            ).collect()
+        }
+        assert got == self._naive(pairs)
+
+    def test_gappy_ids_exact(self, spark):
+        # snowflake-style: two dense islands separated by a huge gap
+        pairs = [(i, 7) for i in range(20)] + [
+            (10**18 + i, 7) for i in range(20)
+        ]
+        df = spark.createDataFrame(pairs, "doc_id long, n_chars long")
+        got = {
+            r.doc_id: r.prev
+            for r in exclusive_prefix_sum(
+                df, "doc_id", "n_chars", n_buckets=8
+            ).collect()
+        }
+        assert got == self._naive(pairs)
+
+    def test_gappy_ids_buckets_balanced(self, spark):
+        # 1000 rows in [0, 1000) plus 1000 rows near 10^18: a
+        # value-range split puts each island in ONE bucket (local
+        # cumsum straggler); quantile boundaries spread them.
+        pairs = [(i, 1) for i in range(1000)] + [
+            (10**18 + 3 * i, 1) for i in range(1000)
+        ]
+        df = spark.createDataFrame(pairs, "doc_id long, n_chars long")
+        sized = df.select(
+            F.col("doc_id").alias("__id"),
+            F.col("n_chars").alias("__sz"),
+        )
+        counts = [
+            r["n"]
+            for r in _quantile_order_buckets(sized, 8)
+            .groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert max(counts) <= 2 * (2000 // 8)  # no straggler bucket
+
+    def test_duplicate_ids_share_a_bucket(self, spark):
+        # order-preservation with ties: equal ids must never straddle
+        # a boundary, or their local cumsums would double-count
+        pairs = [(5, 1)] * 50 + [(9, 2)] * 50
+        df = spark.createDataFrame(pairs, "doc_id long, n_chars long")
+        rows = exclusive_prefix_sum(
+            df, "doc_id", "n_chars", n_buckets=8
+        ).collect()
+        # prev over duplicate ids is order-arbitrary WITHIN the tie
+        # group, but the multiset of prevs must match some serial
+        # order of the ties — i.e. the set {0,1,...,49} then offsets
+        prevs_5 = sorted(r.prev for r in rows if r.doc_id == 5)
+        prevs_9 = sorted(r.prev for r in rows if r.doc_id == 9)
+        assert prevs_5 == list(range(50))
+        assert prevs_9 == [50 + 2 * k for k in range(50)]
