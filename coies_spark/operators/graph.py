@@ -1228,8 +1228,15 @@ def node2vec_walks(
                 * F.col("tot"),
             )
         )
-        state = cand.where(
-            (F.col("cum") - F.col("w") <= F.col("thr"))
+        # lower edge = the PREVIOUS row's cum (exactly tiling), not
+        # the float recompute cum - w: for non-dyadic weights (p or
+        # q = 3, say) cum - w can land 1 ulp off the neighbour's
+        # cum, leaving a gap (walker silently dies) or an overlap
+        # (duplicated walker rows)
+        state = cand.withColumn(
+            "lo", F.coalesce(F.lag("cum").over(ww), F.lit(0.0))
+        ).where(
+            (F.col("lo") <= F.col("thr"))
             & (F.col("thr") < F.col("cum"))
         ).select(
             "start",

@@ -1594,12 +1594,69 @@ _NT_ESCAPES: tuple[tuple[str, str], ...] = (
 # statement grammar shared with the DuckDB twin: IRI or blank-node
 # subject, IRI predicate, IRI / blank / (optionally lang-tagged or
 # datatyped) literal object, tab-or-space separated — the W3C
-# N-Triples production set real dumps actually use
+# N-Triples production set real dumps actually use.  A blank-node
+# OBJECT must not capture the statement's terminating dot (legal
+# with no whitespace before it, and the grammar's BLANK_NODE_LABEL
+# never ends in '.'), hence the `[^ \t.]` final-char class.
 _NT_STMT = (
     r'^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+'
-    r'(<[^>]*>|_:[^ \t]+|"(?:[^"\\]|\\.)*"'
+    r'(<[^>]*>|_:[^ \t]*[^ \t.]|"(?:[^"\\]|\\.)*"'
     r'(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)[ \t]*\.[ \t]*$'
 )
+
+
+def _uchar_decode(lit: Column) -> Column:
+    """Decode W3C UCHAR escapes (``\\uXXXX`` / ``\\UXXXXXXXX``) in an
+    already-ECHAR-sentinelled literal column — by the time this runs,
+    every LITERAL backslash is the NUL sentinel, so any remaining
+    ``\\u``/``\\U`` is a genuine UCHAR escape.  Pure Catalyst: split
+    on lookahead at each escape, then per segment turn the hex into
+    UTF-16BE bytes (astral codepoints via the surrogate-pair
+    arithmetic) and ``decode()`` them — no UDF, no driver loop.
+    Malformed escapes (wrong hex count, lone surrogates' bytes are
+    still decoded best-effort by the charset) stay verbatim rather
+    than erroring — the bulk-load posture.
+    """
+    segs = F.split(lit, r"(?=\\[uU])", -1)
+
+    def _seg(seg: Column) -> Column:
+        hex4 = F.upper(F.substring(seg, 3, 4))
+        cp8 = F.conv(F.substring(seg, 3, 8), 16, 10).cast("long")
+        v = cp8 - F.lit(0x10000)
+        hi = F.lit(0xD800) + F.shiftright(v, 10)
+        lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
+        pair = F.concat(
+            F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+        )
+        bmp8 = F.lpad(F.hex(cp8), 4, "0")
+        return (
+            F.when(
+                seg.rlike(r"^\\u[0-9A-Fa-f]{4}"),
+                F.concat(
+                    F.decode(F.unhex(hex4), "UTF-16BE"),
+                    F.substring(seg, 7, 2_000_000_000),
+                ),
+            )
+            .when(
+                seg.rlike(r"^\\U[0-9A-Fa-f]{8}"),
+                F.concat(
+                    F.decode(
+                        F.unhex(
+                            F.when(cp8 > 0xFFFF, pair).otherwise(bmp8)
+                        ),
+                        "UTF-16BE",
+                    ),
+                    F.substring(seg, 11, 2_000_000_000),
+                ),
+            )
+            .otherwise(seg)
+        )
+
+    decoded = F.array_join(F.transform(segs, _seg), "")
+    # hot path: rows without any UCHAR escape skip the split entirely
+    return F.when(
+        lit.contains("\\u") | lit.contains("\\U"), decoded
+    ).otherwise(lit)
 
 
 def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -1609,8 +1666,10 @@ def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
     :func:`coies_spark.pipeline.triples.to_ntriples` output).
     Covers what real dumps contain: IRI and blank-node (``_:b0``)
     subjects/objects, plain, language-tagged (``"x"@en``) and
-    datatyped (``"1"^^<…int>``) literals, and tab-or-multi-space term
-    separation.  Genuinely malformed lines are dropped (the regex is
+    datatyped (``"1"^^<…int>``) literals, UCHAR escapes
+    (``\\uXXXX`` / ``\\UXXXXXXXX``, decoded JVM-side incl. astral
+    codepoints), tab-or-multi-space term separation, and the
+    whitespace-free terminating dot after a blank-node object.  Genuinely malformed lines are dropped (the regex is
     the filter) — the documented bulk-load posture: count-based QA
     happens downstream, not via per-row exceptions.
 
@@ -1650,6 +1709,10 @@ def parse_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
     lit = F.replace(lit_inner, F.lit("\\\\"), F.lit("\x00"))
     for raw, esc in _NT_ESCAPES[1:]:
         lit = F.replace(lit, F.lit(esc), F.lit(raw))
+    # UCHAR (\uXXXX / \UXXXXXXXX) decode AFTER the backslash sentinel
+    # (a serialized \\u0041 — literal backslash + u0041 — must come
+    # back as those five chars, never decode) and BEFORE the restore
+    lit = _uchar_decode(lit)
     lit = F.replace(lit, F.lit("\x00"), F.lit("\\"))
     lang = F.regexp_extract(F.col("rawobj"), r'@([A-Za-z0-9-]+)$', 1)
     dtype = F.regexp_extract(F.col("rawobj"), r'\^\^<([^>]*)>$', 1)

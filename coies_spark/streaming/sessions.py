@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-STATE_SCHEMA = "tss array<long>, ids array<long>"
+STATE_SCHEMA = "tss array<long>, ids array<long>, base long"
 OUTPUT_SCHEMA = (
     "user_id long, session_idx long, n_events long, duration_s double"
 )
@@ -48,6 +48,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     idle_timeout_ms: int = 1000,
+    renumber_retention_ms: int = 60_000,
 ) -> DataFrame:
     """Event stream → session-table stream: (user_id, session_idx,
     n_events, duration_s) rows per quiesced user, equal to the batch
@@ -56,9 +57,27 @@ def stream_sessionize(
     fold, not dropped.  NULL-timestamp events are dropped here (the
     batch operator gives each its own leading session) — a stream
     with NULL event times has bigger problems than sessionization;
-    gate with transcript_integrity-style audits upstream."""
+    gate with transcript_integrity-style audits upstream.
+
+    A user may quiesce MORE THAN ONCE (idle past ``idle_timeout_ms``,
+    then return).  Each emission continues ``session_idx`` from where
+    the previous one stopped — the numbering base survives in state
+    (one long, ~24 bytes/user) for ``renumber_retention_ms`` after
+    quiescence, so the output stream never repeats a
+    (user_id, session_idx) key across epochs.  Already-emitted rows
+    are never retracted (append mode), so an idle gap shorter than
+    ``gap_seconds`` of EVENT time still closes a session at the
+    quiescence boundary; batch parity holds per quiescence epoch, and
+    exactly when each user quiesces once.  A user returning after
+    retention expires restarts at 1 — size retention to the longest
+    return you need monotone numbering across; the cost is linear in
+    quiesced-user cardinality, which is why it is bounded at all."""
     if gap_seconds < 1:
         raise ValueError("stream_sessionize: gap_seconds must be >= 1")
+    if renumber_retention_ms < 0:
+        raise ValueError(
+            "stream_sessionize: renumber_retention_ms must be >= 0"
+        )
     gap_us = gap_seconds * 1_000_000
     keyed = event_stream.select(
         F.col(user_col).cast("long").alias("user_id"),
@@ -68,11 +87,17 @@ def stream_sessionize(
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            tss, ids = state.get
-            state.remove()
+            tss, ids, base = state.get
+            if not tss:
+                # retention epoch ended with no new events: the
+                # numbering base expires — state stays bounded by
+                # ACTIVE-ish users, not all users ever seen
+                state.remove()
+                yield _EMPTY
+                return
             pairs = sorted(zip(tss, ids))
             idxs, counts, firsts, lasts = [], [], [], []
-            sidx = 0
+            sidx = base
             for i, (ts, _) in enumerate(pairs):
                 if i == 0 or ts - pairs[i - 1][0] > gap_us:
                     sidx += 1
@@ -82,10 +107,13 @@ def stream_sessionize(
                     lasts.append(ts)
                 counts[-1] += 1
                 lasts[-1] = ts
+            # keep only the numbering base, for renumber_retention_ms
+            state.update(([], [], sidx))
+            state.setTimeoutDuration(renumber_retention_ms)
             yield pd.DataFrame(
                 {
                     "user_id": pd.Series(
-                        [key[0]] * sidx, dtype="int64"
+                        [key[0]] * len(idxs), dtype="int64"
                     ),
                     "session_idx": pd.Series(idxs, dtype="int64"),
                     "n_events": pd.Series(counts, dtype="int64"),
@@ -101,8 +129,9 @@ def stream_sessionize(
             return
         tss: list[int] = []
         ids: list[int] = []
+        base = 0
         if state.exists:
-            p_ts, p_id = state.get
+            p_ts, p_id, base = state.get
             tss.extend(p_ts)
             ids.extend(p_id)
         for pdf in pdfs:
@@ -111,7 +140,7 @@ def stream_sessionize(
                     continue
                 tss.append(int(t))
                 ids.append(int(i) if not pd.isna(i) else 0)
-        state.update((tss, ids))
+        state.update((tss, ids, base))
         state.setTimeoutDuration(idle_timeout_ms)
         yield _EMPTY
 

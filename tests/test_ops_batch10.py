@@ -113,6 +113,34 @@ class TestNode2Vec:
             checked += 1
         assert checked == 16  # 4 nodes x 4 walks
 
+    def test_non_dyadic_weights_never_kill_or_fork_walkers(self, spark):
+        # p = q = 3 makes every biased weight 1/3 — non-dyadic, so a
+        # float recompute of the interval's lower edge (cum - w) can
+        # sit 1 ulp off the previous row's cum, leaving a gap (walker
+        # dies) or an overlap (walker duplicates).  The lag-based
+        # lower bound tiles exactly: every (start, walk, step) must
+        # appear exactly once for the full length.
+        rows = [
+            (f"n{i}", f"n{j}")
+            for i in range(12)
+            for j in range(12)
+            if i < j and (i + j) % 3 != 0
+        ]
+        walks = node2vec_walks(
+            _edges(spark, rows), length=6, walks_per_node=4,
+            p=3.0, q=3.0,
+        ).collect()
+        starts = {s for s, _ in rows} | {d for _, d in rows}
+        seen: dict = {}
+        for r in walks:
+            key = (r.start, r.walk, r.step)
+            assert key not in seen, f"duplicated walker row {key}"
+            seen[key] = r.node
+        for s in starts:
+            for w in range(4):
+                for t in range(7):
+                    assert (s, w, t) in seen, f"walker died at {(s, w, t)}"
+
     def test_guards(self, spark):
         e = _edges(spark, self.ROWS)
         with pytest.raises(ValueError):

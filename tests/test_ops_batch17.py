@@ -95,6 +95,57 @@ class TestParseNtriples:
         assert by_obj["_:b1"].obj_kind == "blank"
         assert by_obj["tabbed"].obj_qualifier is None
 
+    def test_uchar_escapes_decode(self, spark):
+        lines = spark.createDataFrame(
+            [
+                # BMP \uXXXX (+ lowercase hex), astral \UXXXXXXXX
+                # (surrogate pair), BMP-range \U, and a LITERAL
+                # backslash-u (serialized \\u0041) that must NOT
+                # decode
+                ('<urn:a> <urn:p> "A\\u00e9B" .',),
+                ('<urn:b> <urn:p> "x\\U0001F600y" .',),
+                ('<urn:c> <urn:p> "\\U00000041" .',),
+                ('<urn:d> <urn:p> "\\\\u0041" .',),
+                ('<urn:e> <urn:p> "\\u0041\\u0042 twice" .',),
+            ],
+            "line string",
+        )
+        by_subj = {
+            r.subj: r.obj for r in parse_ntriples(lines).collect()
+        }
+        assert by_subj["urn:a"] == "AéB"
+        assert by_subj["urn:b"] == "x\U0001F600y"
+        assert by_subj["urn:c"] == "A"
+        assert by_subj["urn:d"] == "\\u0041"
+        assert by_subj["urn:e"] == "AB twice"
+
+    def test_malformed_uchar_stays_verbatim(self, spark):
+        lines = spark.createDataFrame(
+            [('<urn:a> <urn:p> "bad \\uZZZZ here" .',)],
+            "line string",
+        )
+        rows = parse_ntriples(lines).collect()
+        assert rows[0].obj == "bad \\uZZZZ here"
+
+    def test_blank_object_tight_dot(self, spark):
+        # legal per the grammar: no whitespace between a blank-node
+        # object and the terminating dot (labels never end in '.')
+        lines = spark.createDataFrame(
+            [
+                ("<urn:a> <urn:p> _:b0.",),
+                ("<urn:a> <urn:q> _:l.a.b.el.",),
+                ("<urn:a> <urn:r> <urn:o>.",),
+                ('<urn:a> <urn:s> "lit".',),
+            ],
+            "line string",
+        )
+        rows = {r.pred: r for r in parse_ntriples(lines).collect()}
+        assert rows["urn:p"].obj == "_:b0"
+        assert rows["urn:p"].obj_kind == "blank"
+        assert rows["urn:q"].obj == "_:l.a.b.el"
+        assert rows["urn:r"].obj == "urn:o"
+        assert rows["urn:s"].obj == "lit"
+
 
 class TestPlanShapes:
     def test_inherit_types_closure_is_broadcast(self, spark):

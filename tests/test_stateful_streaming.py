@@ -307,3 +307,80 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_sessionize_numbering_survives_requiescence(
+    spark, tmp_path
+):
+    """A user who quiesces, then returns, must NOT restart
+    session_idx at 1 — the numbering base persists in state for
+    renumber_retention_ms, so (user_id, session_idx) keys stay unique
+    across quiescence epochs."""
+    import datetime as dt
+
+    from coies_spark.streaming.sessions import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp"
+    in_dir = tmp_path / "events"
+    in_dir.mkdir()
+
+    def _feed(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / tag)
+        )
+        k = 0
+        for root, _, files in os.walk(tmp_path / tag):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(
+                        os.path.join(root, fn),
+                        in_dir / f"{tag}_{k}.parquet",
+                    )
+                    k += 1
+
+    # epoch 1: two sessions (2h event-time gap)
+    _feed(
+        [
+            (0, 1, t0),
+            (1, 1, t0 + dt.timedelta(seconds=60)),
+            (2, 1, t0 + dt.timedelta(seconds=7800)),
+        ],
+        "f0",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_sessionize(
+            stream,
+            gap_seconds=1800,
+            idle_timeout_ms=500,
+            renumber_retention_ms=120_000,
+        )
+        .writeStream.format("memory")
+        .queryName("session_epochs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("select * from session_epochs").count() >= 2:
+                break
+            time.sleep(1)
+        # epoch 2: the user returns much later (one new session)
+        _feed([(3, 1, t0 + dt.timedelta(seconds=90000))], "f1")
+        while time.time() < deadline:
+            if spark.sql("select * from session_epochs").count() >= 3:
+                break
+            time.sleep(1)
+        rows = spark.sql("select * from session_epochs").collect()
+    finally:
+        q.stop()
+    idxs = sorted(r.session_idx for r in rows if r.user_id == 1)
+    assert idxs == [1, 2, 3], idxs  # continued, never re-numbered
