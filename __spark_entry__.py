@@ -758,6 +758,103 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_fertility(docs, merges)
 
 
+def _trained_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str]]:
+    """The corpus-trained BPE merge list every ``*_bpe`` budget query
+    applies — trained once per call on the documents table (≤8 rows,
+    driver-safe by construction, shipping as plan literals)."""
+    docs = _read(spark, sf_dir, "documents")
+    return [
+        (r.lhs, r.rhs)
+        for r in bpe.bpe_merges(docs, BPE_MERGES).orderBy("rank").collect()
+    ]
+
+
+# BPE-token budgets: symbol counts under 8 merges sit near character
+# counts, so budgets are ~4-5x their whitespace-token siblings
+_BPE_TOKEN_BUDGET = 15000
+
+
+def _q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-style packing manifest with row offsets measured in
+    TRAINED-TOKENIZER tokens (the unit a loader's row_tokens is
+    specified in) — bpe_symbol_count_col sizing feeding the same
+    two-phase prefix-sum packer; whitespace budgets would mis-size
+    every row by the fertility factor bpe_fertility measures."""
+    return lm.pack_documents(
+        _read(spark, sf_dir, "documents"),
+        row_tokens=512,
+        merges=_trained_merges(spark, sf_dir),
+    )
+
+
+def _q_pack_turns_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-granular sequence packing budgeted in trained BPE tokens
+    — the instruct-data packer counting what the training loader
+    counts."""
+    return transcripts.pack_turns(
+        transcripts.synthesize_transcripts(
+            _read(spark, sf_dir, "documents")
+        ),
+        budget_tokens=256,
+        merges=_trained_merges(spark, sf_dir),
+    )
+
+
+def _q_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling where the budget is in BPE
+    tokens: with_bpe_token_counts enrichment composed with the
+    n_tokens_col knob — high-fertility languages now pay their true
+    token cost, so the mixture is equitable in model-consumed
+    tokens."""
+    sized = bpe.with_bpe_token_counts(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        _trained_merges(spark, sf_dir),
+    ).select("doc_id", "lang", "n_bpe_tokens")
+    return sampling.token_budget_sample(
+        sized,
+        _BPE_TOKEN_BUDGET,
+        n_tokens_col="n_bpe_tokens",
+        strata_col="lang",
+    )
+
+
+def _q_epoch_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-epoch mixture plan computed over BPE-token
+    inventories (closes the loop bpe_fertility opens: mixture shares
+    planned in the tokens training actually consumes, not whitespace
+    words)."""
+    sized = bpe.with_bpe_token_counts(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        _trained_merges(spark, sf_dir),
+    )
+    return sampling.epoch_plan(
+        sized,
+        {"en": 0.2, "fr": 0.5, "zh": 0.3},
+        budget_tokens=800000,
+        strata_col="lang",
+        n_tokens_col="n_bpe_tokens",
+    )
+
+
+def _q_sliding_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunks with window/stride measured in trained
+    BPE tokens — retrieval windows sized in the embedder's unit."""
+    return transcripts.sliding_chunks(
+        transcripts.synthesize_transcripts(
+            _read(spark, sf_dir, "documents")
+        ),
+        window_tokens=96,
+        stride_tokens=48,
+        merges=_trained_merges(spark, sf_dir),
+    )
+
+
 def _q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_confidence(_kg_evidence(spark, sf_dir))
 
@@ -1643,6 +1740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language fertility of the same trained merges: the
         # multilingual tokenizer-equity table
         "bpe_fertility": _q_bpe_fertility,
+        # tokenizer-accurate packing/budget family: the same trained
+        # merge table wired into every op that counts tokens, so
+        # budgets are in the unit training loaders consume
+        "pack_documents_bpe": _q_pack_documents_bpe,
+        "pack_turns_bpe": _q_pack_turns_bpe,
+        "token_budget_bpe": _q_token_budget_bpe,
+        "epoch_plan_bpe": _q_epoch_plan_bpe,
+        "sliding_chunks_bpe": _q_sliding_chunks_bpe,
         # T5 denoising data prep: block-aligned deterministic span
         # corruption (hash-Bernoulli block pick, sentinel agreement
         # by block id) — input/target pairs in one projection
@@ -4688,6 +4793,183 @@ def oracle_sql() -> dict[str, str]:
                END AS fertility
         FROM dt LEFT JOIN ag USING (doc_id)
         GROUP BY lang
+    """
+    )
+
+    # the tokenizer-accurate budget family: per-doc/per-turn BPE
+    # symbol counts from the SAME trained-merge CTEs, then the exact
+    # whitespace-sibling plan shapes re-run in the BPE unit
+    _dbp_ctes = (
+        f""",
+        mp AS (SELECT {mp_cols}),
+        seg AS (SELECT doc_id, {seg_expr} AS s
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                      FROM documents) CROSS JOIN mp),
+        ag AS (SELECT doc_id,
+                      CAST(sum(len(string_split(trim(s), '  ')))
+                        AS BIGINT) AS ns
+               FROM seg GROUP BY doc_id),
+        dbp AS (SELECT d.doc_id, d.lang,
+                       CAST(coalesce(ag.ns, 0) AS BIGINT) AS nb
+                FROM documents d LEFT JOIN ag USING (doc_id))
+    """
+    )
+    sql["pack_documents_bpe"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + _dbp_ctes
+        + """,
+        nz AS (SELECT doc_id, nb AS n_tokens FROM dbp WHERE nb > 0),
+        ps AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                   AS prev
+               FROM nz),
+        sg2 AS (SELECT doc_id, n_tokens, prev,
+                  unnest(range(prev // 512,
+                               (prev + n_tokens - 1) // 512 + 1))
+                    AS row_id
+                FROM ps)
+        SELECT doc_id, CAST(row_id AS BIGINT) AS row_id,
+               CAST(greatest(prev, row_id * 512) - row_id * 512
+                 AS BIGINT) AS offset_in_row,
+               CAST(greatest(prev, row_id * 512) - prev
+                 AS BIGINT) AS offset_in_doc,
+               CAST(least(prev + n_tokens, (row_id + 1) * 512)
+                    - greatest(prev, row_id * 512)
+                 AS BIGINT) AS seg_tokens,
+               n_tokens
+        FROM sg2
+    """
+    )
+    # per-turn BPE counts: the same mp merges applied to the
+    # transcript synthesis CTE's turn tokens
+    _turn_toks = _TOKS.replace("lower(text)", "lower(turn_text)")
+    _tbp_ctes = (
+        f""",
+        mp AS (SELECT {mp_cols}),
+        t AS ({_transcripts_cte()}),
+        tsg AS (SELECT conv_id, turn_idx, {seg_expr} AS s
+                FROM (SELECT conv_id, turn_idx,
+                             unnest({_turn_toks}) AS tok
+                      FROM t) CROSS JOIN mp),
+        tag AS (SELECT conv_id, turn_idx,
+                       CAST(sum(len(string_split(trim(s), '  ')))
+                         AS BIGINT) AS ns
+                FROM tsg GROUP BY 1, 2),
+        tok AS (SELECT t.conv_id, t.turn_idx, t.turn_text,
+                       CAST(coalesce(tag.ns, 0) AS BIGINT) AS n_toks
+                FROM t LEFT JOIN tag USING (conv_id, turn_idx))
+    """
+    )
+    sql["pack_turns_bpe"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + _tbp_ctes
+        + """,
+        off AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 CAST(floor(coalesce(sum(n_toks) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) / 256) AS BIGINT) AS chunk_id
+          FROM tok)
+        SELECT conv_id, chunk_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(min(turn_idx) AS BIGINT) AS first_turn,
+               CAST(max(turn_idx) AS BIGINT) AS last_turn,
+               string_agg(turn_text, ' ' ORDER BY turn_idx)
+                 AS packed_text
+        FROM off GROUP BY 1, 2
+    """
+    )
+    sql["sliding_chunks_bpe"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + _tbp_ctes
+        + """,
+        off AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 coalesce(sum(n_toks) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS o
+          FROM tok),
+        spanned AS (
+          SELECT conv_id, turn_idx, turn_text, n_toks,
+                 unnest(range(
+                   greatest(0, CAST(floor((o - 96) / 48.0)
+                                    AS BIGINT) + 1),
+                   CAST(floor((o + n_toks - 1) / 48.0)
+                        AS BIGINT) + 1)) AS chunk_id
+          FROM off WHERE n_toks > 0)
+        SELECT conv_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(min(turn_idx) AS BIGINT) AS first_turn,
+               CAST(max(turn_idx) AS BIGINT) AS last_turn,
+               string_agg(turn_text, ' ' ORDER BY turn_idx)
+                 AS chunk_text
+        FROM spanned GROUP BY 1, 2
+    """
+    )
+    sql["token_budget_bpe"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + _dbp_ctes
+        + f""",
+        w AS (SELECT doc_id, lang, nb AS n_bpe_tokens,
+                     CAST(coalesce(sum(nb) OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+              FROM dbp)
+        SELECT doc_id, lang, n_bpe_tokens, cum_before
+        FROM w WHERE cum_before < {_BPE_TOKEN_BUDGET}
+    """
+    )
+    sql["epoch_plan_bpe"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + _dbp_ctes
+        + """,
+        inv0 AS (SELECT lang AS stratum,
+                        CAST(sum(nb) AS BIGINT) AS available_tokens
+                 FROM dbp GROUP BY 1),
+        tgt AS (SELECT * FROM (VALUES ('en'), ('fr'), ('zh'))
+                tg(stratum)),
+        inv AS (SELECT stratum,
+                       CAST(coalesce(available_tokens, 0) AS BIGINT)
+                         AS available_tokens
+                FROM inv0 FULL OUTER JOIN tgt USING (stratum)),
+        s AS (SELECT stratum, available_tokens,
+                     CASE stratum WHEN 'en' THEN 0.2
+                                  WHEN 'fr' THEN 0.5
+                                  WHEN 'zh' THEN 0.3
+                                  ELSE 0.0 END AS target_share
+              FROM inv),
+        e AS (SELECT stratum, available_tokens, target_share,
+                     800000 * target_share AS want_tokens,
+                     round(CASE WHEN available_tokens > 0
+                                 AND target_share > 0
+                                THEN least(4.0, (800000 * target_share)
+                                                / available_tokens)
+                                ELSE 0.0 END, 6) AS epochs
+              FROM s)
+        SELECT stratum, available_tokens, target_share, want_tokens,
+               epochs,
+               CAST(ceil(epochs) AS BIGINT) AS n_passes,
+               CAST(round(available_tokens * epochs, 0) AS BIGINT)
+                 AS effective_tokens,
+               CAST(greatest(0.0,
+                 round(want_tokens - available_tokens * epochs, 0))
+                 AS BIGINT) AS deficit_tokens
+        FROM e
     """
     )
 

@@ -142,6 +142,51 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     return out
 
 
+def bpe_symbol_count_col(
+    text_col: str, merges: list[tuple[str, str]]
+) -> Column:
+    """The number of BPE tokens a trained merge list produces for a
+    text column — as ONE pure string expression (long), the unit
+    every packing/budget op should count in, because training
+    loaders consume TOKENIZER tokens, not whitespace words, and the
+    two differ by exactly the per-language fertility factor
+    (:func:`bpe_fertility` measures it at 1.3–2× on real mixes).
+    Shared by :func:`bpe_segment` and the ``merges=`` mode of
+    ``pack_turns`` / ``sliding_chunks`` / ``pack_documents`` /
+    ``with_bpe_token_counts``, so budget counting and segmentation
+    can never drift apart.  Zero shuffle, whole-stage codegen."""
+    toks = tokens_col(text_col)
+    word_state = F.transform(toks, lambda t: _sym_init(t))
+    for lhs, rhs in merges:
+        word_state = F.transform(
+            word_state,
+            lambda s: _apply_merge(s, F.lit(lhs), F.lit(rhs)),
+        )
+    return F.aggregate(
+        word_state,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + _sym_count(s),
+    )
+
+
+def with_bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Input + ``out_col``: every row annotated with its trained-
+    tokenizer token count — the enrichment that turns any op with an
+    ``n_tokens_col`` knob (``token_budget_sample``, ``epoch_plan``,
+    ``mixture_rates``, ``pack_documents``) into a BPE-budgeted one by
+    composition.  Pure projection; the merge table ships as plan
+    literals (the streaming-weights pattern — vocab-scale tables are
+    driver-safe by construction)."""
+    return docs.withColumn(
+        out_col, bpe_symbol_count_col(text_col, merges)
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -165,17 +210,7 @@ def bpe_segment(
     whole-stage codegen, zero shuffle (plan-tested).
     """
     toks = tokens_col("text")
-    word_state = F.transform(toks, lambda t: _sym_init(t))
-    for lhs, rhs in merges:
-        word_state = F.transform(
-            word_state,
-            lambda s: _apply_merge(s, F.lit(lhs), F.lit(rhs)),
-        )
-    n_sym = F.aggregate(
-        word_state,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + _sym_count(s),
-    )
+    n_sym = bpe_symbol_count_col("text", merges)
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),

@@ -374,6 +374,7 @@ def pack_documents(
     id_col: str = "doc_id",
     n_tokens_col: str | None = None,
     n_buckets: int = 32,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(doc_id, row_id, offset_in_row, offset_in_doc, seg_tokens,
     n_tokens): the GPT-style PACKING MANIFEST — documents
@@ -387,9 +388,18 @@ def pack_documents(
     row k without touching any other row, and everything a
     loss-masker needs to put document boundaries back.
 
-    Token counts come from ``n_tokens_col`` if given, else the
-    engine tokenizer; zero-token documents occupy no space and emit
-    nothing.  Global token positions come from
+    Token counts come from ``n_tokens_col`` if given, else from a
+    trained BPE merge list if ``merges`` is given (manifest offsets
+    and segment sizes are then in TOKENIZER tokens — the unit the
+    training loader's ``row_tokens`` is specified in; whitespace
+    counts mis-size rows by the fertility factor), else the engine
+    whitespace tokenizer.  ``n_tokens_col`` and ``merges`` are
+    mutually exclusive.  Zero-token documents occupy no space and
+    emit nothing.  NOTE: :func:`materialize_rows` slices WHITESPACE
+    tokens by manifest offsets, so it reassembles text only for
+    whitespace-unit manifests; a BPE-unit manifest is consumed by a
+    loader that tokenizes with the same merge table (offsets index
+    its token stream).  Global token positions come from
     :func:`~coies_spark.ops.maintenance.exclusive_prefix_sum` (the
     two-phase scan — no single-task global sort), and the row fan-out
     is ``sequence(first_row, last_row)`` exploded per document —
@@ -400,9 +410,21 @@ def pack_documents(
     """
     if row_tokens < 1:
         raise ValueError("pack_documents: row_tokens must be >= 1")
+    if n_tokens_col is not None and merges is not None:
+        raise ValueError(
+            "pack_documents: n_tokens_col and merges are mutually "
+            "exclusive — pass the count column OR the merge table"
+        )
     from .maintenance import exclusive_prefix_sum
 
-    if n_tokens_col is None:
+    if merges is not None:
+        from .bpe import bpe_symbol_count_col
+
+        sized = docs.select(
+            F.col(id_col),
+            bpe_symbol_count_col("text", merges).alias("n_tokens"),
+        )
+    elif n_tokens_col is None:
         sized = docs.select(
             F.col(id_col),
             F.size(tokens_col("text")).cast("long").alias("n_tokens"),

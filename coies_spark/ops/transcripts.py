@@ -18,7 +18,7 @@ groupBy, both keyed on conv_id so the exchange is shared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_col
@@ -155,8 +155,24 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _turn_token_count(
+    merges: list[tuple[str, str]] | None,
+) -> Column:
+    """Per-turn token count for the packing/chunking ops: whitespace
+    engine tokens by default, trained-tokenizer (BPE) tokens when a
+    merge list is given — one shared definition so pack/chunk budgets
+    can't drift from the segmenter."""
+    if merges is None:
+        return F.size(tokens_col("text")).cast("long")
+    from .bpe import bpe_symbol_count_col
+
+    return bpe_symbol_count_col("text", merges)
+
+
 def pack_turns(
-    transcripts: DataFrame, budget_tokens: int = 64
+    transcripts: DataFrame,
+    budget_tokens: int = 64,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(conv_id, chunk_id, n_turns, n_tokens, first_turn, last_turn,
     packed_text): offset-based sequence packing — each conversation's
@@ -178,6 +194,13 @@ def pack_turns(
     deterministic under any task ordering, matching DuckDB's
     ``string_agg(... ORDER BY turn_idx)``.
 
+    With ``merges`` (a trained BPE merge list —
+    ``[(r.lhs, r.rhs) for r in bpe_merges(...)...]``), token counts
+    are TOKENIZER tokens (``bpe_symbol_count_col``) instead of
+    whitespace words — the unit training loaders actually consume;
+    whitespace budgets mis-size rows by exactly the per-language
+    fertility factor.  Splits stay turn-granular either way.
+
     Plan: one window pass (the exclusive prefix sum) and one groupBy.
     Both key on conv_id (the groupBy adds chunk_id), so at 10¹² turns
     this is the same conv_id-clustered shape as turn assembly — on
@@ -195,7 +218,7 @@ def pack_turns(
         "conv_id",
         "turn_idx",
         "text",
-        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+        _turn_token_count(merges).alias("n_toks"),
     )
     offs = toks.withColumn(
         "chunk_id",
@@ -220,6 +243,7 @@ def sliding_chunks(
     transcripts: DataFrame,
     window_tokens: int = 64,
     stride_tokens: int = 32,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """(conv_id, chunk_id, n_turns, n_tokens, first_turn, last_turn,
     chunk_text): OVERLAPPING retrieval chunks — each conversation's
@@ -245,6 +269,11 @@ def sliding_chunks(
     * ``k_max = floor((offset + len − 1) / stride)`` — last window
       starting at or before the turn's last token.
 
+    With ``merges``, window/stride positions are measured in trained
+    BPE tokens (``bpe_symbol_count_col``) instead of whitespace words
+    — retrieval windows sized in the unit the embedder/reader model
+    actually consumes.  Membership stays turn-granular either way.
+
     Scale: one conv_id window pass (the exclusive prefix sum — on the
     bucketed transcript layout its exchange is satisfied by storage),
     an in-row ``sequence()`` explode whose fan-out is bounded by
@@ -266,7 +295,7 @@ def sliding_chunks(
         "conv_id",
         "turn_idx",
         "text",
-        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+        _turn_token_count(merges).alias("n_toks"),
     )
     offs = toks.withColumn(
         "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
