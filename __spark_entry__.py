@@ -390,6 +390,44 @@ def _q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_probe(spark, idx, emb, dim=EMB_DIM)
 
 
+_SHARD_CLEANUP: set[str] = set()
+
+
+def _q_shard_write_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Execute the shard plan into an app-scoped /tmp store (the
+    ivf-pq store's concurrency/cleanup pattern) and return the
+    manifest read back from disk — so the gate checks the WRITTEN
+    bytes' accounting, not an in-memory aggregate."""
+    import atexit as _atexit
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    base = "/tmp/coies_shards_" + _os.path.basename(
+        _os.path.normpath(sf_dir)
+    )
+    path = base + "_" + spark.sparkContext.applicationId
+    for old in _glob.glob(base + "_*"):
+        try:
+            stale = _time.time() - _os.path.getmtime(old) > 6 * 3600
+        except OSError:
+            stale = False
+        if old != path and stale:
+            _shutil.rmtree(old, ignore_errors=True)
+    if path not in _SHARD_CLEANUP:
+        _SHARD_CLEANUP.add(path)
+        _atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    return maintenance.write_shards(
+        spark,
+        _read(spark, sf_dir, "documents"),
+        path,
+        target_bytes=5000,
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -2257,6 +2295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": lambda s, d: maintenance.shard_plan(
             _read(s, d, "documents"), target_bytes=5000
         ),
+        # the plan EXECUTED: partitionBy(shard_id) parquet + manifest
+        # (rows, bytes, md5-summand digest) under an app-scoped /tmp
+        # store; idempotent dynamic-partition overwrite — the oracle
+        # recomputes the manifest from the naive window assignment
+        "shard_write_manifest": _q_shard_write_manifest,
         # One-Permutation-Hashing MinHash (1 md5/shingle vs k) with
         # rotation densification — the signature-build cost lever
         "oph_signatures": lambda s, d: dedup.oph_signatures_wide(
@@ -5010,6 +5053,23 @@ def oracle_sql() -> dict[str, str]:
                                  AND 1 PRECEDING), 0) AS DOUBLE)
                  / 5000) AS BIGINT) AS shard_id
         FROM documents
+    """
+
+    # shard_write_manifest: the naive-window shard assignment
+    # aggregated to per-shard (rows, bytes, digest) — matching the
+    # WRITTEN manifest proves the executed files carry exactly the
+    # planned rows (digest = the engine's 32-bit md5-summand sum over
+    # id+size, chr(31)-joined)
+    sql["shard_write_manifest"] = f"""
+        WITH plan AS ({sql['shard_plan']})
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               CAST(sum(CAST(('0x' || substr(md5(
+                      CAST(doc_id AS VARCHAR) || chr(31)
+                      || CAST(bytes AS VARCHAR)), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS digest_sum
+        FROM plan GROUP BY 1
     """
 
     # span_corruption: the same block-hash pick and slice arithmetic

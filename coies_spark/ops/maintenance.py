@@ -31,7 +31,7 @@ streams).  No collect, no driver loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -374,3 +374,152 @@ def shard_plan(
             "shard_id"
         ),
     )
+
+
+def _shard_digest_col(digest_cols: list[str]) -> Column:
+    """Order-independent 32-bit-md5-summand content digest — the
+    engine's `_triple_digest` convention (map-side aggregable; int64
+    headroom to ~2^31 rows/shard)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "\x1f",
+                        *[F.col(c).cast("string") for c in digest_cols],
+                    ),
+                    "utf-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def write_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    digest_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    shard_ids: list[int] | None = None,
+) -> DataFrame:
+    """EXECUTE a :func:`shard_plan`: write the documents as
+    ``partitionBy(shard_id)`` parquet under ``path`` plus one
+    manifest row per shard — (shard_id, n_rows, bytes, digest_sum) —
+    the WebDataset/TFRecord-style shard builder's write step, and the
+    last link of the curate → pack → shard story.  Returns the
+    manifest read back from disk.
+
+    * **Idempotent re-runs**: both data and manifest use the
+      write-scoped dynamic partition overwrite
+      (``refresh_triple_partitions``' pattern — no session-global
+      conf mutation), and the plan is contiguous in id order, so
+      shard k always holds the same documents: re-running overwrites
+      each touched partition with identical CONTENT (same rows, same
+      manifest — file-internal row order may differ with task order)
+      and never clobbers partitions it isn't writing.
+    * **Resume**: pass ``shard_ids`` to (re)write only those shards —
+      a crashed run resumes by writing the missing partitions; the
+      untouched ones stay byte-identical (pinned by test).
+    * **Manifest**: ``bytes`` is the plan's size column summed per
+      shard (logical payload bytes — the quantity the plan balanced),
+      ``digest_sum`` the order-independent md5-summand digest over
+      ``digest_cols`` (default: id + size columns), so
+      :func:`verify_shards` can audit manifest-vs-files without any
+      ordering assumption.
+
+    Scale: the plan is the two-phase prefix sum; the write adds ONE
+    id equi-join (docs × plan) and a ``partitionBy`` shuffle-free
+    file write (each task writes the shards its rows land in —
+    contiguous ids cluster shards per task under the bucketed
+    layout); the manifest is a shards-many-row aggregate.
+    """
+    plan = shard_plan(
+        docs, target_bytes, id_col, size_col, n_buckets
+    )
+    data = docs.join(plan.select(id_col, "shard_id"), id_col)
+    if shard_ids is not None:
+        if not shard_ids:
+            raise ValueError(
+                "write_shards: shard_ids must be non-empty when given"
+            )
+        data = data.where(
+            F.col("shard_id").isin([int(s) for s in shard_ids])
+        )
+    dcols = (
+        list(digest_cols)
+        if digest_cols is not None
+        else [id_col, size_col]
+    )
+    (
+        data.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(f"{path}/data")
+    )
+    written = spark.read.parquet(f"{path}/data").where(
+        F.col("shard_id").isin([int(s) for s in shard_ids])
+        if shard_ids is not None
+        else F.lit(True)
+    )
+    manifest = written.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(size_col).cast("long")).alias("bytes"),
+        F.sum(_shard_digest_col(dcols)).alias("digest_sum"),
+    )
+    (
+        manifest.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(f"{path}/manifest")
+    )
+    return spark.read.parquet(f"{path}/manifest").select(
+        "shard_id", "n_rows", "bytes", "digest_sum"
+    )
+
+
+def verify_shards(
+    spark: SparkSession,
+    path: str,
+    size_col: str = "n_chars",
+    digest_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(shard_id, n_rows, bytes, digest_sum, data_rows, data_bytes,
+    data_digest, ok): byte-accounting audit of a :func:`write_shards`
+    output — recompute every manifest quantity from the data files
+    and compare.  ``ok`` is true iff rows, bytes, and digest all
+    match; a shard present in only one side surfaces as a NULL row
+    (full outer join), never silently passes.  One scan of the data
+    files + a shards-many-row join."""
+    dcols = (
+        list(digest_cols)
+        if digest_cols is not None
+        else [id_col, size_col]
+    )
+    recomputed = (
+        spark.read.parquet(f"{path}/data")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("data_rows"),
+            F.sum(F.col(size_col).cast("long")).alias("data_bytes"),
+            F.sum(_shard_digest_col(dcols)).alias("data_digest"),
+        )
+    )
+    manifest = spark.read.parquet(f"{path}/manifest").select(
+        "shard_id", "n_rows", "bytes", "digest_sum"
+    )
+    joined = manifest.join(recomputed, "shard_id", "full_outer")
+    ok = (
+        (F.col("n_rows") == F.col("data_rows"))
+        & (F.col("bytes") == F.col("data_bytes"))
+        & (F.col("digest_sum") == F.col("data_digest"))
+    )
+    return joined.withColumn("ok", F.coalesce(ok, F.lit(False)))
