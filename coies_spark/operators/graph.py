@@ -912,6 +912,92 @@ def link_prediction_mrr(
     )
 
 
+def _neighbor_index(sym: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """(cur, nbr, pick): every node's neighbors ranked 0..deg-1 by
+    neighbor id ascending — the walk ops' pick↔neighbor bijection —
+    built HUB-SAFELY.  A plain ``row_number() over (partition by cur
+    order by nbr)`` puts ALL of a node's neighbors in one window
+    task: a 10⁸-degree hub ranks 10⁸ rows on a single core before
+    any walk starts.  Instead, the two-phase pattern
+    (``ops.maintenance.exclusive_prefix_sum``'s shape):
+
+    1. order-preserving QUANTILE bucketing of the neighbor id —
+       integer ids bucket on their value, string ids on their
+       first-60-bits key (zero-right-padded hex of the UTF-8 bytes:
+       fixed width, so prefix order == byte order == Spark's
+       code-point string order); boundaries from one tiny
+       ``percentile_approx`` over the edge table, where a hub's
+       neighbors dominate the mass and therefore attract boundaries;
+    2. local ranks per (cur, bucket) window — a hub ranks ~deg/B
+       rows per task;
+    3. per-(cur, bucket) counts get a bucket-order prefix sum on a
+       window of ≤ B rows per node, broadcast-join back as offsets.
+
+    Rank VALUES are identical to the single-window build (ties
+    impossible — (cur, nbr) is distinct after symmetrize), so walk
+    corpora, tests, and DuckDB twins are unchanged.  Node id types
+    outside integer/string fall back to the single-window build.
+    """
+    base = sym.select(F.col("a").alias("cur"), F.col("b").alias("nbr"))
+    nbr_type = dict(base.dtypes)["nbr"]
+    if nbr_type in ("tinyint", "smallint", "int", "bigint", "long"):
+        key = F.col("nbr").cast("long")
+    elif nbr_type == "string":
+        key = F.conv(
+            F.rpad(F.hex(F.encode(F.col("nbr"), "utf-8")), 15, "0"),
+            16,
+            10,
+        ).cast("long")
+    else:  # exotic id type: degenerate to the single-window build
+        n_buckets = 1
+        key = F.lit(0).cast("long")
+    keyed = base.withColumn("__k", key)
+    if n_buckets == 1:
+        bucketed = keyed.withColumn("__bkt", F.lit(0).cast("long"))
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bnds = keyed.agg(
+            F.percentile_approx("__k", qs, 10_000).alias("__bnds")
+        )
+        bucketed = keyed.crossJoin(F.broadcast(bnds)).select(
+            "cur",
+            "nbr",
+            F.aggregate(
+                "__bnds",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(b <= F.col("__k"), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            ).alias("__bkt"),
+        )
+    wl = Window.partitionBy("cur", "__bkt").orderBy("nbr")
+    local = bucketed.select(
+        "cur",
+        "nbr",
+        "__bkt",
+        (F.row_number().over(wl) - 1).cast("long").alias("__lr"),
+    )
+    wo = (
+        Window.partitionBy("cur")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        bucketed.groupBy("cur", "__bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            "cur",
+            "__bkt",
+            (F.sum("__n").over(wo) - F.col("__n")).alias("__off"),
+        )
+    )
+    return local.join(offs, ["cur", "__bkt"]).select(
+        "cur",
+        "nbr",
+        (F.col("__off") + F.col("__lr")).alias("pick"),
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 3,
@@ -955,14 +1041,10 @@ def random_walks(
     if walks_per_node < 1:
         raise ValueError("random_walks: walks_per_node must be >= 1")
     sym = _symmetrize(edges, src, dst)
-    wr = Window.partitionBy("cur").orderBy("nbr")
-    index = sym.select(
-        F.col("a").alias("cur"), F.col("b").alias("nbr")
-    ).select(
-        "cur",
-        "nbr",
-        (F.row_number().over(wr) - 1).cast("long").alias("pick"),
-    )
+    # built ONCE: the unrolled steps reference the index `length`
+    # times — the lazy local checkpoint computes it at the first
+    # action and reuses the materialized RDD for every step
+    index = _neighbor_index(sym).localCheckpoint(eager=False)
     degs = (
         sym.groupBy(F.col("a").alias("cur"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -1116,14 +1198,10 @@ def node2vec_walks(
     if p <= 0 or q <= 0:
         raise ValueError("node2vec_walks: p and q must be > 0")
     sym = _symmetrize(edges, src, dst)
-    wr = Window.partitionBy("cur").orderBy("nbr")
-    index = sym.select(
-        F.col("a").alias("cur"), F.col("b").alias("nbr")
-    ).select(
-        "cur",
-        "nbr",
-        (F.row_number().over(wr) - 1).cast("long").alias("pick"),
-    )
+    # built ONCE: the unrolled steps reference the index `length`
+    # times — the lazy local checkpoint computes it at the first
+    # action and reuses the materialized RDD for every step
+    index = _neighbor_index(sym).localCheckpoint(eager=False)
     degs = sym.groupBy(F.col("a").alias("cur")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

@@ -101,7 +101,74 @@ class TestRandomWalks:
             .toString()
         )
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # the hub-safe index attaches its 1-row quantile-boundary
+        # aggregate via a broadcast cross join (the
+        # exclusive_prefix_sum pattern — O(n), benign); any OTHER
+        # nested-loop join would be quadratic and is still forbidden
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_hub_index_ranks_match_single_window(self, spark):
+        # degree-skew case the two-phase index exists for: one
+        # 10^5-degree hub must get ranks identical to the naive
+        # row_number build (0..deg-1 in neighbor-id order), with the
+        # big rank window partitioned by (cur, bucket) — never a
+        # single task holding the full neighbor list
+        from pyspark.sql.window import Window as W
+
+        from coies_spark.operators.graph import (
+            _neighbor_index,
+            _symmetrize,
+        )
+
+        n = 100_000
+        rows = [("hub", f"s{i:06d}") for i in range(n)]
+        sym = _symmetrize(_edges(spark, rows), "src", "dst")
+        idx = _neighbor_index(sym, n_buckets=16)
+        hub_ranks = (
+            idx.where(F.col("cur") == "hub")
+            .orderBy("pick")
+            .select("nbr", "pick")
+            .collect()
+        )
+        assert [r.pick for r in hub_ranks] == list(range(n))
+        assert [r.nbr for r in hub_ranks] == sorted(
+            f"s{i:06d}" for i in range(n)
+        )
+        # plan shape: the row_number window must key on (cur, __bkt)
+        plan = (
+            idx._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        rn_specs = re.findall(
+            r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+        )
+        assert rn_specs, plan[:2000]
+        for spec in rn_specs:
+            assert "__bkt" in spec, spec
+
+    def test_hub_index_numeric_ids(self, spark):
+        # integer node ids take the value-key path; gappy ids must
+        # still rank correctly (quantile boundaries, not value range)
+        from coies_spark.operators.graph import (
+            _neighbor_index,
+            _symmetrize,
+        )
+
+        rows = [(0, 10**18 + 3 * i) for i in range(500)] + [
+            (0, i + 1) for i in range(500)
+        ]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        sym = _symmetrize(e, "src", "dst")
+        idx = _neighbor_index(sym, n_buckets=8)
+        got = [
+            r.nbr
+            for r in idx.where(F.col("cur") == 0)
+            .orderBy("pick")
+            .collect()
+        ]
+        assert got == sorted(got)
+        assert len(got) == 1000
 
     def test_param_guards(self, spark):
         e = _edges(spark, self.ROWS)
