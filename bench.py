@@ -104,6 +104,12 @@ def main() -> None:
              "(0 → ~350 docs ≈ 4k turns)",
     )
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query subset (fresh-JVM per-query "
+             "baseline pinning runs one query per process)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -373,6 +379,13 @@ def main() -> None:
         "sessionize": lambda: run(relational.sessionize(events)),
     }
 
+    if args.only:
+        keep = {q.strip() for q in args.only.split(",") if q.strip()}
+        unknown = keep - set(queries)
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in queries.items():
@@ -390,7 +403,11 @@ def main() -> None:
         "cores": args.cores,
         "rows": rows,
         "kg_turns": n_turns,
-        "kg_turns_per_sec": round(n_turns / times["kg_extract"], 1),
+        "kg_turns_per_sec": (
+            round(n_turns / times["kg_extract"], 1)
+            if "kg_extract" in times
+            else None
+        ),
     }
     line = json.dumps(out)
     print(line)

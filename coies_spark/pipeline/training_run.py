@@ -1,0 +1,179 @@
+"""The fused training-data preparation run: curate → decontaminate →
+near-dedup → token-budget mixture → pack → shard, chained as
+``StageRunner`` stages so a 100 TB run killed anywhere resumes off its
+stage manifests without re-reading completed stages.
+
+Every stage is an existing, individually-oracled operator — this
+module adds ONLY the composition and the lineage:
+
+1. ``curated`` — :func:`~coies_spark.ops.curate.curate_corpus`
+   (quality + repetition gates, bag-dedup representative, PII scrub),
+   partitioned by lang so the manifest records per-language counts;
+2. ``decontaminated`` — the GPT-3/PaLM n-gram rule
+   (:func:`~coies_spark.ops.dedup.contamination_pairs`): drop any doc
+   whose shingles cover ≥ ``contamination_overlap`` of a benchmark
+   item's (skipped when no benchmark is given);
+3. ``deduped`` — MinHash-LSH candidates →
+   :func:`~coies_spark.ops.dedup.dedup_representatives` keep-best by
+   quality (near-dup clusters keep their cleanest member);
+4. ``sampled`` — :func:`~coies_spark.ops.sampling.token_budget_sample`
+   per language; with ``merges`` the budget is counted in trained BPE
+   tokens (:func:`~coies_spark.ops.bpe.with_bpe_token_counts`) — the
+   unit the loader consumes;
+5. ``packed`` — the :func:`~coies_spark.ops.lm.pack_documents`
+   manifest at ``row_tokens`` (same unit as stage 4);
+6. ``shards`` — :func:`~coies_spark.ops.maintenance.write_shards`
+   executes the shard plan into ``out_dir/shard_files`` (idempotent
+   dynamic-partition writes + audited per-shard manifest); the stage
+   snapshot IS the shard manifest.
+
+The funnel report is ``runner.metrics()`` — one row per stage with
+row counts, resume flags, and per-partition lineage: exactly the
+accounting a curation owner monitors, derived from the same manifests
+that make the run resumable.
+
+Scale: each stage materializes once and reads the PREVIOUS stage's
+snapshot — the fan-in of a kill/resume is one parquet read, never a
+recompute; the stage operators themselves carry the engine's
+bucketed/blocked plan shapes (nothing here adds a shuffle beyond what
+the standalone ops cost).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.curate import curate_corpus
+from ..ops.dedup import (
+    contamination_pairs,
+    dedup_representatives,
+    lsh_candidate_pairs,
+)
+from ..ops.lm import pack_documents
+from ..ops.maintenance import write_shards
+from ..ops.sampling import token_budget_sample
+from .checkpoint import StageRunner
+
+
+def prepare_training_run(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    budget_tokens: int,
+    row_tokens: int = 256,
+    target_shard_bytes: int = 4096,
+    min_quality: float = 0.62,
+    benchmark_path: Optional[str] = None,
+    contamination_n: int = 8,
+    contamination_overlap: float = 0.5,
+    merges: Optional[list[tuple[str, str]]] = None,
+) -> tuple[DataFrame, StageRunner]:
+    """→ (shard_manifest, runner): the prepared run.  Re-invoking with
+    identical inputs/config skips every completed stage off its
+    manifest and returns identical shards; changing any fingerprint
+    field recomputes from the first affected stage."""
+    runner = StageRunner(
+        spark,
+        out_dir,
+        fingerprint={
+            "docs": docs_path,
+            "benchmark": benchmark_path,
+            "min_quality": min_quality,
+            "budget_tokens": budget_tokens,
+            "row_tokens": row_tokens,
+            "target_shard_bytes": target_shard_bytes,
+            "contamination_n": contamination_n,
+            "contamination_overlap": contamination_overlap,
+            "merges": merges or [],
+        },
+    )
+    curated = runner.stage(
+        "curated",
+        lambda: curate_corpus(
+            spark.read.parquet(docs_path), min_quality=min_quality
+        ).withColumnRenamed("scrubbed", "text"),
+        partition_by=["lang"],
+    )
+
+    if benchmark_path is not None:
+        def _decontaminate() -> DataFrame:
+            bench = spark.read.parquet(benchmark_path)
+            hits = (
+                contamination_pairs(
+                    curated,
+                    bench,
+                    n=contamination_n,
+                    min_overlap=contamination_overlap,
+                )
+                .where(F.col("contaminated"))
+                .select("doc_id")
+                .distinct()
+            )
+            return curated.join(hits, "doc_id", "left_anti")
+
+        clean = runner.stage("decontaminated", _decontaminate)
+    else:
+        clean = curated
+
+    deduped = runner.stage(
+        "deduped",
+        lambda: dedup_representatives(
+            clean, lsh_candidate_pairs(clean), score_col="quality"
+        )
+        .where(F.col("kept"))
+        .join(clean, "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "quality", "text"
+        ),
+    )
+
+    def _sample() -> DataFrame:
+        if merges is not None:
+            from ..ops.bpe import with_bpe_token_counts
+
+            sized = with_bpe_token_counts(deduped, merges)
+            return token_budget_sample(
+                sized,
+                budget_tokens,
+                n_tokens_col="n_bpe_tokens",
+                strata_col="lang",
+            )
+        return token_budget_sample(
+            deduped,
+            budget_tokens,
+            n_tokens_col="n_tokens",
+            strata_col="lang",
+        )
+
+    sampled = runner.stage("sampled", _sample)
+
+    packed = runner.stage(
+        "packed",
+        lambda: pack_documents(sampled, row_tokens, merges=merges)
+        if merges is not None
+        else pack_documents(
+            sampled, row_tokens, n_tokens_col="n_tokens"
+        ),
+    )
+    del packed  # the manifest snapshot is the stage's artifact
+
+    # the shard FILES live beside the stage snapshots (out/shard_files
+    # — distinct from the runner's out/shards stage dir); the stage's
+    # own snapshot is the audited manifest
+    shard_manifest = runner.stage(
+        "shards",
+        lambda: write_shards(
+            spark,
+            sampled,
+            f"{out_dir}/shard_files",
+            target_bytes=target_shard_bytes,
+            size_col=(
+                "n_bpe_tokens" if merges is not None else "n_tokens"
+            ),
+            digest_cols=["doc_id", "text"],
+        ),
+    )
+    return shard_manifest, runner

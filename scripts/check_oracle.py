@@ -2,11 +2,16 @@
 query on Spark and its DuckDB oracle side-by-side at a given sf, and
 compare row counts, column names, and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes per-query results in the driver's
+CORRECTNESS format (rows/schema/hash match flags + row counts + err)
+— the round-end full-registry artifact (CORRECTNESS_full_rN.json).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -52,8 +57,14 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -71,26 +82,55 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {str(e)[:300]}",
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
-            if len(sdf) == 0 and name != "noop":
+            ok0 = len(sdf) > 0 or name == "noop"
+            if not ok0:
                 failures.append((name, "0 rows"))
+            results[name] = {
+                "rows_match": ok0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None,
+                "err": None if ok0 else "0 rows (rows-only)",
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR {e}"))
             print(f"FAIL  {name}: oracle error {str(e)[:200]}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"oracle: {str(e)[:300]}",
+            }
             continue
         ok, why = values_match(normalize(sdf), normalize(odf))
         status = "match" if ok else "FAIL "
         print(f"{status} {name}: spark={len(sdf)} oracle={len(odf)} {why}")
         if not ok:
             failures.append((name, why))
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": ok,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None if ok else why[:300],
+        }
     print(f"\n{len(failures)} failures")
     for n, w in failures:
         print(f"  {n}: {w}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
