@@ -1440,13 +1440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_digest": _q_kg_linked_digest,
         "entity_spans_tagged": _q_entity_spans,
         "canonicalize_cc": _q_canonicalize_cc,
-        # PageRank over the same near-dup candidate graph: high-pr
-        # nodes are duplicate-cluster hubs (boilerplate detection)
-        "pagerank_neardup": lambda s, d: graph_pagerank(
-            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            )
-        ),
+        # the plan EXECUTED: partitionBy(shard_id) parquet + manifest
+        # (rows, bytes, md5-summand digest) under an app-scoped /tmp
+        # store; idempotent dynamic-partition overwrite — the oracle
+        # recomputes the manifest from the naive window assignment
+        "shard_write_manifest": _q_shard_write_manifest,
         # --- KG evidence→belief layer (ops.kg, r4) ---
         # SCD-2 validity intervals: per-user history of event_type
         # runs over the event stream (one shuffle, two window passes)
@@ -1454,19 +1452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # noisy-OR evidence combination over transcript dictionary
         # mentions: confidence = 1 - Π(1 - s_i) as a map-side SUM
         "triple_confidence": _q_triple_confidence,
-        # recency coreference baseline: each stand-in anaphor ("the"/
-        # "a" — the synthetic vocab has no true pronouns) resolves to
-        # the nearest preceding single-token entity mention
-        "resolve_pronouns": lambda s, d: kg.resolve_pronouns(
-            transcripts.synthesize_transcripts(_read(s, d, "documents")),
-            s.createDataFrame(
-                [("spark", "eng:spark"), ("stream", "eng:stream"),
-                 ("vector", "eng:vector"), ("table", "obj:table"),
-                 ("hash", "obj:hash")],
-                ["surface", "entity"],
-            ),
-            pronouns=("the", "a"),
-        ),
+        # per-language token budgets counted in trained BPE tokens
+        # (with_bpe_token_counts composed with the n_tokens_col knob)
+        "token_budget_bpe": _q_token_budget_bpe,
         # functional-predicate conflicts over the belief table, with
         # deterministic latest-strongest resolution + triage margin
         "functional_conflicts": lambda s, d: kg.functional_conflicts(
@@ -1481,26 +1469,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subclass_closure": lambda s, d: kg.subclass_closure(
             _taxonomy_edges(s, d), max_depth=4
         ),
-        # rdfs9: every part typed by its brand inherits the brand's
-        # superclasses; assertion wins over derivation (direct flag)
-        "inherit_types": lambda s, d: kg.inherit_types(
-            _read(s, d, "part").select(
-                F.concat(F.lit("part:"), F.col("p_partkey")).alias(
-                    "entity"
-                ),
-                F.col("p_brand").alias("cls"),
-            ),
-            kg.subclass_closure(_taxonomy_edges(s, d), max_depth=4),
-        ),
-        # owl:inverseOf: mirror the mention evidence so "incoming
-        # edge" queries become forward scans; provenance kept
-        "materialize_inverses": lambda s, d: kg.materialize_inverses(
-            _kg_evidence(s, d).select("subj", "pred", "obj"),
-            {
-                "mentions_op": "op_mentioned_in",
-                "mentions_engine": "engine_mentioned_in",
-            },
-        ),
+        # tokenizer-accurate packing/budget family (r5): the trained
+        # merge table wired into every op that counts tokens, so
+        # budgets are in the unit training loaders consume.  BPE-unit
+        # GPT-style packing manifest:
+        "pack_documents_bpe": _q_pack_documents_bpe,
+        # turn-granular packing budgeted in trained BPE tokens
+        "pack_turns_bpe": _q_pack_turns_bpe,
         # AIDA-style coherence disambiguation: 'spark' is ambiguous
         # (engine vs plug); the conversation's unambiguous co-mention
         # seeds vote through the co-occurrence graph
@@ -1625,15 +1600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracled).
         "ann_ivf_pq_pruned": _q_ivf_pq_pruned,
         "embedding_neardup": _q_embedding_neardup,
-        # SemDeDup over the planted-twin corpus embedding_neardup uses
-        "semdedup": _q_semdedup,
+        # the multi-epoch mixture plan over BPE-token inventories —
+        # mixture shares planned in the tokens training consumes
+        "epoch_plan_bpe": _q_epoch_plan_bpe,
         # --- evaluation / windows / joins / aggs ---
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
             _read(s, d, "documents")
         ),
-        "rougel_pairs": lambda s, d: relational.rougel_pairs(
-            _read(s, d, "documents")
-        ),
+        # overlapping RAG chunks with window/stride in BPE tokens
+        "sliding_chunks_bpe": _q_sliding_chunks_bpe,
         "rwmd_pairs": lambda s, d: wmd.rwmd_pairs(_read(s, d, "documents")),
         "top_group_orders": _q_top_group,
         "range_join_stopwords": _q_range_join,
@@ -1678,6 +1653,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # view (merge_beliefs: the streaming layer's batch fold —
         # associative over miss-mass, so compaction is incremental)
         "belief_compaction": _q_belief_compaction,
+        # PageRank over the same near-dup candidate graph: high-pr
+        # nodes are duplicate-cluster hubs (boilerplate detection)
+        "pagerank_neardup": lambda s, d: graph_pagerank(
+            dedup.lsh_candidate_pairs(_read(s, d, "documents")).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ),
+        # recency coreference baseline: each stand-in anaphor ("the"/
+        # "a" — the synthetic vocab has no true pronouns) resolves to
+        # the nearest preceding single-token entity mention
+        "resolve_pronouns": lambda s, d: kg.resolve_pronouns(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("spark", "eng:spark"), ("stream", "eng:stream"),
+                 ("vector", "eng:vector"), ("table", "obj:table"),
+                 ("hash", "obj:hash")],
+                ["surface", "entity"],
+            ),
+            pronouns=("the", "a"),
+        ),
+        # rdfs9: every part typed by its brand inherits the brand's
+        # superclasses; assertion wins over derivation (direct flag)
+        "inherit_types": lambda s, d: kg.inherit_types(
+            _read(s, d, "part").select(
+                F.concat(F.lit("part:"), F.col("p_partkey")).alias(
+                    "entity"
+                ),
+                F.col("p_brand").alias("cls"),
+            ),
+            kg.subclass_closure(_taxonomy_edges(s, d), max_depth=4),
+        ),
+        # owl:inverseOf: mirror the mention evidence so "incoming
+        # edge" queries become forward scans; provenance kept
+        "materialize_inverses": lambda s, d: kg.materialize_inverses(
+            _kg_evidence(s, d).select("subj", "pred", "obj"),
+            {
+                "mentions_op": "op_mentioned_in",
+                "mentions_engine": "engine_mentioned_in",
+            },
+        ),
+        # SemDeDup over the planted-twin corpus embedding_neardup uses
+        "semdedup": _q_semdedup,
+        "rougel_pairs": lambda s, d: relational.rougel_pairs(
+            _read(s, d, "documents")
+        ),
         # offset-based sequence packing: turns → ~64-token training
         # chunks, split at token offsets, order-deterministic text
         "pack_turns": lambda s, d: transcripts.pack_turns(
@@ -1778,14 +1798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language fertility of the same trained merges: the
         # multilingual tokenizer-equity table
         "bpe_fertility": _q_bpe_fertility,
-        # tokenizer-accurate packing/budget family: the same trained
-        # merge table wired into every op that counts tokens, so
-        # budgets are in the unit training loaders consume
-        "pack_documents_bpe": _q_pack_documents_bpe,
-        "pack_turns_bpe": _q_pack_turns_bpe,
-        "token_budget_bpe": _q_token_budget_bpe,
-        "epoch_plan_bpe": _q_epoch_plan_bpe,
-        "sliding_chunks_bpe": _q_sliding_chunks_bpe,
         # T5 denoising data prep: block-aligned deterministic span
         # corruption (hash-Bernoulli block pick, sentinel agreement
         # by block id) — input/target pairs in one projection
@@ -2295,11 +2307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": lambda s, d: maintenance.shard_plan(
             _read(s, d, "documents"), target_bytes=5000
         ),
-        # the plan EXECUTED: partitionBy(shard_id) parquet + manifest
-        # (rows, bytes, md5-summand digest) under an app-scoped /tmp
-        # store; idempotent dynamic-partition overwrite — the oracle
-        # recomputes the manifest from the naive window assignment
-        "shard_write_manifest": _q_shard_write_manifest,
         # One-Permutation-Hashing MinHash (1 md5/shingle vs k) with
         # rotation densification — the signature-build cost lever
         "oph_signatures": lambda s, d: dedup.oph_signatures_wide(
