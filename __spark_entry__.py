@@ -1415,6 +1415,22 @@ def _q_conversation_topics(
     )
 
 
+def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflicting-claims table for the truth-discovery queries:
+    every lineitem row is supplier s ASSERTING part p's return flag —
+    the same part shipped by several suppliers under different flags
+    gives genuine multi-source conflicts, and a supplier touching
+    many parts gives each source a real claim history to earn (or
+    lose) trust over."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("supp:"), F.col("l_suppkey")).alias("source"),
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("subj"),
+        F.lit("return_flag").alias("pred"),
+        F.col("l_returnflag").alias("obj"),
+    )
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -2468,6 +2484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicate-signature type inference, keyed on the
         # conversation: modal mention type = dominant topic
         "conversation_topics": _q_conversation_topics,
+        # TruthFinder-style source-reliability resolution over
+        # conflicting supplier claims: 4 unrolled noisy-OR/trust
+        # alternations, decimal-summed (bit-exact on any engine)
+        "truth_discovery": lambda s, d: kg.truth_discovery(
+            _truth_claims(s, d), iters=4
+        ),
+        # the source face of the same fixed point: per-supplier
+        # fitted reliability (shared core — the two can never drift)
+        "source_trust": lambda s, d: kg.source_trust(
+            _truth_claims(s, d), iters=4
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -7861,4 +7888,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component, rep_id, (sid = rep_id) AS kept
         FROM r
     """
+
+    # truth_discovery / source_trust: the unrolled TruthFinder
+    # alternation (one CTE builder, both faces — the em_linkage
+    # pattern).  Every cross-row sum is DECIMAL(28,12) over 9dp-
+    # rounded terms, the same exact-sum trick as the classifier GD
+    # oracle, so Spark and DuckDB agree bitwise at every round.
+    def _truth_ctes(iters: int) -> str:
+        ctes = [
+            """cl AS (
+               SELECT DISTINCT
+                      'supp:' || CAST(l_suppkey AS VARCHAR) AS source,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS subj,
+                      'return_flag' AS pred,
+                      l_returnflag AS obj
+               FROM lineitem)""",
+            """t0 AS (SELECT source, CAST(0.8 AS DOUBLE) AS t
+                      FROM (SELECT DISTINCT source FROM cl))""",
+        ]
+        for i in range(1, iters + 1):
+            ctes.append(f"""f{i} AS (
+               SELECT subj, pred, obj,
+                      CAST(count(*) AS BIGINT) AS n_sources,
+                      round(1 - exp(-CAST(sum(CAST(
+                            round(-ln(1 - 0.8 * least(t, 1 - 1e-6)), 9)
+                          AS DECIMAL(28,12))) AS DOUBLE)), 9) AS conf
+               FROM cl JOIN t{i - 1} USING (source)
+               GROUP BY 1, 2, 3)""")
+            ctes.append(f"""t{i} AS (
+               SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_claims,
+                      round(CAST(sum(CAST(conf AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*), 9) AS t
+               FROM cl JOIN f{i} USING (subj, pred, obj)
+               GROUP BY 1)""")
+        return "WITH " + ",\n".join(ctes)
+
+    _tr4 = _truth_ctes(4)
+    sql["truth_discovery"] = (
+        _tr4
+        + """
+        SELECT subj, pred, obj, n_sources,
+               round(conf, 6) AS confidence,
+               (row_number() OVER (PARTITION BY subj, pred
+                  ORDER BY conf DESC, n_sources DESC, obj ASC) = 1)
+                 AS is_winner
+        FROM f4
+    """
+    )
+    sql["source_trust"] = (
+        _tr4
+        + """
+        SELECT source, n_claims, round(t, 6) AS trust
+        FROM t4
+    """
+    )
     return sql

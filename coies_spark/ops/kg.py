@@ -1994,3 +1994,155 @@ def mention_salience(evidence: DataFrame) -> DataFrame:
             "salience", F.round(F.col("tf") * F.col("idf"), 6)
         )
     )
+
+
+def _truth_rounds(
+    claims: DataFrame, iters: int, prior: float, damp: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared fixed-point core of :func:`truth_discovery` /
+    :func:`source_trust` (one builder, both faces — the
+    ``em_linkage``/``linkage_scores`` pattern, so the two query faces
+    can never drift apart).  Returns (facts, trust) after ``iters``
+    alternations:
+
+    * τ_s = round(-ln(1 - damp · min(t_s, 1-1e-6)), 9) — a source's
+      "trust mass"; the clamp keeps a perfect-trust source finite on
+      every engine (Spark NULL vs DuckDB -inf otherwise).  ``damp``
+      is TruthFinder's independence dampening (γ, Yin et al. §4.3):
+      without it a LONE source's claims come back with confidence
+      equal to its own trust, so an uncorroborated feed certifies
+      itself forever; with damp < 1 a lone wolf decays geometrically
+      (t → damp·t → …) while corroborated sources converge to the
+      positive fixed point t* = (2·damp − 1)/damp² (damp must exceed
+      0.5 for that fixed point to exist — validated);
+    * conf_f = round(1 - exp(-Σ τ_s), 9) over the fact's asserting
+      sources — noisy-OR in log space, the same map-side-combinable
+      SUM shape as :func:`triple_confidence`;
+    * t_s' = round(Σ conf_f / n_claims_s, 9) — a source is as
+      trustworthy as the average confidence of what it asserts.
+
+    Every cross-source / cross-fact sum is taken in
+    ``decimal(28,12)`` over terms already rounded to 9dp, so the sum
+    is EXACT under any partitioning or visit order — the same trick
+    that makes the classifier GD loop bit-identical on Spark and
+    DuckDB (``ops/classify.py``).  Divisions and exp/ln run in
+    doubles with a fixed operation order, re-rounded 9dp before
+    feeding the next round.
+    """
+    if iters < 1:
+        raise ValueError("truth_discovery: iters must be >= 1")
+    if not 0.5 < damp <= 1.0:
+        raise ValueError("truth_discovery: damp must be in (0.5, 1]")
+    dec = "decimal(28,12)"
+    cl = (
+        claims.select("source", "subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    trust = cl.select("source").distinct().select(
+        "source", F.lit(float(prior)).alias("t")
+    )
+    facts = None
+    for _ in range(iters):
+        tau = F.round(
+            -F.log(
+                F.lit(1.0)
+                - F.lit(float(damp))
+                * F.least(F.col("t"), F.lit(1.0 - 1e-6))
+            ),
+            9,
+        )
+        facts = (
+            cl.join(trust, "source")
+            .select("subj", "pred", "obj", tau.alias("tau"))
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+                F.round(
+                    F.lit(1.0)
+                    - F.exp(
+                        -F.sum(F.col("tau").cast(dec)).cast("double")
+                    ),
+                    9,
+                ).alias("conf"),
+            )
+        )
+        trust = (
+            cl.join(facts, ["subj", "pred", "obj"])
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_claims"),
+                F.round(
+                    F.sum(F.col("conf").cast(dec)).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("t"),
+            )
+        )
+    return facts, trust
+
+
+def truth_discovery(
+    claims: DataFrame,
+    iters: int = 4,
+    prior: float = 0.8,
+    damp: float = 0.8,
+) -> DataFrame:
+    """(subj, pred, obj, n_sources, confidence, is_winner): joint
+    source-reliability / fact-confidence estimation over CONFLICTING
+    claims — the Knowledge-Vault-style resolver (Dong et al., KDD'14)
+    in its TruthFinder form (Yin, Han & Yu, TKDE 2008), simplified to
+    the noisy-OR vote this module already uses for evidence
+    (:func:`triple_confidence`): trusted sources lend more weight,
+    and sources that keep asserting high-confidence facts earn trust.
+
+    ``claims`` is (source, subj, pred, obj); duplicate assertions by
+    one source collapse to one vote (DISTINCT) so a chatty source
+    cannot out-shout the consensus.  ``is_winner`` marks, per
+    (subj, pred), the resolved value: highest confidence, then more
+    sources, then lexicographic ``obj`` — a pinned total order, so
+    the resolved KG is byte-identical on any engine or partitioning.
+    Unlike :func:`functional_conflicts`' latest-strongest rule (which
+    trusts recency), this resolver trusts SOURCES — the right tool
+    when the same unreliable feed keeps re-asserting a wrong value
+    with fresh timestamps.
+
+    Scale: ``iters`` (fixed, small) rounds of two map-side-combinable
+    shuffles each — claims⋈trust on ``source``, then the fact
+    aggregate on the triple key; the trust table is source-sized, the
+    fact table triple-sized, and the claims frame is localCheckpointed
+    once and re-read per round (lineage stays flat).  Head-heavy
+    predicates spread because the aggregate key includes subj; no
+    step is all-pairs and nothing collects to the driver.
+    """
+    facts, _ = _truth_rounds(claims, iters, prior, damp)
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("conf").desc(), F.col("n_sources").desc(), F.col("obj").asc()
+    )
+    return facts.select(
+        "subj",
+        "pred",
+        "obj",
+        "n_sources",
+        F.round("conf", 6).alias("confidence"),
+        (F.row_number().over(w) == 1).alias("is_winner"),
+    )
+
+
+def source_trust(
+    claims: DataFrame,
+    iters: int = 4,
+    prior: float = 0.8,
+    damp: float = 0.8,
+) -> DataFrame:
+    """(source, n_claims, trust): the source face of
+    :func:`truth_discovery` — the fitted per-source reliability after
+    the same ``iters`` alternations (shared core, so the two faces
+    are always consistent).  This is the feed-health gauge: a source
+    whose trust decays below the ``prior`` keeps asserting values the
+    consensus rejects, the signal to quarantine the feed upstream.
+    """
+    _, trust = _truth_rounds(claims, iters, prior, damp)
+    return trust.select(
+        "source", "n_claims", F.round("t", 6).alias("trust")
+    )

@@ -1,0 +1,109 @@
+"""Thirty-second batch: truth discovery — TruthFinder-style joint
+source-reliability / fact-confidence estimation over conflicting
+claims (the Knowledge-Vault resolver face of the belief layer), with
+its source-trust gauge.  Planted-reliability behavior, pinned
+resolution order, partitioning invariance, and face consistency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coies_spark.ops.kg import source_trust, truth_discovery
+
+pytestmark = pytest.mark.spark
+
+
+def _claims(spark):
+    """Two corroborating good sources assert the true value of eight
+    items; one bad source asserts a lone wrong value for each.  Round
+    1 favors corroboration, later rounds compound it into trust."""
+    rows = []
+    for i in range(8):
+        for src in ("good_a", "good_b"):
+            rows.append((src, f"item{i}", "value", f"true{i}"))
+        rows.append(("bad", f"item{i}", "value", f"wrong{i}"))
+    return spark.createDataFrame(
+        rows, "source string, subj string, pred string, obj string"
+    )
+
+
+class TestTruthDiscovery:
+    def test_resolves_corroborated_values(self, spark):
+        out = truth_discovery(_claims(spark), iters=4).collect()
+        winners = {
+            (r.subj, r.obj) for r in out if r.is_winner
+        }
+        assert winners == {(f"item{i}", f"true{i}") for i in range(8)}
+        # exactly one winner per (subj, pred)
+        assert sum(1 for r in out if r.is_winner) == 8
+
+    def test_trust_separates_sources(self, spark):
+        t = {r.source: r.trust for r in source_trust(_claims(spark)).collect()}
+        assert t["good_a"] == t["good_b"]  # symmetric claim history
+        assert t["good_a"] > 0.8 > t["bad"]
+
+    def test_confidence_monotone_in_corroboration(self, spark):
+        out = truth_discovery(_claims(spark), iters=1).collect()
+        two = {r.confidence for r in out if r.n_sources == 2}
+        one = {r.confidence for r in out if r.n_sources == 1}
+        assert len(two) == 1 and len(one) == 1
+        assert max(one) < min(two)
+
+    def test_duplicate_assertions_collapse(self, spark):
+        base = _claims(spark)
+        noisy = base.unionByName(
+            base.where(F.col("source") == "bad")
+        )  # bad source re-asserts everything twice
+        a = sorted(map(tuple, truth_discovery(base).collect()))
+        b = sorted(map(tuple, truth_discovery(noisy).collect()))
+        assert a == b
+
+    def test_partitioning_invariance(self, spark):
+        cl = _claims(spark)
+        a = sorted(map(tuple, truth_discovery(cl, iters=4).collect()))
+        b = sorted(
+            map(tuple, truth_discovery(cl.repartition(7), iters=4).collect())
+        )
+        assert a == b
+
+    def test_winner_tiebreak_is_pinned(self, spark):
+        # two singleton claims with identical support: lexicographic
+        # obj breaks the tie deterministically
+        cl = spark.createDataFrame(
+            [("s1", "x", "p", "b"), ("s2", "x", "p", "a")],
+            "source string, subj string, pred string, obj string",
+        )
+        out = {r.obj: r.is_winner for r in truth_discovery(cl).collect()}
+        assert out == {"a": True, "b": False}
+
+    def test_faces_share_fixed_point(self, spark):
+        cl = _claims(spark)
+        # recompute the fact face's round-4 confidence from the
+        # round-3 trust the source face exposes at iters=3: one more
+        # noisy-OR round must reproduce truth_discovery(iters=4)
+        t3 = source_trust(cl, iters=3).select(
+            "source", F.col("trust").alias("t")
+        )
+        facts4 = {
+            (r.subj, r.obj): r.confidence
+            for r in truth_discovery(cl, iters=4).collect()
+        }
+        import math
+
+        t = {r.source: r.t for r in t3.collect()}
+        cl_rows = cl.distinct().collect()
+        by_fact = {}
+        for r in cl_rows:
+            by_fact.setdefault((r.subj, r.obj), []).append(r.source)
+        for (subj, obj), srcs in by_fact.items():
+            sig = sum(
+                round(-math.log(1 - 0.8 * min(t[s], 1 - 1e-6)), 9)
+                for s in srcs
+            )
+            conf = round(round(1 - math.exp(-sig), 9), 6)
+            # round-9 trust feeding the check vs round-6 published
+            # trust: tolerance one ulp of the 6dp grid
+            assert abs(facts4[(subj, obj)] - conf) < 2e-6
+
+    def test_iters_validation(self, spark):
+        with pytest.raises(ValueError):
+            truth_discovery(_claims(spark), iters=0)
