@@ -1431,6 +1431,43 @@ def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _align_kgs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two part-catalog KGs with disjoint id spaces for the alignment
+    query: both carry name+brand attributes (name is the near-unique
+    identifying signal, brand the shared confounder); A adds type, B
+    adds size, so the attribute spaces OVERLAP but differ — the real
+    two-KG shape."""
+    part = _read(spark, sf_dir, "part")
+
+    def _side(tag: str, third_pred: str, third_col: str) -> DataFrame:
+        subj = F.concat(F.lit(f"{tag}:"), F.col("p_partkey")).alias("subj")
+        return (
+            part.select(
+                subj, F.lit("has_name").alias("pred"),
+                F.col("p_name").alias("obj"),
+            )
+            .unionByName(
+                part.select(
+                    subj, F.lit("has_brand").alias("pred"),
+                    F.col("p_brand").alias("obj"),
+                )
+            )
+            .unionByName(
+                part.select(
+                    subj, F.lit(third_pred).alias("pred"),
+                    F.col(third_col).cast("string").alias("obj"),
+                )
+            )
+        )
+
+    return (
+        _side("a", "has_type", "p_type"),
+        _side("b", "has_size", "p_size"),
+    )
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -2495,6 +2532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_trust": lambda s, d: kg.source_trust(
             _truth_claims(s, d), iters=4
         ),
+        # one-to-one entity alignment between two KGs (mutual nearest
+        # neighbors on attribute-set Jaccard, inverted-index join)
+        "kg_align": lambda s, d: kg.kg_align(*_align_kgs(s, d)),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -7943,4 +7983,61 @@ def oracle_sql() -> dict[str, str]:
         FROM t4
     """
     )
+
+    # kg_align: the same two unpivoted part-catalog KGs, the
+    # inverted-index candidate join (stop-attribute cap 1000), the
+    # Jaccard over distinct attribute sets, and the mutual-nearest
+    # rule as two row_number windows with the pinned tie order
+    sql["kg_align"] = """
+        WITH a AS (
+          SELECT DISTINCT 'a:' || CAST(p_partkey AS VARCHAR) AS entity_a,
+                 pred, obj
+          FROM (SELECT p_partkey, 'has_name' AS pred, p_name AS obj FROM part
+                UNION ALL
+                SELECT p_partkey, 'has_brand', p_brand FROM part
+                UNION ALL
+                SELECT p_partkey, 'has_type', p_type FROM part)
+        ),
+        b AS (
+          SELECT DISTINCT 'b:' || CAST(p_partkey AS VARCHAR) AS entity_b,
+                 pred, obj
+          FROM (SELECT p_partkey, 'has_name' AS pred, p_name AS obj FROM part
+                UNION ALL
+                SELECT p_partkey, 'has_brand', p_brand FROM part
+                UNION ALL
+                SELECT p_partkey, 'has_size', CAST(p_size AS VARCHAR) FROM part)
+        ),
+        na AS (SELECT entity_a, CAST(count(*) AS BIGINT) AS n_a
+               FROM a GROUP BY 1),
+        nb AS (SELECT entity_b, CAST(count(*) AS BIGINT) AS n_b
+               FROM b GROUP BY 1),
+        keep AS (
+          SELECT pred, obj
+          FROM (SELECT pred, obj, count(*) AS df_a FROM a GROUP BY 1, 2)
+          JOIN (SELECT pred, obj, count(*) AS df_b FROM b GROUP BY 1, 2)
+            USING (pred, obj)
+          WHERE df_a <= 1000 AND df_b <= 1000
+        ),
+        shared AS (
+          SELECT entity_a, entity_b, CAST(count(*) AS BIGINT) AS n_shared
+          FROM (SELECT * FROM a JOIN keep USING (pred, obj))
+          JOIN (SELECT * FROM b JOIN keep USING (pred, obj))
+            USING (pred, obj)
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT entity_a, entity_b, n_shared,
+                 round(CAST(n_shared AS DOUBLE)
+                       / (n_a + n_b - n_shared), 6) AS jaccard
+          FROM shared JOIN na USING (entity_a) JOIN nb USING (entity_b)
+        )
+        SELECT entity_a, entity_b, n_shared, jaccard,
+               ((row_number() OVER (PARTITION BY entity_a
+                   ORDER BY jaccard DESC, n_shared DESC, entity_b ASC) = 1)
+                AND
+                (row_number() OVER (PARTITION BY entity_b
+                   ORDER BY jaccard DESC, n_shared DESC, entity_a ASC) = 1))
+                 AS is_aligned
+        FROM cand
+    """
     return sql

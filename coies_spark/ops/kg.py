@@ -2146,3 +2146,110 @@ def source_trust(
     return trust.select(
         "source", "n_claims", F.round("t", 6).alias("trust")
     )
+
+
+def kg_align(
+    triples_a: DataFrame,
+    triples_b: DataFrame,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """(entity_a, entity_b, n_shared, jaccard, is_aligned): one-to-one
+    entity ALIGNMENT between two knowledge graphs with disjoint id
+    spaces — the seed-alignment step of every KG-merge (acquiring a
+    second KG, reconciling two extraction runs, entity linking into an
+    external ontology).  Distinct from :mod:`linkage` (pairwise record
+    ER inside ONE id space): here the signal is STRUCTURAL — two
+    entities are alignable when they ground to the same literal
+    attribute space — and the output is constrained one-to-one.
+
+    * candidates: entities sharing ≥ 1 (pred, obj) attribute, found by
+      an inverted-index equi-join on the attribute — never A×B;
+    * jaccard = shared / (attrs_a + attrs_b - shared) over DISTINCT
+      (pred, obj) sets, round 6;
+    * ``is_aligned`` marks RECIPROCAL best matches: b is a's top
+      candidate AND a is b's (ties: higher n_shared, then lexicographic
+      partner id — a pinned total order), the standard high-precision
+      alignment rule (mutual nearest neighbors).  Non-reciprocal
+      candidates stay in the output as review rows.
+
+    Scale: the inverted-index join fans out quadratically on hot
+    attributes (a (pred, obj) held by 10⁶ entities per side is a
+    stop-attribute, alignment-useless by the same tf-idf logic as
+    :func:`mention_salience`); ``max_postings`` drops attributes held
+    by more than that many entities on either side BEFORE the join —
+    the two-phase document-frequency cap the dedup family uses.  The
+    join then shuffles on the attribute key, the Jaccard aggregate on
+    the candidate pair, and the two best-match windows partition by
+    one entity each — head-heavy entities spread across their
+    candidates, nothing is all-pairs.
+    """
+    if max_postings < 1:
+        raise ValueError("kg_align: max_postings must be >= 1")
+
+    def _attrs(t: DataFrame, side: str) -> DataFrame:
+        return (
+            t.select(
+                F.col("subj").alias(f"entity_{side}"), "pred", "obj"
+            )
+            .distinct()
+        )
+
+    a, b = _attrs(triples_a, "a"), _attrs(triples_b, "b")
+    # per-side attribute set sizes (for the Jaccard denominator)
+    na = a.groupBy("entity_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    nb = b.groupBy("entity_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    # stop-attribute cap: posting-list length per side
+    fa = a.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("df_a"))
+    fb = b.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("df_b"))
+    keep = (
+        fa.join(fb, ["pred", "obj"])
+        .where(
+            (F.col("df_a") <= max_postings)
+            & (F.col("df_b") <= max_postings)
+        )
+        .select("pred", "obj")
+    )
+    shared = (
+        a.join(keep, ["pred", "obj"])
+        .join(b.join(keep, ["pred", "obj"]), ["pred", "obj"])
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    cand = (
+        shared.join(na, "entity_a")
+        .join(nb, "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    wa = Window.partitionBy("entity_a").orderBy(
+        F.col("jaccard").desc(),
+        F.col("n_shared").desc(),
+        F.col("entity_b").asc(),
+    )
+    wb = Window.partitionBy("entity_b").orderBy(
+        F.col("jaccard").desc(),
+        F.col("n_shared").desc(),
+        F.col("entity_a").asc(),
+    )
+    return cand.select(
+        "entity_a",
+        "entity_b",
+        "n_shared",
+        "jaccard",
+        (
+            (F.row_number().over(wa) == 1)
+            & (F.row_number().over(wb) == 1)
+        ).alias("is_aligned"),
+    )

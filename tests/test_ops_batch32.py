@@ -107,3 +107,68 @@ class TestTruthDiscovery:
     def test_iters_validation(self, spark):
         with pytest.raises(ValueError):
             truth_discovery(_claims(spark), iters=0)
+
+
+class TestKgAlign:
+    def _kgs(self, spark):
+        # KG A and KG B describe the same 4 people under different id
+        # spaces; names are unique, city is a shared confounder
+        a_rows, b_rows = [], []
+        for i, (name, city) in enumerate(
+            [("ada", "rome"), ("bob", "rome"), ("cam", "oslo"),
+             ("dee", "oslo")]
+        ):
+            a_rows += [(f"a{i}", "name", name), (f"a{i}", "city", city),
+                       (f"a{i}", "tier", "gold" if i % 2 else "blue")]
+            b_rows += [(f"b{i}", "name", name), (f"b{i}", "city", city),
+                       (f"b{i}", "lang", "en")]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        return mk(a_rows), mk(b_rows)
+
+    def test_recovers_identity_alignment(self, spark):
+        from coies_spark.ops.kg import kg_align
+
+        out = kg_align(*self._kgs(spark)).collect()
+        aligned = {(r.entity_a, r.entity_b) for r in out if r.is_aligned}
+        assert aligned == {(f"a{i}", f"b{i}") for i in range(4)}
+
+    def test_alignment_is_one_to_one(self, spark):
+        from coies_spark.ops.kg import kg_align
+
+        winners = [r for r in kg_align(*self._kgs(spark)).collect()
+                   if r.is_aligned]
+        assert len({r.entity_a for r in winners}) == len(winners)
+        assert len({r.entity_b for r in winners}) == len(winners)
+
+    def test_stop_attribute_cap(self, spark):
+        from coies_spark.ops.kg import kg_align
+
+        a, b = self._kgs(spark)
+        # cap 1: city (2 holders/side) and the b-side lang (4) are
+        # dropped; only unique names survive as join keys, so every
+        # candidate pair IS a name match
+        out = kg_align(a, b, max_postings=1).collect()
+        assert {(r.entity_a, r.entity_b) for r in out} == {
+            (f"a{i}", f"b{i}") for i in range(4)
+        }
+        # denominators still count the full attribute sets
+        assert all(r.n_shared == 1 and r.jaccard == 0.2 for r in out)
+
+    def test_partitioning_invariance(self, spark):
+        from coies_spark.ops.kg import kg_align
+
+        a, b = self._kgs(spark)
+        one = sorted(map(tuple, kg_align(a, b).collect()))
+        two = sorted(
+            map(tuple, kg_align(a.repartition(5), b.repartition(3)).collect())
+        )
+        assert one == two
+
+    def test_max_postings_validation(self, spark):
+        from coies_spark.ops.kg import kg_align
+
+        a, b = self._kgs(spark)
+        with pytest.raises(ValueError):
+            kg_align(a, b, max_postings=0)
