@@ -1468,6 +1468,25 @@ def _align_kgs(
     )
 
 
+_TRANSE_CFG = dict(dim=4, iters=2, lr=5.0, margin=1.0)
+
+
+def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
+    """TransE over the part-catalog navigational triples
+    (:func:`_part_triples`): brand fan-out gives relations real
+    multi-tail structure.  ``face`` picks the weights table or the
+    per-triple energy table — both from the same unrolled loop."""
+    from coies_spark.ops import kge
+
+    fn = kge.transe_train if face == "train" else kge.transe_energies
+    out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
+    if face == "train":
+        out = out.select(
+            "id", "kind", F.col("i").cast("long").alias("i"), "x"
+        )
+    return out
+
+
 def _entry_tokens():
     """Reference-tokenizer column over ``text`` (lazy import keeps the
     queries() table declaration-only)."""
@@ -2535,6 +2554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-to-one entity alignment between two KGs (mutual nearest
         # neighbors on attribute-set Jaccard, inverted-index join)
         "kg_align": lambda s, d: kg.kg_align(*_align_kgs(s, d)),
+        # TransE KG-embedding trainer (trainable op #4): 2 unrolled
+        # full-batch epochs over the part-catalog triples, long-format
+        # (id, kind, i, x) weights, md5-deterministic init/corruption
+        "transe_train": lambda s, d: _transe(s, d, "train"),
+        # the energy face of the same trained model: per-triple
+        # squared-L2 residual vs its deterministic corruption
+        "transe_energies": lambda s, d: _transe(s, d, "energies"),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -8040,4 +8066,144 @@ def oracle_sql() -> dict[str, str]:
                  AS is_aligned
         FROM cand
     """
+
+    # transe_train / transe_energies: the unrolled full-batch TransE
+    # loop (ops/kge.py) replayed as CTEs — long-format (id, i, x)
+    # state makes every epoch REGULAR relational algebra, no
+    # per-dimension SQL generation; 9dp-rounded terms summed in
+    # DECIMAL(28,12) keep both engines bitwise identical.
+    def _transe_ctes(dim: int, iters: int, lr: float, margin: float) -> str:
+        sep = "chr(31)"
+        ctes = [
+            """tr AS (
+               SELECT DISTINCT subj, pred, obj FROM (
+                 SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS subj,
+                        'has_brand' AS pred, p_brand AS obj FROM part
+                 UNION ALL
+                 SELECT p_brand, 'has_type', p_type FROM part))""",
+            """ents AS (SELECT DISTINCT id FROM (
+                 SELECT subj AS id FROM tr
+                 UNION ALL SELECT obj FROM tr))""",
+            """rels AS (SELECT DISTINCT pred AS id FROM tr)""",
+            """eidx AS (SELECT id,
+                 row_number() OVER (ORDER BY id ASC) - 1 AS idx
+               FROM ents)""",
+            """nn AS (SELECT count(*) AS n FROM ents)""",
+            f"""tneg AS MATERIALIZED (
+               SELECT tr.subj, tr.pred, tr.obj, e.id AS neg_obj
+               FROM tr CROSS JOIN nn
+               JOIN eidx e ON e.idx =
+                 (CAST(('0x' || substr(md5(
+                    tr.subj || {sep} || tr.pred || {sep} || tr.obj
+                  ), 1, 8)) AS BIGINT) % nn.n))""",
+            f"""dims AS (SELECT range AS i FROM range(0, {dim}))""",
+            """tcnt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tr)""",
+        ]
+        for tbl, kind, src in (("e0", "entity", "ents"),
+                               ("r0", "relation", "rels")):
+            ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT id, i,
+                      round(CAST(('0x' || substr(md5(
+                          '{kind}' || {sep} || id || {sep}
+                          || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 - 0.5, 9) AS x
+               FROM {src} CROSS JOIN dims)""")
+
+        def _core(name: str, e: str, r: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                      (h.x + r.x) - t.x AS dp,
+                      (h.x + r.x) - nx.x AS dn
+               FROM tneg
+               JOIN {e} h  ON h.id = tneg.subj
+               JOIN {r} r  ON r.id = tneg.pred AND r.i = h.i
+               JOIN {e} t  ON t.id = tneg.obj AND t.i = h.i
+               JOIN {e} nx ON nx.id = tneg.neg_obj AND nx.i = h.i)"""
+
+        def _en(name: str, core: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT subj, pred, obj, neg_obj,
+                      CAST(sum(CAST(round(dp * dp, 9)
+                        AS DECIMAL(28,12))) AS DOUBLE) AS d_pos,
+                      CAST(sum(CAST(round(dn * dn, 9)
+                        AS DECIMAL(28,12))) AS DOUBLE) AS d_neg
+               FROM {core} GROUP BY 1, 2, 3, 4)"""
+
+        for k in range(1, iters + 1):
+            p = k - 1
+            # epoch-start entity L2 normalization (TransE Alg. 1):
+            # z{p} is the unit-ball projection of e{p}
+            ctes.append(f"""nz{p} AS MATERIALIZED (
+               SELECT id, sqrt(CAST(sum(CAST(round(x * x, 9)
+                 AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+               FROM e{p} GROUP BY id)""")
+            ctes.append(f"""z{p} AS MATERIALIZED (
+               SELECT s.id, s.i,
+                      CASE WHEN n.nrm > 0
+                           THEN round(s.x / n.nrm, 9)
+                           ELSE s.x END AS x
+               FROM e{p} s JOIN nz{p} n ON n.id = s.id)""")
+            ctes.append(_core(f"core{k}", f"z{p}", f"r{p}"))
+            ctes.append(_en(f"en{k}", f"core{k}"))
+            ctes.append(f"""vc{k} AS MATERIALIZED (
+               SELECT c.* FROM core{k} c
+               JOIN en{k} e USING (subj, pred, obj, neg_obj)
+               WHERE ({margin} + e.d_pos - e.d_neg) > 0)""")
+            ctes.append(f"""ge{k} AS MATERIALIZED (
+               SELECT subj AS id, i,
+                      round(2.0 * (dp - dn), 9) AS g FROM vc{k}
+               UNION ALL
+               SELECT obj, i, round(-2.0 * dp, 9) FROM vc{k}
+               UNION ALL
+               SELECT neg_obj, i, round(2.0 * dn, 9) FROM vc{k})""")
+            ctes.append(f"""gr{k} AS MATERIALIZED (
+               SELECT pred AS id, i,
+                      round(2.0 * (dp - dn), 9) AS g FROM vc{k})""")
+            for tbl, prev, gsrc in ((f"e{k}", f"z{p}", f"ge{k}"),
+                                    (f"r{k}", f"r{p}", f"gr{k}")):
+                ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT s.id, s.i,
+                      round(s.x - {lr} * coalesce(g.g, 0.0), 9) AS x
+               FROM {prev} s
+               LEFT JOIN (SELECT id, i,
+                            CAST(sum(CAST(g AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS g
+                          FROM {gsrc} GROUP BY 1, 2) g
+                 ON g.id = s.id AND g.i = s.i)""")
+        return "WITH " + ",\n".join(ctes)
+
+    _kge = _transe_ctes(4, 2, 5.0, 1.0)
+    sql["transe_train"] = (
+        _kge
+        + """
+        SELECT id, 'entity' AS kind, i, x FROM e2
+        UNION ALL
+        SELECT id, 'relation', i, x FROM r2
+    """
+    )
+    sql["transe_energies"] = (
+        _kge
+        + """,
+        coreF AS (
+          SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                 (h.x + r.x) - t.x AS dp,
+                 (h.x + r.x) - nx.x AS dn
+          FROM tneg
+          JOIN e2 h  ON h.id = tneg.subj
+          JOIN r2 r  ON r.id = tneg.pred AND r.i = h.i
+          JOIN e2 t  ON t.id = tneg.obj AND t.i = h.i
+          JOIN e2 nx ON nx.id = tneg.neg_obj AND nx.i = h.i),
+        enF AS (
+          SELECT subj, pred, obj, neg_obj,
+                 CAST(sum(CAST(round(dp * dp, 9)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS d_pos,
+                 CAST(sum(CAST(round(dn * dn, 9)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS d_neg
+          FROM coreF GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj, d_pos, d_neg,
+               ((1.0 + d_pos - d_neg) > 0) AS violated
+        FROM enF
+    """
+    )
     return sql

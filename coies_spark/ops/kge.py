@@ -1,0 +1,322 @@
+"""Knowledge-graph embeddings: a TransE trainer (Bordes et al.,
+NeurIPS 2013, "Translating Embeddings for Modeling Multi-relational
+Data") as trainable operator #4, next to BPE induction, the logistic
+quality classifier, and EM record linkage — and like them, with a
+bit-exact cross-engine training loop.
+
+TransE models a true triple (h, r, t) as a translation h + r ≈ t in
+embedding space; training minimizes the margin ranking loss
+max(0, γ + d(h+r, t) - d(h+r, t')) against corrupted triples t'.
+The lite trainer here makes every choice the deterministic one:
+
+* **full-batch subgradient descent** (the :mod:`classify` recipe):
+  each epoch's gradient is one aggregation over all triples, so the
+  loop is reproducible on any partitioning and expressible as an
+  unrolled DuckDB CTE chain;
+* **long-format state** (id, i, x) instead of array columns: the
+  per-dimension join/aggregate program is REGULAR relational algebra
+  — identical on Spark and DuckDB with no per-dimension SQL
+  generation, and the shuffle keys ((subj, pred, obj) and (id, i))
+  stay well-spread at any scale;
+* **hash-everything determinism**: initial components are
+  md5-derived uniforms in [-0.5, 0.5) (the `deterministic_sample`
+  hex trick, numeric form), and each triple's corrupted tail is the
+  entity at index md5(h⎵r⎵t) mod N of the sorted entity list — no
+  RNG state anywhere;
+* **squared L2 energy** d = Σ(h_i + r_i - t_i)², whose subgradient
+  is linear — per-triple gradient components round to 9dp and sum in
+  decimal(28,12) per (id, i) (exact under any visit order), updates
+  re-round to 9dp before the next epoch (the classifier GD
+  accumulation trick).
+
+Scale shapes (10⁹-entity KG): the per-epoch core join fans each
+triple into ``dim`` rows — that is TransE's intrinsic cost — and
+every join/aggregate keys on (entity, i) or the triple key, so hot
+entities spread across dimensions and triples.  The one structure
+that is NOT shuffle-spread is the corruption index (row_number over
+the sorted entity list): vocabulary-sized by construction here, and
+at web scale the two-phase range-bucketed rank
+(``ops.maintenance.exclusive_prefix_sum``) replaces it — the same
+swap the walk ops made in round 5.
+
+No file in ``/root/reference`` contains embedding-based KG scoring;
+this implements the public TransE recipe for the alias/link layers
+(``kg.alias_candidates``, ``operators.graph.link_prediction_mrr``)
+to consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,12)"
+_SEP = "\x1f"
+
+
+def _md5_long(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT — the engine-
+    portable hash (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
+    """(id, i, x): md5-uniform init in [-0.5, 0.5), round 9 — the
+    ``kind`` salt keeps an entity and a relation with the same name
+    on independent vectors."""
+    dims = ids.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
+    )
+    u = _md5_long(
+        F.concat_ws(_SEP, F.lit(kind), F.col("id"), F.col("i").cast("string"))
+    ) / F.lit(4294967296.0)
+    return dims.select("id", "i", F.round(u - F.lit(0.5), 9).alias("x"))
+
+
+def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
+    """Append the deterministic corrupted tail: the entity at index
+    md5(triple) mod N of the sorted entity list.  The rank window is
+    vocabulary-sized (see module docstring for the web-scale swap)."""
+    n = ents.count()
+    eidx = ents.select(
+        "id",
+        (F.row_number().over(Window.orderBy(F.col("id").asc())) - 1).alias(
+            "idx"
+        ),
+    )
+    key = _md5_long(F.concat_ws(_SEP, "subj", "pred", "obj"))
+    return (
+        t.withColumn("idx", key % F.lit(n))
+        .join(eidx, "idx")
+        .select(
+            "subj", "pred", "obj", F.col("id").alias("neg_obj")
+        )
+    )
+
+
+def _epoch_core(
+    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
+) -> DataFrame:
+    """Per-(triple, dimension) translation residuals under the current
+    state: dp_i = (h_i + r_i) - t_i, dn_i against the corrupted tail."""
+    return (
+        tneg.join(
+            e_state.select(
+                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("obj"), "i", F.col("x").alias("t")
+            ),
+            ["obj", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("neg_obj"), "i", F.col("x").alias("tn")
+            ),
+            ["neg_obj", "i"],
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "neg_obj",
+            "i",
+            ((F.col("h") + F.col("r")) - F.col("t")).alias("dp"),
+            ((F.col("h") + F.col("r")) - F.col("tn")).alias("dn"),
+        )
+    )
+
+
+def _energies(core: DataFrame, margin: float) -> DataFrame:
+    """Per-triple squared-L2 energies and the margin-violation flag;
+    per-component squares round 9dp, the cross-dimension sum is exact
+    decimal — identical in both engines."""
+    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
+        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
+        .cast("double")
+        .alias("d_pos"),
+        F.sum(F.round(F.col("dn") * F.col("dn"), 9).cast(_DEC))
+        .cast("double")
+        .alias("d_neg"),
+    ).withColumn(
+        "violated",
+        (F.lit(float(margin)) + F.col("d_pos") - F.col("d_neg")) > 0,
+    )
+
+
+def _l2_normalize(state: DataFrame) -> DataFrame:
+    """Project every entity vector onto the unit L2 ball at epoch
+    start (the TransE Algorithm-1 normalization step): ‖x‖² sums
+    round-9 squares in decimal (exact), the norm and division are
+    IEEE doubles identical on both engines, and the result re-rounds
+    to 9dp.  Besides algorithm fidelity, this BOUNDS every entity
+    component at 1, so round(x, 9) can never outrun double precision
+    however adversarial the input KG (unsatisfiable cycles diverge
+    without it)."""
+    nrm = state.groupBy("id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 9).cast(_DEC)
+            ).cast("double")
+        ).alias("nrm")
+    )
+    return state.join(nrm, "id").select(
+        "id",
+        "i",
+        F.when(
+            F.col("nrm") > 0, F.round(F.col("x") / F.col("nrm"), 9)
+        )
+        .otherwise(F.col("x"))
+        .alias("x"),
+    )
+
+
+def _apply_grads(
+    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+) -> DataFrame:
+    """x ← round(x - lr·(Σg)/T, 9); rows with no gradient keep their
+    weight (LEFT join — the classifier's no-silent-delete rule).
+    Dividing by the TRIPLE COUNT makes this full-batch MEAN descent
+    (the :mod:`classify` g/N rule): per-epoch movement stays O(lr)
+    however many triples vote, so components stay unit-scale — which
+    is also what keeps round(x, 9) EXACT (past |x|·10⁹ ≈ 2⁵³ the
+    9dp grid outruns double precision and engines disagree by 1 ulp;
+    sum-gradient TransE diverges into exactly that regime)."""
+    gsum = grads.groupBy("id", "i").agg(
+        (
+            F.sum(F.col("g").cast(_DEC)).cast("double")
+            / F.lit(float(n_triples))
+        ).alias("g")
+    )
+    return state.join(gsum, ["id", "i"], "left").select(
+        "id",
+        "i",
+        F.round(
+            F.col("x") - F.lit(float(lr)) * F.coalesce("g", F.lit(0.0)), 9
+        ).alias("x"),
+    )
+
+
+def _train_states(
+    triples: DataFrame, dim: int, iters: int, lr: float, margin: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared training core of :func:`transe_train` /
+    :func:`transe_energies` (one builder, both faces): returns
+    (tneg, e_state, r_state) after ``iters`` epochs."""
+    if dim < 1 or iters < 1:
+        raise ValueError("transe_train: dim and iters must be >= 1")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ents = (
+        t.select(F.col("subj").alias("id"))
+        .unionByName(t.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = t.select(F.col("pred").alias("id")).distinct()
+    n_triples = t.count()
+    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    e_state = _init_state(ents, "entity", dim)
+    r_state = _init_state(rels, "relation", dim)
+    for _ in range(iters):
+        e_state = _l2_normalize(e_state)
+        core = _epoch_core(tneg, e_state, r_state)
+        viol = (
+            _energies(core, margin)
+            .where("violated")
+            .select("subj", "pred", "obj", "neg_obj")
+        )
+        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+        g_hr = F.round(2.0 * (F.col("dp") - F.col("dn")), 9)
+        grads_e = (
+            vc.select(F.col("subj").alias("id"), "i", g_hr.alias("g"))
+            .unionByName(
+                vc.select(
+                    F.col("obj").alias("id"),
+                    "i",
+                    F.round(-2.0 * F.col("dp"), 9).alias("g"),
+                )
+            )
+            .unionByName(
+                vc.select(
+                    F.col("neg_obj").alias("id"),
+                    "i",
+                    F.round(2.0 * F.col("dn"), 9).alias("g"),
+                )
+            )
+        )
+        grads_r = vc.select(F.col("pred").alias("id"), "i", g_hr.alias("g"))
+        e_state = _apply_grads(
+            e_state, grads_e, lr, n_triples
+        ).localCheckpoint(eager=False)
+        r_state = _apply_grads(
+            r_state, grads_r, lr, n_triples
+        ).localCheckpoint(eager=False)
+    return tneg, e_state, r_state
+
+
+def transe_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(id, kind, i, x): entity and relation embeddings after
+    ``iters`` unrolled full-batch TransE epochs — long format, kind ∈
+    {'entity', 'relation'}, i the dimension index, x the round-9
+    component.  See the module docstring for the determinism and
+    scale contract; the DuckDB oracle twin replays the identical
+    relational program, so the trained weights are bit-identical
+    across engines (the BPE/classifier/EM-linkage guarantee, now for
+    a representation-learning op).
+    """
+    _, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
+    return e_state.select(
+        "id", F.lit("entity").alias("kind"), "i", "x"
+    ).unionByName(
+        r_state.select("id", F.lit("relation").alias("kind"), "i", "x")
+    )
+
+
+def transe_energies(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(subj, pred, obj, d_pos, d_neg, violated): per-triple energies
+    under the TRAINED embeddings — d_pos the squared-L2 translation
+    residual of the true triple, d_neg of its deterministic
+    corruption, ``violated`` whether the margin still separates them
+    (the residual-loss face; Σ violated is the training-health gauge
+    and SHOULD fall as iters grows — pinned by test).  d_pos / d_neg
+    publish UNROUNDED: the decimal sums are exact at ≤ 9dp, so the
+    cast double is engine-identical, while a 6dp re-round would hit
+    genuine decimal ties the two engines break differently.  Shares
+    every stage with :func:`transe_train`, so the faces cannot drift.
+    """
+    tneg, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
+    core = _epoch_core(tneg, e_state, r_state)
+    # NO final rounding: the decimal sums are exact at <= 9dp, so the
+    # cast double is already the identical value on every engine —
+    # re-rounding to 6dp would CREATE cross-engine ties (an exact
+    # x.xxxxxx5 decimal rounds differently through BigDecimal HALF_UP
+    # vs double multiply-round; observed once per ~1e3 rows)
+    return _energies(core, margin).select(
+        "subj", "pred", "obj", "d_pos", "d_neg", "violated"
+    )
