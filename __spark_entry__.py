@@ -2561,6 +2561,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the energy face of the same trained model: per-triple
         # squared-L2 residual vs its deterministic corruption
         "transe_energies": lambda s, d: _transe(s, d, "energies"),
+        # fixed-grid histogram sketch over document lengths: the
+        # QUANTILE member of the mergeable-summary family (<=64
+        # register rows whatever the corpus size)
+        "hist_sketch": lambda s, d: sketch.histogram_registers(
+            _read(s, d, "documents"), "n_chars",
+            n_bins=64, lo=0.0, hi=640.0,
+        ),
+        # quantile estimates + honest bin-width error bound from the
+        # same registers (querying never rescans the corpus)
+        "hist_quantiles": lambda s, d: sketch.histogram_quantiles(
+            sketch.histogram_registers(
+                _read(s, d, "documents"), "n_chars",
+                n_bins=64, lo=0.0, hi=640.0,
+            ),
+            [0.25, 0.5, 0.9, 0.99],
+            n_bins=64,
+        ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
     }
@@ -8172,6 +8189,49 @@ def oracle_sql() -> dict[str, str]:
                           FROM {gsrc} GROUP BY 1, 2) g
                  ON g.id = s.id AND g.i = s.i)""")
         return "WITH " + ",\n".join(ctes)
+
+    # hist_sketch / hist_quantiles: fixed grid lo=0, hi=640, 64 bins
+    # over documents.n_chars; the quantile face reads ONLY the
+    # register CTE (the sketch contract), rank = ceil(q*N), linear
+    # interpolation inside the winning bin
+    _hist_reg = """
+        hreg AS (
+          SELECT CAST(greatest(0, least(63,
+                   floor((CAST(n_chars AS DOUBLE) - 0.0)
+                         / (640.0 - 0.0) * 64))) AS BIGINT) AS bin,
+                 0.0 AS lo, 640.0 AS hi,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents WHERE n_chars IS NOT NULL
+          GROUP BY 1, 2, 3)
+    """
+    sql["hist_sketch"] = (
+        "WITH " + _hist_reg + "SELECT bin, lo, hi, n FROM hreg"
+    )
+    sql["hist_quantiles"] = (
+        "WITH "
+        + _hist_reg
+        + """,
+        cum AS (SELECT bin, lo, hi, n,
+                       sum(n) OVER (ORDER BY bin) AS cum
+                FROM hreg),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hreg),
+        probes AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)),
+        hits AS (
+          SELECT q, total, min(bin) AS bin
+          FROM probes CROSS JOIN tot
+          JOIN cum ON cum.cum >= CAST(ceil(q * total) AS BIGINT)
+          GROUP BY 1, 2)
+        SELECT q,
+               round(CASE WHEN hi = lo THEN lo
+                     ELSE lo + (hi - lo) / 64 *
+                          (bin + (CAST(ceil(q * total) AS BIGINT)
+                                  - (cum - n)) / n) END, 6) AS estimate,
+               round(CASE WHEN hi = lo THEN 0.0
+                     ELSE (hi - lo) / 64 END, 6) AS err_bound
+        FROM hits JOIN cum USING (bin)
+    """
+    )
 
     _kge = _transe_ctes(4, 2, 5.0, 1.0)
     sql["transe_train"] = (

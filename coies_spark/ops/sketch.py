@@ -235,3 +235,133 @@ def cms_query(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
     )
+
+
+def histogram_registers(
+    values: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(bin, lo, hi, n): the fixed-grid histogram sketch — the
+    QUANTILE member of the mergeable-summary family (HLL distinct,
+    CMS frequency, Bloom membership, and now rank/quantile).  ≤
+    ``n_bins`` register rows regardless of input size; one map-side-
+    combinable groupBy; two sketches over the SAME grid merge with a
+    plain ``groupBy(bin).sum(n)`` — the streaming/backfill/rollup
+    story, and why ``approx_percentile`` (whose GK state is neither
+    mergeable-as-a-table nor engine-portable) is not enough.
+
+    * grid: pass ``lo``/``hi`` explicitly for the mergeable path
+      (fixed grid agreed across days/streams — the sketch contract);
+      leave None to take them from the data (one extra 1-row agg
+      scan, exact min/max, NOT mergeable with other grids);
+    * bin = clamp(floor((x - lo)/(hi - lo) · n_bins), 0, n_bins-1):
+      doubles with fixed op order, engine-identical; out-of-range
+      values clamp into the edge bins (the honest convention — they
+      stay counted, and the edge-bin error is bounded by the grid
+      choice);
+    * every register row CARRIES its (lo, hi): merging mismatched
+      grids then fails loudly as distinct (lo, hi) groups instead of
+      silently corrupting counts.
+
+    Degenerate grid (hi == lo, e.g. constant column): everything
+    lands in bin 0 and quantile estimates collapse to ``lo`` — exact.
+    """
+    if n_bins < 1:
+        raise ValueError("histogram_registers: n_bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    v = values.select(x.alias("__x")).where(F.col("__x").isNotNull())
+    if lo is None or hi is None:
+        bounds = v.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        v = v.crossJoin(F.broadcast(bounds))
+    else:
+        v = v.select(
+            "__x",
+            F.lit(float(lo)).alias("__lo"),
+            F.lit(float(hi)).alias("__hi"),
+        )
+    raw = F.floor(
+        (F.col("__x") - F.col("__lo"))
+        / (F.col("__hi") - F.col("__lo"))
+        * F.lit(n_bins)
+    )
+    b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+    )
+    return (
+        v.select(
+            b.cast("long").alias("bin"),
+            F.col("__lo").alias("lo"),
+            F.col("__hi").alias("hi"),
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    registers: DataFrame, qs: list[float], n_bins: int = 64
+) -> DataFrame:
+    """(q, estimate, err_bound): quantile estimates from a histogram
+    sketch — rank r = ceil(q·N) located in the cumulative register
+    table, linearly interpolated inside its bin; ``err_bound`` is the
+    bin width, the sketch's honest worst case (the true q-quantile
+    lies in the same bin).
+
+    The registers frame is ≤ ``n_bins`` rows by construction, so the
+    cumulative window and the per-quantile lookup are register-sized
+    work — querying never touches the original data (the CMS-query
+    property).  All arithmetic is doubles with fixed op order over
+    exactly-summed longs, round 6 at the edge — engine-identical.
+    """
+    if not qs:
+        raise ValueError("histogram_quantiles: qs must be non-empty")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("histogram_quantiles: each q must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spark = registers.sparkSession
+    cum = registers.select(
+        "bin",
+        "lo",
+        "hi",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+    )
+    tot = registers.agg(F.sum("n").cast("long").alias("total"))
+    probes = spark.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double"
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
+    # rank of the q-quantile (1-based); the first bin whose cumsum
+    # reaches it wins (min bin — a pinned total order)
+    r = F.ceil(F.col("q") * F.col("total")).cast("long")
+    hits = (
+        probes.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") >= r)
+        .groupBy("q", "total")
+        .agg(F.min("bin").alias("bin"))
+        .join(cum, ["bin"])
+    )
+    est = F.col("lo") + width * (
+        F.col("bin")
+        + (r - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return hits.select(
+        "q",
+        F.round(
+            F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(est),
+            6,
+        ).alias("estimate"),
+        F.round(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(width),
+            6,
+        ).alias("err_bound"),
+    )
