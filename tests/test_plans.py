@@ -601,3 +601,79 @@ def test_bgp_query_pushes_constants_to_scan(spark, tmp_path):
     assert any("spark" in l for l in pushed), p
     got = {(r.c, r.o) for r in q.collect()}
     assert got == {("c1", "scan")}
+
+
+def test_truth_discovery_aggs_are_partial(spark):
+    from coies_spark.ops.kg import truth_discovery
+
+    cl = spark.createDataFrame(
+        [("s1", "x", "p", "a"), ("s2", "x", "p", "b")],
+        "source string, subj string, pred string, obj string",
+    )
+    p = plan_of(truth_discovery(cl, iters=2))
+    # every round's noisy-OR and trust-mean aggregates combine
+    # map-side before their shuffles; nothing is all-pairs
+    assert "partial_sum" in p or "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kg_align_inverted_index_no_cartesian(spark):
+    from coies_spark.ops.kg import kg_align
+
+    a = spark.createDataFrame(
+        [("a1", "name", "x"), ("a2", "name", "y")],
+        "subj string, pred string, obj string",
+    )
+    b = spark.createDataFrame(
+        [("b1", "name", "x"), ("b2", "name", "y")],
+        "subj string, pred string, obj string",
+    )
+    p = plan_of(kg_align(a, b))
+    # candidates come from the (pred, obj) equi-join — never A×B
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_transe_epoch_joins_are_keyed(spark):
+    # the published faces sit behind localCheckpoints, so inspect one
+    # epoch's internals directly: four equi-joins on (id, i) feeding
+    # a map-side-combinable energy aggregate — no cross join anywhere
+    from coies_spark.ops.kge import (
+        _energies,
+        _epoch_core,
+        _init_state,
+        _negatives,
+    )
+
+    tr = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")],
+        "subj string, pred string, obj string",
+    )
+    ents = (
+        tr.select(F.col("subj").alias("id"))
+        .unionByName(tr.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = tr.select(F.col("pred").alias("id")).distinct()
+    core = _epoch_core(
+        _negatives(tr, ents),
+        _init_state(ents, "entity", 2),
+        _init_state(rels, "relation", 2),
+    )
+    p = plan_of(_energies(core, 1.0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p
+
+
+def test_histogram_registers_partial_and_pruned(spark):
+    from coies_spark.ops.sketch import histogram_registers
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = histogram_registers(docs, "n_chars", n_bins=64, lo=0.0, hi=640.0)
+    p = plan_of(df, "formatted")
+    # register build: one map-side-combinable groupBy over a scan
+    # that reads ONLY the sketched column
+    assert "partial_count" in p or "partial_sum" in p
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "n_chars" in read[0] and "text" not in read[0]
