@@ -135,6 +135,7 @@ def main() -> None:
         lm,
         relational,
         similarity,
+        sketch,
         textstats,
         transcripts,
         wmd,
@@ -145,6 +146,7 @@ def main() -> None:
 
     from __spark_entry__ import (
         SMALL_CORPUS_CONFIG,
+        _align_kgs,
         _kg_evidence,
         _q_agg_pricing,
         _q_em_linkage,
@@ -154,6 +156,8 @@ def main() -> None:
         _q_quality_classifier,
         _q_semdedup,
         _q_temporal_triples,
+        _transe,
+        _truth_claims,
     )
 
     spark = get_spark("coies-bench", cores=args.cores)
@@ -391,6 +395,27 @@ def main() -> None:
                 F.count("subj"),
                 F.sum(F.length("obj")),
                 F.sum((F.col("obj_kind") == "iri").cast("int")),
+            )
+        ),
+        # TruthFinder source-reliability resolution: 4 unrolled
+        # noisy-OR/trust rounds over the lineitem claims table
+        "truth_discovery": lambda: run(
+            kg.truth_discovery(_truth_claims(spark, sf_dir), iters=4)
+        ),
+        # one-to-one KG entity alignment (inverted-index candidates
+        # on shared attributes + mutual-nearest windows)
+        "kg_align": lambda: run(kg.kg_align(*_align_kgs(spark, sf_dir))),
+        # TransE trainer: 2 unrolled full-batch epochs over the
+        # part-catalog triples (trainable op #4)
+        "transe_train": lambda: run(_transe(spark, sf_dir, "train")),
+        # mergeable histogram-sketch quantiles over document lengths
+        "hist_quantiles": lambda: run(
+            sketch.histogram_quantiles(
+                sketch.histogram_registers(
+                    docs, "n_chars", n_bins=64, lo=0.0, hi=640.0
+                ),
+                [0.25, 0.5, 0.9, 0.99],
+                n_bins=64,
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),

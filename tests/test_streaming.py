@@ -480,3 +480,47 @@ def test_stream_sketch_registers_match_batch(spark, tmp_path):
             batch, "text", depth=2, width=64
         ).collect()
     )
+
+
+def test_stream_histogram_registers_match_batch(spark, tmp_path):
+    """The fixed-grid histogram sketch (the family's quantile member)
+    is the same streamable shape: one groupBy over grid-derived keys,
+    complete mode, state bounded at n_bins rows.  The FIXED grid is
+    the streaming contract — the auto-grid path needs a data-derived
+    min/max and is batch-only by design."""
+    from pyspark.sql import functions as F
+
+    from coies_spark.ops import sketch
+
+    vals = spark.range(1, 501).select(
+        (F.col("id") % 97).cast("double").alias("value")
+    )
+    in_dir = tmp_path / "histdrops"
+    vals.coalesce(3).write.parquet(str(in_dir))
+    batch = spark.read.parquet(str(in_dir))
+    stream = spark.readStream.schema("value double").parquet(str(in_dir))
+
+    grid = dict(n_bins=16, lo=0.0, hi=100.0)
+    q = (
+        sketch.histogram_registers(stream, "value", **grid)
+        .writeStream.format("memory")
+        .queryName("hist_regs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckhist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql("select * from hist_regs_stream").collect()
+    )
+    assert streamed == sorted(
+        tuple(r)
+        for r in sketch.histogram_registers(batch, "value", **grid).collect()
+    )
+    # and the quantile face reads the streamed registers directly
+    est = sketch.histogram_quantiles(
+        spark.sql("select * from hist_regs_stream"), [0.5], n_bins=16
+    ).first()
+    assert abs(est.estimate - 48.0) <= est.err_bound + 1e-9
