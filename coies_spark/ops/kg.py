@@ -1997,7 +1997,11 @@ def mention_salience(evidence: DataFrame) -> DataFrame:
 
 
 def _truth_rounds(
-    claims: DataFrame, iters: int, prior: float, damp: float
+    claims: DataFrame,
+    iters: int,
+    prior: float,
+    damp: float,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared fixed-point core of :func:`truth_discovery` /
     :func:`source_trust` (one builder, both faces — the
@@ -2028,6 +2032,15 @@ def _truth_rounds(
     DuckDB (``ops/classify.py``).  Divisions and exp/ln run in
     doubles with a fixed operation order, re-rounded 9dp before
     feeding the next round.
+
+    ``init`` warm-starts from a previously fitted (source, trust)
+    table (:func:`source_trust` output) — the daily-refresh path:
+    because every round is a deterministic function of (claims,
+    trust), ``rounds(k, init=rounds(j))`` on the same claims IS
+    ``rounds(j+k)`` exactly (pinned by test).  Sources absent from
+    ``init`` (new feeds) start at the ``prior``; init sources absent
+    from this batch's claims simply contribute nothing (their trust
+    re-enters whenever they next assert).
     """
     if iters < 1:
         raise ValueError("truth_discovery: iters must be >= 1")
@@ -2039,9 +2052,22 @@ def _truth_rounds(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    trust = cl.select("source").distinct().select(
-        "source", F.lit(float(prior)).alias("t")
-    )
+    srcs = cl.select("source").distinct()
+    if init is None:
+        trust = srcs.select("source", F.lit(float(prior)).alias("t"))
+    else:
+        trust = srcs.join(
+            F.broadcast(
+                init.select(
+                    "source", F.col("trust").cast("double").alias("__t0")
+                )
+            ),
+            "source",
+            "left",
+        ).select(
+            "source",
+            F.coalesce("__t0", F.lit(float(prior))).alias("t"),
+        )
     facts = None
     for _ in range(iters):
         tau = F.round(
@@ -2087,6 +2113,7 @@ def truth_discovery(
     iters: int = 4,
     prior: float = 0.8,
     damp: float = 0.8,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(subj, pred, obj, n_sources, confidence, is_winner): joint
     source-reliability / fact-confidence estimation over CONFLICTING
@@ -2115,7 +2142,7 @@ def truth_discovery(
     predicates spread because the aggregate key includes subj; no
     step is all-pairs and nothing collects to the driver.
     """
-    facts, _ = _truth_rounds(claims, iters, prior, damp)
+    facts, _ = _truth_rounds(claims, iters, prior, damp, init)
     w = Window.partitionBy("subj", "pred").orderBy(
         F.col("conf").desc(), F.col("n_sources").desc(), F.col("obj").asc()
     )
@@ -2134,6 +2161,7 @@ def source_trust(
     iters: int = 4,
     prior: float = 0.8,
     damp: float = 0.8,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(source, n_claims, trust): the source face of
     :func:`truth_discovery` — the fitted per-source reliability after
@@ -2142,7 +2170,7 @@ def source_trust(
     whose trust decays below the ``prior`` keeps asserting values the
     consensus rejects, the signal to quarantine the feed upstream.
     """
-    _, trust = _truth_rounds(claims, iters, prior, damp)
+    _, trust = _truth_rounds(claims, iters, prior, damp, init)
     return trust.select(
         "source", "n_claims", F.round("t", 6).alias("trust")
     )

@@ -172,3 +172,39 @@ class TestKgAlign:
         a, b = self._kgs(spark)
         with pytest.raises(ValueError):
             kg_align(a, b, max_postings=0)
+
+
+class TestTruthDiscoveryWarmStart:
+    def test_resume_equals_full_run(self, spark):
+        # rounds(2, init=rounds(2)) == rounds(4) exactly — the
+        # classifier's incremental-refresh identity, for trust
+        cl = _claims(spark)
+        t2 = source_trust(cl, iters=2)
+        resumed = sorted(
+            map(tuple, truth_discovery(cl, iters=2, init=t2).collect())
+        )
+        full = sorted(map(tuple, truth_discovery(cl, iters=4).collect()))
+        assert resumed == full
+        rt = sorted(
+            map(tuple, source_trust(cl, iters=2, init=t2).collect())
+        )
+        ft = sorted(map(tuple, source_trust(cl, iters=4).collect()))
+        assert rt == ft
+
+    def test_new_source_starts_at_prior(self, spark):
+        cl = _claims(spark)
+        init = source_trust(cl, iters=2)
+        fresh = cl.unionByName(
+            spark.createDataFrame(
+                [("newbie", "item0", "value", "true0")],
+                "source string, subj string, pred string, obj string",
+            )
+        )
+        t = {
+            r.source: r.trust
+            for r in source_trust(fresh, iters=1, init=init).collect()
+        }
+        # newbie's round-1 trust derives from the 0.8 prior: it joins
+        # an already-corroborated fact, so it lands ABOVE the prior —
+        # the point is it participated (no drop, no null)
+        assert "newbie" in t and t["newbie"] > 0
