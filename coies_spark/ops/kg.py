@@ -2047,6 +2047,23 @@ def _truth_rounds(
     if not 0.5 < damp <= 1.0:
         raise ValueError("truth_discovery: damp must be in (0.5, 1]")
     dec = "decimal(28,12)"
+    # ONE upfront shuffle: claims live hash-partitioned on the triple
+    # key for the whole fixed point.  Each round then costs (a) a
+    # map-side broadcast join against the SOURCE-SIZED trust table
+    # (sources are feeds/domains — broadcastable by construction; the
+    # corpus-sized claims never move), (b) a fact aggregate that
+    # reuses the existing triple partitioning (no exchange), and (c)
+    # one source-sized aggregate exchange of map-combined partials —
+    # the only per-round shuffle, and it is tiny.
+    # Per-round cost: the claims⋈trust join is MAP-SIDE (trust is
+    # source-sized — feeds/domains — and explicitly broadcast, so the
+    # corpus never moves for it); the fact aggregate exchanges only
+    # map-combined partials (≤ distinct triples per partition); the
+    # trust update joins claims⋈facts on the triple key and folds to
+    # a source-sized aggregate.  A pre-partitioned cache cannot
+    # remove the remaining exchanges under AQE (cached-plan output
+    # partitioning is not reusable — measured, not assumed), so the
+    # claims frame simply localCheckpoints once, the repo convention.
     cl = (
         claims.select("source", "subj", "pred", "obj")
         .distinct()
@@ -2079,7 +2096,7 @@ def _truth_rounds(
             9,
         )
         facts = (
-            cl.join(trust, "source")
+            cl.join(F.broadcast(trust), "source")
             .select("subj", "pred", "obj", tau.alias("tau"))
             .groupBy("subj", "pred", "obj")
             .agg(
