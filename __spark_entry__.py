@@ -1478,7 +1478,11 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
     per-triple energy table — both from the same unrolled loop."""
     from coies_spark.ops import kge
 
-    fn = kge.transe_train if face == "train" else kge.transe_energies
+    fn = {
+        "train": kge.transe_train,
+        "energies": kge.transe_energies,
+        "rank_eval": kge.transe_rank_eval,
+    }[face]
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
     if face == "train":
         out = out.select(
@@ -2177,6 +2181,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             max_len=2,
         ),
+        # distant supervision (Mintz 2009): co-mentioned gazetteer
+        # entity pairs labeled by the seed KG's predicate — the KG
+        # bootstrapping its own relation-classifier training set
+        "distant_supervision": lambda s, d: kg.distant_supervision(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("table", "obj:table"), ("hash", "obj:hash"),
+                 ("table hash", "obj:table-hash"),
+                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
+                ["surface", "entity"],
+            ),
+            s.createDataFrame(
+                [("act:merge-join", "consumes", "obj:hash"),
+                 ("act:scan", "reads", "obj:table"),
+                 ("obj:table-hash", "refines", "obj:table"),
+                 ("act:merge-join", "follows", "act:scan")],
+                ["subj", "pred", "obj"],
+            ),
+            max_len=2,
+        ),
         # hot-key diagnostic: top-5 keys by rows with share and
         # skew = cnt / mean-rows-per-key (decides the salted path)
         "skew_report": lambda s, d: skew_report(
@@ -2561,6 +2585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the energy face of the same trained model: per-triple
         # squared-L2 residual vs its deterministic corruption
         "transe_energies": lambda s, d: _transe(s, d, "energies"),
+        # filtered link-prediction eval of the same trained model:
+        # true tail ranked against 20 md5-deterministic sampled
+        # candidates (known-true tails filtered out), per-triple
+        # rank/RR/Hits@k — MRR is one aggregation away
+        "transe_rank_eval": lambda s, d: _transe(s, d, "rank_eval"),
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
@@ -7045,6 +7074,53 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # distant_supervision: the gazetteer-mention CTE verbatim, then
+    # ordered distinct-entity co-mention pairs per turn labeled by
+    # the seed KG (only matched pairs emit — the Mintz positive set)
+    sql["distant_supervision"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tk AS (SELECT conv_id, turn_idx,
+                      list_filter(regexp_split_to_array(
+                        lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                        x -> x <> '') AS tokens
+               FROM t),
+        cand AS (
+          SELECT conv_id, turn_idx, p - 1 AS pos, n AS n_toks,
+                 array_to_string(tokens[p:p+n-1], ' ') AS surface
+          FROM tk,
+               unnest(range(1, len(tokens) + 1)) u(p),
+               unnest(range(1, 3)) v(n)
+          WHERE p - 1 + n <= len(tokens)),
+        dict(surface, entity) AS (VALUES
+          ('table', 'obj:table'), ('hash', 'obj:hash'),
+          ('table hash', 'obj:table-hash'),
+          ('merge join', 'act:merge-join'), ('scan', 'act:scan')),
+        hits AS (SELECT c.conv_id, c.turn_idx, c.pos, c.n_toks,
+                        c.surface, d.entity
+                 FROM cand c JOIN dict d USING(surface)),
+        m AS (SELECT conv_id, turn_idx, pos, entity
+              FROM (SELECT *, max(n_toks) OVER (
+                      PARTITION BY conv_id, turn_idx, pos) AS mx
+                    FROM hits) h
+              WHERE n_toks = mx),
+        seed(subj, pred, obj) AS (VALUES
+          ('act:merge-join', 'consumes', 'obj:hash'),
+          ('act:scan', 'reads', 'obj:table'),
+          ('obj:table-hash', 'refines', 'obj:table'),
+          ('act:merge-join', 'follows', 'act:scan'))
+        SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+               s.pred, a.entity AS subj, b.entity AS obj,
+               CAST(a.pos AS BIGINT) AS subj_pos,
+               CAST(b.pos AS BIGINT) AS obj_pos
+        FROM m a
+        JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                AND b.entity <> a.entity
+        JOIN seed s ON s.subj = a.entity AND s.obj = b.entity
+    """
+    )
+
     # skew_report over documents.lang: exact counts, share, and
     # skew = cnt / mean-rows-per-key, top-5
     sql["skew_report"] = """
@@ -8264,6 +8340,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, pred, obj, d_pos, d_neg,
                ((1.0 + d_pos - d_neg) > 0) AS violated
         FROM enF
+    """
+    )
+
+    # transe_rank_eval: filtered sampled-candidate link prediction —
+    # candidate c of a triple is the entity at md5(s⎵p⎵o⎵c) mod N of
+    # the sorted entity list; known-true tails for (subj, pred) are
+    # filtered (scored facts are not negatives); ties on the exact
+    # decimal energy break by candidate id vs the true tail
+    sql["transe_rank_eval"] = (
+        _kge
+        + """,
+        t3 AS (SELECT subj, pred, obj FROM tneg),
+        cnd0 AS (
+          SELECT t3.subj, t3.pred, t3.obj, e.id AS cand
+          FROM t3 CROSS JOIN nn
+          CROSS JOIN range(0, 20) c(ci)
+          JOIN eidx e ON e.idx =
+            (CAST(('0x' || substr(md5(
+               t3.subj || chr(31) || t3.pred || chr(31) || t3.obj
+               || chr(31) || CAST(c.ci AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n)),
+        cnd AS (
+          SELECT DISTINCT subj, pred, obj, cand FROM cnd0
+          WHERE cand <> obj
+            AND NOT EXISTS (SELECT 1 FROM t3 k
+                            WHERE k.subj = cnd0.subj
+                              AND k.pred = cnd0.pred
+                              AND k.obj = cnd0.cand)),
+        probe AS (
+          SELECT subj, pred, obj, cand, FALSE AS is_true FROM cnd
+          UNION ALL
+          SELECT subj, pred, obj, obj, TRUE FROM t3),
+        sc AS (
+          SELECT p.subj, p.pred, p.obj, p.cand, p.is_true,
+                 CAST(sum(CAST(round(
+                     (h.x + r.x - e.x) * (h.x + r.x - e.x), 9)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS d
+          FROM probe p
+          JOIN e2 h ON h.id = p.subj
+          JOIN r2 r ON r.id = p.pred AND r.i = h.i
+          JOIN e2 e ON e.id = p.cand AND e.i = h.i
+          GROUP BY 1, 2, 3, 4, 5),
+        td AS (SELECT subj, pred, obj, d AS d_true
+               FROM sc WHERE is_true),
+        ag AS (
+          SELECT c.subj, c.pred, c.obj,
+                 count(*) AS n_cands,
+                 sum(CASE WHEN c.d < t.d_true
+                           OR (c.d = t.d_true AND c.cand < t.obj)
+                     THEN 1 ELSE 0 END) AS n_better
+          FROM sc c JOIN td t USING (subj, pred, obj)
+          WHERE NOT c.is_true GROUP BY 1, 2, 3)
+        SELECT t.subj, t.pred, t.obj,
+               CAST(coalesce(a.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(1 + coalesce(a.n_better, 0) AS BIGINT) AS rank,
+               1.0 / (1 + coalesce(a.n_better, 0)) AS rr,
+               (1 + coalesce(a.n_better, 0)) <= 1 AS hit1,
+               (1 + coalesce(a.n_better, 0)) <= 3 AS hit3,
+               (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
+        FROM td t LEFT JOIN ag a USING (subj, pred, obj)
     """
     )
     return sql

@@ -1151,6 +1151,63 @@ def gazetteer_mentions(
     )
 
 
+def distant_supervision(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    seed: DataFrame,
+    max_len: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, obj, subj_pos, obj_pos):
+    distant-supervision labeling for relation extraction (Mintz et
+    al., ACL 2009) — every ordered pair of DISTINCT gazetteer
+    entities co-mentioned in one turn, labeled with the predicate the
+    seed KG asserts between them, one row per positional evidence
+    pair.  This is how a KG bootstraps its own relation classifier's
+    training set: the seed's facts project onto raw transcripts as
+    (text context, subj, obj, label) examples with zero manual
+    annotation.  Only KG-matched pairs emit (the Mintz positive set);
+    the NA/negative class is the complement pair set, sampled
+    separately at the caller's class ratio (:func:`kg_negatives` is
+    the corruption-based alternative).
+
+    Mention spotting is :func:`gazetteer_mentions` verbatim
+    (longest-match-per-start, dictionary as a JOIN side).  The
+    co-mention pairing keys on (conv_id, turn_idx) — per-turn mention
+    counts are tokenizer-bounded and small, so the self-join's
+    per-key fan-out is bounded; the seed join is broadcast when
+    dictionary-sized (``broadcast=True``) or a plain shuffled hash
+    join for 10⁹-fact seeds, keyed on the well-spread (subj, obj)
+    pair.  An entity mentioned at several positions pairs once per
+    position pair — each is distinct textual evidence, which is what
+    a downstream bag-of-mentions trainer (multi-instance learning)
+    consumes.
+    """
+    m = gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
+    left = m.select(
+        "conv_id",
+        "turn_idx",
+        F.col("entity").alias("subj"),
+        F.col("pos").alias("subj_pos"),
+    )
+    right = m.select(
+        "conv_id",
+        "turn_idx",
+        F.col("entity").alias("obj"),
+        F.col("pos").alias("obj_pos"),
+    )
+    pairs = left.join(right, ["conv_id", "turn_idx"]).where(
+        F.col("subj") != F.col("obj")
+    )
+    kb = seed.select("subj", "pred", "obj").distinct()
+    if broadcast:
+        kb = F.broadcast(kb)
+    return pairs.join(kb, ["subj", "obj"]).select(
+        "conv_id", "turn_idx", "pred", "subj", "obj",
+        "subj_pos", "obj_pos",
+    )
+
+
 def triple_diff(
     old: DataFrame,
     new: DataFrame,

@@ -320,3 +320,163 @@ def transe_energies(
     return _energies(core, margin).select(
         "subj", "pred", "obj", "d_pos", "d_neg", "violated"
     )
+
+
+def transe_rank_eval(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10): the
+    standard KGE link-prediction evaluation (Bordes et al. 2013,
+    "filtered" protocol) under sampled candidates — for each trained
+    triple, rank the TRUE tail against ``n_candidates`` deterministic
+    candidate entities by squared-L2 translation energy d(h+r, e),
+    having FILTERED candidates that are themselves known-true tails
+    for (subj, pred) (scoring a real fact as a "negative" would
+    punish the model for being right — the filtered-setting rule).
+    MRR is avg(rr), Hits@k is avg(hit{k}), both one trivial
+    aggregation away; the per-triple table is published because it is
+    the joinable face (per-relation breakdowns, worst-ranked audit).
+
+    Determinism: candidate c of a triple is the entity at index
+    md5(subj⎵pred⎵obj⎵c) mod N of the sorted entity list (the
+    :func:`_negatives` recipe, salted by the candidate ordinal); md5
+    collisions dedupe, so ``n_cands`` ≤ ``n_candidates`` varies per
+    triple and is published.  Ties on energy break by candidate id
+    (ascending) against the true tail — total order, engine-exact
+    because energies are round-9 decimal sums cast to double (the
+    :func:`transe_energies` guarantee).
+
+    Scale: scoring is |test|·K·``dim`` rows through the same
+    (entity, i)-keyed equi-join program as training — no all-pairs
+    structure anywhere.  Ranking against ALL entities (the original
+    protocol) is |test|·|E| and deliberately not the default; at
+    10⁹ entities the published path is candidate sampling (this), or
+    ANN over the entity table (``ops.similarity``) when exact
+    full-ranking is required.  The sorted-entity index window is
+    vocabulary-sized (module docstring caveat).
+    """
+    if n_candidates < 1:
+        raise ValueError("transe_rank_eval: n_candidates must be >= 1")
+    tneg, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
+    t3 = tneg.select("subj", "pred", "obj")
+    ents = (
+        t3.select(F.col("subj").alias("id"))
+        .unionByName(t3.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    n = ents.count()
+    eidx = ents.select(
+        "id",
+        (F.row_number().over(Window.orderBy(F.col("id").asc())) - 1).alias(
+            "idx"
+        ),
+    )
+    cand = (
+        t3.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_candidates - 1))
+            ).alias("c"),
+        )
+        .withColumn(
+            "idx",
+            _md5_long(
+                F.concat_ws(
+                    _SEP, "subj", "pred", "obj", F.col("c").cast("string")
+                )
+            )
+            % F.lit(n),
+        )
+        .join(eidx, "idx")
+        .select("subj", "pred", "obj", F.col("id").alias("cand"))
+        .distinct()
+        .where(F.col("cand") != F.col("obj"))
+        # filtered protocol: a candidate that is a known-true tail
+        # for (subj, pred) is removed, not counted as a negative
+        .join(
+            t3.select("subj", "pred", F.col("obj").alias("cand")),
+            ["subj", "pred", "cand"],
+            "left_anti",
+        )
+    )
+    probe = cand.select(
+        "subj", "pred", "obj", "cand", F.lit(False).alias("is_true")
+    ).unionByName(
+        t3.select(
+            "subj", "pred", "obj",
+            F.col("obj").alias("cand"),
+            F.lit(True).alias("is_true"),
+        )
+    )
+    res = (
+        probe.join(
+            e_state.select(
+                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("cand"), "i", F.col("x").alias("e")
+            ),
+            ["cand", "i"],
+        )
+        .select(
+            "subj", "pred", "obj", "cand", "is_true",
+            (F.col("h") + F.col("r") - F.col("e")).alias("dp"),
+        )
+    )
+    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
+        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
+        .cast("double")
+        .alias("d")
+    )
+    true_d = scored.where("is_true").select(
+        "subj", "pred", "obj", F.col("d").alias("d_true")
+    )
+    beat = (
+        scored.where(~F.col("is_true"))
+        .join(true_d, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_cands"),
+            F.sum(
+                F.when(
+                    (F.col("d") < F.col("d_true"))
+                    | (
+                        (F.col("d") == F.col("d_true"))
+                        & (F.col("cand") < F.col("obj"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_better"),
+        )
+    )
+    # a triple whose every candidate was filtered still ranks (first
+    # among one) — LEFT join from the true-tail side keeps its row
+    rank = F.lit(1) + F.coalesce("n_better", F.lit(0))
+    return (
+        true_d.join(beat, ["subj", "pred", "obj"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+            rank.cast("long").alias("rank"),
+            (F.lit(1.0) / rank.cast("double")).alias("rr"),
+            (rank <= 1).alias("hit1"),
+            (rank <= 3).alias("hit3"),
+            (rank <= 10).alias("hit10"),
+        )
+    )

@@ -180,3 +180,71 @@ class TestTransE:
             transe_train(_triples(spark), dim=0)
         with pytest.raises(ValueError):
             transe_energies(_triples(spark), iters=0)
+
+
+class TestTransERankEval:
+    def test_ranks_well_formed(self, spark):
+        from coies_spark.ops.kge import transe_rank_eval
+
+        t = _triples(spark)
+        out = transe_rank_eval(t, iters=2, n_candidates=10, **CFG)
+        rows = out.collect()
+        # one row per trained triple, none dropped by candidate
+        # filtering (the LEFT-join contract)
+        assert len(rows) == t.distinct().count()
+        for r in rows:
+            assert 1 <= r.rank <= r.n_cands + 1
+            assert r.rr == 1.0 / r.rank
+            assert r.hit1 == (r.rank <= 1)
+            assert r.hit3 == (r.rank <= 3)
+            assert r.hit10 == (r.rank <= 10)
+            assert r.n_cands <= 10
+
+    def test_training_improves_mrr(self, spark):
+        from coies_spark.ops.kge import transe_rank_eval
+
+        t = _triples(spark)
+        mrr = {
+            it: transe_rank_eval(t, iters=it, n_candidates=10, **CFG)
+            .agg(F.avg("rr"))
+            .first()[0]
+            for it in (1, 4)
+        }
+        assert mrr[4] > mrr[1]
+
+    def test_filtered_protocol_drops_known_true_tails(self, spark):
+        from coies_spark.ops.kge import transe_rank_eval
+
+        # brand0 has TWO true types under has_type in a 2-entity
+        # tail universe: with every entity a candidate, the filtered
+        # protocol must strip the other true tail from the negatives
+        t = spark.createDataFrame(
+            [("brand0", "has_type", "type0"),
+             ("brand0", "has_type", "type1")],
+            "subj string, pred string, obj string",
+        )
+        out = transe_rank_eval(
+            t, iters=1, n_candidates=50, **CFG
+        ).collect()
+        # candidate universe = {brand0, type0, type1} minus the true
+        # tail minus the OTHER known-true tail -> only brand0 remains
+        for r in out:
+            assert r.n_cands <= 1
+
+    def test_partitioning_invariance(self, spark):
+        from coies_spark.ops.kge import transe_rank_eval
+
+        t = _triples(spark)
+        a = sorted(map(tuple, transe_rank_eval(
+            t, iters=1, n_candidates=8, **CFG).collect()))
+        b = sorted(map(tuple, transe_rank_eval(
+            t.repartition(7), iters=1, n_candidates=8, **CFG).collect()))
+        assert a == b
+
+    def test_no_allpairs_plan(self, spark):
+        from coies_spark.ops.kge import transe_rank_eval
+
+        t = _triples(spark)
+        p = transe_rank_eval(t, iters=1, n_candidates=4, **CFG)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p

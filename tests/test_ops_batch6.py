@@ -263,3 +263,58 @@ def test_ingest_screen_bloom_gates_exact_verify(spark):
     )
     assert "maybe_member" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_distant_supervision_labels_comention_pairs(spark):
+    from coies_spark.ops.kg import distant_supervision
+
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "scan the table now"),
+            ("c1", 1, "hash only"),          # one entity: no pair
+            ("c2", 0, "table before scan"),  # reversed order still pairs
+        ],
+    )
+    seed = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.pred, r.subj, r.obj,
+         r.subj_pos, r.obj_pos)
+        for r in distant_supervision(
+            t, _gaz(spark), seed, max_len=2
+        ).collect()
+    )
+    # 'scan' is ambiguous (act:scan, obj:scan) — only the act:scan
+    # reading matches the seed; the unmatched obj:scan pairing and
+    # every unlabeled pair stay out (Mintz positive set only)
+    assert got == [
+        ("c1", 0, "reads", "act:scan", "obj:table", 0, 2),
+        ("c2", 0, "reads", "act:scan", "obj:table", 2, 0),
+    ]
+
+
+def test_distant_supervision_one_row_per_position_pair(spark):
+    from coies_spark.ops.kg import distant_supervision
+
+    t = _transcripts(spark, [("c1", 0, "scan table scan")])
+    seed = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    got = distant_supervision(t, _gaz(spark), seed, max_len=1).collect()
+    # two scan mentions x one table mention = two evidence rows
+    assert sorted((r.subj_pos, r.obj_pos) for r in got) == [(0, 1), (2, 1)]
+
+
+def test_distant_supervision_seed_join_is_broadcast(spark):
+    from coies_spark.ops.kg import distant_supervision
+
+    t = _transcripts(spark, [("c1", 0, "scan the table")])
+    seed = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    p = distant_supervision(t, _gaz(spark), seed)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
