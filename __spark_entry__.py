@@ -2181,6 +2181,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             max_len=2,
         ),
+        # the NA class completing the distant-supervision training
+        # set: seed-unrelated co-mention pairs, hash-Bernoulli
+        # downsampled at emission (class ratio set before any shuffle)
+        "distant_negatives": lambda s, d: kg.distant_negatives(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("table", "obj:table"), ("hash", "obj:hash"),
+                 ("table hash", "obj:table-hash"),
+                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
+                ["surface", "entity"],
+            ),
+            s.createDataFrame(
+                [("act:merge-join", "consumes", "obj:hash"),
+                 ("act:scan", "reads", "obj:table"),
+                 ("obj:table-hash", "refines", "obj:table"),
+                 ("act:merge-join", "follows", "act:scan")],
+                ["subj", "pred", "obj"],
+            ),
+            rate=0.25,
+            max_len=2,
+        ),
         # distant supervision (Mintz 2009): co-mentioned gazetteer
         # entity pairs labeled by the seed KG's predicate — the KG
         # bootstrapping its own relation-classifier training set
@@ -7118,6 +7139,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
                 AND b.entity <> a.entity
         JOIN seed s ON s.subj = a.entity AND s.obj = b.entity
+    """
+    )
+
+    # distant_negatives: the same mention/pair CTEs, seed-unrelated
+    # pairs only (NOT EXISTS on the pair), md5 hash-Bernoulli at
+    # rate 0.25 on the full positional evidence tuple (threshold
+    # 0x40000000 — the sampling family's engine-portable rule)
+    sql["distant_negatives"] = (
+        sql["distant_supervision"].rsplit("SELECT a.conv_id", 1)[0]
+        + """
+        SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+               'NA' AS pred, a.entity AS subj, b.entity AS obj,
+               CAST(a.pos AS BIGINT) AS subj_pos,
+               CAST(b.pos AS BIGINT) AS obj_pos
+        FROM m a
+        JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                AND b.entity <> a.entity
+        WHERE NOT EXISTS (SELECT 1 FROM seed s
+                          WHERE s.subj = a.entity AND s.obj = b.entity)
+          AND substr(md5(
+                a.conv_id || chr(31) || CAST(a.turn_idx AS VARCHAR)
+                || chr(31) || a.entity
+                || chr(31) || CAST(a.pos AS VARCHAR)
+                || chr(31) || b.entity
+                || chr(31) || CAST(b.pos AS VARCHAR)), 1, 8)
+              < '40000000'
     """
     )
 

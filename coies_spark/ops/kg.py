@@ -1151,6 +1151,37 @@ def gazetteer_mentions(
     )
 
 
+def _comention_pairs(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    max_len: int,
+    broadcast: bool,
+) -> DataFrame:
+    """(conv_id, turn_idx, subj, subj_pos, obj, obj_pos): every
+    ordered pair of DISTINCT gazetteer entities co-mentioned in one
+    turn — the shared front half of :func:`distant_supervision` and
+    :func:`distant_negatives` (one mention-spotting pass, two label
+    faces that cannot drift).  Keyed on (conv_id, turn_idx): per-turn
+    mention counts are tokenizer-bounded, so the self-join fan-out is
+    bounded per key."""
+    m = gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
+    left = m.select(
+        "conv_id",
+        "turn_idx",
+        F.col("entity").alias("subj"),
+        F.col("pos").alias("subj_pos"),
+    )
+    right = m.select(
+        "conv_id",
+        "turn_idx",
+        F.col("entity").alias("obj"),
+        F.col("pos").alias("obj_pos"),
+    )
+    return left.join(right, ["conv_id", "turn_idx"]).where(
+        F.col("subj") != F.col("obj")
+    )
+
+
 def distant_supervision(
     transcripts: DataFrame,
     dictionary: DataFrame,
@@ -1183,28 +1214,75 @@ def distant_supervision(
     a downstream bag-of-mentions trainer (multi-instance learning)
     consumes.
     """
-    m = gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
-    left = m.select(
-        "conv_id",
-        "turn_idx",
-        F.col("entity").alias("subj"),
-        F.col("pos").alias("subj_pos"),
-    )
-    right = m.select(
-        "conv_id",
-        "turn_idx",
-        F.col("entity").alias("obj"),
-        F.col("pos").alias("obj_pos"),
-    )
-    pairs = left.join(right, ["conv_id", "turn_idx"]).where(
-        F.col("subj") != F.col("obj")
-    )
+    pairs = _comention_pairs(transcripts, dictionary, max_len, broadcast)
     kb = seed.select("subj", "pred", "obj").distinct()
     if broadcast:
         kb = F.broadcast(kb)
     return pairs.join(kb, ["subj", "obj"]).select(
         "conv_id", "turn_idx", "pred", "subj", "obj",
         "subj_pos", "obj_pos",
+    )
+
+
+def distant_negatives(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    seed: DataFrame,
+    rate: float = 0.1,
+    max_len: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, obj, subj_pos, obj_pos): the
+    NA class that completes :func:`distant_supervision`'s training
+    set — co-mention pairs the seed KG does NOT relate (in either
+    role for that pair ordering), labeled ``pred='NA'`` and
+    deterministically downsampled at ``rate``.  The complement set is
+    quadratically larger than the positive set, so the classifier's
+    class ratio is set HERE, at emission, not by a later shuffle-
+    heavy rebalance; the md5 hash-Bernoulli (the
+    :mod:`ops.sampling` rule, keyed on the full positional evidence
+    tuple) makes the sample engine-portable, partitioning-invariant,
+    and NESTED across rates — raising the NA ratio later keeps every
+    previously emitted row.
+
+    Same single mention-spotting pass and broadcast seed anti-join as
+    the positive face (shared :func:`_comention_pairs` builder);
+    schema-identical output so the two faces union into one training
+    table with no projection glue.
+    """
+    from .sampling import threshold_hex
+
+    if not 0.0 < rate <= 1.0:
+        raise ValueError("distant_negatives: rate must be in (0, 1]")
+    pairs = _comention_pairs(transcripts, dictionary, max_len, broadcast)
+    kb = seed.select("subj", "obj").distinct()
+    if broadcast:
+        kb = F.broadcast(kb)
+    na = pairs.join(kb, ["subj", "obj"], "left_anti")
+    thr = threshold_hex(rate)
+    if thr is not None:
+        key = F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "\x1f",
+                        "conv_id",
+                        F.col("turn_idx").cast("string"),
+                        "subj",
+                        F.col("subj_pos").cast("string"),
+                        "obj",
+                        F.col("obj_pos").cast("string"),
+                    ),
+                    "utf-8",
+                )
+            ),
+            1,
+            8,
+        )
+        na = na.where(key < F.lit(thr))
+    return na.select(
+        "conv_id", "turn_idx", F.lit("NA").alias("pred"),
+        "subj", "obj", "subj_pos", "obj_pos",
     )
 
 

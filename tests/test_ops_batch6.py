@@ -318,3 +318,46 @@ def test_distant_supervision_seed_join_is_broadcast(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_distant_negatives_complement_and_schema(spark):
+    from coies_spark.ops.kg import distant_negatives, distant_supervision
+
+    t = _transcripts(spark, [("c1", 0, "scan the table now hash")])
+    seed = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    pos = distant_supervision(t, _gaz(spark), seed, max_len=1)
+    neg = distant_negatives(t, _gaz(spark), seed, rate=1.0, max_len=1)
+    # same column names and types — the faces union with no glue
+    # (pred nullability differs: literal 'NA' vs seed join)
+    assert [(f.name, f.dataType) for f in pos.schema] == [
+        (f.name, f.dataType) for f in neg.schema
+    ]
+    assert pos.unionByName(neg).count() == pos.count() + neg.count()
+    nrows = neg.collect()
+    assert all(r.pred == "NA" for r in nrows)
+    # no NA row duplicates a seed-related pair
+    seeded = {("act:scan", "obj:table")}
+    assert all((r.subj, r.obj) not in seeded for r in nrows)
+    # at rate 1.0, positives + negatives partition the ordered
+    # distinct-entity pair set: 4 entity mentions (scan is ambiguous
+    # -> act:scan AND obj:scan at one position) = 4*3 ordered pairs
+    assert pos.count() + neg.count() == 4 * 3
+
+
+def test_distant_negatives_nested_rates(spark):
+    from coies_spark.ops.kg import distant_negatives
+
+    rows = [("c%d" % i, 0, "scan table hash now") for i in range(40)]
+    t = _transcripts(spark, rows)
+    seed = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    key = lambda r: (r.conv_id, r.turn_idx, r.subj, r.subj_pos,
+                     r.obj, r.obj_pos)
+    lo = {key(r) for r in distant_negatives(
+        t, _gaz(spark), seed, rate=0.2).collect()}
+    hi = {key(r) for r in distant_negatives(
+        t, _gaz(spark), seed, rate=0.6).collect()}
+    assert lo < hi  # nested and strictly growing at this n
