@@ -144,6 +144,7 @@ def main() -> None:
     from coies_spark.pipeline.triples import conv_triples
     from coies_spark.session import get_spark
 
+    from __spark_entry__ import queries as _entry_queries
     from __spark_entry__ import (
         SMALL_CORPUS_CONFIG,
         _align_kgs,
@@ -408,6 +409,17 @@ def main() -> None:
         # TransE trainer: 2 unrolled full-batch epochs over the
         # part-catalog triples (trainable op #4)
         "transe_train": lambda: run(_transe(spark, sf_dir, "train")),
+        # filtered link-prediction eval of the trained model: true
+        # tail vs 20 sampled candidates, per-triple rank/RR/Hits@k
+        "transe_rank_eval": lambda: run(
+            _transe(spark, sf_dir, "rank_eval")
+        ),
+        # Mintz distant supervision: gazetteer co-mention pairs
+        # labeled by the seed KG (positive face; same fixture as the
+        # registry query)
+        "distant_supervision": lambda: run(
+            _entry_queries()["distant_supervision"](spark, sf_dir)
+        ),
         # mergeable histogram-sketch quantiles over document lengths
         "hist_quantiles": lambda: run(
             sketch.histogram_quantiles(
