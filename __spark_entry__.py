@@ -1482,9 +1482,11 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "train": kge.transe_train,
         "energies": kge.transe_energies,
         "rank_eval": kge.transe_rank_eval,
+        "dm_train": kge.distmult_train,
+        "dm_scores": kge.distmult_scores,
     }[face]
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
-    if face == "train":
+    if face in ("train", "dm_train"):
         out = out.select(
             "id", "kind", F.col("i").cast("long").alias("i"), "x"
         )
@@ -2611,6 +2613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates (known-true tails filtered out), per-triple
         # rank/RR/Hits@k — MRR is one aggregation away
         "transe_rank_eval": lambda s, d: _transe(s, d, "rank_eval"),
+        # DistMult trainer (trainable op #5): bilinear-diagonal score
+        # on the SAME deterministic scaffolding — the symmetric-
+        # relation complement of TransE's translations
+        "distmult_train": lambda s, d: _transe(s, d, "dm_train"),
+        # per-triple bilinear scores under the trained DistMult model
+        "distmult_scores": lambda s, d: _transe(s, d, "dm_scores"),
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
@@ -8207,12 +8215,17 @@ def oracle_sql() -> dict[str, str]:
         FROM cand
     """
 
-    # transe_train / transe_energies: the unrolled full-batch TransE
-    # loop (ops/kge.py) replayed as CTEs — long-format (id, i, x)
-    # state makes every epoch REGULAR relational algebra, no
-    # per-dimension SQL generation; 9dp-rounded terms summed in
-    # DECIMAL(28,12) keep both engines bitwise identical.
-    def _transe_ctes(dim: int, iters: int, lr: float, margin: float) -> str:
+    # transe_* / distmult_*: the unrolled full-batch KGE loops
+    # (ops/kge.py) replayed as CTEs — long-format (id, i, x) state
+    # makes every epoch REGULAR relational algebra, no per-dimension
+    # SQL generation; 9dp-rounded terms summed in DECIMAL(28,12)
+    # keep both engines bitwise identical.  The two models share one
+    # prefix (triples, entity index, corruption, init) — the same
+    # sharing as ops/kge.py's helpers.
+    def _Q9(v: str) -> str:
+        return f"(floor(({v}) * 1000000000.0 + 0.5) / 1000000000.0)"
+
+    def _kge_prefix(dim: int, q9: bool = False) -> list:
         sep = "chr(31)"
         ctes = [
             """tr AS (
@@ -8241,13 +8254,18 @@ def oracle_sql() -> dict[str, str]:
         ]
         for tbl, kind, src in (("e0", "entity", "ents"),
                                ("r0", "relation", "rels")):
-            ctes.append(f"""{tbl} AS MATERIALIZED (
-               SELECT id, i,
-                      round(CAST(('0x' || substr(md5(
+            u = f"""CAST(('0x' || substr(md5(
                           '{kind}' || {sep} || id || {sep}
                           || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
-                        / 4294967296.0 - 0.5, 9) AS x
+                        / 4294967296.0 - 0.5"""
+            x = _Q9(u) if q9 else f"round({u}, 9)"
+            ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT id, i, {x} AS x
                FROM {src} CROSS JOIN dims)""")
+        return ctes
+
+    def _transe_ctes(dim: int, iters: int, lr: float, margin: float) -> str:
+        ctes = _kge_prefix(dim)
 
         def _core(name: str, e: str, r: str) -> str:
             return f"""{name} AS MATERIALIZED (
@@ -8313,6 +8331,75 @@ def oracle_sql() -> dict[str, str]:
                  ON g.id = s.id AND g.i = s.i)""")
         return "WITH " + ",\n".join(ctes)
 
+    def _distmult_ctes(
+        dim: int, iters: int, lr: float, margin: float
+    ) -> str:
+        # DistMult: bilinear score s = Σᵢ hᵢrᵢtᵢ; violated when
+        # (γ - s_pos + s_neg) > 0; each weight's subgradient is the
+        # product of the OTHER two factors (ops/kge.py _dm_*)
+        ctes = _kge_prefix(dim, q9=True)
+
+        def _core(name: str, e: str, r: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                      h.x AS h, r.x AS r, t.x AS t, nx.x AS tn
+               FROM tneg
+               JOIN {e} h  ON h.id = tneg.subj
+               JOIN {r} r  ON r.id = tneg.pred AND r.i = h.i
+               JOIN {e} t  ON t.id = tneg.obj AND t.i = h.i
+               JOIN {e} nx ON nx.id = tneg.neg_obj AND nx.i = h.i)"""
+
+        def _sc(name: str, core: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT subj, pred, obj, neg_obj,
+                      CAST(sum(CAST({_Q9('h * r * t')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS s_pos,
+                      CAST(sum(CAST({_Q9('h * r * tn')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS s_neg
+               FROM {core} GROUP BY 1, 2, 3, 4)"""
+
+        for k in range(1, iters + 1):
+            p = k - 1
+            ctes.append(f"""nz{p} AS MATERIALIZED (
+               SELECT id, sqrt(CAST(sum(CAST({_Q9('x * x')}
+                 AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+               FROM e{p} GROUP BY id)""")
+            ctes.append(f"""z{p} AS MATERIALIZED (
+               SELECT s.id, s.i,
+                      CASE WHEN n.nrm > 0
+                           THEN {_Q9('s.x / n.nrm')}
+                           ELSE s.x END AS x
+               FROM e{p} s JOIN nz{p} n ON n.id = s.id)""")
+            ctes.append(_core(f"core{k}", f"z{p}", f"r{p}"))
+            ctes.append(_sc(f"sc{k}", f"core{k}"))
+            ctes.append(f"""vc{k} AS MATERIALIZED (
+               SELECT c.* FROM core{k} c
+               JOIN sc{k} e USING (subj, pred, obj, neg_obj)
+               WHERE ({margin} - e.s_pos + e.s_neg) > 0)""")
+            ctes.append(f"""ge{k} AS MATERIALIZED (
+               SELECT subj AS id, i,
+                      {_Q9('r * (tn - t)')} AS g FROM vc{k}
+               UNION ALL
+               SELECT obj, i, {_Q9('-h * r')} FROM vc{k}
+               UNION ALL
+               SELECT neg_obj, i, {_Q9('h * r')} FROM vc{k})""")
+            ctes.append(f"""gr{k} AS MATERIALIZED (
+               SELECT pred AS id, i,
+                      {_Q9('h * (tn - t)')} AS g FROM vc{k})""")
+            for tbl, prev, gsrc in ((f"e{k}", f"z{p}", f"ge{k}"),
+                                    (f"r{k}", f"r{p}", f"gr{k}")):
+                upd = _Q9(f"s.x - {lr} * coalesce(g.g, 0.0)")
+                ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT s.id, s.i, {upd} AS x
+               FROM {prev} s
+               LEFT JOIN (SELECT id, i,
+                            CAST(sum(CAST(g AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS g
+                          FROM {gsrc} GROUP BY 1, 2) g
+                 ON g.id = s.id AND g.i = s.i)""")
+        return "WITH " + ",\n".join(ctes)
+
     # hist_sketch / hist_quantiles: fixed grid lo=0, hi=640, 64 bins
     # over documents.n_chars; the quantile face reads ONLY the
     # register CTE (the sketch contract), rank = ceil(q*N), linear
@@ -8353,6 +8440,41 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN hi = lo THEN 0.0
                      ELSE (hi - lo) / 64 END, 6) AS err_bound
         FROM hits JOIN cum USING (bin)
+    """
+    )
+
+    _dm = _distmult_ctes(4, 2, 5.0, 1.0)
+    sql["distmult_train"] = (
+        _dm
+        + """
+        SELECT id, 'entity' AS kind, i, x FROM e2
+        UNION ALL
+        SELECT id, 'relation', i, x FROM r2
+    """
+    )
+    sql["distmult_scores"] = (
+        _dm
+        + """,
+        coreF AS (
+          SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                 h.x AS h, r.x AS r, t.x AS t, nx.x AS tn
+          FROM tneg
+          JOIN e2 h  ON h.id = tneg.subj
+          JOIN r2 r  ON r.id = tneg.pred AND r.i = h.i
+          JOIN e2 t  ON t.id = tneg.obj AND t.i = h.i
+          JOIN e2 nx ON nx.id = tneg.neg_obj AND nx.i = h.i),
+        scF AS (
+          SELECT subj, pred, obj, neg_obj,
+                 CAST(sum(CAST((floor((h * r * t) * 1000000000.0 + 0.5)
+                     / 1000000000.0)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s_pos,
+                 CAST(sum(CAST((floor((h * r * tn) * 1000000000.0 + 0.5)
+                     / 1000000000.0)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s_neg
+          FROM coreF GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj, s_pos, s_neg,
+               ((1.0 - s_pos + s_neg) > 0) AS violated
+        FROM scF
     """
     )
 

@@ -480,3 +480,254 @@ def transe_rank_eval(
             (rank <= 10).alias("hit10"),
         )
     )
+
+
+def _q9(c: Column) -> Column:
+    """floor(x·10⁹ + 0.5)/10⁹ — the ENGINE-IDENTICAL 9dp quantizer.
+    Every operation (multiply, add, floor, divide) is a single IEEE
+    double op that any engine executes bit-identically, so two
+    engines evaluating the same expression tree agree ALWAYS — by
+    construction, not by measure.  ``round(double, 9)`` does not have
+    that property: the JVM rounds HALF_UP on the double's shortest
+    decimal repr while DuckDB rounds through binary multiply, and the
+    two tie-break a value sitting at a 9dp midpoint differently
+    (observed ~1/10⁴ weights in DistMult training; TransE predates
+    the quantizer and stays on ``round`` only because its committed
+    weights are tie-free at every tested scale).  Inputs are
+    unit-scale (|x|·10⁹ ≪ 2⁵³), so the float grid never outruns the
+    decimal grid."""
+    return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def _dm_init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
+    """:func:`_init_state` on the :func:`_q9` grid (see there)."""
+    dims = ids.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
+    )
+    u = _md5_long(
+        F.concat_ws(_SEP, F.lit(kind), F.col("id"), F.col("i").cast("string"))
+    ) / F.lit(4294967296.0)
+    return dims.select("id", "i", _q9(u - F.lit(0.5)).alias("x"))
+
+
+def _dm_l2_normalize(state: DataFrame) -> DataFrame:
+    """:func:`_l2_normalize` on the :func:`_q9` grid."""
+    nrm = state.groupBy("id").agg(
+        F.sqrt(
+            F.sum(_q9(F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        ).alias("nrm")
+    )
+    return state.join(nrm, "id").select(
+        "id",
+        "i",
+        F.when(F.col("nrm") > 0, _q9(F.col("x") / F.col("nrm")))
+        .otherwise(F.col("x"))
+        .alias("x"),
+    )
+
+
+def _dm_apply_grads(
+    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+) -> DataFrame:
+    """:func:`_apply_grads` on the :func:`_q9` grid."""
+    gsum = grads.groupBy("id", "i").agg(
+        (
+            F.sum(F.col("g").cast(_DEC)).cast("double")
+            / F.lit(float(n_triples))
+        ).alias("g")
+    )
+    return state.join(gsum, ["id", "i"], "left").select(
+        "id",
+        "i",
+        _q9(
+            F.col("x") - F.lit(float(lr)) * F.coalesce("g", F.lit(0.0))
+        ).alias("x"),
+    )
+
+
+def _dm_core(
+    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
+) -> DataFrame:
+    """Per-(triple, dimension) raw components under the current state
+    — DistMult needs the factors themselves (its gradients are
+    products of the OTHER two factors), so this publishes (h, r, t,
+    tn) per dimension rather than residuals."""
+    return (
+        tneg.join(
+            e_state.select(
+                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("obj"), "i", F.col("x").alias("t")
+            ),
+            ["obj", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("neg_obj"), "i", F.col("x").alias("tn")
+            ),
+            ["neg_obj", "i"],
+        )
+        .select("subj", "pred", "obj", "neg_obj", "i", "h", "r", "t", "tn")
+    )
+
+
+def _dm_scores(core: DataFrame, margin: float) -> DataFrame:
+    """Per-triple bilinear scores s = Σᵢ hᵢrᵢtᵢ (true and corrupted
+    tail) and the margin-violation flag max(0, γ - s_pos + s_neg);
+    per-dimension triple products round 9dp, the cross-dimension sum
+    is exact decimal — the :func:`_energies` engine-parity recipe."""
+    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
+        F.sum(
+            _q9(F.col("h") * F.col("r") * F.col("t")).cast(_DEC)
+        )
+        .cast("double")
+        .alias("s_pos"),
+        F.sum(
+            _q9(F.col("h") * F.col("r") * F.col("tn")).cast(_DEC)
+        )
+        .cast("double")
+        .alias("s_neg"),
+    ).withColumn(
+        "violated",
+        (F.lit(float(margin)) - F.col("s_pos") + F.col("s_neg")) > 0,
+    )
+
+
+def _dm_train_states(
+    triples: DataFrame, dim: int, iters: int, lr: float, margin: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared training core of :func:`distmult_train` /
+    :func:`distmult_scores`: the :func:`_train_states` loop with the
+    bilinear score s = Σᵢ hᵢrᵢtᵢ in place of translation energy.
+    Everything else — md5 init/corruption, epoch-start entity
+    normalization, round-9 decimal mean-gradient accumulation — is
+    byte-identical scaffolding, which is the point: one deterministic
+    trainer recipe, many model families."""
+    if dim < 1 or iters < 1:
+        raise ValueError("distmult_train: dim and iters must be >= 1")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ents = (
+        t.select(F.col("subj").alias("id"))
+        .unionByName(t.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = t.select(F.col("pred").alias("id")).distinct()
+    n_triples = t.count()
+    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    e_state = _dm_init_state(ents, "entity", dim)
+    r_state = _dm_init_state(rels, "relation", dim)
+    for _ in range(iters):
+        e_state = _dm_l2_normalize(e_state)
+        core = _dm_core(tneg, e_state, r_state)
+        viol = (
+            _dm_scores(core, margin)
+            .where("violated")
+            .select("subj", "pred", "obj", "neg_obj")
+        )
+        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+        # margin loss γ - s_pos + s_neg: each weight's subgradient is
+        # the product of the OTHER factors, negative via s_pos and
+        # positive via s_neg
+        grads_e = (
+            vc.select(
+                F.col("subj").alias("id"),
+                "i",
+                _q9(F.col("r") * (F.col("tn") - F.col("t"))).alias("g"),
+            )
+            .unionByName(
+                vc.select(
+                    F.col("obj").alias("id"),
+                    "i",
+                    _q9(-F.col("h") * F.col("r")).alias("g"),
+                )
+            )
+            .unionByName(
+                vc.select(
+                    F.col("neg_obj").alias("id"),
+                    "i",
+                    _q9(F.col("h") * F.col("r")).alias("g"),
+                )
+            )
+        )
+        grads_r = vc.select(
+            F.col("pred").alias("id"),
+            "i",
+            _q9(F.col("h") * (F.col("tn") - F.col("t"))).alias("g"),
+        )
+        e_state = _dm_apply_grads(
+            e_state, grads_e, lr, n_triples
+        ).localCheckpoint(eager=False)
+        r_state = _dm_apply_grads(
+            r_state, grads_r, lr, n_triples
+        ).localCheckpoint(eager=False)
+    return tneg, e_state, r_state
+
+
+def distmult_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(id, kind, i, x): entity and relation embeddings after
+    ``iters`` unrolled full-batch DistMult epochs (Yang et al., ICLR
+    2015, "Embedding Entities and Relations for Learning and
+    Inference in Knowledge Bases") — the bilinear-diagonal
+    counterpart of :func:`transe_train` (trainable operator #5).
+    DistMult scores a triple s(h, r, t) = Σᵢ hᵢrᵢtᵢ — multiplicative
+    interactions capture SYMMETRIC relations TransE's translations
+    cannot (s(h,r,t) = s(t,r,h) by construction), at the cost of
+    anti-symmetric ones; the two models are complements, which is why
+    both faces ship.
+
+    Same determinism, scale shape, and cross-engine bit-exactness
+    contract as TransE (module docstring): the DuckDB oracle twin
+    replays the identical relational program; per-epoch cost is the
+    same 4-equi-join fan-out to ``dim`` rows per triple.
+    """
+    _, e_state, r_state = _dm_train_states(triples, dim, iters, lr, margin)
+    return e_state.select(
+        "id", F.lit("entity").alias("kind"), "i", "x"
+    ).unionByName(
+        r_state.select("id", F.lit("relation").alias("kind"), "i", "x")
+    )
+
+
+def distmult_scores(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(subj, pred, obj, s_pos, s_neg, violated): per-triple bilinear
+    scores under the TRAINED DistMult embeddings — s_pos the true
+    triple's Σᵢhᵢrᵢtᵢ, s_neg its deterministic tail corruption's,
+    ``violated`` whether the margin still fails to separate them
+    (falls as iters grows — pinned by test).  Publishes unrounded
+    doubles from exact decimal sums (the :func:`transe_energies`
+    tie-avoidance rule).  Shares every stage with
+    :func:`distmult_train`, so the faces cannot drift.
+    """
+    tneg, e_state, r_state = _dm_train_states(
+        triples, dim, iters, lr, margin
+    )
+    core = _dm_core(tneg, e_state, r_state)
+    return _dm_scores(core, margin).select(
+        "subj", "pred", "obj", "s_pos", "s_neg", "violated"
+    )
