@@ -414,6 +414,10 @@ def main() -> None:
         "transe_rank_eval": lambda: run(
             _transe(spark, sf_dir, "rank_eval")
         ),
+        # DistMult trainer: 2 unrolled full-batch bilinear epochs on
+        # the same triples (trainable op #5 — the symmetric-relation
+        # complement of TransE)
+        "distmult_train": lambda: run(_transe(spark, sf_dir, "dm_train")),
         # Mintz distant supervision: gazetteer co-mention pairs
         # labeled by the seed KG (positive face; same fixture as the
         # registry query)
