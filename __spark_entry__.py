@@ -1484,6 +1484,7 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "rank_eval": kge.transe_rank_eval,
         "dm_train": kge.distmult_train,
         "dm_scores": kge.distmult_scores,
+        "dm_rank_eval": kge.distmult_rank_eval,
     }[face]
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
     if face in ("train", "dm_train"):
@@ -2619,6 +2620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distmult_train": lambda s, d: _transe(s, d, "dm_train"),
         # per-triple bilinear scores under the trained DistMult model
         "distmult_scores": lambda s, d: _transe(s, d, "dm_scores"),
+        # filtered link-prediction eval under DistMult: TransE's
+        # protocol verbatim (shared _rank_probe), candidates ranked
+        # by bilinear score DESCENDING
+        "distmult_rank_eval": lambda s, d: _transe(s, d, "dm_rank_eval"),
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
@@ -8475,6 +8480,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, pred, obj, s_pos, s_neg,
                ((1.0 - s_pos + s_neg) > 0) AS violated
         FROM scF
+    """
+    )
+
+    # distmult_rank_eval: transe_rank_eval's filtered protocol with
+    # the bilinear score ranked DESCENDING (higher = better) on the
+    # engine-identical floor-quantizer grid
+    sql["distmult_rank_eval"] = (
+        _dm
+        + """,
+        t3 AS (SELECT subj, pred, obj FROM tneg),
+        cnd0 AS (
+          SELECT t3.subj, t3.pred, t3.obj, e.id AS cand
+          FROM t3 CROSS JOIN nn
+          CROSS JOIN range(0, 20) c(ci)
+          JOIN eidx e ON e.idx =
+            (CAST(('0x' || substr(md5(
+               t3.subj || chr(31) || t3.pred || chr(31) || t3.obj
+               || chr(31) || CAST(c.ci AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n)),
+        cnd AS (
+          SELECT DISTINCT subj, pred, obj, cand FROM cnd0
+          WHERE cand <> obj
+            AND NOT EXISTS (SELECT 1 FROM t3 k
+                            WHERE k.subj = cnd0.subj
+                              AND k.pred = cnd0.pred
+                              AND k.obj = cnd0.cand)),
+        probe AS (
+          SELECT subj, pred, obj, cand, FALSE AS is_true FROM cnd
+          UNION ALL
+          SELECT subj, pred, obj, obj, TRUE FROM t3),
+        sc AS (
+          SELECT p.subj, p.pred, p.obj, p.cand, p.is_true,
+                 CAST(sum(CAST(
+                     (floor((h.x * r.x * e.x) * 1000000000.0 + 0.5)
+                      / 1000000000.0)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM probe p
+          JOIN e2 h ON h.id = p.subj
+          JOIN r2 r ON r.id = p.pred AND r.i = h.i
+          JOIN e2 e ON e.id = p.cand AND e.i = h.i
+          GROUP BY 1, 2, 3, 4, 5),
+        td AS (SELECT subj, pred, obj, s AS s_true
+               FROM sc WHERE is_true),
+        ag AS (
+          SELECT c.subj, c.pred, c.obj,
+                 count(*) AS n_cands,
+                 sum(CASE WHEN c.s > t.s_true
+                           OR (c.s = t.s_true AND c.cand < t.obj)
+                     THEN 1 ELSE 0 END) AS n_better
+          FROM sc c JOIN td t USING (subj, pred, obj)
+          WHERE NOT c.is_true GROUP BY 1, 2, 3)
+        SELECT t.subj, t.pred, t.obj,
+               CAST(coalesce(a.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(1 + coalesce(a.n_better, 0) AS BIGINT) AS rank,
+               1.0 / (1 + coalesce(a.n_better, 0)) AS rr,
+               (1 + coalesce(a.n_better, 0)) <= 1 AS hit1,
+               (1 + coalesce(a.n_better, 0)) <= 3 AS hit3,
+               (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
+        FROM td t LEFT JOIN ag a USING (subj, pred, obj)
     """
     )
 

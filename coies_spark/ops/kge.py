@@ -364,6 +364,47 @@ def transe_rank_eval(
         raise ValueError("transe_rank_eval: n_candidates must be >= 1")
     tneg, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
     t3 = tneg.select("subj", "pred", "obj")
+    probe = _rank_probe(t3, n_candidates)
+    res = (
+        probe.join(
+            e_state.select(
+                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("cand"), "i", F.col("x").alias("e")
+            ),
+            ["cand", "i"],
+        )
+        .select(
+            "subj", "pred", "obj", "cand", "is_true",
+            (F.col("h") + F.col("r") - F.col("e")).alias("dp"),
+        )
+    )
+    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
+        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
+        .cast("double")
+        .alias("score")
+    )
+    # translation ENERGY: lower is better
+    return _rank_output(scored, higher_is_better=False)
+
+
+def _rank_probe(t3: DataFrame, n_candidates: int) -> DataFrame:
+    """(subj, pred, obj, cand, is_true): the filtered-protocol probe
+    table shared by every KGE eval face — ``n_candidates``
+    deterministic md5-indexed candidate entities per triple, with
+    known-true tails for (subj, pred) FILTERED out, plus the true
+    tail flagged ``is_true``.  See :func:`transe_rank_eval` for the
+    protocol contract."""
     ents = (
         t3.select(F.col("subj").alias("id"))
         .unionByName(t3.select(F.col("obj").alias("id")))
@@ -404,7 +445,7 @@ def transe_rank_eval(
             "left_anti",
         )
     )
-    probe = cand.select(
+    return cand.select(
         "subj", "pred", "obj", "cand", F.lit(False).alias("is_true")
     ).unionByName(
         t3.select(
@@ -413,37 +454,23 @@ def transe_rank_eval(
             F.lit(True).alias("is_true"),
         )
     )
-    res = (
-        probe.join(
-            e_state.select(
-                F.col("id").alias("subj"), "i", F.col("x").alias("h")
-            ),
-            "subj",
-        )
-        .join(
-            r_state.select(
-                F.col("id").alias("pred"), "i", F.col("x").alias("r")
-            ),
-            ["pred", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("cand"), "i", F.col("x").alias("e")
-            ),
-            ["cand", "i"],
-        )
-        .select(
-            "subj", "pred", "obj", "cand", "is_true",
-            (F.col("h") + F.col("r") - F.col("e")).alias("dp"),
-        )
-    )
-    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
-        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
-        .cast("double")
-        .alias("d")
-    )
+
+
+def _rank_output(scored: DataFrame, higher_is_better: bool) -> DataFrame:
+    """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10) from a
+    scored probe table (subj, pred, obj, cand, is_true, score): the
+    true tail's rank among its candidates, ties broken by candidate
+    id ascending against the true tail — total order, engine-exact
+    because scores are decimal sums cast to double.  ``higher_is_
+    better`` selects the model's score direction (translation energy:
+    lower; bilinear score: higher)."""
     true_d = scored.where("is_true").select(
-        "subj", "pred", "obj", F.col("d").alias("d_true")
+        "subj", "pred", "obj", F.col("score").alias("s_true")
+    )
+    better = (
+        (F.col("score") > F.col("s_true"))
+        if higher_is_better
+        else (F.col("score") < F.col("s_true"))
     )
     beat = (
         scored.where(~F.col("is_true"))
@@ -453,9 +480,9 @@ def transe_rank_eval(
             F.count(F.lit(1)).alias("n_cands"),
             F.sum(
                 F.when(
-                    (F.col("d") < F.col("d_true"))
+                    better
                     | (
-                        (F.col("d") == F.col("d_true"))
+                        (F.col("score") == F.col("s_true"))
                         & (F.col("cand") < F.col("obj"))
                     ),
                     1,
@@ -731,3 +758,63 @@ def distmult_scores(
     return _dm_scores(core, margin).select(
         "subj", "pred", "obj", "s_pos", "s_neg", "violated"
     )
+
+
+def distmult_rank_eval(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10):
+    filtered-protocol link-prediction evaluation of the trained
+    DistMult model — :func:`transe_rank_eval`'s contract verbatim
+    (same md5 candidate sampling, same known-true-tail filtering,
+    same tie rule) with the bilinear score s = Σᵢ hᵢrᵢeᵢ ranking
+    candidates HIGHEST-first instead of lowest translation energy.
+    Per-dimension products quantize on the :func:`_q9` grid and sum
+    in exact decimal, so ranks are engine-exact.
+
+    Scale: identical shape to the TransE eval — |test|·K·``dim``
+    rows through (entity, i)-keyed equi-joins, no all-pairs
+    structure; see :func:`transe_rank_eval` for the full-ranking
+    alternative at 10⁹ entities.
+    """
+    if n_candidates < 1:
+        raise ValueError("distmult_rank_eval: n_candidates must be >= 1")
+    tneg, e_state, r_state = _dm_train_states(
+        triples, dim, iters, lr, margin
+    )
+    t3 = tneg.select("subj", "pred", "obj")
+    probe = _rank_probe(t3, n_candidates)
+    res = (
+        probe.join(
+            e_state.select(
+                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("cand"), "i", F.col("x").alias("e")
+            ),
+            ["cand", "i"],
+        )
+        .select(
+            "subj", "pred", "obj", "cand", "is_true",
+            _q9(F.col("h") * F.col("r") * F.col("e")).alias("p"),
+        )
+    )
+    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
+        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    )
+    # bilinear SCORE: higher is better
+    return _rank_output(scored, higher_is_better=True)

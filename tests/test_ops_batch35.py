@@ -211,3 +211,52 @@ class TestDistMult:
     def test_dim_validation(self, spark):
         with pytest.raises(ValueError):
             distmult_train(_triples(spark), dim=0)
+
+
+class TestDistMultRankEval:
+    def test_ranks_and_protocol(self, spark):
+        from coies_spark.ops.kge import distmult_rank_eval
+
+        t = _triples(spark)
+        rows = distmult_rank_eval(t, n_candidates=8, **CFG).collect()
+        n_triples = t.distinct().count()
+        assert len(rows) == n_triples
+        for r in rows:
+            assert 1 <= r.rank <= r.n_cands + 1
+            assert abs(r.rr - 1.0 / r.rank) < 1e-15
+            assert r.hit1 == (r.rank <= 1)
+            assert r.hit3 == (r.rank <= 3)
+            assert r.hit10 == (r.rank <= 10)
+            # filtered protocol: <= n_candidates survive dedup+filter
+            assert 0 <= r.n_cands <= 8
+
+    def test_training_improves_mrr(self, spark):
+        # more epochs must not hurt the model on its own training KG
+        from coies_spark.ops.kge import distmult_rank_eval
+
+        t = _triples(spark)
+        mrr = {
+            it: distmult_rank_eval(t, iters=it, **CFG)
+            .agg(F.avg("rr"))
+            .first()[0]
+            for it in (1, 4)
+        }
+        assert mrr[4] >= mrr[1]
+
+    def test_candidate_set_shared_with_transe(self, spark):
+        # the probe construction is shared scaffolding: both evals
+        # must see the same (triple -> n_cands) table
+        from coies_spark.ops.kge import distmult_rank_eval, transe_rank_eval
+
+        t = _triples(spark)
+        a = {
+            (r.subj, r.pred, r.obj): r.n_cands
+            for r in transe_rank_eval(t, n_candidates=8, **CFG).collect()
+        }
+        b = {
+            (r.subj, r.pred, r.obj): r.n_cands
+            for r in distmult_rank_eval(
+                t, n_candidates=8, **CFG
+            ).collect()
+        }
+        assert a == b
