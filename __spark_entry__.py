@@ -1485,11 +1485,18 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "dm_train": kge.distmult_train,
         "dm_scores": kge.distmult_scores,
         "dm_rank_eval": kge.distmult_rank_eval,
+        "cx_train": kge.complex_train,
+        "cx_scores": kge.complex_scores,
+        "cx_rank_eval": kge.complex_rank_eval,
     }[face]
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
     if face in ("train", "dm_train"):
         out = out.select(
             "id", "kind", F.col("i").cast("long").alias("i"), "x"
+        )
+    elif face == "cx_train":
+        out = out.select(
+            "id", "kind", F.col("i").cast("long").alias("i"), "xr", "xi"
         )
     return out
 
@@ -2624,6 +2631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol verbatim (shared _rank_probe), candidates ranked
         # by bilinear score DESCENDING
         "distmult_rank_eval": lambda s, d: _transe(s, d, "dm_rank_eval"),
+        # ComplEx embeddings: the Hermitian-product member of the KGE
+        # family — two-channel (xr, xi) state on the shared trainer
+        # scaffolding, symmetric AND anti-symmetric relations
+        "complex_train": lambda s, d: _transe(s, d, "cx_train"),
+        # per-triple Re(h*r*conj(t)) scores under the trained model
+        "complex_scores": lambda s, d: _transe(s, d, "cx_scores"),
+        # filtered link-prediction eval under ComplEx (shared probe)
+        "complex_rank_eval": lambda s, d: _transe(s, d, "cx_rank_eval"),
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
@@ -8230,7 +8245,7 @@ def oracle_sql() -> dict[str, str]:
     def _Q9(v: str) -> str:
         return f"(floor(({v}) * 1000000000.0 + 0.5) / 1000000000.0)"
 
-    def _kge_prefix(dim: int, q9: bool = False) -> list:
+    def _kge_prefix(dim: int, q9: bool = False, cx: bool = False) -> list:
         sep = "chr(31)"
         ctes = [
             """tr AS (
@@ -8259,6 +8274,18 @@ def oracle_sql() -> dict[str, str]:
         ]
         for tbl, kind, src in (("e0", "entity", "ents"),
                                ("r0", "relation", "rels")):
+            if cx:
+                chans = []
+                for ch, col in (("re", "xr"), ("im", "xi")):
+                    u = f"""CAST(('0x' || substr(md5(
+                          '{kind}:{ch}' || {sep} || id || {sep}
+                          || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 - 0.5"""
+                    chans.append(f"{_Q9(u)} AS {col}")
+                ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT id, i, {', '.join(chans)}
+               FROM {src} CROSS JOIN dims)""")
+                continue
             u = f"""CAST(('0x' || substr(md5(
                           '{kind}' || {sep} || id || {sep}
                           || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -8405,6 +8432,98 @@ def oracle_sql() -> dict[str, str]:
                  ON g.id = s.id AND g.i = s.i)""")
         return "WITH " + ",\n".join(ctes)
 
+    def _complex_ctes(
+        dim: int, iters: int, lr: float, margin: float
+    ) -> str:
+        # ComplEx: s = Σᵢ Re(hᵢrᵢ·conj(tᵢ)) over two-channel state
+        # (xr, xi); violated when (γ - s_pos + s_neg) > 0; gradients
+        # are the Wirtinger-style products of the OTHER factors
+        # (ops/kge.py _cx_*).  Every scalar expression below is the
+        # character-identical IEEE tree the Spark side evaluates.
+        ctes = _kge_prefix(dim, q9=True, cx=True)
+
+        def _core(name: str, e: str, r: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                      h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                      t.xr AS cr, t.xi AS ci, nx.xr AS dr, nx.xi AS di
+               FROM tneg
+               JOIN {e} h  ON h.id = tneg.subj
+               JOIN {r} r  ON r.id = tneg.pred AND r.i = h.i
+               JOIN {e} t  ON t.id = tneg.obj AND t.i = h.i
+               JOIN {e} nx ON nx.id = tneg.neg_obj AND nx.i = h.i)"""
+
+        def _dimscore(tr: str, ti: str) -> str:
+            return _Q9(
+                f"ar*br*{tr} + ai*br*{ti} + ar*bi*{ti} - ai*bi*{tr}"
+            )
+
+        def _sc(name: str, core: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT subj, pred, obj, neg_obj,
+                      CAST(sum(CAST({_dimscore('cr', 'ci')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS s_pos,
+                      CAST(sum(CAST({_dimscore('dr', 'di')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS s_neg
+               FROM {core} GROUP BY 1, 2, 3, 4)"""
+
+        for k in range(1, iters + 1):
+            p = k - 1
+            ctes.append(f"""nz{p} AS MATERIALIZED (
+               SELECT id, sqrt(CAST(sum(
+                   CAST({_Q9('xr * xr')} AS DECIMAL(28,12))
+                 + CAST({_Q9('xi * xi')} AS DECIMAL(28,12))
+                 ) AS DOUBLE)) AS nrm
+               FROM e{p} GROUP BY id)""")
+            ctes.append(f"""z{p} AS MATERIALIZED (
+               SELECT s.id, s.i,
+                      CASE WHEN n.nrm > 0
+                           THEN {_Q9('s.xr / n.nrm')}
+                           ELSE s.xr END AS xr,
+                      CASE WHEN n.nrm > 0
+                           THEN {_Q9('s.xi / n.nrm')}
+                           ELSE s.xi END AS xi
+               FROM e{p} s JOIN nz{p} n ON n.id = s.id)""")
+            ctes.append(_core(f"core{k}", f"z{p}", f"r{p}"))
+            ctes.append(_sc(f"sc{k}", f"core{k}"))
+            ctes.append(f"""vc{k} AS MATERIALIZED (
+               SELECT c.* FROM core{k} c
+               JOIN sc{k} e USING (subj, pred, obj, neg_obj)
+               WHERE ({margin} - e.s_pos + e.s_neg) > 0)""")
+            ctes.append(f"""ge{k} AS MATERIALIZED (
+               SELECT subj AS id, i,
+                      {_Q9('br*(dr - cr) + bi*(di - ci)')} AS gr,
+                      {_Q9('br*(di - ci) - bi*(dr - cr)')} AS gi
+               FROM vc{k}
+               UNION ALL
+               SELECT obj, i, {_Q9('ai*bi - ar*br')},
+                      {_Q9('-(ai*br + ar*bi)')} FROM vc{k}
+               UNION ALL
+               SELECT neg_obj, i, {_Q9('ar*br - ai*bi')},
+                      {_Q9('ai*br + ar*bi')} FROM vc{k})""")
+            ctes.append(f"""gr{k} AS MATERIALIZED (
+               SELECT pred AS id, i,
+                      {_Q9('ar*(dr - cr) + ai*(di - ci)')} AS gr,
+                      {_Q9('ar*(di - ci) - ai*(dr - cr)')} AS gi
+               FROM vc{k})""")
+            for tbl, prev, gsrc in ((f"e{k}", f"z{p}", f"ge{k}"),
+                                    (f"r{k}", f"r{p}", f"gr{k}")):
+                ur = _Q9(f"s.xr - {lr} * coalesce(g.gr, 0.0)")
+                ui = _Q9(f"s.xi - {lr} * coalesce(g.gi, 0.0)")
+                ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT s.id, s.i, {ur} AS xr, {ui} AS xi
+               FROM {prev} s
+               LEFT JOIN (SELECT id, i,
+                            CAST(sum(CAST(gr AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS gr,
+                            CAST(sum(CAST(gi AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS gi
+                          FROM {gsrc} GROUP BY 1, 2) g
+                 ON g.id = s.id AND g.i = s.i)""")
+        return "WITH " + ",\n".join(ctes)
+
     # hist_sketch / hist_quantiles: fixed grid lo=0, hi=640, 64 bins
     # over documents.n_chars; the quantile face reads ONLY the
     # register CTE (the sketch contract), rank = ceil(q*N), linear
@@ -8521,6 +8640,110 @@ def oracle_sql() -> dict[str, str]:
           JOIN r2 r ON r.id = p.pred AND r.i = h.i
           JOIN e2 e ON e.id = p.cand AND e.i = h.i
           GROUP BY 1, 2, 3, 4, 5),
+        td AS (SELECT subj, pred, obj, s AS s_true
+               FROM sc WHERE is_true),
+        ag AS (
+          SELECT c.subj, c.pred, c.obj,
+                 count(*) AS n_cands,
+                 sum(CASE WHEN c.s > t.s_true
+                           OR (c.s = t.s_true AND c.cand < t.obj)
+                     THEN 1 ELSE 0 END) AS n_better
+          FROM sc c JOIN td t USING (subj, pred, obj)
+          WHERE NOT c.is_true GROUP BY 1, 2, 3)
+        SELECT t.subj, t.pred, t.obj,
+               CAST(coalesce(a.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(1 + coalesce(a.n_better, 0) AS BIGINT) AS rank,
+               1.0 / (1 + coalesce(a.n_better, 0)) AS rr,
+               (1 + coalesce(a.n_better, 0)) <= 1 AS hit1,
+               (1 + coalesce(a.n_better, 0)) <= 3 AS hit3,
+               (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
+        FROM td t LEFT JOIN ag a USING (subj, pred, obj)
+    """
+    )
+
+    # complex_*: the ComplEx faces on the two-channel CTE chain; the
+    # per-dimension score/gradient expressions are character-identical
+    # to the Spark side so the q9 grid is engine-exact
+    _cxq = _complex_ctes(4, 2, 5.0, 1.0)
+    _cx_dim = (
+        "(floor((ar*br*{tr} + ai*br*{ti} + ar*bi*{ti} - ai*bi*{tr})"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
+    )
+    sql["complex_train"] = (
+        _cxq
+        + """
+        SELECT id, 'entity' AS kind, i, xr, xi FROM e2
+        UNION ALL
+        SELECT id, 'relation', i, xr, xi FROM r2
+    """
+    )
+    sql["complex_scores"] = (
+        _cxq
+        + """,
+        coreF AS (
+          SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                 h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                 t.xr AS cr, t.xi AS ci, nx.xr AS dr, nx.xi AS di
+          FROM tneg
+          JOIN e2 h  ON h.id = tneg.subj
+          JOIN r2 r  ON r.id = tneg.pred AND r.i = h.i
+          JOIN e2 t  ON t.id = tneg.obj AND t.i = h.i
+          JOIN e2 nx ON nx.id = tneg.neg_obj AND nx.i = h.i),
+        scF AS (
+          SELECT subj, pred, obj, neg_obj,
+                 CAST(sum(CAST("""
+        + _cx_dim.format(tr="cr", ti="ci")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s_pos,
+                 CAST(sum(CAST("""
+        + _cx_dim.format(tr="dr", ti="di")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s_neg
+          FROM coreF GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj, s_pos, s_neg,
+               ((1.0 - s_pos + s_neg) > 0) AS violated
+        FROM scF
+    """
+    )
+    sql["complex_rank_eval"] = (
+        _cxq
+        + """,
+        t3 AS (SELECT subj, pred, obj FROM tneg),
+        cnd0 AS (
+          SELECT t3.subj, t3.pred, t3.obj, e.id AS cand
+          FROM t3 CROSS JOIN nn
+          CROSS JOIN range(0, 20) c(ci)
+          JOIN eidx e ON e.idx =
+            (CAST(('0x' || substr(md5(
+               t3.subj || chr(31) || t3.pred || chr(31) || t3.obj
+               || chr(31) || CAST(c.ci AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n)),
+        cnd AS (
+          SELECT DISTINCT subj, pred, obj, cand FROM cnd0
+          WHERE cand <> obj
+            AND NOT EXISTS (SELECT 1 FROM t3 k
+                            WHERE k.subj = cnd0.subj
+                              AND k.pred = cnd0.pred
+                              AND k.obj = cnd0.cand)),
+        probe AS (
+          SELECT subj, pred, obj, cand, FALSE AS is_true FROM cnd
+          UNION ALL
+          SELECT subj, pred, obj, obj, TRUE FROM t3),
+        pc AS (
+          SELECT p.subj, p.pred, p.obj, p.cand, p.is_true, h.i,
+                 h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                 e.xr AS cr, e.xi AS ci
+          FROM probe p
+          JOIN e2 h ON h.id = p.subj
+          JOIN r2 r ON r.id = p.pred AND r.i = h.i
+          JOIN e2 e ON e.id = p.cand AND e.i = h.i),
+        sc AS (
+          SELECT subj, pred, obj, cand, is_true,
+                 CAST(sum(CAST("""
+        + _cx_dim.format(tr="cr", ti="ci")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM pc GROUP BY 1, 2, 3, 4, 5),
         td AS (SELECT subj, pred, obj, s AS s_true
                FROM sc WHERE is_true),
         ag AS (

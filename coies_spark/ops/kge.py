@@ -818,3 +818,358 @@ def distmult_rank_eval(
     )
     # bilinear SCORE: higher is better
     return _rank_output(scored, higher_is_better=True)
+
+
+def _cx_init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
+    """(id, i, xr, xi): two-channel md5-uniform init on the
+    :func:`_q9` grid — the ``:re`` / ``:im`` salt suffixes keep the
+    channels on independent hash streams (and distinct from the
+    real-valued models' vectors for the same names)."""
+    dims = ids.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
+    )
+
+    def _u(ch: str) -> Column:
+        u = _md5_long(
+            F.concat_ws(
+                _SEP,
+                F.lit(kind + ":" + ch),
+                F.col("id"),
+                F.col("i").cast("string"),
+            )
+        ) / F.lit(4294967296.0)
+        return _q9(u - F.lit(0.5))
+
+    return dims.select("id", "i", _u("re").alias("xr"), _u("im").alias("xi"))
+
+
+def _cx_l2_normalize(state: DataFrame) -> DataFrame:
+    """Unit-ball projection of the COMPLEX entity vectors: ‖x‖² sums
+    both channels' round-9 squares in exact decimal (the
+    :func:`_l2_normalize` recipe, two channels per dimension)."""
+    nrm = state.groupBy("id").agg(
+        F.sqrt(
+            F.sum(
+                _q9(F.col("xr") * F.col("xr")).cast(_DEC)
+                + _q9(F.col("xi") * F.col("xi")).cast(_DEC)
+            ).cast("double")
+        ).alias("nrm")
+    )
+    ok = F.col("nrm") > 0
+    return state.join(nrm, "id").select(
+        "id",
+        "i",
+        F.when(ok, _q9(F.col("xr") / F.col("nrm")))
+        .otherwise(F.col("xr"))
+        .alias("xr"),
+        F.when(ok, _q9(F.col("xi") / F.col("nrm")))
+        .otherwise(F.col("xi"))
+        .alias("xi"),
+    )
+
+
+def _cx_apply_grads(
+    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+) -> DataFrame:
+    """:func:`_apply_grads` per channel: (id, i, gr, gi) votes sum in
+    exact decimal, mean by the triple count, q9 update; rows with no
+    gradient keep their weight."""
+    gsum = grads.groupBy("id", "i").agg(
+        (
+            F.sum(F.col("gr").cast(_DEC)).cast("double")
+            / F.lit(float(n_triples))
+        ).alias("gr"),
+        (
+            F.sum(F.col("gi").cast(_DEC)).cast("double")
+            / F.lit(float(n_triples))
+        ).alias("gi"),
+    )
+    return state.join(gsum, ["id", "i"], "left").select(
+        "id",
+        "i",
+        _q9(
+            F.col("xr") - F.lit(float(lr)) * F.coalesce("gr", F.lit(0.0))
+        ).alias("xr"),
+        _q9(
+            F.col("xi") - F.lit(float(lr)) * F.coalesce("gi", F.lit(0.0))
+        ).alias("xi"),
+    )
+
+
+def _cx_core(
+    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
+) -> DataFrame:
+    """Per-(triple, dimension) complex components under the current
+    state: (ar, ai) the head, (br, bi) the relation, (cr, ci) the
+    true tail, (dr, di) the corrupted tail — the neutral letter names
+    keep the 8-factor algebra readable and collision-free in both
+    engines."""
+
+    def _sel(key: str, a: str, b: str) -> DataFrame:
+        return e_state.select(
+            F.col("id").alias(key),
+            "i",
+            F.col("xr").alias(a),
+            F.col("xi").alias(b),
+        )
+
+    return (
+        tneg.join(_sel("subj", "ar", "ai"), "subj")
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"),
+                "i",
+                F.col("xr").alias("br"),
+                F.col("xi").alias("bi"),
+            ),
+            ["pred", "i"],
+        )
+        .join(_sel("obj", "cr", "ci"), ["obj", "i"])
+        .join(_sel("neg_obj", "dr", "di"), ["neg_obj", "i"])
+        .select(
+            "subj", "pred", "obj", "neg_obj", "i",
+            "ar", "ai", "br", "bi", "cr", "ci", "dr", "di",
+        )
+    )
+
+
+def _cx_dim_score(tr: Column, ti: Column) -> Column:
+    """Per-dimension Re(h·r·conj(t)) against a tail (tr, ti) — ONE
+    fixed expression tree of IEEE double ops, written identically in
+    the DuckDB twin so the q9 quantization is engine-exact."""
+    return _q9(
+        F.col("ar") * F.col("br") * tr
+        + F.col("ai") * F.col("br") * ti
+        + F.col("ar") * F.col("bi") * ti
+        - F.col("ai") * F.col("bi") * tr
+    )
+
+
+def _cx_scores(core: DataFrame, margin: float) -> DataFrame:
+    """Per-triple ComplEx scores s = Σᵢ Re(hᵢrᵢ·conj(tᵢ)) (true and
+    corrupted tail) and the margin-violation flag — the
+    :func:`_dm_scores` recipe with the 4-product real part as the
+    per-dimension term."""
+    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
+        F.sum(_cx_dim_score(F.col("cr"), F.col("ci")).cast(_DEC))
+        .cast("double")
+        .alias("s_pos"),
+        F.sum(_cx_dim_score(F.col("dr"), F.col("di")).cast(_DEC))
+        .cast("double")
+        .alias("s_neg"),
+    ).withColumn(
+        "violated",
+        (F.lit(float(margin)) - F.col("s_pos") + F.col("s_neg")) > 0,
+    )
+
+
+def _cx_train_states(
+    triples: DataFrame, dim: int, iters: int, lr: float, margin: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared training core of the ComplEx faces: the
+    :func:`_dm_train_states` loop with the complex bilinear score
+    Re(Σᵢ hᵢrᵢ·conj(tᵢ)) — the real part of a Hermitian product, so
+    one relation can be symmetric (imaginary part 0) AND another
+    anti-symmetric (real part 0), which neither TransE nor DistMult
+    can express simultaneously.  State is two-channel long format
+    (id, i, xr, xi); everything else — md5 init/corruption,
+    epoch-start entity normalization, q9 decimal mean-gradient
+    accumulation — is the shared deterministic-trainer scaffolding.
+    """
+    if dim < 1 or iters < 1:
+        raise ValueError("complex_train: dim and iters must be >= 1")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ents = (
+        t.select(F.col("subj").alias("id"))
+        .unionByName(t.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = t.select(F.col("pred").alias("id")).distinct()
+    n_triples = t.count()
+    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    e_state = _cx_init_state(ents, "entity", dim)
+    r_state = _cx_init_state(rels, "relation", dim)
+    # margin-loss subgradients: d(s)/d(factor) is the Wirtinger-style
+    # product of the OTHER factors; the loss γ - s_pos + s_neg gives
+    # each entity the (neg - pos) difference, the true tail -pos
+    # only, the corrupted tail +neg only
+    ddr = F.col("dr") - F.col("cr")
+    ddi = F.col("di") - F.col("ci")
+    for _ in range(iters):
+        e_state = _cx_l2_normalize(e_state)
+        core = _cx_core(tneg, e_state, r_state)
+        viol = (
+            _cx_scores(core, margin)
+            .where("violated")
+            .select("subj", "pred", "obj", "neg_obj")
+        )
+        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+        grads_e = (
+            vc.select(
+                F.col("subj").alias("id"),
+                "i",
+                _q9(F.col("br") * ddr + F.col("bi") * ddi).alias("gr"),
+                _q9(F.col("br") * ddi - F.col("bi") * ddr).alias("gi"),
+            )
+            .unionByName(
+                vc.select(
+                    F.col("obj").alias("id"),
+                    "i",
+                    _q9(
+                        F.col("ai") * F.col("bi")
+                        - F.col("ar") * F.col("br")
+                    ).alias("gr"),
+                    _q9(
+                        -(
+                            F.col("ai") * F.col("br")
+                            + F.col("ar") * F.col("bi")
+                        )
+                    ).alias("gi"),
+                )
+            )
+            .unionByName(
+                vc.select(
+                    F.col("neg_obj").alias("id"),
+                    "i",
+                    _q9(
+                        F.col("ar") * F.col("br")
+                        - F.col("ai") * F.col("bi")
+                    ).alias("gr"),
+                    _q9(
+                        F.col("ai") * F.col("br")
+                        + F.col("ar") * F.col("bi")
+                    ).alias("gi"),
+                )
+            )
+        )
+        grads_r = vc.select(
+            F.col("pred").alias("id"),
+            "i",
+            _q9(F.col("ar") * ddr + F.col("ai") * ddi).alias("gr"),
+            _q9(F.col("ar") * ddi - F.col("ai") * ddr).alias("gi"),
+        )
+        e_state = _cx_apply_grads(
+            e_state, grads_e, lr, n_triples
+        ).localCheckpoint(eager=False)
+        r_state = _cx_apply_grads(
+            r_state, grads_r, lr, n_triples
+        ).localCheckpoint(eager=False)
+    return tneg, e_state, r_state
+
+
+def complex_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(id, kind, i, xr, xi): complex entity and relation embeddings
+    after ``iters`` unrolled full-batch ComplEx epochs (Trouillon et
+    al., ICML 2016, "Complex Embeddings for Simple Link Prediction")
+    — trainable operator #6, completing the KGE family: TransE's
+    translations model anti-symmetric relations, DistMult's diagonal
+    bilinear form only symmetric ones; ComplEx's Hermitian product
+    Re(Σᵢ hᵢrᵢ·conj(tᵢ)) expresses both (and relation inverses via
+    conjugation).  Same determinism, scale shape (4 equi-joins
+    fanning to dim rows per triple — two channels ride the SAME rows,
+    so shuffle volume is 2× DistMult's bytes at identical row count
+    and stage count), and cross-engine bit-exactness contract as the
+    other trainers: the DuckDB twin replays the identical relational
+    program on the q9 grid.
+    """
+    _, e_state, r_state = _cx_train_states(triples, dim, iters, lr, margin)
+    return e_state.select(
+        "id", F.lit("entity").alias("kind"), "i", "xr", "xi"
+    ).unionByName(
+        r_state.select(
+            "id", F.lit("relation").alias("kind"), "i", "xr", "xi"
+        )
+    )
+
+
+def complex_scores(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(subj, pred, obj, s_pos, s_neg, violated): per-triple ComplEx
+    scores under the TRAINED embeddings — the :func:`distmult_scores`
+    face for the complex model (unrounded doubles from exact decimal
+    sums; Σ violated falls as iters grows, pinned by test).  Shares
+    every stage with :func:`complex_train`, so the faces cannot
+    drift."""
+    tneg, e_state, r_state = _cx_train_states(
+        triples, dim, iters, lr, margin
+    )
+    core = _cx_core(tneg, e_state, r_state)
+    return _cx_scores(core, margin).select(
+        "subj", "pred", "obj", "s_pos", "s_neg", "violated"
+    )
+
+
+def complex_rank_eval(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10):
+    filtered-protocol link-prediction evaluation of the trained
+    ComplEx model — :func:`transe_rank_eval`'s contract verbatim via
+    the shared :func:`_rank_probe` / :func:`_rank_output`
+    scaffolding, candidates ranked by Re(h·r·conj(e)) HIGHEST-first.
+    Same |test|·K·``dim``-row scale shape as the other evals."""
+    if n_candidates < 1:
+        raise ValueError("complex_rank_eval: n_candidates must be >= 1")
+    tneg, e_state, r_state = _cx_train_states(
+        triples, dim, iters, lr, margin
+    )
+    t3 = tneg.select("subj", "pred", "obj")
+    probe = _rank_probe(t3, n_candidates)
+    res = (
+        probe.join(
+            e_state.select(
+                F.col("id").alias("subj"),
+                "i",
+                F.col("xr").alias("ar"),
+                F.col("xi").alias("ai"),
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"),
+                "i",
+                F.col("xr").alias("br"),
+                F.col("xi").alias("bi"),
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("cand"),
+                "i",
+                F.col("xr").alias("cr"),
+                F.col("xi").alias("ci"),
+            ),
+            ["cand", "i"],
+        )
+        .select(
+            "subj", "pred", "obj", "cand", "is_true",
+            _cx_dim_score(F.col("cr"), F.col("ci")).alias("p"),
+        )
+    )
+    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
+        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    )
+    # Hermitian-product SCORE: higher is better
+    return _rank_output(scored, higher_is_better=True)
