@@ -1488,6 +1488,7 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "cx_train": kge.complex_train,
         "cx_scores": kge.complex_scores,
         "cx_rank_eval": kge.complex_rank_eval,
+        "compare": kge.kge_model_compare,
     }[face]
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
     if face in ("train", "dm_train"):
@@ -2639,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_scores": lambda s, d: _transe(s, d, "cx_scores"),
         # filtered link-prediction eval under ComplEx (shared probe)
         "complex_rank_eval": lambda s, d: _transe(s, d, "cx_rank_eval"),
+        # model selection across the KGE family: MRR/Hits@k of all
+        # three models on identical candidate sets, one row per model
+        "kge_model_compare": lambda s, d: _transe(s, d, "compare"),
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
@@ -8858,4 +8862,35 @@ def oracle_sql() -> dict[str, str]:
         FROM td t LEFT JOIN ag a USING (subj, pred, obj)
     """
     )
+
+    # kge_model_compare: the three rank evals (each a complete WITH
+    # chain, legal as a parenthesized subquery) unioned under a model
+    # tag and aggregated — rr on the engine-identical 1e-12 floor
+    # grid summed in exact decimal, hits as integer sums
+    _rr12 = (
+        "(floor((1.0 / rank) * 1000000000000.0 + 0.5)"
+        " / 1000000000000.0)"
+    )
+    sql["kge_model_compare"] = f"""
+        SELECT model,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CAST({_rr12} AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mrr,
+               CAST(sum(CAST(hit1 AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS hits1,
+               CAST(sum(CAST(hit3 AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS hits3,
+               CAST(sum(CAST(hit10 AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS hits10
+        FROM (
+          SELECT 'transe' AS model, rank, hit1, hit3, hit10
+          FROM ({sql['transe_rank_eval']})
+          UNION ALL
+          SELECT 'distmult', rank, hit1, hit3, hit10
+          FROM ({sql['distmult_rank_eval']})
+          UNION ALL
+          SELECT 'complex', rank, hit1, hit3, hit10
+          FROM ({sql['complex_rank_eval']})
+        ) GROUP BY model
+    """
     return sql

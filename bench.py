@@ -418,6 +418,11 @@ def main() -> None:
         # the same triples (trainable op #5 — the symmetric-relation
         # complement of TransE)
         "distmult_train": lambda: run(_transe(spark, sf_dir, "dm_train")),
+        # ComplEx trainer: 2 unrolled full-batch Hermitian-product
+        # epochs, two-channel state (trainable op #6 — completes the
+        # KGE family; 2x DistMult's shuffle bytes at the same stage
+        # count and row count)
+        "complex_train": lambda: run(_transe(spark, sf_dir, "cx_train")),
         # Mintz distant supervision: gazetteer co-mention pairs
         # labeled by the seed KG (positive face; same fixture as the
         # registry query)

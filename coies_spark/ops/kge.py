@@ -1173,3 +1173,71 @@ def complex_rank_eval(
     )
     # Hermitian-product SCORE: higher is better
     return _rank_output(scored, higher_is_better=True)
+
+
+def kge_model_compare(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """(model, n_test, mrr, hits1, hits3, hits10): the model-selection
+    face of the KGE family — train all three models (TransE, DistMult,
+    ComplEx) on the same triples under the same hyper-parameters and
+    aggregate their filtered link-prediction evals into one table.
+    The three evals share :func:`_rank_probe` (identical candidate
+    sets), so differences are MODEL differences, not sampling noise.
+
+    Cross-engine exactness: Hits@k are integer sums over exact ranks;
+    MRR sums reciprocal ranks on the engine-identical 1e-12 floor
+    grid in exact decimal before the final double division, so the
+    averages hash-match however partitions reduce.
+
+    Scale: 3× one training run (each |T|·dim rows/epoch through
+    (entity, i)-keyed equi-joins); the evals add |test|·K·dim rows
+    each.  The three models are independent jobs — on a cluster they
+    can run concurrently from the same cached triple table.
+    """
+    evals = [
+        ("transe", transe_rank_eval),
+        ("distmult", distmult_rank_eval),
+        ("complex", complex_rank_eval),
+    ]
+    out = None
+    for name, fn in evals:
+        e = fn(
+            triples,
+            dim=dim,
+            iters=iters,
+            lr=lr,
+            margin=margin,
+            n_candidates=n_candidates,
+        ).select(F.lit(name).alias("model"), "rank", "hit1", "hit3", "hit10")
+        out = e if out is None else out.unionByName(e)
+    # rr on the 1e-12 floor grid (engine-exact), decimal sum (order-
+    # independent), final division in double
+    rr12 = F.floor(
+        (F.lit(1.0) / F.col("rank").cast("double")) * F.lit(1e12)
+        + F.lit(0.5)
+    ) / F.lit(1e12)
+    n = F.count(F.lit(1))
+    return out.groupBy("model").agg(
+        n.cast("long").alias("n_test"),
+        (
+            F.sum(rr12.cast(_DEC)).cast("double") / n.cast("double")
+        ).alias("mrr"),
+        (
+            F.sum(F.col("hit1").cast("long")).cast("double")
+            / n.cast("double")
+        ).alias("hits1"),
+        (
+            F.sum(F.col("hit3").cast("long")).cast("double")
+            / n.cast("double")
+        ).alias("hits3"),
+        (
+            F.sum(F.col("hit10").cast("long")).cast("double")
+            / n.cast("double")
+        ).alias("hits10"),
+    )

@@ -249,3 +249,27 @@ class TestComplExRankEval:
             ).collect()
         }
         assert a == b
+
+
+class TestKgeModelCompare:
+    def test_matches_individual_evals(self, spark):
+        from coies_spark.ops.kge import kge_model_compare, transe_rank_eval
+
+        t = _triples(spark)
+        cmp_rows = {
+            r.model: r
+            for r in kge_model_compare(t, n_candidates=8, **CFG).collect()
+        }
+        assert set(cmp_rows) == {"transe", "distmult", "complex"}
+        te = transe_rank_eval(t, n_candidates=8, **CFG).collect()
+        n = len(te)
+        for m in cmp_rows.values():
+            assert m.n_test == n
+            assert 0.0 < m.mrr <= 1.0
+            assert m.hits1 <= m.hits3 <= m.hits10 <= 1.0
+        # the transe row must aggregate the transe eval exactly
+        # (rr quantized on the 1e-12 grid, hits as integer means)
+        got = cmp_rows["transe"]
+        rr12 = [math.floor((1.0 / r.rank) * 1e12 + 0.5) / 1e12 for r in te]
+        assert abs(got.mrr - sum(rr12) / n) < 1e-9
+        assert got.hits10 == sum(1 for r in te if r.hit10) / n
