@@ -1697,7 +1697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlapping RAG chunks with window/stride in BPE tokens
         "sliding_chunks_bpe": _q_sliding_chunks_bpe,
         "rwmd_pairs": lambda s, d: wmd.rwmd_pairs(_read(s, d, "documents")),
-        "top_group_orders": _q_top_group,
+        # ComplEx trainer (round-5 star): the Hermitian-product KGE
+        # model on the shared deterministic scaffolding — rotated into
+        # the window in place of top_group_orders (still registered
+        # in the tail)
+        "complex_train": lambda s, d: _transe(s, d, "cx_train"),
         "range_join_stopwords": _q_range_join,
         # transcript-table health pass over the north-rule input shape
         # (conv_id, turn_idx, role, text, tool, ts): role balance,
@@ -1712,9 +1716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 transcripts.synthesize_transcripts(_read(s, d, "documents"))
             ).select("conv_id", "turn_idx", "role", "text")
         ),
-        # point-in-time-correct lookup: each purchase gains the user's
-        # latest at-or-before click (union-window as-of join)
-        "asof_join_events": _q_asof_join,
+        # KGE model selection (round-5 star): MRR/Hits@k of all three
+        # trained models on identical candidate sets — rotated into
+        # the window in place of asof_join_events (still registered
+        # in the tail)
+        "kge_model_compare": lambda s, d: _transe(s, d, "compare"),
         "salted_event_counts": _q_salted_counts,
         "running_value": _q_running_value,
         # transcript ingest contract check over a deterministically
@@ -2632,17 +2638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol verbatim (shared _rank_probe), candidates ranked
         # by bilinear score DESCENDING
         "distmult_rank_eval": lambda s, d: _transe(s, d, "dm_rank_eval"),
-        # ComplEx embeddings: the Hermitian-product member of the KGE
-        # family — two-channel (xr, xi) state on the shared trainer
-        # scaffolding, symmetric AND anti-symmetric relations
-        "complex_train": lambda s, d: _transe(s, d, "cx_train"),
-        # per-triple Re(h*r*conj(t)) scores under the trained model
+        # per-triple Re(h*r*conj(t)) scores under the trained ComplEx
+        # model (complex_train itself is rotated into the window)
         "complex_scores": lambda s, d: _transe(s, d, "cx_scores"),
         # filtered link-prediction eval under ComplEx (shared probe)
         "complex_rank_eval": lambda s, d: _transe(s, d, "cx_rank_eval"),
-        # model selection across the KGE family: MRR/Hits@k of all
-        # three models on identical candidate sets, one row per model
-        "kge_model_compare": lambda s, d: _transe(s, d, "compare"),
+        # rotated OUT of the window for the round-5 KGE stars, still
+        # registered and oracled here in the tail
+        "top_group_orders": _q_top_group,
+        "asof_join_events": _q_asof_join,
         # fixed-grid histogram sketch over document lengths: the
         # QUANTILE member of the mergeable-summary family (<=64
         # register rows whatever the corpus size)
