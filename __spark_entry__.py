@@ -60,6 +60,7 @@ from coies_spark.ops import (
     maintenance,
     multimodal,
     relational,
+    relext,
     sampling,
     similarity,
     sketch,
@@ -76,6 +77,28 @@ from coies_spark.pipeline.triples import conv_triples
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _relext_dict(spark: SparkSession) -> DataFrame:
+    """The gazetteer fixture shared by every distant-supervision face
+    (and its DuckDB VALUES twin)."""
+    return spark.createDataFrame(
+        [("table", "obj:table"), ("hash", "obj:hash"),
+         ("table hash", "obj:table-hash"),
+         ("merge join", "act:merge-join"), ("scan", "act:scan")],
+        ["surface", "entity"],
+    )
+
+
+def _relext_seed(spark: SparkSession) -> DataFrame:
+    """The seed-KG fixture shared by every distant-supervision face."""
+    return spark.createDataFrame(
+        [("act:merge-join", "consumes", "obj:hash"),
+         ("act:scan", "reads", "obj:table"),
+         ("obj:table-hash", "refines", "obj:table"),
+         ("act:merge-join", "follows", "act:scan")],
+        ["subj", "pred", "obj"],
+    )
 
 
 # The testdata embeddings tables are d=64 (TESTDATA.md); the SAME
@@ -2237,6 +2260,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  ("act:merge-join", "follows", "act:scan")],
                 ["subj", "pred", "obj"],
             ),
+            max_len=2,
+        ),
+        # the relation-extraction bootstrap (ops/relext.py): the KG's
+        # own distant labels train a hashed-feature logistic DETECTOR
+        # (trainable op #7), which then scores the unlabeled
+        # complement pairs into a KG-completion proposal queue.
+        # Training table: positives (any seed pred, one row per
+        # positional evidence) + NA sample at 0.25, each with its
+        # evidence turn's text verbatim
+        "relation_training_table": lambda s, d: relext.relation_training_table(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            _relext_dict(s),
+            _relext_seed(s),
+            rate=0.25,
+            max_len=2,
+        ),
+        # detector weights after 3 unrolled GD rounds (the classify
+        # recipe over relation evidence docs)
+        "relation_detector": lambda s, d: relext.relation_detector_train(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            _relext_dict(s),
+            _relext_seed(s),
+            rate=0.25,
+            max_len=2,
+        ),
+        # KG completion: full complement pairs scored by the trained
+        # detector, multi-instance mean per (subj, obj)
+        "relation_proposals": lambda s, d: relext.relation_proposals(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            _relext_dict(s),
+            _relext_seed(s),
+            rate=0.25,
             max_len=2,
         ),
         # hot-key diagnostic: top-5 keys by rows with share and
@@ -7201,6 +7256,144 @@ def oracle_sql() -> dict[str, str]:
                 || chr(31) || b.entity
                 || chr(31) || CAST(b.pos AS VARCHAR)), 1, 8)
               < '40000000'
+    """
+    )
+
+    # relation_* (ops/relext.py): the distant-supervision prefix
+    # (mention CTEs verbatim), positives ∪ NA sample with the
+    # evidence turn's text, then the classify GD chain (md5 buckets,
+    # decimal gradients, 9dp weights) and the multi-instance propose
+    # aggregation — one oracle family replaying the full bootstrap
+    _ds_prefix = sql["distant_supervision"].rsplit("SELECT a.conv_id", 1)[0]
+    _relext_ev = (
+        _ds_prefix
+        + """,
+        posx AS (
+          SELECT DISTINCT a.conv_id, a.turn_idx, a.entity AS subj,
+                 a.pos AS subj_pos, b.entity AS obj, b.pos AS obj_pos,
+                 1.0 AS y
+          FROM m a
+          JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                  AND b.entity <> a.entity
+          JOIN seed s ON s.subj = a.entity AND s.obj = b.entity),
+        negx AS (
+          SELECT a.conv_id, a.turn_idx, a.entity AS subj,
+                 a.pos AS subj_pos, b.entity AS obj, b.pos AS obj_pos,
+                 0.0 AS y
+          FROM m a
+          JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                  AND b.entity <> a.entity
+          WHERE NOT EXISTS (SELECT 1 FROM seed s
+                            WHERE s.subj = a.entity
+                              AND s.obj = b.entity)
+            AND substr(md5(
+                  a.conv_id || chr(31) || CAST(a.turn_idx AS VARCHAR)
+                  || chr(31) || a.entity
+                  || chr(31) || CAST(a.pos AS VARCHAR)
+                  || chr(31) || b.entity
+                  || chr(31) || CAST(b.pos AS VARCHAR)), 1, 8)
+                < '40000000'),
+        ev AS (SELECT * FROM posx UNION ALL SELECT * FROM negx),
+        evt AS (
+          SELECT ev.conv_id || chr(31)
+                   || CAST(ev.turn_idx AS VARCHAR) || chr(31)
+                   || ev.subj || chr(31)
+                   || CAST(ev.subj_pos AS VARCHAR) || chr(31)
+                   || ev.obj || chr(31)
+                   || CAST(ev.obj_pos AS VARCHAR) AS pair_id,
+                 ev.subj, ev.obj, ev.y, t.turn_text AS text
+          FROM ev JOIN t ON t.conv_id = ev.conv_id
+                        AND t.turn_idx = ev.turn_idx)
+    """
+    )
+    sql["relation_training_table"] = (
+        _relext_ev + "SELECT pair_id, subj, obj, y, text FROM evt"
+    )
+
+    _rtoks = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        "'[\\s!-/:-@\\[-`{-~]'), x -> x <> '')"
+    )
+    _relext_gd = [
+        f"rtok AS (SELECT pair_id, unnest({_rtoks}) AS tok FROM evt)",
+        "rf0 AS (SELECT pair_id AS doc_id, substr(md5(tok), 1, 2) AS b,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM rtok GROUP BY 1, 2)",
+        "rf AS (SELECT * FROM rf0 UNION ALL SELECT pair_id,"
+        " '__bias__', CAST(1 AS BIGINT) FROM evt)",
+        "ry AS (SELECT pair_id AS doc_id, y FROM evt)",
+        "rn AS (SELECT count(*) AS n FROM ry)",
+        "rw0 AS (SELECT DISTINCT b, 0.0 AS w FROM rf)",
+    ]
+    for it in range(1, 4):
+        _relext_gd += [
+            f"rm{it} AS (SELECT f.doc_id,"
+            " sum(CAST(f.cnt * w.w AS DECIMAL(28,12))) AS m"
+            f" FROM rf f JOIN rw{it - 1} w USING (b) GROUP BY 1)",
+            f"rp{it} AS (SELECT doc_id, round(1.0 /"
+            " (1.0 + exp(-CAST(m AS DOUBLE))), 9) AS p"
+            f" FROM rm{it})",
+            f"rg{it} AS (SELECT f.b,"
+            " sum(CAST(f.cnt * (p.p - y.y) AS DECIMAL(28,12))) AS g"
+            f" FROM rf f JOIN rp{it} p USING (doc_id)"
+            " JOIN ry y USING (doc_id) GROUP BY 1)",
+            f"rw{it} AS (SELECT w.b, round(w.w - 1.0 *"
+            " coalesce(CAST(g.g AS DOUBLE), 0.0) /"
+            " (SELECT n FROM rn), 9) AS w"
+            f" FROM rw{it - 1} w LEFT JOIN rg{it} g USING (b))",
+        ]
+    sql["relation_detector"] = (
+        _relext_ev
+        + ",\n"
+        + ",\n".join(_relext_gd)
+        + "\nSELECT b, w FROM rw3"
+    )
+
+    sql["relation_proposals"] = (
+        _relext_ev
+        + ",\n"
+        + ",\n".join(_relext_gd)
+        + f""",
+        cnd2 AS (
+          SELECT a.conv_id, a.turn_idx, a.entity AS subj,
+                 a.pos AS subj_pos, b.entity AS obj, b.pos AS obj_pos
+          FROM m a
+          JOIN m b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                  AND b.entity <> a.entity
+          WHERE NOT EXISTS (SELECT 1 FROM seed s
+                            WHERE s.subj = a.entity
+                              AND s.obj = b.entity)),
+        ct AS (
+          SELECT c.conv_id || chr(31)
+                   || CAST(c.turn_idx AS VARCHAR) || chr(31)
+                   || c.subj || chr(31)
+                   || CAST(c.subj_pos AS VARCHAR) || chr(31)
+                   || c.obj || chr(31)
+                   || CAST(c.obj_pos AS VARCHAR) AS pair_id,
+                 c.subj, c.obj, t.turn_text AS text
+          FROM cnd2 c JOIN t ON t.conv_id = c.conv_id
+                            AND t.turn_idx = c.turn_idx),
+        ptok AS (SELECT pair_id, unnest({_rtoks}) AS tok FROM ct),
+        pf0 AS (SELECT pair_id AS doc_id, substr(md5(tok), 1, 2) AS b,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM ptok GROUP BY 1, 2),
+        pf AS (SELECT * FROM pf0 UNION ALL
+               SELECT pair_id, '__bias__', CAST(1 AS BIGINT) FROM ct),
+        pm AS (SELECT f.doc_id,
+                      sum(CAST(f.cnt * w.w AS DECIMAL(28,12))) AS m
+               FROM pf f JOIN rw3 w USING (b) GROUP BY 1),
+        pp AS (SELECT doc_id, round(1.0 /
+                 (1.0 + exp(-CAST(m AS DOUBLE))), 9) AS p
+               FROM pm),
+        pe AS (SELECT c.subj, c.obj, p.p
+               FROM ct c JOIN pp p ON p.doc_id = c.pair_id),
+        pag AS (SELECT subj, obj,
+                       CAST(count(*) AS BIGINT) AS n_evidence,
+                       CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) AS score
+                FROM pe GROUP BY 1, 2)
+        SELECT subj, obj, n_evidence, score,
+               score >= 0.5 AS proposed
+        FROM pag
     """
     )
 
