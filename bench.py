@@ -429,6 +429,12 @@ def main() -> None:
         "distant_supervision": lambda: run(
             _entry_queries()["distant_supervision"](spark, sf_dir)
         ),
+        # the full relation-extraction bootstrap: mention pass ->
+        # distant labels -> 3 GD rounds -> score the complement ->
+        # per-pair proposal queue (trainable op #7 end-to-end)
+        "relation_proposals": lambda: run(
+            _entry_queries()["relation_proposals"](spark, sf_dir)
+        ),
         # mergeable histogram-sketch quantiles over document lengths
         "hist_quantiles": lambda: run(
             sketch.histogram_quantiles(
