@@ -677,3 +677,61 @@ def test_histogram_registers_partial_and_pruned(spark):
     assert "partial_count" in p or "partial_sum" in p
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read and "n_chars" in read[0] and "text" not in read[0]
+
+
+def test_complex_epoch_joins_are_keyed(spark):
+    # the ComplEx epoch is the TransE shape with two channels riding
+    # the same rows: four (id, i)-keyed equi-joins, map-side partial
+    # score aggregation, no cross join
+    from coies_spark.ops.kge import (
+        _cx_core,
+        _cx_init_state,
+        _cx_scores,
+        _negatives,
+    )
+
+    tr = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")],
+        "subj string, pred string, obj string",
+    )
+    ents = (
+        tr.select(F.col("subj").alias("id"))
+        .unionByName(tr.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = tr.select(F.col("pred").alias("id")).distinct()
+    core = _cx_core(
+        _negatives(tr, ents),
+        _cx_init_state(ents, "entity", 2),
+        _cx_init_state(rels, "relation", 2),
+    )
+    p = plan_of(_cx_scores(core, 1.0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p
+
+
+def test_relation_proposals_broadcast_weights_no_cartesian(spark):
+    # the propose face: mention pass + pair self-join (keyed on
+    # (conv_id, turn_idx)) + broadcast weight join + two partial
+    # aggregates — no cross join anywhere in the full bootstrap
+    from coies_spark.ops.relext import relation_proposals
+
+    t = spark.createDataFrame(
+        [("c1", 0, "u", "scan the table then hash it", None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    d = spark.createDataFrame(
+        [("table", "obj:table"), ("hash", "obj:hash"),
+         ("scan", "act:scan")],
+        ["surface", "entity"],
+    )
+    s = spark.createDataFrame(
+        [("act:scan", "reads", "obj:table")], ["subj", "pred", "obj"]
+    )
+    p = plan_of(relation_proposals(t, d, s, max_len=2))
+    assert "CartesianProduct" not in p
+    # the ≤257-row weight table joins broadcast onto the counts
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
