@@ -1156,6 +1156,7 @@ def _comention_pairs(
     dictionary: DataFrame,
     max_len: int,
     broadcast: bool,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, subj, subj_pos, obj, obj_pos): every
     ordered pair of DISTINCT gazetteer entities co-mentioned in one
@@ -1163,8 +1164,18 @@ def _comention_pairs(
     :func:`distant_negatives` (one mention-spotting pass, two label
     faces that cannot drift).  Keyed on (conv_id, turn_idx): per-turn
     mention counts are tokenizer-bounded, so the self-join fan-out is
-    bounded per key."""
-    m = gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
+    bounded per key.
+
+    ``mentions`` injects a prebuilt (typically localCheckpoint'd)
+    :func:`gazetteer_mentions` table so a caller deriving SEVERAL
+    faces (ops.relext runs positives, training negatives, and scoring
+    candidates) pays the corpus-scale mention scan ONCE instead of
+    once per face."""
+    m = (
+        mentions
+        if mentions is not None
+        else gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
+    )
     left = m.select(
         "conv_id",
         "turn_idx",
@@ -1188,6 +1199,7 @@ def distant_supervision(
     seed: DataFrame,
     max_len: int = 3,
     broadcast: bool = True,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, pred, subj, obj, subj_pos, obj_pos):
     distant-supervision labeling for relation extraction (Mintz et
@@ -1214,7 +1226,9 @@ def distant_supervision(
     a downstream bag-of-mentions trainer (multi-instance learning)
     consumes.
     """
-    pairs = _comention_pairs(transcripts, dictionary, max_len, broadcast)
+    pairs = _comention_pairs(
+        transcripts, dictionary, max_len, broadcast, mentions
+    )
     kb = seed.select("subj", "pred", "obj").distinct()
     if broadcast:
         kb = F.broadcast(kb)
@@ -1231,6 +1245,7 @@ def distant_negatives(
     rate: float = 0.1,
     max_len: int = 3,
     broadcast: bool = True,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, pred, subj, obj, subj_pos, obj_pos): the
     NA class that completes :func:`distant_supervision`'s training
@@ -1254,7 +1269,9 @@ def distant_negatives(
 
     if not 0.0 < rate <= 1.0:
         raise ValueError("distant_negatives: rate must be in (0, 1]")
-    pairs = _comention_pairs(transcripts, dictionary, max_len, broadcast)
+    pairs = _comention_pairs(
+        transcripts, dictionary, max_len, broadcast, mentions
+    )
     kb = seed.select("subj", "obj").distinct()
     if broadcast:
         kb = F.broadcast(kb)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .classify import _scores, hashed_counts, train_text_classifier
-from .kg import distant_negatives, distant_supervision
+from .kg import distant_negatives, distant_supervision, gazetteer_mentions
 
 _DEC = "decimal(28,12)"
 _SEP = "\x1f"
@@ -78,19 +78,26 @@ def relation_training_table(
     rate: float = 0.25,
     max_len: int = 3,
     broadcast: bool = True,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """(pair_id, subj, obj, y, text): the detector's training table —
     distant-supervision positives (y=1.0; a pair the seed KG relates
     under ANY predicate counts once per positional evidence, however
     many predicates it holds) unioned with the hash-Bernoulli NA
     sample at ``rate`` (y=0.0), each row carrying its evidence turn's
-    text verbatim.  One mention pass builds both faces
-    (kg._comention_pairs), so the classes cannot drift; the class
-    ratio is set at emission, before any shuffle.
+    text verbatim.  ONE mention pass builds both faces — the
+    corpus-scale gazetteer scan runs once and is lineage-cut with a
+    lazy localCheckpoint (pass ``mentions`` to share it even wider,
+    as :func:`relation_proposals` does) — so the classes cannot
+    drift; the class ratio is set at emission, before any shuffle.
     """
+    if mentions is None:
+        mentions = gazetteer_mentions(
+            transcripts, dictionary, max_len, broadcast
+        ).localCheckpoint(eager=False)
     pos = (
         distant_supervision(
-            transcripts, dictionary, seed, max_len, broadcast
+            transcripts, dictionary, seed, max_len, broadcast, mentions
         )
         .drop("pred")
         .distinct()
@@ -98,7 +105,8 @@ def relation_training_table(
     )
     neg = (
         distant_negatives(
-            transcripts, dictionary, seed, rate, max_len, broadcast
+            transcripts, dictionary, seed, rate, max_len, broadcast,
+            mentions,
         )
         .drop("pred")
         .withColumn("y", F.lit(0.0))
@@ -115,6 +123,7 @@ def relation_detector_train(
     rate: float = 0.25,
     max_len: int = 3,
     broadcast: bool = True,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """(b, w): hashed-bucket logistic weights of the related-vs-NA
     relation detector after ``iters`` unrolled full-batch GD rounds
@@ -127,7 +136,7 @@ def relation_detector_train(
     exact decimal, weights pin at 9dp per round.
     """
     tbl = relation_training_table(
-        transcripts, dictionary, seed, rate, max_len, broadcast
+        transcripts, dictionary, seed, rate, max_len, broadcast, mentions
     )
     docs = tbl.select(F.col("pair_id").alias("doc_id"), "text")
     labels = tbl.select(F.col("pair_id").alias("doc_id"), "y")
@@ -160,17 +169,25 @@ def relation_proposals(
     are the FULL complement set (``distant_negatives`` at rate 1.0),
     independent of the training-time NA sample.
 
-    Scale: scoring is one broadcast weight join + one (pair, bucket)
+    Scale: the corpus-scale gazetteer mention scan runs ONCE — one
+    lazily-checkpointed table feeds the positive labels, the training
+    NA sample, and the scoring candidates (three faces, one scan);
+    scoring is then one broadcast weight join + one (pair, bucket)
     aggregate over the complement pairs — per-turn-bounded fan-out,
     no new quadratic structure; the final groupBy keys on (subj, obj)
     where the decimal sum makes hot pairs order-immune.
     """
+    m = gazetteer_mentions(
+        transcripts, dictionary, max_len, broadcast
+    ).localCheckpoint(eager=False)
     w = relation_detector_train(
-        transcripts, dictionary, seed, iters, lr, rate, max_len, broadcast
+        transcripts, dictionary, seed, iters, lr, rate, max_len,
+        broadcast, mentions=m,
     )
     cand = _with_text(
         distant_negatives(
-            transcripts, dictionary, seed, 1.0, max_len, broadcast
+            transcripts, dictionary, seed, 1.0, max_len, broadcast,
+            mentions=m,
         ).drop("pred"),
         transcripts,
     )
