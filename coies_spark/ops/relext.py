@@ -184,17 +184,38 @@ def relation_proposals(
         transcripts, dictionary, seed, iters, lr, rate, max_len,
         broadcast, mentions=m,
     )
+    return score_proposals(
+        transcripts, dictionary, seed, w, threshold, max_len,
+        broadcast, mentions=m,
+    )
+
+
+def score_proposals(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    seed: DataFrame,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    max_len: int = 3,
+    broadcast: bool = True,
+    mentions: DataFrame | None = None,
+) -> DataFrame:
+    """The scoring half of :func:`relation_proposals`, callable with
+    PREBUILT detector weights (and optionally a prebuilt mention
+    table) — the face a checkpointed pipeline consumes, so the
+    one-shot query and the resumable run share one code path.  Same
+    output contract as :func:`relation_proposals`."""
     cand = _with_text(
         distant_negatives(
             transcripts, dictionary, seed, 1.0, max_len, broadcast,
-            mentions=m,
+            mentions=mentions,
         ).drop("pred"),
         transcripts,
     )
     feats = hashed_counts(
         cand.select(F.col("pair_id").alias("doc_id"), "text")
     )
-    p = _scores(feats, w)
+    p = _scores(feats, weights)
     ev = cand.select(
         F.col("pair_id").alias("doc_id"), "subj", "obj"
     ).join(p, "doc_id")
