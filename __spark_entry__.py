@@ -2294,6 +2294,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rate=0.25,
             max_len=2,
         ),
+        # the grown KG the bootstrap run materializes
+        # (pipeline/kg_bootstrap.py stage 5): seed facts unchanged +
+        # accepted proposals under the reserved 'related' predicate
+        "kg_bootstrap_grown": lambda s, d: _relext_seed(s)
+        .select("subj", "pred", "obj")
+        .unionByName(
+            relext.relation_proposals(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                ),
+                _relext_dict(s),
+                _relext_seed(s),
+                threshold=0.4,
+                rate=0.25,
+                max_len=2,
+            )
+            .where("proposed")
+            .select("subj", F.lit("related").alias("pred"), "obj")
+        ),
         # hot-key diagnostic: top-5 keys by rows with share and
         # skew = cnt / mean-rows-per-key (decides the salted path)
         "skew_report": lambda s, d: skew_report(
@@ -7396,6 +7415,22 @@ def oracle_sql() -> dict[str, str]:
         FROM pag
     """
     )
+
+    # kg_bootstrap_grown: the bootstrap pipeline's stage-5 output —
+    # the seed VALUES unchanged + accepted proposals (score >= 0.4,
+    # the grown-query threshold) under the reserved predicate
+    sql["kg_bootstrap_grown"] = f"""
+        SELECT * FROM (VALUES
+          ('act:merge-join', 'consumes', 'obj:hash'),
+          ('act:scan', 'reads', 'obj:table'),
+          ('obj:table-hash', 'refines', 'obj:table'),
+          ('act:merge-join', 'follows', 'act:scan'))
+          sd(subj, pred, obj)
+        UNION ALL
+        SELECT subj, 'related' AS pred, obj
+        FROM ({sql['relation_proposals']})
+        WHERE score >= 0.4
+    """
 
     # skew_report over documents.lang: exact counts, share, and
     # skew = cnt / mean-rows-per-key, top-5
