@@ -1758,13 +1758,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_profile": lambda s, d: kg.predicate_profile(
             _kg_evidence(s, d).select("subj", "pred", "obj")
         ),
-        # incremental connected components (r4 batch 13): contracted
-        # star edges + new-batch delta, and the driver oracle IS the
-        # full-graph recursive-CTE recompute — every round's gate
-        # re-proves the contraction identity.  Takes winnow's window
-        # slot (winnow stays oracled in the tail; fingerprinting is
-        # also covered in-window by doc_fingerprint's family tests)
-        "incremental_components": _q_incremental_components,
+        # the grown KG the bootstrap run materializes (round-5 star;
+        # pipeline/kg_bootstrap.py stage 5): seed facts unchanged +
+        # accepted proposals under the reserved 'related' predicate.
+        # Takes incremental_components' window slot (it stays oracled
+        # in the tail; the CC family keeps canonicalize_cc in-window)
+        "kg_bootstrap_grown": lambda s, d: _relext_seed(s)
+        .select("subj", "pred", "obj")
+        .unionByName(
+            relext.relation_proposals(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                ),
+                _relext_dict(s),
+                _relext_seed(s),
+                threshold=0.4,
+                rate=0.25,
+                max_len=2,
+            )
+            .where("proposed")
+            .select("subj", F.lit("related").alias("pred"), "obj")
+        ),
         # daily-window noisy-OR beliefs compacted into the all-time
         # view (merge_beliefs: the streaming layer's batch fold —
         # associative over miss-mass, so compaction is incremental)
@@ -2294,25 +2308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rate=0.25,
             max_len=2,
         ),
-        # the grown KG the bootstrap run materializes
-        # (pipeline/kg_bootstrap.py stage 5): seed facts unchanged +
-        # accepted proposals under the reserved 'related' predicate
-        "kg_bootstrap_grown": lambda s, d: _relext_seed(s)
-        .select("subj", "pred", "obj")
-        .unionByName(
-            relext.relation_proposals(
-                transcripts.synthesize_transcripts(
-                    _read(s, d, "documents")
-                ),
-                _relext_dict(s),
-                _relext_seed(s),
-                threshold=0.4,
-                rate=0.25,
-                max_len=2,
-            )
-            .where("proposed")
-            .select("subj", F.lit("related").alias("pred"), "obj")
-        ),
+        # rotated OUT of the window for kg_bootstrap_grown, still
+        # oracled here in the tail (the driver oracle IS the
+        # full-graph recursive-CTE recompute, so the contraction
+        # identity stays re-proven every full sweep)
+        "incremental_components": _q_incremental_components,
         # hot-key diagnostic: top-5 keys by rows with share and
         # skew = cnt / mean-rows-per-key (decides the salted path)
         "skew_report": lambda s, d: skew_report(
