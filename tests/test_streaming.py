@@ -524,3 +524,53 @@ def test_stream_histogram_registers_match_batch(spark, tmp_path):
         spark.sql("select * from hist_regs_stream"), [0.5], n_bins=16
     ).first()
     assert abs(est.estimate - 48.0) <= est.err_bound + 1e-9
+
+
+def test_stream_mentions_matches_batch(spark, tmp_path):
+    """The stateless in-row mention feed is row-identical to the batch
+    gazetteer_mentions over the same turns: same tokenizer, same
+    longest-match-per-start rule, same ambiguity fan-out."""
+    from coies_spark.ops.kg import gazetteer_mentions
+    from coies_spark.streaming.mentions import stream_mentions
+
+    rows = []
+    for c in range(20):
+        rows.append((f"c{c}", 0, "user",
+                     f"please scan the table hash for batch {c}", None))
+        rows.append((f"c{c}", 1, "agent",
+                     "merge join consumes the hash output", None))
+    rows.append(("cx", 0, "user", "", None))            # empty turn
+    rows.append(("cy", 0, "user", "Table HASH, scan!", None))  # case+punct
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    d = spark.createDataFrame(
+        [("table", "obj:table"), ("hash", "obj:hash"),
+         ("table hash", "obj:table-hash"),
+         ("table hash", "obj:table-hash2"),   # ambiguous surface
+         ("merge join", "act:merge-join"), ("scan", "act:scan")],
+        ["surface", "entity"],
+    )
+    in_dir = tmp_path / "turns"
+    t.coalesce(2).write.parquet(str(in_dir))
+
+    stream = spark.readStream.schema(t.schema).parquet(str(in_dir))
+    q = (
+        stream_mentions(stream, d, max_len=2)
+        .writeStream.format("memory")
+        .queryName("mentions_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from mentions_feed").collect())
+    )
+    want = sorted(
+        map(tuple, gazetteer_mentions(t, d, max_len=2).collect())
+    )
+    assert got == want and len(got) > 0
