@@ -125,3 +125,49 @@ def stream_mentions(
         "conv_id", "turn_idx", "m.pos", "m.n_toks", "m.surface",
         "m.entity",
     )
+
+
+def stream_comentions(
+    stream: DataFrame,
+    dictionary: DataFrame,
+    max_len: int = 3,
+) -> DataFrame:
+    """(conv_id, turn_idx, subj, subj_pos, obj, obj_pos): the
+    streaming co-mention evidence feed — every ordered pair of
+    DISTINCT gazetteer entities co-mentioned in one turn,
+    batch-identical to ``ops.kg._comention_pairs`` over the same
+    turns.  The pairing, like the spotting, runs entirely in-row:
+    all of a turn's mentions live in one span array, so the pair
+    fan-out is a nested array transform — no self-join, no state,
+    append mode.  Scored (e.g. a constant detection confidence or a
+    position-decay) and stamped with the turn's event time, these
+    rows are exactly what :func:`~coies_spark.streaming.kg.
+    stream_triple_confidence` folds into windowed beliefs — streaming
+    KG construction end-to-end."""
+    dict_map = frozen_dictionary_map(dictionary)
+    spans = mention_spans_col(dict_map, max_len)
+
+    def pairs_of(ms: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                ms,
+                lambda a: F.transform(
+                    F.filter(ms, lambda b: b["entity"] != a["entity"]),
+                    lambda b: F.struct(
+                        a["entity"].alias("subj"),
+                        a["pos"].alias("subj_pos"),
+                        b["entity"].alias("obj"),
+                        b["pos"].alias("obj_pos"),
+                    ),
+                ),
+            )
+        )
+
+    return stream.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.explode(pairs_of(spans)).alias("p"),
+    ).select(
+        "conv_id", "turn_idx", "p.subj", "p.subj_pos", "p.obj",
+        "p.obj_pos",
+    )

@@ -574,3 +574,55 @@ def test_stream_mentions_matches_batch(spark, tmp_path):
         map(tuple, gazetteer_mentions(t, d, max_len=2).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_comentions_matches_batch_pairs(spark, tmp_path):
+    """The in-row co-mention pairing equals the batch
+    _comention_pairs self-join over the same turns — including the
+    ambiguity fan-out and per-position pairing semantics."""
+    from coies_spark.ops.kg import _comention_pairs
+    from coies_spark.streaming.mentions import stream_comentions
+
+    rows = []
+    for c in range(15):
+        rows.append((f"c{c}", 0, "user",
+                     f"scan the table hash in batch {c}", None))
+        rows.append((f"c{c}", 1, "agent",
+                     "merge join consumes the hash and the table", None))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    d = spark.createDataFrame(
+        [("table", "obj:table"), ("hash", "obj:hash"),
+         ("table hash", "obj:table-hash"),
+         ("merge join", "act:merge-join"), ("scan", "act:scan")],
+        ["surface", "entity"],
+    )
+    in_dir = tmp_path / "turns2"
+    t.coalesce(2).write.parquet(str(in_dir))
+    stream = spark.readStream.schema(t.schema).parquet(str(in_dir))
+    q = (
+        stream_comentions(stream, d, max_len=2)
+        .writeStream.format("memory")
+        .queryName("comention_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from comention_feed").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            _comention_pairs(t, d, 2, True).select(
+                "conv_id", "turn_idx", "subj", "subj_pos", "obj",
+                "obj_pos",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
