@@ -1512,7 +1512,17 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "cx_scores": kge.complex_scores,
         "cx_rank_eval": kge.complex_rank_eval,
         "compare": kge.kge_model_compare,
-    }[face]
+    }.get(face)
+    if fn is None:
+        # head-replacement faces of the filtered protocol
+        model = {
+            "rank_head": kge.transe_rank_eval,
+            "dm_rank_head": kge.distmult_rank_eval,
+            "cx_rank_head": kge.complex_rank_eval,
+        }[face]
+        return model(
+            _part_triples(spark, sf_dir), side="head", **_TRANSE_CFG
+        )
     out = fn(_part_triples(spark, sf_dir), **_TRANSE_CFG)
     if face in ("train", "dm_train"):
         out = out.select(
@@ -2717,6 +2727,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_scores": lambda s, d: _transe(s, d, "cx_scores"),
         # filtered link-prediction eval under ComplEx (shared probe)
         "complex_rank_eval": lambda s, d: _transe(s, d, "cx_rank_eval"),
+        # HEAD-replacement faces of the filtered link-prediction
+        # protocol (the published MRR averages head and tail sides):
+        # orientation flip through the shared probe, model score with
+        # the candidate in the head slot, output re-flipped
+        "transe_rank_head": lambda s, d: _transe(s, d, "rank_head"),
+        "distmult_rank_head": lambda s, d: _transe(s, d, "dm_rank_head"),
+        "complex_rank_head": lambda s, d: _transe(s, d, "cx_rank_head"),
         # rotated OUT of the window for the round-5 KGE stars, still
         # registered and oracled here in the tail
         "top_group_orders": _q_top_group,
@@ -9095,6 +9112,76 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # *_rank_head: the HEAD-replacement faces of the filtered
+    # protocol — orientation flip in t3 (the candidate slot becomes
+    # the head, the anti-join removes known-true heads for
+    # (pred, obj)), model-specific score expression with the roles
+    # bound exactly as the Spark side binds them, output re-flipped
+    # to the original triple orientation
+    def _rank_head_sql(two_chan: bool, score: str, better: str) -> str:
+        joins = (
+            """JOIN e2 h ON h.id = p.subj
+          JOIN r2 r ON r.id = p.pred AND r.i = h.i
+          JOIN e2 e ON e.id = p.cand AND e.i = h.i"""
+        )
+        cols = (
+            "h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,"
+            " e.xr AS cr, e.xi AS ci"
+            if two_chan
+            else "h.x AS hx, r.x AS rx, e.x AS ex"
+        )
+        return f""",
+        t3 AS (SELECT obj AS subj, pred, subj AS obj FROM tneg),
+        cnd0 AS (
+          SELECT t3.subj, t3.pred, t3.obj, e.id AS cand
+          FROM t3 CROSS JOIN nn
+          CROSS JOIN range(0, 20) c(ci)
+          JOIN eidx e ON e.idx =
+            (CAST(('0x' || substr(md5(
+               t3.subj || chr(31) || t3.pred || chr(31) || t3.obj
+               || chr(31) || CAST(c.ci AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n)),
+        cnd AS (
+          SELECT DISTINCT subj, pred, obj, cand FROM cnd0
+          WHERE cand <> obj
+            AND NOT EXISTS (SELECT 1 FROM t3 k
+                            WHERE k.subj = cnd0.subj
+                              AND k.pred = cnd0.pred
+                              AND k.obj = cnd0.cand)),
+        probe AS (
+          SELECT subj, pred, obj, cand, FALSE AS is_true FROM cnd
+          UNION ALL
+          SELECT subj, pred, obj, obj, TRUE FROM t3),
+        pc AS (
+          SELECT p.subj, p.pred, p.obj, p.cand, p.is_true, h.i,
+                 {cols}
+          FROM probe p
+          {joins}),
+        sc AS (
+          SELECT subj, pred, obj, cand, is_true,
+                 CAST(sum(CAST({score}
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM pc GROUP BY 1, 2, 3, 4, 5),
+        td AS (SELECT subj, pred, obj, s AS s_true
+               FROM sc WHERE is_true),
+        ag AS (
+          SELECT c.subj, c.pred, c.obj,
+                 count(*) AS n_cands,
+                 sum(CASE WHEN {better}
+                           OR (c.s = t.s_true AND c.cand < t.obj)
+                     THEN 1 ELSE 0 END) AS n_better
+          FROM sc c JOIN td t USING (subj, pred, obj)
+          WHERE NOT c.is_true GROUP BY 1, 2, 3)
+        SELECT t.obj AS subj, t.pred AS pred, t.subj AS obj,
+               CAST(coalesce(a.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(1 + coalesce(a.n_better, 0) AS BIGINT) AS rank,
+               1.0 / (1 + coalesce(a.n_better, 0)) AS rr,
+               (1 + coalesce(a.n_better, 0)) <= 1 AS hit1,
+               (1 + coalesce(a.n_better, 0)) <= 3 AS hit3,
+               (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
+        FROM td t LEFT JOIN ag a USING (subj, pred, obj)
+    """
+
     # kge_model_compare: the three rank evals (each a complete WITH
     # chain, legal as a parenthesized subquery) unioned under a model
     # tag and aggregated — rr on the engine-identical 1e-12 floor
@@ -9125,4 +9212,22 @@ def oracle_sql() -> dict[str, str]:
           FROM ({sql['complex_rank_eval']})
         ) GROUP BY model
     """
+
+    sql["transe_rank_head"] = _kge + _rank_head_sql(
+        False,
+        "round((ex + rx - hx) * (ex + rx - hx), 9)",
+        "c.s < t.s_true",
+    )
+    sql["distmult_rank_head"] = _dm + _rank_head_sql(
+        False,
+        "(floor((hx * rx * ex) * 1000000000.0 + 0.5)"
+        " / 1000000000.0)",
+        "c.s > t.s_true",
+    )
+    sql["complex_rank_head"] = _cxq + _rank_head_sql(
+        True,
+        "(floor((cr*br*ar + ci*br*ai + cr*bi*ai - ci*bi*ar)"
+        " * 1000000000.0 + 0.5) / 1000000000.0)",
+        "c.s > t.s_true",
+    )
     return sql

@@ -329,6 +329,7 @@ def transe_rank_eval(
     lr: float = 5.0,
     margin: float = 1.0,
     n_candidates: int = 20,
+    side: str = "tail",
 ) -> DataFrame:
     """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10): the
     standard KGE link-prediction evaluation (Bordes et al. 2013,
@@ -362,8 +363,12 @@ def transe_rank_eval(
     """
     if n_candidates < 1:
         raise ValueError("transe_rank_eval: n_candidates must be >= 1")
+    if side not in ("tail", "head"):
+        raise ValueError("transe_rank_eval: side must be tail|head")
     tneg, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
     t3 = tneg.select("subj", "pred", "obj")
+    if side == "head":
+        t3 = _flip(t3)
     probe = _rank_probe(t3, n_candidates)
     res = (
         probe.join(
@@ -386,7 +391,13 @@ def transe_rank_eval(
         )
         .select(
             "subj", "pred", "obj", "cand", "is_true",
-            (F.col("h") + F.col("r") - F.col("e")).alias("dp"),
+            # tail side: d(h + r, cand); head side (flipped probe):
+            # d(cand + r, t) — the candidate occupies the HEAD slot
+            (
+                (F.col("h") + F.col("r") - F.col("e"))
+                if side == "tail"
+                else (F.col("e") + F.col("r") - F.col("h"))
+            ).alias("dp"),
         )
     )
     scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
@@ -395,7 +406,30 @@ def transe_rank_eval(
         .alias("score")
     )
     # translation ENERGY: lower is better
-    return _rank_output(scored, higher_is_better=False)
+    out = _rank_output(scored, higher_is_better=False)
+    return out if side == "tail" else _unflip_output(out)
+
+
+def _flip(t3: DataFrame) -> DataFrame:
+    """Head-side evaluation by ORIENTATION FLIP: feeding (obj, pred,
+    subj) through the tail machinery makes the candidate slot the
+    HEAD and the filtered-protocol anti-join remove known-true heads
+    for (pred, obj) — the head-replacement rule, with zero new
+    protocol code.  Callers re-flip the output keys to the original
+    orientation."""
+    return t3.select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+    )
+
+
+def _unflip_output(out: DataFrame) -> DataFrame:
+    """Re-orient a flipped eval's keys back to the original triple."""
+    return out.select(
+        F.col("obj").alias("subj"),
+        "pred",
+        F.col("subj").alias("obj"),
+        "n_cands", "rank", "rr", "hit1", "hit3", "hit10",
+    )
 
 
 def _rank_probe(t3: DataFrame, n_candidates: int) -> DataFrame:
@@ -767,6 +801,7 @@ def distmult_rank_eval(
     lr: float = 5.0,
     margin: float = 1.0,
     n_candidates: int = 20,
+    side: str = "tail",
 ) -> DataFrame:
     """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10):
     filtered-protocol link-prediction evaluation of the trained
@@ -784,10 +819,17 @@ def distmult_rank_eval(
     """
     if n_candidates < 1:
         raise ValueError("distmult_rank_eval: n_candidates must be >= 1")
+    if side not in ("tail", "head"):
+        raise ValueError("distmult_rank_eval: side must be tail|head")
     tneg, e_state, r_state = _dm_train_states(
         triples, dim, iters, lr, margin
     )
     t3 = tneg.select("subj", "pred", "obj")
+    if side == "head":
+        # the per-dimension product h*r*t is symmetric in (h, t), so
+        # the head face needs ONLY the probe flip — the score
+        # expression is role-blind
+        t3 = _flip(t3)
     probe = _rank_probe(t3, n_candidates)
     res = (
         probe.join(
@@ -817,7 +859,8 @@ def distmult_rank_eval(
         F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
     )
     # bilinear SCORE: higher is better
-    return _rank_output(scored, higher_is_better=True)
+    out = _rank_output(scored, higher_is_better=True)
+    return out if side == "tail" else _unflip_output(out)
 
 
 def _cx_init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
@@ -1121,6 +1164,7 @@ def complex_rank_eval(
     lr: float = 5.0,
     margin: float = 1.0,
     n_candidates: int = 20,
+    side: str = "tail",
 ) -> DataFrame:
     """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10):
     filtered-protocol link-prediction evaluation of the trained
@@ -1130,10 +1174,14 @@ def complex_rank_eval(
     Same |test|·K·``dim``-row scale shape as the other evals."""
     if n_candidates < 1:
         raise ValueError("complex_rank_eval: n_candidates must be >= 1")
+    if side not in ("tail", "head"):
+        raise ValueError("complex_rank_eval: side must be tail|head")
     tneg, e_state, r_state = _cx_train_states(
         triples, dim, iters, lr, margin
     )
     t3 = tneg.select("subj", "pred", "obj")
+    if side == "head":
+        t3 = _flip(t3)
     probe = _rank_probe(t3, n_candidates)
     res = (
         probe.join(
@@ -1165,14 +1213,27 @@ def complex_rank_eval(
         )
         .select(
             "subj", "pred", "obj", "cand", "is_true",
-            _cx_dim_score(F.col("cr"), F.col("ci")).alias("p"),
+            # tail side: Re((a)·r·conj(cand)); head side (flipped
+            # probe): Re(cand·r·conj(a)) — conjugation makes the
+            # Hermitian product role-SENSITIVE, unlike DistMult's
+            (
+                _cx_dim_score(F.col("cr"), F.col("ci"))
+                if side == "tail"
+                else _q9(
+                    F.col("cr") * F.col("br") * F.col("ar")
+                    + F.col("ci") * F.col("br") * F.col("ai")
+                    + F.col("cr") * F.col("bi") * F.col("ai")
+                    - F.col("ci") * F.col("bi") * F.col("ar")
+                )
+            ).alias("p"),
         )
     )
     scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
         F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
     )
     # Hermitian-product SCORE: higher is better
-    return _rank_output(scored, higher_is_better=True)
+    out = _rank_output(scored, higher_is_better=True)
+    return out if side == "tail" else _unflip_output(out)
 
 
 def kge_model_compare(

@@ -273,3 +273,69 @@ class TestKgeModelCompare:
         rr12 = [math.floor((1.0 / r.rank) * 1e12 + 0.5) / 1e12 for r in te]
         assert abs(got.mrr - sum(rr12) / n) < 1e-9
         assert got.hits10 == sum(1 for r in te if r.hit10) / n
+
+
+class TestHeadSideEval:
+    def test_head_face_protocol_and_orientation(self, spark):
+        # head eval publishes ORIGINAL triple orientation with the
+        # rank of the true HEAD among filtered candidates
+        from coies_spark.ops.kge import complex_rank_eval
+
+        t = _triples(spark)
+        rows = complex_rank_eval(
+            t, n_candidates=8, side="head", **CFG
+        ).collect()
+        orig = {(r.subj, r.pred, r.obj) for r in t.distinct().collect()}
+        assert {(r.subj, r.pred, r.obj) for r in rows} == orig
+        for r in rows:
+            assert 1 <= r.rank <= r.n_cands + 1
+            assert r.hit1 == (r.rank <= 1)
+
+    def test_head_candidates_shared_across_models(self, spark):
+        # the flip rides the SAME probe builder, so head candidate
+        # sets are identical across models too
+        from coies_spark.ops.kge import (
+            distmult_rank_eval,
+            transe_rank_eval,
+        )
+
+        t = _triples(spark)
+        a = {
+            (r.subj, r.pred, r.obj): r.n_cands
+            for r in transe_rank_eval(
+                t, n_candidates=8, side="head", **CFG
+            ).collect()
+        }
+        b = {
+            (r.subj, r.pred, r.obj): r.n_cands
+            for r in distmult_rank_eval(
+                t, n_candidates=8, side="head", **CFG
+            ).collect()
+        }
+        assert a == b
+
+    def test_head_filter_removes_known_heads(self, spark):
+        # a candidate that is a known-true head for (pred, obj) must
+        # be filtered, not counted as a negative: on a KG where EVERY
+        # entity is a head of the same (pred, obj), n_cands collapses
+        from coies_spark.ops.kge import transe_rank_eval
+
+        rows = [(f"h{i}", "p", "o") for i in range(6)]
+        t = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        got = transe_rank_eval(
+            t, n_candidates=12, side="head", dim=2, iters=1
+        ).collect()
+        # candidates are entities {h0..h5, o}: every OTHER hY is a
+        # known-true head for (p, o) and is FILTERED; only 'o' itself
+        # (never a head) can survive as a negative — so n_cands <= 1
+        # for every triple, never the 5 sibling heads
+        for r in got:
+            assert r.n_cands <= 1 and r.rank <= 2
+
+    def test_side_validation(self, spark):
+        from coies_spark.ops.kge import distmult_rank_eval
+
+        with pytest.raises(ValueError):
+            distmult_rank_eval(_triples(spark), side="both")
