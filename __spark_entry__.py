@@ -1511,6 +1511,9 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "cx_train": kge.complex_train,
         "cx_scores": kge.complex_scores,
         "cx_rank_eval": kge.complex_rank_eval,
+        "rt_train": kge.rotate_train,
+        "rt_energies": kge.rotate_energies,
+        "rt_rank_eval": kge.rotate_rank_eval,
         "compare": kge.kge_model_compare,
     }.get(face)
     if fn is None:
@@ -1519,6 +1522,7 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
             "rank_head": kge.transe_rank_eval,
             "dm_rank_head": kge.distmult_rank_eval,
             "cx_rank_head": kge.complex_rank_eval,
+            "rt_rank_head": kge.rotate_rank_eval,
         }[face]
         return model(
             _part_triples(spark, sf_dir), side="head", **_TRANSE_CFG
@@ -1528,7 +1532,7 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         out = out.select(
             "id", "kind", F.col("i").cast("long").alias("i"), "x"
         )
-    elif face == "cx_train":
+    elif face in ("cx_train", "rt_train"):
         out = out.select(
             "id", "kind", F.col("i").cast("long").alias("i"), "xr", "xi"
         )
@@ -2734,6 +2738,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_rank_head": lambda s, d: _transe(s, d, "rank_head"),
         "distmult_rank_head": lambda s, d: _transe(s, d, "dm_rank_head"),
         "complex_rank_head": lambda s, d: _transe(s, d, "cx_rank_head"),
+        # RotatE (Sun et al. 2019): the fourth KGE model — relations
+        # as per-dimension complex ROTATIONS (cartesian-parametrized
+        # under unit-modulus projection, so the bit-exact loop never
+        # touches cos/sin); squared-L2 rotation energy, lower = better
+        "rotate_train": lambda s, d: _transe(s, d, "rt_train"),
+        "rotate_energies": lambda s, d: _transe(s, d, "rt_energies"),
+        "rotate_rank_eval": lambda s, d: _transe(s, d, "rt_rank_eval"),
+        "rotate_rank_head": lambda s, d: _transe(s, d, "rt_rank_head"),
         # rotated OUT of the window for the round-5 KGE stars, still
         # registered and oracled here in the tail
         "top_group_orders": _q_top_group,
@@ -8777,6 +8789,117 @@ def oracle_sql() -> dict[str, str]:
                  ON g.id = s.id AND g.i = s.i)""")
         return "WITH " + ",\n".join(ctes)
 
+    def _rotate_ctes(
+        dim: int, iters: int, lr: float, margin: float
+    ) -> str:
+        # RotatE: energy d = Σᵢ |hᵢ∘rᵢ − tᵢ|² (element-wise complex
+        # multiply), violated when (γ + d_pos − d_neg) > 0; relations
+        # project to unit modulus PER DIMENSION at epoch start
+        # (cartesian parametrization — no cos/sin anywhere); gradients
+        # are the polynomial residual algebra of ops/kge.py _rt_*.
+        # Every scalar expression below is the character-identical
+        # IEEE tree the Spark side evaluates.
+        ctes = _kge_prefix(dim, q9=True, cx=True)
+
+        def _core(name: str, e: str, r: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                      h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                      t.xr AS cr, t.xi AS ci, nx.xr AS dr, nx.xi AS di
+               FROM tneg
+               JOIN {e} h  ON h.id = tneg.subj
+               JOIN {r} r  ON r.id = tneg.pred AND r.i = h.i
+               JOIN {e} t  ON t.id = tneg.obj AND t.i = h.i
+               JOIN {e} nx ON nx.id = tneg.neg_obj AND nx.i = h.i)"""
+
+        def _dimen(tr: str, ti: str) -> str:
+            return _Q9(
+                f"(ar*br - ai*bi - {tr})*(ar*br - ai*bi - {tr})"
+                f" + (ar*bi + ai*br - {ti})*(ar*bi + ai*br - {ti})"
+            )
+
+        def _en(name: str, core: str) -> str:
+            return f"""{name} AS MATERIALIZED (
+               SELECT subj, pred, obj, neg_obj,
+                      CAST(sum(CAST({_dimen('cr', 'ci')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS d_pos,
+                      CAST(sum(CAST({_dimen('dr', 'di')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS d_neg
+               FROM {core} GROUP BY 1, 2, 3, 4)"""
+
+        for k in range(1, iters + 1):
+            p = k - 1
+            ctes.append(f"""nz{p} AS MATERIALIZED (
+               SELECT id, sqrt(CAST(sum(
+                   CAST({_Q9('xr * xr')} AS DECIMAL(28,12))
+                 + CAST({_Q9('xi * xi')} AS DECIMAL(28,12))
+                 ) AS DOUBLE)) AS nrm
+               FROM e{p} GROUP BY id)""")
+            ctes.append(f"""z{p} AS MATERIALIZED (
+               SELECT s.id, s.i,
+                      CASE WHEN n.nrm > 0
+                           THEN {_Q9('s.xr / n.nrm')}
+                           ELSE s.xr END AS xr,
+                      CASE WHEN n.nrm > 0
+                           THEN {_Q9('s.xi / n.nrm')}
+                           ELSE s.xi END AS xi
+               FROM e{p} s JOIN nz{p} n ON n.id = s.id)""")
+            # per-dimension unit-modulus relation projection: m is a
+            # fixed IEEE tree (two q9 squares, double add, sqrt) — no
+            # decimal accumulation needed for a two-term sum
+            ctes.append(f"""my{p} AS (
+               SELECT id, i, xr, xi,
+                      sqrt({_Q9('xr * xr')} + {_Q9('xi * xi')}) AS nrm
+               FROM r{p})""")
+            ctes.append(f"""y{p} AS MATERIALIZED (
+               SELECT id, i,
+                      CASE WHEN nrm > 0
+                           THEN {_Q9('xr / nrm')}
+                           ELSE xr END AS xr,
+                      CASE WHEN nrm > 0
+                           THEN {_Q9('xi / nrm')}
+                           ELSE xi END AS xi
+               FROM my{p})""")
+            ctes.append(_core(f"core{k}", f"z{p}", f"y{p}"))
+            ctes.append(_en(f"en{k}", f"core{k}"))
+            ctes.append(f"""vc{k} AS MATERIALIZED (
+               SELECT c.* FROM core{k} c
+               JOIN en{k} e USING (subj, pred, obj, neg_obj)
+               WHERE ({margin} + e.d_pos - e.d_neg) > 0)""")
+            ctes.append(f"""ge{k} AS MATERIALIZED (
+               SELECT subj AS id, i,
+                      {_Q9('2.0*(br*(dr - cr) + bi*(di - ci))')} AS gr,
+                      {_Q9('2.0*(br*(di - ci) - bi*(dr - cr))')} AS gi
+               FROM vc{k}
+               UNION ALL
+               SELECT obj, i, {_Q9('-2.0*(ar*br - ai*bi - cr)')},
+                      {_Q9('-2.0*(ar*bi + ai*br - ci)')} FROM vc{k}
+               UNION ALL
+               SELECT neg_obj, i, {_Q9('2.0*(ar*br - ai*bi - dr)')},
+                      {_Q9('2.0*(ar*bi + ai*br - di)')} FROM vc{k})""")
+            ctes.append(f"""gr{k} AS MATERIALIZED (
+               SELECT pred AS id, i,
+                      {_Q9('2.0*(ar*(dr - cr) + ai*(di - ci))')} AS gr,
+                      {_Q9('2.0*(ar*(di - ci) - ai*(dr - cr))')} AS gi
+               FROM vc{k})""")
+            for tbl, prev, gsrc in ((f"e{k}", f"z{p}", f"ge{k}"),
+                                    (f"r{k}", f"y{p}", f"gr{k}")):
+                ur = _Q9(f"s.xr - {lr} * coalesce(g.gr, 0.0)")
+                ui = _Q9(f"s.xi - {lr} * coalesce(g.gi, 0.0)")
+                ctes.append(f"""{tbl} AS MATERIALIZED (
+               SELECT s.id, s.i, {ur} AS xr, {ui} AS xi
+               FROM {prev} s
+               LEFT JOIN (SELECT id, i,
+                            CAST(sum(CAST(gr AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS gr,
+                            CAST(sum(CAST(gi AS DECIMAL(28,12)))
+                              AS DOUBLE)
+                              / (SELECT t FROM tcnt) AS gi
+                          FROM {gsrc} GROUP BY 1, 2) g
+                 ON g.id = s.id AND g.i = s.i)""")
+        return "WITH " + ",\n".join(ctes)
+
     # hist_sketch / hist_quantiles: fixed grid lo=0, hi=640, 64 bins
     # over documents.n_chars; the quantile face reads ONLY the
     # register CTE (the sketch contract), rank = ceil(q*N), linear
@@ -9182,7 +9305,112 @@ def oracle_sql() -> dict[str, str]:
         FROM td t LEFT JOIN ag a USING (subj, pred, obj)
     """
 
-    # kge_model_compare: the three rank evals (each a complete WITH
+    # rotate_*: the RotatE faces on the two-channel CTE chain with
+    # the per-dimension unit-modulus relation projection; energy
+    # (lower = better), per-dimension term |h∘r − t|² on the q9 grid
+    _rtq = _rotate_ctes(4, 2, 5.0, 1.0)
+    _rt_dim = (
+        "(floor(((ar*br - ai*bi - {tr})*(ar*br - ai*bi - {tr})"
+        " + (ar*bi + ai*br - {ti})*(ar*bi + ai*br - {ti}))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)"
+    )
+    sql["rotate_train"] = (
+        _rtq
+        + """
+        SELECT id, 'entity' AS kind, i, xr, xi FROM e2
+        UNION ALL
+        SELECT id, 'relation', i, xr, xi FROM r2
+    """
+    )
+    sql["rotate_energies"] = (
+        _rtq
+        + """,
+        coreF AS (
+          SELECT tneg.subj, tneg.pred, tneg.obj, tneg.neg_obj, h.i,
+                 h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                 t.xr AS cr, t.xi AS ci, nx.xr AS dr, nx.xi AS di
+          FROM tneg
+          JOIN e2 h  ON h.id = tneg.subj
+          JOIN r2 r  ON r.id = tneg.pred AND r.i = h.i
+          JOIN e2 t  ON t.id = tneg.obj AND t.i = h.i
+          JOIN e2 nx ON nx.id = tneg.neg_obj AND nx.i = h.i),
+        enF AS (
+          SELECT subj, pred, obj, neg_obj,
+                 CAST(sum(CAST("""
+        + _rt_dim.format(tr="cr", ti="ci")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS d_pos,
+                 CAST(sum(CAST("""
+        + _rt_dim.format(tr="dr", ti="di")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS d_neg
+          FROM coreF GROUP BY 1, 2, 3, 4)
+        SELECT subj, pred, obj, d_pos, d_neg,
+               ((1.0 + d_pos - d_neg) > 0) AS violated
+        FROM enF
+    """
+    )
+    sql["rotate_rank_eval"] = (
+        _rtq
+        + """,
+        t3 AS (SELECT subj, pred, obj FROM tneg),
+        cnd0 AS (
+          SELECT t3.subj, t3.pred, t3.obj, e.id AS cand
+          FROM t3 CROSS JOIN nn
+          CROSS JOIN range(0, 20) c(ci)
+          JOIN eidx e ON e.idx =
+            (CAST(('0x' || substr(md5(
+               t3.subj || chr(31) || t3.pred || chr(31) || t3.obj
+               || chr(31) || CAST(c.ci AS VARCHAR)), 1, 8))
+              AS BIGINT) % nn.n)),
+        cnd AS (
+          SELECT DISTINCT subj, pred, obj, cand FROM cnd0
+          WHERE cand <> obj
+            AND NOT EXISTS (SELECT 1 FROM t3 k
+                            WHERE k.subj = cnd0.subj
+                              AND k.pred = cnd0.pred
+                              AND k.obj = cnd0.cand)),
+        probe AS (
+          SELECT subj, pred, obj, cand, FALSE AS is_true FROM cnd
+          UNION ALL
+          SELECT subj, pred, obj, obj, TRUE FROM t3),
+        pc AS (
+          SELECT p.subj, p.pred, p.obj, p.cand, p.is_true, h.i,
+                 h.xr AS ar, h.xi AS ai, r.xr AS br, r.xi AS bi,
+                 e.xr AS cr, e.xi AS ci
+          FROM probe p
+          JOIN e2 h ON h.id = p.subj
+          JOIN r2 r ON r.id = p.pred AND r.i = h.i
+          JOIN e2 e ON e.id = p.cand AND e.i = h.i),
+        sc AS (
+          SELECT subj, pred, obj, cand, is_true,
+                 CAST(sum(CAST("""
+        + _rt_dim.format(tr="cr", ti="ci")
+        + """
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM pc GROUP BY 1, 2, 3, 4, 5),
+        td AS (SELECT subj, pred, obj, s AS s_true
+               FROM sc WHERE is_true),
+        ag AS (
+          SELECT c.subj, c.pred, c.obj,
+                 count(*) AS n_cands,
+                 sum(CASE WHEN c.s < t.s_true
+                           OR (c.s = t.s_true AND c.cand < t.obj)
+                     THEN 1 ELSE 0 END) AS n_better
+          FROM sc c JOIN td t USING (subj, pred, obj)
+          WHERE NOT c.is_true GROUP BY 1, 2, 3)
+        SELECT t.subj, t.pred, t.obj,
+               CAST(coalesce(a.n_cands, 0) AS BIGINT) AS n_cands,
+               CAST(1 + coalesce(a.n_better, 0) AS BIGINT) AS rank,
+               1.0 / (1 + coalesce(a.n_better, 0)) AS rr,
+               (1 + coalesce(a.n_better, 0)) <= 1 AS hit1,
+               (1 + coalesce(a.n_better, 0)) <= 3 AS hit3,
+               (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
+        FROM td t LEFT JOIN ag a USING (subj, pred, obj)
+    """
+    )
+
+    # kge_model_compare: the four rank evals (each a complete WITH
     # chain, legal as a parenthesized subquery) unioned under a model
     # tag and aggregated — rr on the engine-identical 1e-12 floor
     # grid summed in exact decimal, hits as integer sums
@@ -9210,6 +9438,9 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'complex', rank, hit1, hit3, hit10
           FROM ({sql['complex_rank_eval']})
+          UNION ALL
+          SELECT 'rotate', rank, hit1, hit3, hit10
+          FROM ({sql['rotate_rank_eval']})
         ) GROUP BY model
     """
 
@@ -9229,5 +9460,12 @@ def oracle_sql() -> dict[str, str]:
         "(floor((cr*br*ar + ci*br*ai + cr*bi*ai - ci*bi*ar)"
         " * 1000000000.0 + 0.5) / 1000000000.0)",
         "c.s > t.s_true",
+    )
+    sql["rotate_rank_head"] = _rtq + _rank_head_sql(
+        True,
+        "(floor(((cr*br - ci*bi - ar)*(cr*br - ci*bi - ar)"
+        " + (cr*bi + ci*br - ai)*(cr*bi + ci*br - ai))"
+        " * 1000000000.0 + 0.5) / 1000000000.0)",
+        "c.s < t.s_true",
     )
     return sql

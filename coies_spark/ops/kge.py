@@ -1236,6 +1236,313 @@ def complex_rank_eval(
     return out if side == "tail" else _unflip_output(out)
 
 
+def _rt_rel_normalize(state: DataFrame) -> DataFrame:
+    """Project every relation onto unit modulus PER DIMENSION — the
+    RotatE constraint |r_i| = 1 that makes each relation coordinate a
+    pure rotation in its complex plane.  Unlike the entity unit-BALL
+    projection (one norm per vector, a groupBy), this is a pure
+    per-row projection: m = sqrt(q9(xr²) + q9(xi²)) is a fixed IEEE
+    tree (multiply → q9 → add → sqrt, each op correctly rounded), so
+    the DuckDB twin writing the identical expression agrees bitwise
+    — no decimal accumulation needed for a two-term sum."""
+    m = F.sqrt(
+        _q9(F.col("xr") * F.col("xr")) + _q9(F.col("xi") * F.col("xi"))
+    )
+    return state.select(
+        "id",
+        "i",
+        F.when(m > 0, _q9(F.col("xr") / m)).otherwise(F.col("xr")).alias(
+            "xr"
+        ),
+        F.when(m > 0, _q9(F.col("xi") / m)).otherwise(F.col("xi")).alias(
+            "xi"
+        ),
+    )
+
+
+def _rt_dim_energy(tr: Column, ti: Column) -> Column:
+    """Per-dimension squared modulus |h_i·r_i − t_i|² against a tail
+    (tr, ti): the rotated head (ar·br − ai·bi, ar·bi + ai·br) minus
+    the tail, squared and summed across channels — ONE fixed IEEE
+    expression tree, written character-identically in the DuckDB twin
+    so the q9 quantization is engine-exact."""
+    pr = F.col("ar") * F.col("br") - F.col("ai") * F.col("bi") - tr
+    pi = F.col("ar") * F.col("bi") + F.col("ai") * F.col("br") - ti
+    return _q9(pr * pr + pi * pi)
+
+
+def _rt_energies(core: DataFrame, margin: float) -> DataFrame:
+    """Per-triple RotatE energies d = Σᵢ |hᵢrᵢ − tᵢ|² (true and
+    corrupted tail) and the margin-violation flag — the
+    :func:`_energies` recipe (energy: LOWER is better) over the
+    two-channel core."""
+    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
+        F.sum(_rt_dim_energy(F.col("cr"), F.col("ci")).cast(_DEC))
+        .cast("double")
+        .alias("d_pos"),
+        F.sum(_rt_dim_energy(F.col("dr"), F.col("di")).cast(_DEC))
+        .cast("double")
+        .alias("d_neg"),
+    ).withColumn(
+        "violated",
+        (F.lit(float(margin)) + F.col("d_pos") - F.col("d_neg")) > 0,
+    )
+
+
+def _rt_train_states(
+    triples: DataFrame, dim: int, iters: int, lr: float, margin: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared training core of the RotatE faces: the
+    :func:`_cx_train_states` loop with the rotation energy
+    d = Σᵢ |hᵢ∘rᵢ − tᵢ|² (element-wise complex multiply, squared-L2
+    margin loss like TransE) and the per-dimension unit-modulus
+    relation projection at epoch start (next to the entity unit-ball
+    projection).  Because a unit-modulus multiply is an isometry,
+    RotatE models COMPOSITION (r₃ = r₁∘r₂), anti-symmetry, and
+    inversion (conjugate rotation) — the expressiveness argument of
+    Sun et al., ICLR 2019.  All gradients are polynomial in the
+    components (the residual algebra below), so the q9 bit-exact
+    cross-engine contract holds with no transcendental anywhere:
+    the rotation is PARAMETRIZED by its cartesian components under
+    projection, not by a phase angle, precisely so that no cos/sin
+    (whose rounding differs across engines) ever enters the loop."""
+    if dim < 1 or iters < 1:
+        raise ValueError("rotate_train: dim and iters must be >= 1")
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ents = (
+        t.select(F.col("subj").alias("id"))
+        .unionByName(t.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = t.select(F.col("pred").alias("id")).distinct()
+    n_triples = t.count()
+    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    e_state = _cx_init_state(ents, "entity", dim)
+    r_state = _cx_init_state(rels, "relation", dim)
+    # margin-energy subgradients: with p = h∘r − t (true tail) and
+    # q = h∘r − t' (corrupted), ∂d/∂h and ∂d/∂r go through the
+    # rotation product, and p − q = t' − t (the rotated head cancels)
+    # — so head/relation gradients need only the tail difference,
+    # the ComplEx ddr/ddi trick for the distance model
+    ddr = F.col("dr") - F.col("cr")
+    ddi = F.col("di") - F.col("ci")
+    pr = F.col("ar") * F.col("br") - F.col("ai") * F.col("bi")
+    pi = F.col("ar") * F.col("bi") + F.col("ai") * F.col("br")
+    for _ in range(iters):
+        e_state = _cx_l2_normalize(e_state)
+        r_state = _rt_rel_normalize(r_state)
+        core = _cx_core(tneg, e_state, r_state)
+        viol = (
+            _rt_energies(core, margin)
+            .where("violated")
+            .select("subj", "pred", "obj", "neg_obj")
+        )
+        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+        grads_e = (
+            vc.select(
+                F.col("subj").alias("id"),
+                "i",
+                # ∂(d_pos − d_neg)/∂a = 2·conj(r)·(p − q) = 2·conj(r)
+                # ·(t' − t), expanded to cartesian components
+                _q9(
+                    F.lit(2.0)
+                    * (F.col("br") * ddr + F.col("bi") * ddi)
+                ).alias("gr"),
+                _q9(
+                    F.lit(2.0)
+                    * (F.col("br") * ddi - F.col("bi") * ddr)
+                ).alias("gi"),
+            )
+            .unionByName(
+                vc.select(
+                    F.col("obj").alias("id"),
+                    "i",
+                    _q9(F.lit(-2.0) * (pr - F.col("cr"))).alias("gr"),
+                    _q9(F.lit(-2.0) * (pi - F.col("ci"))).alias("gi"),
+                )
+            )
+            .unionByName(
+                vc.select(
+                    F.col("neg_obj").alias("id"),
+                    "i",
+                    _q9(F.lit(2.0) * (pr - F.col("dr"))).alias("gr"),
+                    _q9(F.lit(2.0) * (pi - F.col("di"))).alias("gi"),
+                )
+            )
+        )
+        grads_r = vc.select(
+            F.col("pred").alias("id"),
+            "i",
+            # ∂/∂r = 2·conj(h)·(t' − t)
+            _q9(
+                F.lit(2.0) * (F.col("ar") * ddr + F.col("ai") * ddi)
+            ).alias("gr"),
+            _q9(
+                F.lit(2.0) * (F.col("ar") * ddi - F.col("ai") * ddr)
+            ).alias("gi"),
+        )
+        e_state = _cx_apply_grads(
+            e_state, grads_e, lr, n_triples
+        ).localCheckpoint(eager=False)
+        r_state = _cx_apply_grads(
+            r_state, grads_r, lr, n_triples
+        ).localCheckpoint(eager=False)
+    return tneg, e_state, r_state
+
+
+def rotate_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(id, kind, i, xr, xi): complex entity and per-dimension-
+    rotation relation embeddings after ``iters`` unrolled full-batch
+    RotatE epochs (Sun et al., ICLR 2019, "RotatE: Knowledge Graph
+    Embedding by Relational Rotation in Complex Space") — trainable
+    operator #8, the fourth KGE model: TransE translates, DistMult
+    scales symmetrically, ComplEx scores a Hermitian product, RotatE
+    ROTATES — the one family member that models relation COMPOSITION
+    exactly (rotations compose by complex multiply).  Same
+    determinism, long-format two-channel state, and cross-engine
+    bit-exactness contract as the other trainers; the rotation is
+    cartesian-parametrized under unit-modulus projection so no
+    transcendental (cos/sin) ever enters the loop (see
+    :func:`_rt_train_states`).
+    """
+    _, e_state, r_state = _rt_train_states(triples, dim, iters, lr, margin)
+    return e_state.select(
+        "id", F.lit("entity").alias("kind"), "i", "xr", "xi"
+    ).unionByName(
+        r_state.select(
+            "id", F.lit("relation").alias("kind"), "i", "xr", "xi"
+        )
+    )
+
+
+def rotate_energies(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+) -> DataFrame:
+    """(subj, pred, obj, d_pos, d_neg, violated): per-triple RotatE
+    rotation energies under the TRAINED embeddings — the
+    :func:`transe_energies` face for the rotation model (unrounded
+    doubles from exact decimal sums; Σ violated falls as iters grows,
+    pinned by test).  Shares every stage with :func:`rotate_train`,
+    so the faces cannot drift."""
+    tneg, e_state, r_state = _rt_train_states(
+        triples, dim, iters, lr, margin
+    )
+    core = _cx_core(tneg, e_state, r_state)
+    return _rt_energies(core, margin).select(
+        "subj", "pred", "obj", "d_pos", "d_neg", "violated"
+    )
+
+
+def rotate_rank_eval(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    n_candidates: int = 20,
+    side: str = "tail",
+) -> DataFrame:
+    """(subj, pred, obj, n_cands, rank, rr, hit1, hit3, hit10):
+    filtered-protocol link-prediction evaluation of the trained
+    RotatE model — :func:`transe_rank_eval`'s contract verbatim via
+    the shared :func:`_rank_probe` / :func:`_rank_output`
+    scaffolding, candidates ranked by rotation energy LOWEST-first.
+    Head side scores |cand∘r − t|² (the candidate occupies the head
+    slot of the rotation).  Same |test|·K·``dim``-row scale shape as
+    the other evals."""
+    if n_candidates < 1:
+        raise ValueError("rotate_rank_eval: n_candidates must be >= 1")
+    if side not in ("tail", "head"):
+        raise ValueError("rotate_rank_eval: side must be tail|head")
+    tneg, e_state, r_state = _rt_train_states(
+        triples, dim, iters, lr, margin
+    )
+    t3 = tneg.select("subj", "pred", "obj")
+    if side == "head":
+        t3 = _flip(t3)
+    probe = _rank_probe(t3, n_candidates)
+    res = (
+        probe.join(
+            e_state.select(
+                F.col("id").alias("subj"),
+                "i",
+                F.col("xr").alias("ar"),
+                F.col("xi").alias("ai"),
+            ),
+            "subj",
+        )
+        .join(
+            r_state.select(
+                F.col("id").alias("pred"),
+                "i",
+                F.col("xr").alias("br"),
+                F.col("xi").alias("bi"),
+            ),
+            ["pred", "i"],
+        )
+        .join(
+            e_state.select(
+                F.col("id").alias("cand"),
+                "i",
+                F.col("xr").alias("cr"),
+                F.col("xi").alias("ci"),
+            ),
+            ["cand", "i"],
+        )
+        .select(
+            "subj", "pred", "obj", "cand", "is_true",
+            # tail side: |a∘r − cand|²; head side (flipped probe):
+            # |cand∘r − a|² — the candidate occupies the head slot
+            (
+                _rt_dim_energy(F.col("cr"), F.col("ci"))
+                if side == "tail"
+                else _q9(
+                    (
+                        F.col("cr") * F.col("br")
+                        - F.col("ci") * F.col("bi")
+                        - F.col("ar")
+                    )
+                    * (
+                        F.col("cr") * F.col("br")
+                        - F.col("ci") * F.col("bi")
+                        - F.col("ar")
+                    )
+                    + (
+                        F.col("cr") * F.col("bi")
+                        + F.col("ci") * F.col("br")
+                        - F.col("ai")
+                    )
+                    * (
+                        F.col("cr") * F.col("bi")
+                        + F.col("ci") * F.col("br")
+                        - F.col("ai")
+                    )
+                )
+            ).alias("p"),
+        )
+    )
+    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
+        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    )
+    # rotation ENERGY: lower is better
+    out = _rank_output(scored, higher_is_better=False)
+    return out if side == "tail" else _unflip_output(out)
+
+
 def kge_model_compare(
     triples: DataFrame,
     dim: int = 4,
@@ -1245,26 +1552,28 @@ def kge_model_compare(
     n_candidates: int = 20,
 ) -> DataFrame:
     """(model, n_test, mrr, hits1, hits3, hits10): the model-selection
-    face of the KGE family — train all three models (TransE, DistMult,
-    ComplEx) on the same triples under the same hyper-parameters and
-    aggregate their filtered link-prediction evals into one table.
-    The three evals share :func:`_rank_probe` (identical candidate
-    sets), so differences are MODEL differences, not sampling noise.
+    face of the KGE family — train all four models (TransE, DistMult,
+    ComplEx, RotatE) on the same triples under the same
+    hyper-parameters and aggregate their filtered link-prediction
+    evals into one table.  The evals share :func:`_rank_probe`
+    (identical candidate sets), so differences are MODEL differences,
+    not sampling noise.
 
     Cross-engine exactness: Hits@k are integer sums over exact ranks;
     MRR sums reciprocal ranks on the engine-identical 1e-12 floor
     grid in exact decimal before the final double division, so the
     averages hash-match however partitions reduce.
 
-    Scale: 3× one training run (each |T|·dim rows/epoch through
+    Scale: 4× one training run (each |T|·dim rows/epoch through
     (entity, i)-keyed equi-joins); the evals add |test|·K·dim rows
-    each.  The three models are independent jobs — on a cluster they
+    each.  The four models are independent jobs — on a cluster they
     can run concurrently from the same cached triple table.
     """
     evals = [
         ("transe", transe_rank_eval),
         ("distmult", distmult_rank_eval),
         ("complex", complex_rank_eval),
+        ("rotate", rotate_rank_eval),
     ]
     out = None
     for name, fn in evals:

@@ -1,11 +1,12 @@
-"""Thirty-sixth batch: the ComplEx KG-embedding trainer (trainable
-operator #6) — the Hermitian-product member of the KGE family on the
-shared deterministic scaffolding (md5 init/corruption, full-batch
-mean-gradient epochs, engine-identical 9dp quantizer), two-channel
-(xr, xi) state.  Training health, shape, partitioning invariance,
-the model-defining ability to score a pair ASYMMETRICALLY (which
-DistMult cannot), a pure-Python replica of one epoch, and the shared
-rank-eval protocol."""
+"""Thirty-eighth batch: the RotatE KG-embedding trainer (trainable
+operator #8) — the rotation member of the KGE family (Sun et al.,
+ICLR 2019) on the shared deterministic scaffolding, two-channel
+(xr, xi) state with a per-dimension UNIT-MODULUS relation projection
+(cartesian parametrization: the bit-exact loop never touches
+cos/sin).  Training health, shape, partitioning invariance, the
+projection invariant, the model-defining asymmetric scoring, a
+pure-Python replica of one epoch, and the shared rank-eval
+protocol."""
 
 import hashlib
 import math
@@ -14,9 +15,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from coies_spark.ops.kge import (
-    complex_rank_eval,
-    complex_scores,
-    complex_train,
+    rotate_energies,
+    rotate_rank_eval,
+    rotate_train,
 )
 
 pytestmark = pytest.mark.spark
@@ -38,11 +39,17 @@ def _q9(x):
     return math.floor(x * 1e9 + 0.5) / 1e9
 
 
-class TestComplEx:
+class TestRotatE:
     def test_training_reduces_violations(self, spark):
+        # lr=1.0 here: the margin-energy loss under the double
+        # projection (entity ball + relation modulus) overshoots and
+        # oscillates at the family default lr=5.0 (measured 6->5->2->6
+        # over iters 1-4), while lr=1.0 descends monotonically
+        # (18->14->11->9) — the bounded-state distance model wants a
+        # smaller step than the bilinear scorers
         t = _triples(spark)
         v = {
-            it: complex_scores(t, iters=it, **CFG)
+            it: rotate_energies(t, dim=4, iters=it, lr=1.0, margin=1.0)
             .agg(F.sum(F.col("violated").cast("int")))
             .first()[0]
             for it in (1, 4)
@@ -50,7 +57,7 @@ class TestComplEx:
         assert v[4] < v[1]
 
     def test_weights_stay_unit_scale(self, spark):
-        emb = complex_train(_triples(spark), iters=4, **CFG)
+        emb = rotate_train(_triples(spark), iters=4, **CFG)
         mx = emb.agg(
             F.greatest(F.max(F.abs("xr")), F.max(F.abs("xi")))
         ).first()[0]
@@ -58,7 +65,7 @@ class TestComplEx:
 
     def test_long_format_shape(self, spark):
         t = _triples(spark)
-        emb = complex_train(t, iters=1, **CFG)
+        emb = rotate_train(t, iters=1, **CFG)
         ents = {r.subj for r in t.collect()} | {r.obj for r in t.collect()}
         n_e = emb.where(F.col("kind") == "entity").count()
         n_r = emb.where(F.col("kind") == "relation").count()
@@ -67,28 +74,39 @@ class TestComplEx:
 
     def test_partitioning_invariance(self, spark):
         t = _triples(spark)
-        a = sorted(map(tuple, complex_train(t, iters=2, **CFG).collect()))
+        a = sorted(map(tuple, rotate_train(t, iters=2, **CFG).collect()))
         b = sorted(
             map(
                 tuple,
-                complex_train(t.repartition(7), iters=2, **CFG).collect(),
+                rotate_train(t.repartition(7), iters=2, **CFG).collect(),
             )
         )
         assert a == b
 
+    def test_relations_project_to_unit_modulus(self, spark):
+        # with lr=0 the update is the identity, so the published
+        # relation state is exactly the epoch-start projection: every
+        # dimension's (xr, xi) sits on the unit circle (within the q9
+        # grid) — the RotatE constraint |r_i| = 1 that makes each
+        # coordinate a pure rotation
+        emb = rotate_train(_triples(spark), dim=4, iters=1, lr=0.0)
+        rel = emb.where(F.col("kind") == "relation").collect()
+        assert rel
+        for r in rel:
+            m = math.sqrt(_q9(r.xr * r.xr) + _q9(r.xi * r.xi))
+            assert abs(m - 1.0) < 1e-8, (r.id, r.i)
+
     def test_can_score_pair_asymmetrically(self, spark):
-        # the model-defining property: with a nonzero imaginary
-        # relation channel, s(h, r, t) != s(t, r, h) in general —
-        # DistMult is constrained to equality here (batch 35 pins
-        # that), ComplEx is not.  Verify on the trained model over a
-        # KG holding both orientations of the same pair.
+        # rotation is direction-sensitive: d(h∘r, t) != d(t∘r, h) in
+        # general (the anti-symmetry RotatE shares with ComplEx and
+        # TransE but not DistMult)
         rows = [("a", "rel", "b"), ("b", "rel", "a"), ("a", "rel", "c")]
         t = spark.createDataFrame(
             rows, "subj string, pred string, obj string"
         )
         sc = {
-            (r.subj, r.obj): r.s_pos
-            for r in complex_scores(
+            (r.subj, r.obj): r.d_pos
+            for r in rotate_energies(
                 t, dim=3, iters=1, lr=1.0, margin=1.0
             ).collect()
         }
@@ -96,9 +114,10 @@ class TestComplEx:
 
     def test_one_epoch_replica(self, spark):
         # pure-python replica of epoch 1 for a 3-triple KG: two-channel
-        # init, complex-norm entity normalization, corruption,
-        # violation under the Hermitian score, mean gradient
-        # (Wirtinger-style products of the OTHER factors), update
+        # init, entity unit-ball normalization, per-dimension relation
+        # unit-modulus projection, corruption, violation under the
+        # rotation energy, mean gradient (polynomial residual
+        # algebra), update
         rows = [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c")]
         t = spark.createDataFrame(
             rows, "subj string, pred string, obj string"
@@ -106,7 +125,7 @@ class TestComplEx:
         dim, lr, margin = 2, 5.0, 1.0
         emb = {
             (r.kind, r.id, r.i): (r.xr, r.xi)
-            for r in complex_train(
+            for r in rotate_train(
                 t, dim=dim, iters=1, lr=lr, margin=margin
             ).collect()
         }
@@ -136,6 +155,7 @@ class TestComplEx:
             ]
             for i in range(dim)
         }
+        # entity unit-ball projection (whole-vector complex norm)
         for x in ents:
             nrm = math.sqrt(
                 sum(
@@ -150,6 +170,13 @@ class TestComplEx:
                         _q9(e[(x, i)][0] / nrm),
                         _q9(e[(x, i)][1] / nrm),
                     ]
+        # relation unit-modulus projection (per dimension)
+        for i in range(dim):
+            m = math.sqrt(
+                _q9(r[i][0] * r[i][0]) + _q9(r[i][1] * r[i][1])
+            )
+            if m > 0:
+                r[i] = [_q9(r[i][0] / m), _q9(r[i][1] / m)]
         ranked = sorted(ents)
         negmap = {
             (s_, p_, o_): ranked[
@@ -158,23 +185,24 @@ class TestComplEx:
             for (s_, p_, o_) in rows
         }
 
-        def dimscore(s_, i, tr, ti):
+        def dim_en(s_, i, tr, ti):
             ar, ai = e[(s_, i)]
             br, bi = r[i]
-            return _q9(ar * br * tr + ai * br * ti
-                       + ar * bi * ti - ai * bi * tr)
+            pr = ar * br - ai * bi - tr
+            pi = ar * bi + ai * br - ti
+            return _q9(pr * pr + pi * pi)
 
         ge = {}
         gr = {}
         for (s_, p_, o_) in rows:
             no = negmap[(s_, p_, o_)]
-            s_pos = sum(
-                dimscore(s_, i, *e[(o_, i)]) for i in range(dim)
+            d_pos = sum(
+                dim_en(s_, i, *e[(o_, i)]) for i in range(dim)
             )
-            s_neg = sum(
-                dimscore(s_, i, *e[(no, i)]) for i in range(dim)
+            d_neg = sum(
+                dim_en(s_, i, *e[(no, i)]) for i in range(dim)
             )
-            if (margin - s_pos + s_neg) > 0:
+            if (margin + d_pos - d_neg) > 0:
                 for i in range(dim):
                     ar, ai = e[(s_, i)]
                     br, bi = r[i]
@@ -187,17 +215,17 @@ class TestComplEx:
                         d[k] = (pr + vr, pi + vi)
 
                     acc(ge, (s_, i),
-                        _q9(br * ddr + bi * ddi),
-                        _q9(br * ddi - bi * ddr))
+                        _q9(2.0 * (br * ddr + bi * ddi)),
+                        _q9(2.0 * (br * ddi - bi * ddr)))
                     acc(ge, (o_, i),
-                        _q9(ai * bi - ar * br),
-                        _q9(-(ai * br + ar * bi)))
+                        _q9(-2.0 * (ar * br - ai * bi - cr)),
+                        _q9(-2.0 * (ar * bi + ai * br - ci)))
                     acc(ge, (no, i),
-                        _q9(ar * br - ai * bi),
-                        _q9(ai * br + ar * bi))
+                        _q9(2.0 * (ar * br - ai * bi - dr)),
+                        _q9(2.0 * (ar * bi + ai * br - di)))
                     acc(gr, i,
-                        _q9(ar * ddr + ai * ddi),
-                        _q9(ar * ddi - ai * ddr))
+                        _q9(2.0 * (ar * ddr + ai * ddi)),
+                        _q9(2.0 * (ar * ddi - ai * ddr)))
         nt = len(rows)
         for x in ents:
             for i in range(dim):
@@ -217,13 +245,13 @@ class TestComplEx:
 
     def test_dim_validation(self, spark):
         with pytest.raises(ValueError):
-            complex_train(_triples(spark), dim=0)
+            rotate_train(_triples(spark), dim=0)
 
 
-class TestComplExRankEval:
+class TestRotatERankEval:
     def test_ranks_and_protocol(self, spark):
         t = _triples(spark)
-        rows = complex_rank_eval(t, n_candidates=8, **CFG).collect()
+        rows = rotate_rank_eval(t, n_candidates=8, **CFG).collect()
         assert len(rows) == t.distinct().count()
         for r in rows:
             assert 1 <= r.rank <= r.n_cands + 1
@@ -244,45 +272,15 @@ class TestComplExRankEval:
         }
         b = {
             (r.subj, r.pred, r.obj): r.n_cands
-            for r in complex_rank_eval(
+            for r in rotate_rank_eval(
                 t, n_candidates=8, **CFG
             ).collect()
         }
         assert a == b
 
-
-class TestKgeModelCompare:
-    def test_matches_individual_evals(self, spark):
-        from coies_spark.ops.kge import kge_model_compare, transe_rank_eval
-
-        t = _triples(spark)
-        cmp_rows = {
-            r.model: r
-            for r in kge_model_compare(t, n_candidates=8, **CFG).collect()
-        }
-        assert set(cmp_rows) == {"transe", "distmult", "complex", "rotate"}
-        te = transe_rank_eval(t, n_candidates=8, **CFG).collect()
-        n = len(te)
-        for m in cmp_rows.values():
-            assert m.n_test == n
-            assert 0.0 < m.mrr <= 1.0
-            assert m.hits1 <= m.hits3 <= m.hits10 <= 1.0
-        # the transe row must aggregate the transe eval exactly
-        # (rr quantized on the 1e-12 grid, hits as integer means)
-        got = cmp_rows["transe"]
-        rr12 = [math.floor((1.0 / r.rank) * 1e12 + 0.5) / 1e12 for r in te]
-        assert abs(got.mrr - sum(rr12) / n) < 1e-9
-        assert got.hits10 == sum(1 for r in te if r.hit10) / n
-
-
-class TestHeadSideEval:
     def test_head_face_protocol_and_orientation(self, spark):
-        # head eval publishes ORIGINAL triple orientation with the
-        # rank of the true HEAD among filtered candidates
-        from coies_spark.ops.kge import complex_rank_eval
-
         t = _triples(spark)
-        rows = complex_rank_eval(
+        rows = rotate_rank_eval(
             t, n_candidates=8, side="head", **CFG
         ).collect()
         orig = {(r.subj, r.pred, r.obj) for r in t.distinct().collect()}
@@ -291,51 +289,6 @@ class TestHeadSideEval:
             assert 1 <= r.rank <= r.n_cands + 1
             assert r.hit1 == (r.rank <= 1)
 
-    def test_head_candidates_shared_across_models(self, spark):
-        # the flip rides the SAME probe builder, so head candidate
-        # sets are identical across models too
-        from coies_spark.ops.kge import (
-            distmult_rank_eval,
-            transe_rank_eval,
-        )
-
-        t = _triples(spark)
-        a = {
-            (r.subj, r.pred, r.obj): r.n_cands
-            for r in transe_rank_eval(
-                t, n_candidates=8, side="head", **CFG
-            ).collect()
-        }
-        b = {
-            (r.subj, r.pred, r.obj): r.n_cands
-            for r in distmult_rank_eval(
-                t, n_candidates=8, side="head", **CFG
-            ).collect()
-        }
-        assert a == b
-
-    def test_head_filter_removes_known_heads(self, spark):
-        # a candidate that is a known-true head for (pred, obj) must
-        # be filtered, not counted as a negative: on a KG where EVERY
-        # entity is a head of the same (pred, obj), n_cands collapses
-        from coies_spark.ops.kge import transe_rank_eval
-
-        rows = [(f"h{i}", "p", "o") for i in range(6)]
-        t = spark.createDataFrame(
-            rows, "subj string, pred string, obj string"
-        )
-        got = transe_rank_eval(
-            t, n_candidates=12, side="head", dim=2, iters=1
-        ).collect()
-        # candidates are entities {h0..h5, o}: every OTHER hY is a
-        # known-true head for (p, o) and is FILTERED; only 'o' itself
-        # (never a head) can survive as a negative — so n_cands <= 1
-        # for every triple, never the 5 sibling heads
-        for r in got:
-            assert r.n_cands <= 1 and r.rank <= 2
-
     def test_side_validation(self, spark):
-        from coies_spark.ops.kge import distmult_rank_eval
-
         with pytest.raises(ValueError):
-            distmult_rank_eval(_triples(spark), side="both")
+            rotate_rank_eval(_triples(spark), side="both")

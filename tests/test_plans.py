@@ -711,6 +711,48 @@ def test_complex_epoch_joins_are_keyed(spark):
     assert "partial_sum" in p
 
 
+def test_rotate_epoch_joins_are_keyed(spark):
+    # the RotatE epoch rides the ComplEx core verbatim (four
+    # (id, i)-keyed equi-joins, two channels on the same rows); the
+    # rotation energy aggregates map-side, no cross join — and the
+    # relation unit-modulus projection is a pure per-row projection
+    # (no exchange of its own)
+    from coies_spark.ops.kge import (
+        _cx_core,
+        _cx_init_state,
+        _negatives,
+        _rt_energies,
+        _rt_rel_normalize,
+    )
+
+    tr = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")],
+        "subj string, pred string, obj string",
+    )
+    ents = (
+        tr.select(F.col("subj").alias("id"))
+        .unionByName(tr.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    rels = tr.select(F.col("pred").alias("id")).distinct()
+    core = _cx_core(
+        _negatives(tr, ents),
+        _cx_init_state(ents, "entity", 2),
+        _rt_rel_normalize(_cx_init_state(rels, "relation", 2)),
+    )
+    p = plan_of(_rt_energies(core, 1.0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p
+    # the unit-modulus projection is a pure per-row projection —
+    # unlike the entity unit-BALL projection it adds NO aggregate (the
+    # entity one needs a per-id norm groupBy); its plan on top of a
+    # plain state has no SortAggregate/HashAggregate of its own
+    base = plan_of(_cx_init_state(rels, "relation", 2))
+    proj = plan_of(_rt_rel_normalize(_cx_init_state(rels, "relation", 2)))
+    assert proj.count("Aggregate") == base.count("Aggregate")
+
+
 def test_relation_proposals_broadcast_weights_no_cartesian(spark):
     # the propose face: mention pass + pair self-join (keyed on
     # (conv_id, turn_idx)) + broadcast weight join + two partial
