@@ -1438,6 +1438,48 @@ def _q_conversation_topics(
     )
 
 
+def _q_induce_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ontology induction over the catalog KG + the part_type
+    shortcut: parts are typed 'Part', brands 'Brand' (those ending
+    in 5 ALSO 'Maker' — multi-typed entities give a <1 modal
+    confidence), type names stay untyped so has_type/part_type
+    publish NULL ranges (the outer-join face)."""
+    part = _read(spark, sf_dir, "part")
+    triples = _part_triples(spark, sf_dir).unionByName(
+        part.select(
+            F.concat(F.lit("part:"), F.col("p_partkey")).alias("subj"),
+            F.lit("part_type").alias("pred"),
+            F.col("p_type").alias("obj"),
+        )
+    )
+    types = (
+        part.select(
+            F.concat(F.lit("part:"), F.col("p_partkey")).alias(
+                "entity"
+            ),
+            F.lit("Part").alias("entity_type"),
+        )
+        .distinct()
+        .unionByName(
+            part.select(
+                F.col("p_brand").alias("entity"),
+                F.lit("Brand").alias("entity_type"),
+            ).distinct()
+        )
+        .unionByName(
+            part.where(F.col("p_brand").like("%5"))
+            .select(
+                F.col("p_brand").alias("entity"),
+                F.lit("Maker").alias("entity_type"),
+            )
+            .distinct()
+        )
+    )
+    return kg.induce_signatures(triples, types)
+
+
 def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflicting-claims table for the truth-discovery queries:
     every lineitem row is supplier s ASSERTING part p's return flag —
@@ -2746,6 +2788,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_energies": lambda s, d: _transe(s, d, "rt_energies"),
         "rotate_rank_eval": lambda s, d: _transe(s, d, "rt_rank_eval"),
         "rotate_rank_head": lambda s, d: _transe(s, d, "rt_rank_head"),
+        # ontology induction: the predicate domain/range signatures
+        # INDUCED from a typed-entity table — the inverse of
+        # entity_types, with multi-typed brands and untyped ranges
+        # exercising modal confidence and the outer-join nulls
+        "induce_signatures": _q_induce_signatures,
+        # PRA (Lao & Cohen 2010) per-pair path-type counts over the
+        # catalog KG with inverse hops; max_degree=60 drops hub
+        # brands as midpoints (the standard PRA fan-out guard)
+        "pra_path_features": lambda s, d: kg.pra_path_features(
+            _part_triples(s, d), max_degree=60
+        ),
         # rotated OUT of the window for the round-5 KGE stars, still
         # registered and oracled here in the tail
         "top_group_orders": _q_top_group,
@@ -5923,6 +5976,92 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sup.support AS DOUBLE) / body.n_paths, 6)
                  AS confidence
         FROM sup JOIN body USING (p1, p2)
+    """
+
+    # induce_signatures: the catalog + part_type triples against the
+    # Part/Brand(+Maker for brands ending in 5) typed-entity table;
+    # modal type per side via row_number over (votes DESC, type ASC),
+    # untyped sides NULL through the left joins
+    sql["induce_signatures"] = """
+        WITH t AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'part:' || p_partkey AS subj,
+                   'has_brand' AS pred, p_brand AS obj FROM part
+            UNION ALL
+            SELECT p_brand, 'has_type', p_type FROM part
+            UNION ALL
+            SELECT 'part:' || p_partkey, 'part_type', p_type
+            FROM part)),
+        ty AS (
+          SELECT DISTINCT 'part:' || p_partkey AS entity,
+                 'Part' AS entity_type FROM part
+          UNION
+          SELECT DISTINCT p_brand, 'Brand' FROM part
+          UNION
+          SELECT DISTINCT p_brand, 'Maker' FROM part
+          WHERE p_brand LIKE '%5'),
+        base AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples
+                 FROM t GROUP BY 1),
+        dv AS (SELECT pred, entity_type,
+                      CAST(count(*) AS BIGINT) AS votes
+               FROM t JOIN ty ON ty.entity = t.subj GROUP BY 1, 2),
+        dt AS (SELECT pred, entity_type, votes,
+                      round(CAST(votes AS DOUBLE)
+                            / sum(votes) OVER (PARTITION BY pred),
+                            6) AS conf,
+                      row_number() OVER (PARTITION BY pred
+                        ORDER BY votes DESC, entity_type ASC) AS r
+               FROM dv),
+        rv AS (SELECT pred, entity_type,
+                      CAST(count(*) AS BIGINT) AS votes
+               FROM t JOIN ty ON ty.entity = t.obj GROUP BY 1, 2),
+        rt AS (SELECT pred, entity_type, votes,
+                      round(CAST(votes AS DOUBLE)
+                            / sum(votes) OVER (PARTITION BY pred),
+                            6) AS conf,
+                      row_number() OVER (PARTITION BY pred
+                        ORDER BY votes DESC, entity_type ASC) AS r
+               FROM rv)
+        SELECT base.pred, base.n_triples,
+               dt.entity_type AS domain_type,
+               dt.votes AS domain_votes,
+               dt.conf AS domain_conf,
+               rt.entity_type AS range_type,
+               rt.votes AS range_votes,
+               rt.conf AS range_conf
+        FROM base
+        LEFT JOIN dt ON dt.pred = base.pred AND dt.r = 1
+        LEFT JOIN rt ON rt.pred = base.pred AND rt.r = 1
+    """
+
+    # pra_path_features: inverse-augmented catalog edges, length-1
+    # rows at count 1, length-2 rows through midpoints whose
+    # augmented out-degree <= 60 (hub brands drop out)
+    sql["pra_path_features"] = """
+        WITH t AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'part:' || p_partkey AS subj,
+                   'has_brand' AS pred, p_brand AS obj FROM part
+            UNION ALL
+            SELECT p_brand, 'has_type', p_type FROM part)),
+        e AS (SELECT subj, pred, obj FROM t
+              UNION ALL
+              SELECT obj, '^' || pred, subj FROM t),
+        ok AS (SELECT subj AS mid FROM e
+               GROUP BY 1 HAVING count(*) <= 60),
+        l2 AS (
+          SELECT a.subj AS src, b.obj AS dst,
+                 a.pred || '/' || b.pred AS path,
+                 CAST(count(*) AS BIGINT) AS n_paths
+          FROM e a
+          JOIN ok ON ok.mid = a.obj
+          JOIN e b ON b.subj = a.obj
+          GROUP BY 1, 2, 3)
+        SELECT subj AS src, obj AS dst, pred AS path,
+               CAST(1 AS BIGINT) AS n_paths
+        FROM e
+        UNION ALL
+        SELECT src, dst, path, n_paths FROM l2
     """
 
     # entity_pmi: distinct (conv, entity) membership, within-group

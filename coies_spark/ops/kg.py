@@ -644,6 +644,173 @@ def entity_degrees(triples: DataFrame) -> DataFrame:
     )
 
 
+def induce_signatures(
+    triples: DataFrame, types: DataFrame
+) -> DataFrame:
+    """(pred, n_triples, domain_type, domain_votes, domain_conf,
+    range_type, range_votes, range_conf): ontology induction — infer
+    each predicate's DOMAIN (subject type) and RANGE (object type)
+    signature from a typed-entity table, the inverse of
+    :func:`entity_types` (which types entities from declared
+    signatures; this induces the signatures from typed entities —
+    run alternately they are the classic type/schema bootstrapping
+    loop).  ``types`` is an (entity, entity_type) table (an entity
+    may carry several types; each typed triple end votes once per
+    type).  The modal type wins per side (ties to the smallest type
+    string), conf = winning votes / typed votes on that side; a
+    predicate whose subjects (objects) are never typed publishes
+    NULLs on that side.  Induced signatures gate extraction (a
+    proposed triple violating its predicate's signature is a
+    disambiguation error — feed :func:`constraint_violations`) and
+    seed ``pred_types`` for :func:`entity_types`.
+
+    Scale: two entity-keyed equi-joins (triple ends × types —
+    shuffles on entity ids, AQE-skew territory for hot entities) and
+    predicate×type-sized aggregates; the argmax windows run on those
+    reduced rows only.  Output is |preds|-bounded.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    base = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples")
+    )
+
+    def _side(key: str) -> DataFrame:
+        votes = (
+            t.select("pred", F.col(key).alias("entity"))
+            .join(types, "entity")
+            .groupBy("pred", "entity_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        )
+        wtop = Window.partitionBy("pred").orderBy(
+            F.desc("votes"), F.asc("entity_type")
+        )
+        wtot = Window.partitionBy("pred")
+        return (
+            votes.withColumn("__r", F.row_number().over(wtop))
+            .withColumn("total", F.sum("votes").over(wtot))
+            .where(F.col("__r") == 1)
+            .select(
+                "pred",
+                F.col("entity_type"),
+                "votes",
+                F.round(F.col("votes") / F.col("total"), 6).alias(
+                    "conf"
+                ),
+            )
+        )
+
+    dom = _side("subj").select(
+        "pred",
+        F.col("entity_type").alias("domain_type"),
+        F.col("votes").alias("domain_votes"),
+        F.col("conf").alias("domain_conf"),
+    )
+    rng = _side("obj").select(
+        "pred",
+        F.col("entity_type").alias("range_type"),
+        F.col("votes").alias("range_votes"),
+        F.col("conf").alias("range_conf"),
+    )
+    return (
+        base.join(dom, "pred", "left")
+        .join(rng, "pred", "left")
+        .select(
+            "pred",
+            "n_triples",
+            "domain_type",
+            "domain_votes",
+            "domain_conf",
+            "range_type",
+            "range_votes",
+            "range_conf",
+        )
+    )
+
+
+def pra_path_features(
+    triples: DataFrame,
+    include_inverse: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(src, dst, path, n_paths): Path-Ranking-Algorithm feature
+    table (Lao & Cohen, Machine Learning 2010, "Relational retrieval
+    using a combination of path-constrained random walks") — for
+    every connected entity pair, how many length-1 and length-2
+    typed paths link them, with inverse steps as first-class hops
+    (path labels: ``p`` one hop, ``^p`` one inverse hop, ``p1/p2``
+    two hops; predicate names must not contain ``^``/``/``).  This
+    is the per-PAIR face the rule-level :func:`mine_path_rules`
+    aggregates away: PRA feeds the path counts of each candidate
+    pair as features to a link-prediction classifier (the
+    :mod:`~coies_spark.ops.classify` chain consumes exactly this
+    shape after hashing), where AMIE keeps only per-rule confidence.
+
+    ``max_degree`` drops MIDPOINT entities whose out-degree on the
+    (inverse-augmented) edge set exceeds it — the standard PRA hub
+    guard: a 10⁸-degree hub as midpoint contributes
+    deg_in·deg_out pair rows of near-zero feature value (every pair
+    shares it), and capping it bounds the join fan-out the way
+    ``neighbor_jaccard``'s cap does.  None keeps everything.
+
+    Scale: ONE midpoint-keyed self-join (the intrinsic PRA cost,
+    shuffling on entity ids) + one (src, dst, path) aggregate with
+    map-side partial counts; the degree gate is one broadcast-sized
+    aggregate-and-semi-join ahead of it.  No all-pairs structure:
+    only pairs actually connected by a path ever materialize.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    edges = t
+    if include_inverse:
+        edges = edges.unionByName(
+            t.select(
+                F.col("obj").alias("subj"),
+                F.concat(F.lit("^"), F.col("pred")).alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    edges = edges.localCheckpoint(eager=False)
+    l1 = edges.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("pred").alias("path"),
+        F.lit(1).cast("long").alias("n_paths"),
+    )
+    a = edges.select(
+        F.col("subj").alias("src"),
+        F.col("pred").alias("p1"),
+        F.col("obj").alias("__mid"),
+    )
+    b = edges.select(
+        F.col("subj").alias("__mid2"),
+        F.col("pred").alias("p2"),
+        F.col("obj").alias("dst"),
+    )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(
+                "pra_path_features: max_degree must be >= 1"
+            )
+        ok = (
+            edges.groupBy(F.col("subj").alias("__mid"))
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") <= max_degree)
+            .select("__mid")
+        )
+        # gating ONE side suffices: the equi-join on the midpoint
+        # makes the other side's filter implied
+        a = a.join(ok, "__mid", "left_semi")
+    l2 = (
+        a.join(b, F.col("__mid") == F.col("__mid2"))
+        .groupBy(
+            "src",
+            "dst",
+            F.concat_ws("/", "p1", "p2").alias("path"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    return l1.unionByName(l2)
+
+
 def kg_negatives(triples: DataFrame, k: int = 2) -> DataFrame:
     """(subj, pred, obj, neg_rank, neg_obj): deterministic
     corrupted-tail negative sampling — the training-pair generator
