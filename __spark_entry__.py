@@ -2793,6 +2793,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity_types, with multi-typed brands and untyped ranges
         # exercising modal confidence and the outer-join nulls
         "induce_signatures": _q_induce_signatures,
+        # NegEx-lite clause-level assertion scoping over transcript
+        # turns: negation/hedge cue flags per clause, the precision
+        # gate in front of every extractor
+        "assertion_clauses": lambda s, d: kg.assertion_clauses(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+        )
+        .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        .withColumn("clause_idx", F.col("clause_idx").cast("long")),
+        # the pattern extractor gated by assertion scoping: rules
+        # never fire inside negated/hypothetical clauses
+        "pattern_triples_asserted": lambda s, d: (
+            kg.pattern_triples_asserted(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                ),
+                PATTERN_RULES,
+            ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        ),
         # PRA (Lao & Cohen 2010) per-pair path-type counts over the
         # catalog KG with inverse hops; max_degree=60 drops hub
         # brands as midpoints (the standard PRA fan-out guard)
@@ -6504,6 +6522,56 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({_transcripts_cte()}),
         r AS (
 {_rule_arms}
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, pred,
+               unnest(ss) AS subj, unnest(os) AS obj
+        FROM r
+    """
+
+    # assertion_clauses: the transcript turns split on [.;!?] with
+    # 0-based ORIGINAL clause indexes, trimmed, empties dropped; the
+    # cue patterns are the VERBATIM kg.cue_pattern strings (Java and
+    # RE2 agree on (?i), \b, alternation)
+    _neg_re = kg.cue_pattern(kg.NEG_CUES)
+    _hedge_re = kg.cue_pattern(kg.HEDGE_CUES)
+    _clauses_cte = f"""
+        c AS (SELECT conv_id, turn_idx,
+                     regexp_split_to_array(turn_text, '[.;!?]') AS cls
+              FROM t WHERE turn_text IS NOT NULL),
+        x AS (SELECT conv_id, turn_idx, i - 1 AS clause_idx,
+                     trim(cls[i]) AS clause
+              FROM c, unnest(range(1, len(cls) + 1)) u(i))"""
+    sql["assertion_clauses"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        {_clauses_cte}
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(clause_idx AS BIGINT) AS clause_idx, clause,
+               regexp_matches(clause, '{_neg_re}') AS negated,
+               regexp_matches(clause, '{_hedge_re}') AS hedged,
+               (NOT regexp_matches(clause, '{_neg_re}')
+                AND NOT regexp_matches(clause, '{_hedge_re}'))
+                 AS assertive
+        FROM x WHERE clause <> ''
+    """
+
+    # pattern_triples_asserted: the same rule arms run over the
+    # ASSERTIVE clauses only (clause text becomes the rule input)
+    _rule_arms_asserted = "\n          UNION ALL\n".join(
+        f"""          SELECT conv_id, turn_idx, '{p}' AS pred,
+                 regexp_extract_all(clause, '{rx}', 1) AS ss,
+                 regexp_extract_all(clause, '{rx}', 2) AS os
+          FROM a"""
+        for p, rx in PATTERN_RULES
+    )
+    sql["pattern_triples_asserted"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        {_clauses_cte},
+        a AS (SELECT conv_id, turn_idx, clause FROM x
+              WHERE clause <> ''
+                AND NOT regexp_matches(clause, '{_neg_re}')
+                AND NOT regexp_matches(clause, '{_hedge_re}')),
+        r AS (
+{_rule_arms_asserted}
         )
         SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, pred,
                unnest(ss) AS subj, unnest(os) AS obj

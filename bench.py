@@ -423,6 +423,11 @@ def main() -> None:
         # KGE family; 2x DistMult's shuffle bytes at the same stage
         # count and row count)
         "complex_train": lambda: run(_transe(spark, sf_dir, "cx_train")),
+        # RotatE trainer: 2 unrolled full-batch rotation epochs,
+        # two-channel state + per-dimension unit-modulus relation
+        # projection (trainable op #8 — same stage count as ComplEx,
+        # the projection adds a per-row map only)
+        "rotate_train": lambda: run(_transe(spark, sf_dir, "rt_train")),
         # Mintz distant supervision: gazetteer co-mention pairs
         # labeled by the seed KG (positive face; same fixture as the
         # registry query)

@@ -1229,6 +1229,126 @@ def pattern_triples(
     ).select("conv_id", "turn_idx", "m.pred", "m.subj", "m.obj")
 
 
+#: Default negation cue words (NegEx-lite, Chapman et al., J Biomed
+#: Inform 2001, "A simple algorithm for identifying negated findings
+#: and diseases") — plain word-character literals only, so the cue
+#: alternation stays a valid regex in Java AND RE2 and embeds in a
+#: single-quoted SQL literal without escaping.
+NEG_CUES = (
+    "no", "not", "never", "none", "neither", "nor", "cannot",
+    "without", "denies", "denied", "lacks", "fails to",
+)
+
+#: Default hedge/hypothetical cue words (speculation scoping, the
+#: BioScope convention) — same literal-only constraint as NEG_CUES.
+HEDGE_CUES = (
+    "might", "may", "maybe", "perhaps", "possibly", "could",
+    "should", "if", "unless", "suppose", "hypothetically",
+    "probably", "allegedly", "reportedly",
+)
+
+
+def cue_pattern(cues: tuple[str, ...] | list[str]) -> str:
+    """Case-insensitive word-boundary alternation over cue literals —
+    ONE pattern string evaluated verbatim by java.util.regex (Spark
+    ``rlike``) and RE2 (DuckDB ``regexp_matches``), which agree on
+    ``(?i)``, ``\\b``, and alternation.  Cues must be plain
+    word-character/space literals (no regex metacharacters, no
+    quotes) — enforced here so a bad cue fails loudly at plan time,
+    not silently in one engine."""
+    import re as _re
+
+    for c in cues:
+        if not _re.fullmatch(r"[A-Za-z0-9 ]+", c):
+            raise ValueError(
+                f"cue_pattern: cue {c!r} must be a plain "
+                "word-character/space literal"
+            )
+    return r"(?i)\b(" + "|".join(cues) + r")\b"
+
+
+def assertion_clauses(
+    transcripts: DataFrame,
+    neg_cues: tuple[str, ...] = NEG_CUES,
+    hedge_cues: tuple[str, ...] = HEDGE_CUES,
+) -> DataFrame:
+    """(conv_id, turn_idx, clause_idx, clause, negated, hedged,
+    assertive): clause-level assertion scoping — split every turn on
+    clause boundaries (``[.;!?]``), flag clauses containing a
+    negation cue (NegEx-lite) or a hedge/hypothetical cue (the
+    BioScope speculation convention), and mark the rest ASSERTIVE.
+    An extractor that emits triples from negated or hypothetical
+    clauses poisons the KG with facts the speaker explicitly did NOT
+    assert ("the job did not fail", "if the table were dropped") —
+    this is the precision gate that
+    :func:`pattern_triples_asserted` composes in front of the
+    pattern extractor, and the clause table is the right junction
+    for any extractor (the gazetteer and one-shot routes can consume
+    it the same way).
+
+    ``clause_idx`` numbers clauses in the ORIGINAL split (0-based,
+    before empty clauses drop), preserving provenance; whitespace-
+    only clauses are dropped after trimming.  Cue matching is
+    case-insensitive on word boundaries (:func:`cue_pattern` — one
+    pattern string both engines evaluate verbatim).
+
+    Scale: pure Catalyst — one split + posexplode + two ``rlike``
+    sibling expressions over one corpus scan, ZERO shuffles; output
+    lands partitioned exactly as the input turns.
+    """
+    neg_re = cue_pattern(neg_cues)
+    hedge_re = cue_pattern(hedge_cues)
+    step = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text"), r"[.;!?]")).alias(
+            "clause_idx", "__c"
+        ),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "clause_idx",
+        F.trim(F.col("__c")).alias("clause"),
+    )
+    negated = F.col("clause").rlike(neg_re)
+    hedged = F.col("clause").rlike(hedge_re)
+    return step.where(F.col("clause") != "").select(
+        "conv_id",
+        "turn_idx",
+        "clause_idx",
+        "clause",
+        negated.alias("negated"),
+        hedged.alias("hedged"),
+        (~negated & ~hedged).alias("assertive"),
+    )
+
+
+def pattern_triples_asserted(
+    transcripts: DataFrame,
+    rules: list[tuple[str, str]],
+    neg_cues: tuple[str, ...] = NEG_CUES,
+    hedge_cues: tuple[str, ...] = HEDGE_CUES,
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, obj): the pattern extractor
+    gated by assertion scoping — :func:`pattern_triples` run over the
+    ASSERTIVE clauses of :func:`assertion_clauses` only, so a rule
+    matching inside a negated or hypothetical clause emits nothing
+    ("A did not scan B" no longer yields (A, scans, B)).  Clause
+    boundaries also stop a rule from matching ACROSS a negation
+    boundary, a second precision win for free.
+
+    Same zero-shuffle scale shape as both components: split, flag,
+    filter, and extract are sibling projections over one corpus
+    scan."""
+    clauses = assertion_clauses(transcripts, neg_cues, hedge_cues)
+    return pattern_triples(
+        clauses.where("assertive").select(
+            "conv_id", "turn_idx", F.col("clause").alias("text")
+        ),
+        rules,
+    )
+
+
 def gazetteer_mentions(
     transcripts: DataFrame,
     dictionary: DataFrame,
