@@ -1556,6 +1556,7 @@ def _transe(spark: SparkSession, sf_dir: str, face: str) -> DataFrame:
         "rt_train": kge.rotate_train,
         "rt_energies": kge.rotate_energies,
         "rt_rank_eval": kge.rotate_rank_eval,
+        "neighbors": kge.kge_entity_neighbors,
         "compare": kge.kge_model_compare,
     }.get(face)
     if fn is None:
@@ -2788,6 +2789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_energies": lambda s, d: _transe(s, d, "rt_energies"),
         "rotate_rank_eval": lambda s, d: _transe(s, d, "rt_rank_eval"),
         "rotate_rank_head": lambda s, d: _transe(s, d, "rt_rank_head"),
+        # exact cosine top-k in TRAINED TransE space: the
+        # embedding-space alias/canonicalize candidate route (the
+        # recall-1.0 oracle the ANN paths measure against)
+        "kge_entity_neighbors": lambda s, d: _transe(s, d, "neighbors"),
         # ontology induction: the predicate domain/range signatures
         # INDUCED from a typed-entity table — the inverse of
         # entity_types, with multi-typed brands and untyped ranges
@@ -9511,6 +9516,39 @@ def oracle_sql() -> dict[str, str]:
                (1 + coalesce(a.n_better, 0)) <= 10 AS hit10
         FROM td t LEFT JOIN ag a USING (subj, pred, obj)
     """
+
+    # kge_entity_neighbors: exact cosine top-5 over the TRAINED
+    # TransE entity vectors (e2 of the same unrolled chain) — q9
+    # per-term products in exact decimal, 1e-6 floor-quantized sim,
+    # ties to neighbor asc
+    sql["kge_entity_neighbors"] = (
+        _kge
+        + f""",
+        erows AS (SELECT id, i, x FROM e2),
+        nq AS (SELECT id,
+                      sqrt(CAST(sum(CAST({_Q9('x * x')}
+                        AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+               FROM erows GROUP BY 1),
+        dq AS (SELECT a.id AS id, b.id AS neighbor,
+                      CAST(sum(CAST({_Q9('a.x * b.x')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS dot
+               FROM erows a
+               JOIN erows b ON a.i = b.i AND a.id <> b.id
+               GROUP BY 1, 2),
+        sq AS (SELECT dq.id, dq.neighbor,
+                      floor((dq.dot / (na.nrm * nb.nrm))
+                            * 1000000.0 + 0.5) / 1000000.0 AS sim
+               FROM dq
+               JOIN nq na ON na.id = dq.id
+               JOIN nq nb ON nb.id = dq.neighbor),
+        rkq AS (SELECT id, neighbor, sim,
+                       row_number() OVER (PARTITION BY id
+                         ORDER BY sim DESC, neighbor ASC) AS rank
+                FROM sq WHERE sim IS NOT NULL)
+        SELECT id, neighbor, sim, CAST(rank AS BIGINT) AS rank
+        FROM rkq WHERE rank <= 5
+    """
+    )
 
     # rotate_*: the RotatE faces on the two-channel CTE chain with
     # the per-dimension unit-modulus relation projection; energy

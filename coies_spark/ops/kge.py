@@ -1543,6 +1543,119 @@ def rotate_rank_eval(
     return out if side == "tail" else _unflip_output(out)
 
 
+def kge_entity_neighbors(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 5.0,
+    margin: float = 1.0,
+    k: int = 5,
+    model: str = "transe",
+) -> DataFrame:
+    """(id, neighbor, sim, rank): exact cosine top-k neighbours of
+    every entity in TRAINED embedding space — the alias/canonicalize
+    face of the KGE family (the route the module docstring promises
+    ``kg.alias_candidates`` consumers): two entities the KG treats
+    alike land close in embedding space even when their SURFACES
+    share nothing, so these pairs complement the edit-distance and
+    attribute-Jaccard alias routes as canonicalization candidate
+    edges.  ``model`` picks the trainer (transe | distmult | complex
+    | rotate); two-channel models embed as the 2·dim-real vector
+    (standard complex-to-real flattening, cosine-preserving for the
+    Hermitian inner product's real part).
+
+    Determinism: per-term products quantize to the q9 grid and sum
+    in exact decimal (order-free), norms/division are fixed IEEE
+    trees, the published sim is floor-quantized at 1e-6, ties break
+    by neighbor id — the family's cross-engine bit-exact contract.
+
+    Scale: this is the EXACT face — the pairwise dot table is
+    |E|²·dim rows through a dimension-keyed join, deliberately scoped
+    to vocabulary-sized entity sets (the ``embedding_norm_stats``
+    scoping rule).  At 10⁹ entities, pivot the long state to arrays
+    and route through ``ops.similarity`` (IVF / LSH-bucketed ANN)
+    instead; this face is the recall-1.0 oracle those paths are
+    measured against.
+    """
+    if k < 1:
+        raise ValueError("kge_entity_neighbors: k must be >= 1")
+    if model in ("transe", "distmult"):
+        trainer = _train_states if model == "transe" else _dm_train_states
+        _, e_state, _ = trainer(triples, dim, iters, lr, margin)
+        rows = e_state.select("id", "i", "x")
+    elif model in ("complex", "rotate"):
+        trainer = (
+            _cx_train_states if model == "complex" else _rt_train_states
+        )
+        _, e_state, _ = trainer(triples, dim, iters, lr, margin)
+        rows = e_state.select(
+            "id", "i", F.col("xr").alias("x")
+        ).unionByName(
+            e_state.select(
+                "id",
+                (F.col("i") + F.lit(dim)).alias("i"),
+                F.col("xi").alias("x"),
+            )
+        )
+    else:
+        raise ValueError(
+            "kge_entity_neighbors: model must be "
+            "transe|distmult|complex|rotate"
+        )
+    rows = rows.localCheckpoint(eager=False)
+    nrm = rows.groupBy("id").agg(
+        F.sqrt(
+            F.sum(_q9(F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+        ).alias("nrm")
+    )
+    a = rows.select("id", "i", F.col("x").alias("xa"))
+    b = rows.select(
+        F.col("id").alias("neighbor"), "i", F.col("x").alias("xb")
+    )
+    dots = (
+        a.join(b, "i")
+        .where(F.col("id") != F.col("neighbor"))
+        .groupBy("id", "neighbor")
+        .agg(
+            F.sum(_q9(F.col("xa") * F.col("xb")).cast(_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    sim = (
+        F.floor(
+            F.try_divide(
+                F.col("dot"), F.col("nrm") * F.col("nrm_b")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    scored = (
+        dots.join(nrm, "id")
+        .join(
+            nrm.select(
+                F.col("id").alias("neighbor"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "neighbor",
+        )
+        .select("id", "neighbor", sim.alias("sim"))
+        .where(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("sim"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor", "sim", "rank")
+    )
+
+
 def kge_model_compare(
     triples: DataFrame,
     dim: int = 4,

@@ -292,3 +292,76 @@ class TestRotatERankEval:
     def test_side_validation(self, spark):
         with pytest.raises(ValueError):
             rotate_rank_eval(_triples(spark), side="both")
+
+
+class TestKgeEntityNeighbors:
+    def test_shape_ranks_and_order(self, spark):
+        from coies_spark.ops.kge import kge_entity_neighbors
+
+        t = _triples(spark)
+        got = kge_entity_neighbors(t, k=3, **CFG)
+        rows = got.collect()
+        per_id = {}
+        for r in rows:
+            per_id.setdefault(r.id, []).append(r)
+        n_ents = (
+            t.select("subj").union(t.select("obj")).distinct().count()
+        )
+        assert len(per_id) == n_ents
+        for rs in per_id.values():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            sims = [r.sim for r in rs]
+            assert sims == sorted(sims, reverse=True)
+            assert len(rs) <= 3
+
+    def test_cosine_is_symmetric(self, spark):
+        from coies_spark.ops.kge import kge_entity_neighbors
+
+        t = _triples(spark)
+        n_ents = (
+            t.select("subj").union(t.select("obj")).distinct().count()
+        )
+        # k = everyone: every ordered pair appears, sim must agree
+        # across orientations (cosine symmetry on the 1e-6 grid)
+        rows = kge_entity_neighbors(t, k=n_ents, **CFG).collect()
+        sims = {(r.id, r.neighbor): r.sim for r in rows}
+        for (a, b), s in sims.items():
+            assert sims[(b, a)] == s
+
+    def test_two_channel_model(self, spark):
+        from coies_spark.ops.kge import kge_entity_neighbors
+
+        t = _triples(spark)
+        a = kge_entity_neighbors(t, k=2, model="rotate", **CFG)
+        b = kge_entity_neighbors(t, k=2, model="transe", **CFG)
+        assert a.count() == b.count()
+        # different trained geometry → different neighbor sets
+        sa = {(r.id, r.neighbor, r.rank) for r in a.collect()}
+        sb = {(r.id, r.neighbor, r.rank) for r in b.collect()}
+        assert sa != sb
+
+    def test_partitioning_invariance(self, spark):
+        from coies_spark.ops.kge import kge_entity_neighbors
+
+        t = _triples(spark)
+        x = sorted(
+            map(tuple, kge_entity_neighbors(t, k=2, **CFG).collect())
+        )
+        y = sorted(
+            map(
+                tuple,
+                kge_entity_neighbors(
+                    t.repartition(7), k=2, **CFG
+                ).collect(),
+            )
+        )
+        assert x == y
+
+    def test_validation(self, spark):
+        from coies_spark.ops.kge import kge_entity_neighbors
+
+        with pytest.raises(ValueError):
+            kge_entity_neighbors(_triples(spark), k=0)
+        with pytest.raises(ValueError):
+            kge_entity_neighbors(_triples(spark), model="hole")
