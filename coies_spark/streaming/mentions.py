@@ -171,3 +171,53 @@ def stream_comentions(
         "conv_id", "turn_idx", "p.subj", "p.subj_pos", "p.obj",
         "p.obj_pos",
     )
+
+
+def stream_assertion_clauses(
+    stream: DataFrame,
+    neg_cues=None,
+    hedge_cues=None,
+) -> DataFrame:
+    """(conv_id, turn_idx, clause_idx, clause, negated, hedged,
+    assertive): the streaming assertion-scoping feed — unlike the
+    gazetteer (whose batch longest-match window is NOT stream-legal
+    and needed the in-row rebuild above), the batch operator
+    :func:`~coies_spark.ops.kg.assertion_clauses` is ALREADY a
+    stateless projection (split + posexplode + sibling rlikes), so
+    the streaming face certifies and re-exports that contract:
+    append mode, no watermark, no state, batch-identical rows
+    (pinned in tests/test_streaming.py)."""
+    from ..ops.kg import HEDGE_CUES, NEG_CUES, assertion_clauses
+
+    return assertion_clauses(
+        stream,
+        NEG_CUES if neg_cues is None else neg_cues,
+        HEDGE_CUES if hedge_cues is None else hedge_cues,
+    )
+
+
+def stream_asserted_triples(
+    stream: DataFrame,
+    rules,
+    neg_cues=None,
+    hedge_cues=None,
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, obj): the streaming
+    assertion-GATED pattern extraction feed —
+    :func:`~coies_spark.ops.kg.pattern_triples_asserted` applied to
+    the turn stream (every stage is a stateless projection: clause
+    split, cue flags, filter, sibling regexp extracts, one explode).
+    Append mode, batch-identical rows.  Composes upstream of
+    :func:`~coies_spark.streaming.kg.stream_triple_confidence` the
+    same way the co-mention feed does — the streaming KG now
+    ingests PATTERN facts with negation/hypothetical scoping applied
+    at the ingest boundary, before anything reaches the belief
+    fold."""
+    from ..ops.kg import HEDGE_CUES, NEG_CUES, pattern_triples_asserted
+
+    return pattern_triples_asserted(
+        stream,
+        rules,
+        NEG_CUES if neg_cues is None else neg_cues,
+        HEDGE_CUES if hedge_cues is None else hedge_cues,
+    )

@@ -626,3 +626,87 @@ def test_stream_comentions_matches_batch_pairs(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_assertion_clauses_matches_batch(spark, tmp_path):
+    """The assertion-scoping feed is a certified stateless
+    projection: row-identical to batch assertion_clauses over the
+    same streamed turns, append mode, no state."""
+    from coies_spark.ops.kg import assertion_clauses
+    from coies_spark.streaming.mentions import stream_assertion_clauses
+
+    rows = []
+    for c in range(15):
+        rows.append((f"c{c}", 0, "user",
+                     f"run batch {c}. the job did not fail; "
+                     "if it stalls, page me!", None))
+        rows.append((f"c{c}", 1, "agent", "maybe retry. done", None))
+    rows.append(("cx", 0, "user", None, None))   # null turn
+    rows.append(("cy", 0, "user", "...", None))  # empty clauses only
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    in_dir = tmp_path / "turns_ac"
+    t.coalesce(2).write.parquet(str(in_dir))
+
+    stream = spark.readStream.schema(t.schema).parquet(str(in_dir))
+    q = (
+        stream_assertion_clauses(stream)
+        .writeStream.format("memory")
+        .queryName("assertion_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cka"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from assertion_feed").collect())
+    )
+    want = sorted(map(tuple, assertion_clauses(t).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_asserted_triples_matches_batch(spark, tmp_path):
+    """The assertion-GATED pattern extraction feed emits
+    batch-identical triples: negated/hedged clauses contribute
+    nothing on either path."""
+    from coies_spark.ops.kg import pattern_triples_asserted
+    from coies_spark.streaming.mentions import stream_asserted_triples
+
+    rules = [("scans", r"(\w+) scan (\w+)")]
+    rows = []
+    for c in range(15):
+        rows.append((f"c{c}", 0, "user",
+                     f"alice scan t{c}. bob did not scan idx; "
+                     "if carol scan log!", None))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    in_dir = tmp_path / "turns_at"
+    t.coalesce(2).write.parquet(str(in_dir))
+
+    stream = spark.readStream.schema(t.schema).parquet(str(in_dir))
+    q = (
+        stream_asserted_triples(stream, rules)
+        .writeStream.format("memory")
+        .queryName("asserted_feed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from asserted_feed").collect())
+    )
+    want = sorted(
+        map(tuple, pattern_triples_asserted(t, rules).collect())
+    )
+    assert got == want and len(got) > 0
+    # only the assertive clause's fact per conversation
+    assert {g[3] for g in got} == {"alice"}
