@@ -2798,6 +2798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity_types, with multi-typed brands and untyped ranges
         # exercising modal confidence and the outer-join nulls
         "induce_signatures": _q_induce_signatures,
+        # TextRank corpus keywords: co-occurrence graph + the
+        # engine's own deterministic PageRank, TakeOrdered top-k
+        "textrank_terms": lambda s, d: textstats.textrank_terms(
+            _read(s, d, "documents")
+        ),
         # NegEx-lite clause-level assertion scoping over transcript
         # turns: negation/hedge cue flags per clause, the precision
         # gate in front of every extractor
@@ -6532,6 +6537,53 @@ def oracle_sql() -> dict[str, str]:
                unnest(ss) AS subj, unnest(os) AS obj
         FROM r
     """
+
+    # textrank_terms: the co-occurrence edge set (window 2 over the
+    # tokenized-stream positions, stopword/length gate AFTER
+    # positioning) feeding the pagerank_neardup unrolled-iteration
+    # convention (per-round 9dp), TakeOrdered top-20
+    _tr_stop = ", ".join(f"'{s_}'" for s_ in textstats.STOPWORDS)
+    _tr_ctes = [
+        f"""tk AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+             FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                  unnest(range(1, len(t) + 1)) u(i))""",
+        f"""ftk AS (SELECT doc_id, pos, tok FROM tk
+             WHERE len(tok) > 1 AND tok NOT IN ({_tr_stop}))""",
+        """e0 AS (SELECT DISTINCT least(x.tok, y.tok) AS a0,
+                        greatest(x.tok, y.tok) AS b0
+             FROM ftk x JOIN ftk y ON y.doc_id = x.doc_id
+               AND y.pos BETWEEN x.pos + 1 AND x.pos + 2
+             WHERE x.tok <> y.tok)""",
+        """sym AS (SELECT DISTINCT a, b FROM (
+             SELECT a0 AS a, b0 AS b FROM e0
+             UNION ALL SELECT b0, a0 FROM e0) WHERE a <> b)""",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT a AS node, count(*) AS deg FROM sym"
+        " GROUP BY 1)",
+        "pr0 AS (SELECT node, round(1.0/(SELECT n FROM nn), 9) AS pr"
+        " FROM nodes)",
+    ]
+    for _it in range(1, 4):
+        _tr_ctes.append(
+            f"pr{_it} AS (SELECT s.b AS node,"
+            f" round((1-0.85)/(SELECT n FROM nn)"
+            f" + 0.85*sum(p.pr/dg.deg), 9) AS pr"
+            f" FROM sym s JOIN pr{_it - 1} p ON p.node = s.a"
+            f" JOIN deg dg ON dg.node = s.a GROUP BY s.b)"
+        )
+    sql["textrank_terms"] = (
+        "WITH "
+        + ",\n".join(_tr_ctes)
+        + """
+        SELECT term, pr, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT node AS term, pr,
+                 row_number() OVER (ORDER BY pr DESC, node ASC)
+                   AS rank
+          FROM pr3)
+        WHERE rank <= 20
+    """
+    )
 
     # assertion_clauses: the transcript turns split on [.;!?] with
     # 0-based ORIGINAL clause indexes, trimmed, empties dropped; the

@@ -369,6 +369,80 @@ def bm25_topk(
     ).select("doc_id", "score", "rank")
 
 
+def textrank_terms(
+    docs: DataFrame,
+    window: int = 2,
+    iters: int = 3,
+    damping: float = 0.85,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, pr, rank): TextRank keyword extraction (Mihalcea &
+    Tarau, EMNLP 2004, "TextRank: Bringing Order into Text") — build
+    the corpus term co-occurrence graph (two candidate terms within
+    ``window`` token positions in a document share an undirected,
+    unweighted edge) and rank terms by PageRank over it; the top
+    ``topk`` terms are the corpus keywords.  Candidate terms are
+    engine-tokenizer tokens minus :data:`STOPWORDS` and single
+    characters (the length/stopword gate stands in for the paper's
+    POS filter — no tagger in this engine by design); positions are
+    counted in the tokenized stream BEFORE the gate, so removed
+    tokens still separate their neighbours.
+
+    Reuses :func:`~coies_spark.operators.graph.pagerank` verbatim —
+    same unrolled power iteration, same per-round 9dp rounding, so
+    iterates and the (pr DESC, term ASC) ranking are bit-identical
+    across engines.
+
+    Scale: the co-occurrence join is an EQUI-join on
+    (doc_id, pos + δ) with δ exploded to 1..``window`` — O(tokens ·
+    window) pair rows, never a per-document all-pairs; the edge set
+    dedups to vocabulary² at most but in practice Zipf-thins, and
+    PageRank's 2-shuffles-per-round bound takes over.  The global
+    top-k is ``orderBy().limit()`` — distributed TakeOrdered, never
+    a single-partition rank over the vocabulary.
+    """
+    if window < 1:
+        raise ValueError("textrank_terms: window must be >= 1")
+    from ..operators.graph import pagerank
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    ).where(
+        (F.length("tok") > 1) & ~F.col("tok").isin(*STOPWORDS)
+    )
+    a = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window)))
+        ).alias("__d"),
+        "pos",
+    ).select(
+        "doc_id",
+        F.col("tok").alias("ta"),
+        (F.col("pos") + F.col("__d")).alias("pb"),
+    )
+    b = toks.select(
+        "doc_id", F.col("pos").alias("pb"), F.col("tok").alias("tb")
+    )
+    edges = (
+        a.join(b, ["doc_id", "pb"])
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            F.least("ta", "tb").alias("src"),
+            F.greatest("ta", "tb").alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=iters, damping=damping)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(topk)
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(F.col("node").alias("term"), "pr", "rank")
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """Rolling-shingle fingerprint: the minimum shingle digest per
     document (winnowing-style 1-of-document selection) plus the
