@@ -2803,6 +2803,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_terms": lambda s, d: textstats.textrank_terms(
             _read(s, d, "documents")
         ),
+        # sentence-level TextRank: per-CONVERSATION extractive summary
+        # — turns reassembled into one document with '. ' separators
+        # (the synthetic documents carry no clause punctuation, so
+        # the conversation build is what gives the sentence graph
+        # real multi-sentence structure), top-2 by weighted PageRank
+        "textrank_sentences": lambda s, d: textstats.textrank_sentences(
+            transcripts.synthesize_transcripts(_read(s, d, "documents"))
+            .groupBy(F.col("conv_id").alias("doc_id"))
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "text"))
+                        ),
+                        lambda x: x["text"],
+                    ),
+                    ". ",
+                ).alias("text")
+            )
+        ).withColumn("sent_idx", F.col("sent_idx").cast("long")),
         # NegEx-lite clause-level assertion scoping over transcript
         # turns: negation/hedge cue flags per clause, the precision
         # gate in front of every extractor
@@ -6582,6 +6602,86 @@ def oracle_sql() -> dict[str, str]:
                    AS rank
           FROM pr3)
         WHERE rank <= 20
+    """
+    )
+
+    # textrank_sentences: clause-recipe sentence split, gated
+    # distinct-token overlap normalized by length SUM (log-free — the
+    # op's cross-engine variant), per-document weighted unrolled
+    # PageRank with the 9dp convention, top-2 per doc
+    _sent_toks = _TOKS.replace("lower(text)", "lower(sentence)")
+    _ts_ctes = [
+        f"t0 AS ({_transcripts_cte()})",
+        "dd AS (SELECT conv_id AS doc_id,"
+        " string_agg(turn_text, '. ' ORDER BY turn_idx) AS text"
+        " FROM t0 GROUP BY 1)",
+        """snt AS (SELECT doc_id, i - 1 AS sent_idx,
+                trim(cls[i]) AS sentence
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(text, '[.;!?]') AS cls
+                 FROM dd),
+                unnest(range(1, len(cls) + 1)) u(i))""",
+        "sn AS (SELECT doc_id, sent_idx, sentence FROM snt"
+        " WHERE sentence <> '')",
+        f"""stk AS (SELECT DISTINCT doc_id, sent_idx, tok FROM (
+              SELECT doc_id, sent_idx, unnest({_sent_toks}) AS tok
+              FROM sn)
+            WHERE len(tok) > 1 AND tok NOT IN ({_tr_stop}))""",
+        "sncnt AS (SELECT doc_id, sent_idx,"
+        " CAST(count(*) AS BIGINT) AS n FROM stk GROUP BY 1, 2)",
+        """ovl AS (SELECT x.doc_id, x.sent_idx AS ia,
+                y.sent_idx AS ib, CAST(count(*) AS BIGINT) AS ov
+           FROM stk x JOIN stk y ON y.doc_id = x.doc_id
+             AND y.tok = x.tok AND x.sent_idx < y.sent_idx
+           GROUP BY 1, 2, 3)""",
+        """hw AS (SELECT ovl.doc_id, ia, ib,
+                round(ov / (na.n + nb.n), 9) AS w
+           FROM ovl
+           JOIN sncnt na ON na.doc_id = ovl.doc_id
+             AND na.sent_idx = ia
+           JOIN sncnt nb ON nb.doc_id = ovl.doc_id
+             AND nb.sent_idx = ib)""",
+        "eg AS (SELECT doc_id, ia AS src, ib AS dst, w FROM hw"
+        " UNION ALL SELECT doc_id, ib, ia, w FROM hw)",
+        "ws AS (SELECT doc_id, src,"
+        " CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS wsum"
+        " FROM eg GROUP BY 1, 2)",
+        "ndc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd"
+        " FROM sn GROUP BY 1)",
+        "sp0 AS (SELECT sn.doc_id, sn.sent_idx,"
+        " round(1.0 / ndc.nd, 9) AS pr"
+        " FROM sn JOIN ndc ON ndc.doc_id = sn.doc_id)",
+    ]
+    for _it in range(1, 4):
+        _ts_ctes.append(
+            f"spc{_it} AS (SELECT eg.doc_id, eg.dst AS sent_idx,"
+            f" sum(p.pr * eg.w / ws.wsum) AS s"
+            f" FROM eg JOIN sp{_it - 1} p ON p.doc_id = eg.doc_id"
+            f" AND p.sent_idx = eg.src"
+            f" JOIN ws ON ws.doc_id = eg.doc_id AND ws.src = eg.src"
+            f" GROUP BY 1, 2)"
+        )
+        _ts_ctes.append(
+            f"sp{_it} AS (SELECT sn.doc_id, sn.sent_idx,"
+            f" round((1-0.85)/ndc.nd + 0.85*coalesce(c.s, 0), 9)"
+            f" AS pr"
+            f" FROM sn JOIN ndc ON ndc.doc_id = sn.doc_id"
+            f" LEFT JOIN spc{_it} c ON c.doc_id = sn.doc_id"
+            f" AND c.sent_idx = sn.sent_idx)"
+        )
+    sql["textrank_sentences"] = (
+        "WITH "
+        + ",\n".join(_ts_ctes)
+        + """
+        SELECT r.doc_id, CAST(r.sent_idx AS BIGINT) AS sent_idx,
+               sn.sentence, r.pr, CAST(r.rank AS BIGINT) AS rank
+        FROM (SELECT doc_id, sent_idx, pr,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY pr DESC, sent_idx ASC) AS rank
+              FROM sp3) r
+        JOIN sn ON sn.doc_id = r.doc_id
+          AND sn.sent_idx = r.sent_idx
+        WHERE r.rank <= 2
     """
     )
 

@@ -443,6 +443,177 @@ def textrank_terms(
     ).select(F.col("node").alias("term"), "pr", "rank")
 
 
+def textrank_sentences(
+    docs: DataFrame,
+    topk: int = 2,
+    iters: int = 3,
+    damping: float = 0.85,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sent_idx, sentence, pr, rank): extractive
+    summarization by sentence-level TextRank (Mihalcea & Tarau 2004
+    §4) — per document, rank sentences by weighted PageRank over the
+    sentence-similarity graph and keep the top ``topk``; read back
+    in ``sent_idx`` order they are the extractive summary (the
+    summarization task whose ROUGE evaluation machinery this engine
+    already carries — ``rouge1_pairs``/``rougel_pairs`` score these
+    against gold abstracts directly).
+
+    Conventions:
+
+    * sentence boundaries are the clause recipe (``[.;!?]``, trim,
+      empties dropped, ORIGINAL split indexes — the
+      ``kg.assertion_clauses`` convention);
+    * similarity w(Si, Sj) = |content-token overlap| / (|Si| + |Sj|)
+      over gated distinct tokens (the :func:`textrank_terms` gate) —
+      the paper's log-length normalization is replaced by the common
+      length-sum variant because ln() is not correctly-rounded
+      identically across engines, and the rational form keeps the
+      cross-engine bit-exact contract with no transcendental;
+    * weighted PageRank per DOCUMENT: pr' = (1−d)/N_doc +
+      d·Σ_j pr_j·w_ij/W_j, per-round 9dp rounding (the
+      ``operators.graph.pagerank`` convention); sentences with no
+      similar sibling still rank (they hold the (1−d)/N floor).
+
+    Scale: the overlap join is an equi-join on (doc_id, token) — the
+    inverted-index shape, never per-document all-pairs unless the
+    document IS all-similar (the SemDeDup block-cap argument);
+    PageRank rounds are two keyed shuffles each; the final top-k
+    window partitions by doc_id, so no global sort anywhere.
+    """
+    if topk < 1:
+        raise ValueError("textrank_sentences: topk must be >= 1")
+    d = float(damping)
+    sents = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), r"[.;!?]")).alias(
+                "sent_idx", "__s"
+            ),
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.trim(F.col("__s")).alias("sentence"),
+        )
+        .where(F.col("sentence") != "")
+        .localCheckpoint(eager=False)
+    )
+    stoks = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(F.array_distinct(tokens_col("sentence"))).alias("tok"),
+    ).where((F.length("tok") > 1) & ~F.col("tok").isin(*STOPWORDS))
+    ncnt = stoks.groupBy("doc_id", "sent_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ov = (
+        stoks.select("doc_id", F.col("sent_idx").alias("ia"), "tok")
+        .join(
+            stoks.select(
+                "doc_id", F.col("sent_idx").alias("ib"), "tok"
+            ),
+            ["doc_id", "tok"],
+        )
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("doc_id", "ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    half = (
+        ov.join(
+            ncnt.select(
+                "doc_id",
+                F.col("sent_idx").alias("ia"),
+                F.col("n").alias("na"),
+            ),
+            ["doc_id", "ia"],
+        )
+        .join(
+            ncnt.select(
+                "doc_id",
+                F.col("sent_idx").alias("ib"),
+                F.col("n").alias("nb"),
+            ),
+            ["doc_id", "ib"],
+        )
+        .select(
+            "doc_id",
+            "ia",
+            "ib",
+            F.round(
+                F.col("ov") / (F.col("na") + F.col("nb")), 9
+            ).alias("w"),
+        )
+    )
+    edges = half.select(
+        "doc_id",
+        F.col("ia").alias("src"),
+        F.col("ib").alias("dst"),
+        "w",
+    ).unionByName(
+        half.select(
+            "doc_id",
+            F.col("ib").alias("src"),
+            F.col("ia").alias("dst"),
+            "w",
+        )
+    ).localCheckpoint(eager=False)
+    wsum = edges.groupBy("doc_id", "src").agg(
+        F.sum(F.col("w").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("wsum")
+    )
+    nodes = sents.select("doc_id", "sent_idx")
+    nd = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    pr = nodes.join(nd, "doc_id").select(
+        "doc_id",
+        "sent_idx",
+        F.round(F.lit(1.0) / F.col("nd"), 9).alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                pr.select(
+                    "doc_id",
+                    F.col("sent_idx").alias("src"),
+                    "pr",
+                ),
+                ["doc_id", "src"],
+            )
+            .join(wsum, ["doc_id", "src"])
+            .groupBy("doc_id", F.col("dst").alias("sent_idx"))
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w") / F.col("wsum")
+                ).alias("s")
+            )
+        )
+        pr = (
+            nodes.join(nd, "doc_id")
+            .join(contrib, ["doc_id", "sent_idx"], "left")
+            .select(
+                "doc_id",
+                "sent_idx",
+                F.round(
+                    F.lit(1.0 - d) / F.col("nd")
+                    + F.lit(d) * F.coalesce("s", F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("pr"), F.asc("sent_idx")
+    )
+    return (
+        pr.withColumn("rank", F.row_number().over(wtop).cast("long"))
+        .where(F.col("rank") <= topk)
+        .join(sents, ["doc_id", "sent_idx"])
+        .select("doc_id", "sent_idx", "sentence", "pr", "rank")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """Rolling-shingle fingerprint: the minimum shingle digest per
     document (winnowing-style 1-of-document selection) plus the

@@ -69,3 +69,56 @@ class TestTextrankTerms:
     def test_window_validation(self, spark):
         with pytest.raises(ValueError):
             textrank_terms(_docs(spark, ["a b"]), window=0)
+
+
+class TestTextrankSentences:
+    def test_central_sentence_ranks_first(self, spark):
+        from coies_spark.ops.textstats import textrank_sentences
+
+        # sentence 1 shares tokens with every other sentence; the
+        # others share nothing with each other
+        d = _docs(spark, [
+            "spark shuffles joins caches. "
+            "spark shuffles quickly. "
+            "joins run distributed. "
+            "caches hold blocks",
+        ])
+        rows = textrank_sentences(d, topk=1).collect()
+        assert len(rows) == 1
+        assert rows[0].sent_idx == 0 and rows[0].rank == 1
+
+    def test_single_sentence_doc_still_ranks(self, spark):
+        from coies_spark.ops.textstats import textrank_sentences
+
+        d = _docs(spark, ["only one sentence here"])
+        rows = textrank_sentences(d, topk=2).collect()
+        assert len(rows) == 1
+        assert rows[0].rank == 1 and rows[0].sentence.startswith("only")
+
+    def test_per_document_independence(self, spark):
+        from coies_spark.ops.textstats import textrank_sentences
+
+        d = _docs(spark, [
+            "alpha beta gamma. alpha beta delta. epsilon zeta",
+            "one two three. one two four",
+        ])
+        rows = textrank_sentences(d, topk=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.rank)
+        assert sorted(by_doc[0]) == [1, 2]
+        assert sorted(by_doc[1]) == [1, 2]
+
+    def test_summary_sentences_carry_text(self, spark):
+        from coies_spark.ops.textstats import textrank_sentences
+
+        d = _docs(spark, ["first part here. second part here"])
+        rows = {r.sent_idx: r.sentence for r in textrank_sentences(
+            d, topk=2).collect()}
+        assert rows == {0: "first part here", 1: "second part here"}
+
+    def test_topk_validation(self, spark):
+        from coies_spark.ops.textstats import textrank_sentences
+
+        with pytest.raises(ValueError):
+            textrank_sentences(_docs(spark, ["a. b"]), topk=0)
