@@ -777,3 +777,56 @@ def test_relation_proposals_broadcast_weights_no_cartesian(spark):
     # the ≤257-row weight table joins broadcast onto the counts
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p
+
+
+def test_textrank_terms_plan_shape(spark):
+    # co-occurrence edges via the (doc_id, pos+delta) equi-join —
+    # no cartesian, partial aggregation before the edge distinct and
+    # the pagerank contribution sums
+    d = spark.createDataFrame(
+        [(0, "spark shuffles data fast"), (1, "spark joins tables")],
+        "doc_id long, text string",
+    )
+    p = plan_of(textstats.textrank_terms(d, topk=5))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins are pagerank's deliberate 1-row
+    # corpus-size broadcasts (BuildRight, Cross — the tf-idf
+    # pattern), never a data-vs-data cross
+    import re as _re
+
+    for m in _re.finditer(r"BroadcastNestedLoopJoin.*", p):
+        assert "BuildRight, Cross" in m.group(0)
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_textrank_sentences_plan_shape(spark):
+    # sentence overlap via the (doc_id, token) inverted-index join;
+    # the top-k window partitions by doc_id (no global single-task
+    # Window), no cartesian anywhere
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma. alpha beta delta. epsilon zeta")],
+        "doc_id long, text string",
+    )
+    p = plan_of(textstats.textrank_sentences(d, topk=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # every Window in the plan is doc_id-partitioned
+    import re as _re
+
+    for m in _re.finditer(r"Window .*", p):
+        assert "doc_id" in m.group(0)
+
+
+def test_pra_path_features_plan_shape(spark):
+    # one midpoint-keyed self-join + partial-aggregated path counts;
+    # the degree gate is a semi-join, never a cartesian
+    from coies_spark.ops.kg import pra_path_features
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    p = plan_of(pra_path_features(t, max_degree=10))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
