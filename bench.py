@@ -287,6 +287,28 @@ def main() -> None:
                 F.sum("sim_next"),
             )
         ),
+        # sentence-level TextRank: per-conversation extractive
+        # summaries (turns reassembled with '. ' separators, weighted
+        # per-doc PageRank over the sentence-overlap graph, top-2)
+        "textrank_sentences": lambda: run(
+            textstats.textrank_sentences(
+                transcripts.synthesize_transcripts(docs)
+                .groupBy(F.col("conv_id").alias("doc_id"))
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("turn_idx", "text")
+                                )
+                            ),
+                            lambda x: x["text"],
+                        ),
+                        ". ",
+                    ).alias("text")
+                )
+            )
+        ),
         # boilerplate-turn scrub (CCNet repeated-line rule)
         "scrub_boilerplate": lambda: run(
             transcripts.scrub_boilerplate_turns(
