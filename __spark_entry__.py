@@ -623,6 +623,51 @@ PATTERN_RULES = [
     ("hashes", r"(\w+) hash (\w+)"),
 ]
 
+# numeric_triples rules: (pred, regex with (subj, magnitude, unit))
+NUMERIC_RULES = [
+    ("ships_qty", r"(\w+) ships (\d+) (units)"),
+    ("waits_s", r"(\w+) waits (\d+) (ms|s|min)"),
+]
+
+
+def _numeric_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic numeric-fact transcript derived from lineitem —
+    every line becomes one turn asserting a shipment quantity and a
+    wait duration whose unit cycles ms/s/min, so the unit-
+    normalization join sees all three factors."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(
+            F.lit("conv-"), F.col("l_orderkey").cast("string")
+        ).alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("p"),
+            F.col("l_partkey").cast("string"),
+            F.lit(" ships "),
+            F.col("l_quantity").cast("int").cast("string"),
+            F.lit(" units, then p"),
+            F.col("l_partkey").cast("string"),
+            F.lit(" waits "),
+            (F.col("l_linenumber") * 10).cast("int").cast("string"),
+            F.lit(" "),
+            F.element_at(
+                F.array(F.lit("ms"), F.lit("s"), F.lit("min")),
+                (F.col("l_linenumber") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+
+
+def _q_numeric_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    units = spark.createDataFrame(
+        [("units", 1.0), ("ms", 0.001), ("s", 1.0), ("min", 60.0)],
+        ["unit", "factor"],
+    )
+    return kg.numeric_triples(
+        _numeric_turns(spark, sf_dir), NUMERIC_RULES, units
+    ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+
 
 def _kg_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript mention evidence as generic (subj, pred, obj, ts,
@@ -2831,6 +2876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .withColumn("turn_idx", F.col("turn_idx").cast("long"))
         .withColumn("clause_idx", F.col("clause_idx").cast("long")),
+        # typed numeric fact extraction with unit normalization over
+        # the lineitem-derived numeric transcript (all three duration
+        # units exercised; unknown units drop by contract)
+        "numeric_triples": _q_numeric_triples,
         # the pattern extractor gated by assertion scoping: rules
         # never fire inside negated/hypothetical clauses
         "pattern_triples_asserted": lambda s, d: (
@@ -6684,6 +6733,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.rank <= 2
     """
     )
+
+    # numeric_triples: the VERBATIM NUMERIC_RULES over the lineitem-
+    # derived numeric turns; magnitude parsed as DOUBLE, normalized
+    # by the unit-factor VALUES table (unknown units drop)
+    _num_arms = "\n          UNION ALL\n".join(
+        f"""          SELECT conv_id, turn_idx, '{p}' AS pred,
+                 regexp_extract_all(text, '{rx}', 1) AS ss,
+                 regexp_extract_all(text, '{rx}', 2) AS mags,
+                 regexp_extract_all(text, '{rx}', 3) AS us
+          FROM t WHERE text IS NOT NULL"""
+        for p, rx in NUMERIC_RULES
+    )
+    sql["numeric_triples"] = f"""
+        WITH t AS (
+          SELECT 'conv-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+                 l_linenumber AS turn_idx,
+                 'p' || CAST(l_partkey AS VARCHAR) || ' ships ' ||
+                 CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+                 ' units, then p' || CAST(l_partkey AS VARCHAR) ||
+                 ' waits ' ||
+                 CAST(CAST(l_linenumber * 10 AS INT) AS VARCHAR) ||
+                 ' ' ||
+                 (['ms','s','min'])[CAST(l_linenumber % 3 + 1 AS INT)]
+                   AS text
+          FROM lineitem),
+        u AS (SELECT unit, CAST(factor AS DOUBLE) AS factor
+              FROM (VALUES ('units', 1.0), ('ms', 0.001),
+                           ('s', 1.0), ('min', 60.0)) x(unit, factor)),
+        r AS (
+{_num_arms}
+        ),
+        xm AS (SELECT conv_id, turn_idx, pred,
+                      unnest(ss) AS subj, unnest(mags) AS mag,
+                      unnest(us) AS unit
+               FROM r)
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, pred,
+               subj, round(CAST(mag AS DOUBLE) * factor, 6) AS value,
+               unit
+        FROM xm JOIN u USING (unit)
+    """
 
     # assertion_clauses: the transcript turns split on [.;!?] with
     # 0-based ORIGINAL clause indexes, trimmed, empties dropped; the

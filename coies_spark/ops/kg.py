@@ -1349,6 +1349,95 @@ def pattern_triples_asserted(
     )
 
 
+def numeric_triples(
+    transcripts: DataFrame,
+    rules: list[tuple[str, str]],
+    units: DataFrame,
+) -> DataFrame:
+    """(conv_id, turn_idx, pred, subj, value, unit): TYPED numeric
+    fact extraction — the literal-valued complement of
+    :func:`pattern_triples`: real KGs carry quantities ("p17 ships 40
+    units", "the job waits 250 ms") and storing them as strings makes
+    every range query a parse; this op extracts them as doubles
+    normalized to each predicate's canonical unit.
+
+    Each rule is ``(pred, regex)`` with EXACTLY three capture groups:
+    group 1 = subject surface, group 2 = magnitude (a decimal
+    literal), group 3 = unit token.  ``units`` is a (unit, factor)
+    table — canonical-unit conversion factors (ms → 0.001 of a
+    second, min → 60) — and matches whose unit has no factor DROP
+    (inner join: an unknown unit is an unparseable fact, not a
+    silently wrong one).  ``value = round(magnitude · factor, 6)``;
+    the published ``unit`` column is the MATCHED surface unit, so
+    consumers can audit the normalization.
+
+    Same dialect contract (Java∩RE2), same leftmost-non-overlapping
+    matching, and same scale shape as :func:`pattern_triples`: all
+    rules evaluate as sibling expressions in ONE projection over ONE
+    corpus scan, then a single broadcast join against the unit table
+    — the only post-scan structure.  Composes with
+    :func:`assertion_clauses` the same way the pattern extractor
+    does (feed assertive clauses as the text).
+    """
+    import re as _re
+
+    if not rules:
+        raise ValueError("numeric_triples: rules must be non-empty")
+    for pred, pat in rules:
+        try:
+            groups = _re.compile(pat).groups
+        except _re.error:
+            continue
+        if groups != 3:
+            raise ValueError(
+                f"numeric_triples: rule {pred!r} must have exactly "
+                f"three capture groups (subject, magnitude, unit), "
+                f"got {groups}"
+            )
+    txt = F.col("text")
+    proj = [
+        c
+        for i, (_, pat) in enumerate(rules)
+        for c in (
+            F.regexp_extract_all(txt, F.lit(pat), 1).alias(f"_s{i}"),
+            F.regexp_extract_all(txt, F.lit(pat), 2).alias(f"_m{i}"),
+            F.regexp_extract_all(txt, F.lit(pat), 3).alias(f"_u{i}"),
+        )
+    ]
+    step = transcripts.select("conv_id", "turn_idx", *proj)
+
+    def _to_struct(pred: str, i: int):
+        return lambda x: F.struct(
+            F.lit(pred).alias("pred"),
+            x[f"_s{i}"].alias("subj"),
+            x[f"_m{i}"].alias("mag"),
+            x[f"_u{i}"].alias("unit"),
+        )
+
+    arrs = [
+        F.transform(
+            F.arrays_zip(
+                F.col(f"_s{i}"), F.col(f"_m{i}"), F.col(f"_u{i}")
+            ),
+            _to_struct(pred, i),
+        )
+        for i, (pred, _) in enumerate(rules)
+    ]
+    matched = step.select(
+        "conv_id", "turn_idx", F.explode(F.concat(*arrs)).alias("m")
+    ).select("conv_id", "turn_idx", "m.pred", "m.subj", "m.mag", "m.unit")
+    return matched.join(F.broadcast(units), "unit").select(
+        "conv_id",
+        "turn_idx",
+        "pred",
+        "subj",
+        F.round(
+            F.col("mag").cast("double") * F.col("factor"), 6
+        ).alias("value"),
+        "unit",
+    )
+
+
 def gazetteer_mentions(
     transcripts: DataFrame,
     dictionary: DataFrame,

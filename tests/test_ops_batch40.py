@@ -116,3 +116,85 @@ class TestPatternTriplesAsserted:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestNumericTriples:
+    NRULES = [
+        ("ships_qty", r"(\w+) ships (\d+) (units)"),
+        ("waits_s", r"(\w+) waits (\d+) (ms|s|min)"),
+    ]
+
+    def _units(self, spark):
+        return spark.createDataFrame(
+            [("units", 1.0), ("ms", 0.001), ("s", 1.0), ("min", 60.0)],
+            ["unit", "factor"],
+        )
+
+    def test_extracts_and_normalizes(self, spark):
+        from coies_spark.ops.kg import numeric_triples
+
+        t = _tt(spark, [
+            ("c1", 0, "p1 ships 5 units, then p1 waits 20 ms"),
+            ("c2", 0, "p2 waits 3 min"),
+        ])
+        got = {
+            (r.conv_id, r.pred, r.subj): (r.value, r.unit)
+            for r in numeric_triples(
+                t, self.NRULES, self._units(spark)
+            ).collect()
+        }
+        assert got[("c1", "ships_qty", "p1")] == (5.0, "units")
+        assert got[("c1", "waits_s", "p1")] == (0.02, "ms")
+        assert got[("c2", "waits_s", "p2")] == (180.0, "min")
+
+    def test_unknown_unit_drops(self, spark):
+        from coies_spark.ops.kg import numeric_triples
+
+        t = _tt(spark, [("c1", 0, "p1 waits 9 s")])
+        units = spark.createDataFrame(
+            [("ms", 0.001)], ["unit", "factor"]
+        )
+        assert numeric_triples(t, self.NRULES, units).count() == 0
+
+    def test_multiple_matches_per_turn(self, spark):
+        from coies_spark.ops.kg import numeric_triples
+
+        t = _tt(spark, [
+            ("c1", 0, "p1 ships 2 units and p2 ships 3 units"),
+        ])
+        vals = sorted(
+            r.value
+            for r in numeric_triples(
+                t, self.NRULES, self._units(spark)
+            ).collect()
+        )
+        assert vals == [2.0, 3.0]
+
+    def test_rule_group_validation(self, spark):
+        from coies_spark.ops.kg import numeric_triples
+
+        with pytest.raises(ValueError):
+            numeric_triples(
+                _tt(spark, [("c", 0, "x")]),
+                [("bad", r"(\w+) ships (\d+)")],
+                self._units(spark),
+            )
+
+    def test_composes_with_assertion_gate(self, spark):
+        from coies_spark.ops.kg import assertion_clauses, numeric_triples
+
+        t = _tt(spark, [
+            ("c1", 0, "p1 ships 5 units. p2 did not ship, "
+                      "p2 waits 10 s"),
+        ])
+        gated = numeric_triples(
+            assertion_clauses(t)
+            .where("assertive")
+            .select(
+                "conv_id", "turn_idx", F.col("clause").alias("text")
+            ),
+            self.NRULES,
+            self._units(spark),
+        )
+        got = {(r.pred, r.subj) for r in gated.collect()}
+        assert got == {("ships_qty", "p1")}
