@@ -1905,6 +1905,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             pronouns=("the", "a"),
         ),
+        # definite-NP coreference: "the query"/"the filter" resolve
+        # to the last preceding mention of an entity of that TYPE
+        # (dictionary surfaces excluded as anaphors — direct mention
+        # outranks the anaphoric reading)
+        "resolve_nominals": lambda s, d: kg.resolve_nominals(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("spark", "eng:spark"), ("stream", "eng:stream"),
+                 ("vector", "eng:vector"), ("table", "obj:table"),
+                 ("hash", "obj:hash")],
+                ["surface", "entity"],
+            ),
+            s.createDataFrame(
+                [("eng:spark", "query"), ("eng:stream", "query"),
+                 ("eng:vector", "query"), ("obj:table", "filter"),
+                 ("obj:hash", "filter")],
+                ["entity", "entity_type"],
+            ),
+        ),
         # rdfs9: every part typed by its brand inherits the brand's
         # superclasses; assertion wins over derivation (direct flag)
         "inherit_types": lambda s, d: kg.inherit_types(
@@ -4854,6 +4873,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(lm_pos AS BIGINT) AS entity_pos,
                CAST(turn_idx - lm_turn AS BIGINT) AS distance
         FROM carried WHERE is_pron
+    """
+    )
+
+    # resolve_nominals: definite-NP coreference — the pronoun-oracle
+    # window idiom with the partition key widened to (conv_id, type);
+    # mentions fan out per type, anaphors are determiner-preceded
+    # type words that are NOT dictionary surfaces
+    sql["resolve_nominals"] = (
+        "WITH t AS ("
+        + _transcripts_cte()
+        + """),
+        tk AS (SELECT conv_id, turn_idx,
+                      list_filter(regexp_split_to_array(
+                        lower(turn_text), '[\\s!-/:-@\\[-`{-~]'),
+                        x -> x <> '') AS tokens
+               FROM t),
+        toks AS (SELECT conv_id, turn_idx, i - 1 AS pos, tokens[i] AS tok
+                 FROM tk, unnest(range(1, len(tokens) + 1)) u(i)),
+        dict(surface, entity) AS (VALUES
+          ('spark', 'eng:spark'), ('stream', 'eng:stream'),
+          ('vector', 'eng:vector'), ('table', 'obj:table'),
+          ('hash', 'obj:hash')),
+        ty(entity, type_word) AS (VALUES
+          ('eng:spark', 'query'), ('eng:stream', 'query'),
+          ('eng:vector', 'query'), ('obj:table', 'filter'),
+          ('obj:hash', 'filter')),
+        tn AS (SELECT DISTINCT type_word FROM ty),
+        prevt AS (SELECT conv_id, turn_idx, pos, tok,
+                         lag(tok) OVER (PARTITION BY conv_id, turn_idx
+                                        ORDER BY pos) AS prev
+                  FROM toks),
+        m AS (SELECT k.conv_id, k.turn_idx, k.pos,
+                     ty.type_word AS tyw, d.entity,
+                     FALSE AS is_anaph
+              FROM toks k
+              JOIN dict d ON k.tok = d.surface
+              JOIN ty ON ty.entity = d.entity),
+        an AS (SELECT p.conv_id, p.turn_idx, p.pos, p.tok AS tyw,
+                      CAST(NULL AS VARCHAR) AS entity,
+                      TRUE AS is_anaph
+               FROM prevt p JOIN tn ON p.tok = tn.type_word
+               WHERE p.prev IN ('the', 'that', 'this')
+                 AND p.tok NOT IN (SELECT surface FROM dict)),
+        fr AS (SELECT * FROM m UNION ALL SELECT * FROM an),
+        carried AS (
+          SELECT *,
+            last_value(entity IGNORE NULLS) OVER w AS lm_entity,
+            last_value(CASE WHEN entity IS NOT NULL THEN turn_idx END
+                       IGNORE NULLS) OVER w AS lm_turn,
+            last_value(CASE WHEN entity IS NOT NULL THEN pos END
+                       IGNORE NULLS) OVER w AS lm_pos
+          FROM fr
+          WINDOW w AS (PARTITION BY conv_id, tyw
+                       ORDER BY turn_idx, pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+        SELECT conv_id,
+               CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(pos AS BIGINT) AS pos,
+               tyw AS type_word,
+               lm_entity AS entity,
+               CAST(lm_turn AS BIGINT) AS entity_turn,
+               CAST(lm_pos AS BIGINT) AS entity_pos,
+               CAST(turn_idx - lm_turn AS BIGINT) AS distance
+        FROM carried WHERE is_anaph
     """
     )
 

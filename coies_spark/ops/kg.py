@@ -157,6 +157,118 @@ def resolve_pronouns(
     )
 
 
+def resolve_nominals(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    types: DataFrame,
+    determiners: tuple[str, ...] = ("the", "that", "this"),
+) -> DataFrame:
+    """(conv_id, turn_idx, pos, type_word, entity, entity_turn,
+    entity_pos, distance): definite-NP (nominal) coreference — the
+    second classic anaphora class next to :func:`resolve_pronouns`:
+    "the table" refers to the most recently mentioned entity OF TYPE
+    table.  A token is an anaphor when it (a) follows a determiner
+    within the same turn, (b) equals a TYPE name (lowercased, from
+    the ``types`` (entity, entity_type) table — the
+    :func:`entity_types` / :func:`induce_signatures` output shape),
+    and (c) is NOT itself a dictionary surface (a direct mention
+    outranks an anaphoric reading).  It resolves to the nearest
+    preceding same-conversation mention of an entity carrying that
+    type; NULL when none precedes.
+
+    One carry-forward window per (conv_id, type): mention rows fan
+    out one row per type they carry (multi-typed entities serve
+    anaphors of all their types), anaphor rows join the frame under
+    their type word, and ``last(struct, ignorenulls)`` over the
+    (turn_idx, pos)-ordered frame resolves every anaphor in one
+    pass — the :func:`resolve_pronouns` plan with the partition key
+    widened to (conv_id, type), plus one within-turn lag window for
+    the determiner test.  Dictionary and type tables are
+    broadcast-scale by contract (the gazetteer rule).
+    """
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    )
+    dictionary = dictionary.coalesce(1).groupBy("surface").agg(
+        F.min("entity").alias("entity")
+    )
+    types_l = (
+        types.select(
+            F.lower(F.col("entity_type")).alias("type_word"), "entity"
+        )
+        .distinct()
+        .coalesce(1)
+    )
+    type_names = types_l.select("type_word").distinct()
+    mentions = (
+        toks.join(
+            F.broadcast(dictionary),
+            toks.tok == dictionary.surface,
+        )
+        .join(F.broadcast(types_l), "entity")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            F.col("type_word").alias("__ty"),
+            "entity",
+        )
+    )
+    wlag = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    anaphors = (
+        toks.withColumn("prev", F.lag("tok").over(wlag))
+        .join(
+            F.broadcast(dictionary),
+            F.col("tok") == dictionary.surface,
+            "left_anti",
+        )
+        .join(
+            F.broadcast(type_names),
+            F.col("tok") == type_names.type_word,
+        )
+        .where(F.col("prev").isin(list(determiners)))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            F.col("type_word").alias("__ty"),
+            F.lit(None).cast("string").alias("entity"),
+        )
+    )
+    frame = mentions.withColumn(
+        "is_anaph", F.lit(False)
+    ).unionByName(anaphors.withColumn("is_anaph", F.lit(True)))
+    w = (
+        Window.partitionBy("conv_id", "__ty")
+        .orderBy("turn_idx", "pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = frame.withColumn(
+        "last_mention",
+        F.last(
+            F.when(
+                F.col("entity").isNotNull(),
+                F.struct("turn_idx", "pos", "entity"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.where(F.col("is_anaph")).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("__ty").alias("type_word"),
+        F.col("last_mention.entity").alias("entity"),
+        F.col("last_mention.turn_idx").cast("long").alias("entity_turn"),
+        F.col("last_mention.pos").cast("long").alias("entity_pos"),
+        (F.col("turn_idx") - F.col("last_mention.turn_idx"))
+        .cast("long")
+        .alias("distance"),
+    )
+
+
 def temporal_triples(evidence: DataFrame) -> DataFrame:
     """(subj, pred, obj, version, valid_from, valid_to, is_current):
     SCD-2 validity intervals per (subj, pred).

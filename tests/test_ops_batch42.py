@@ -1,0 +1,99 @@
+"""Forty-second batch: definite-NP (nominal) coreference —
+``resolve_nominals``, the type-aware second anaphora class next to
+the recency pronoun baseline."""
+
+import pytest
+
+from coies_spark.ops.kg import resolve_nominals
+
+pytestmark = pytest.mark.spark
+
+
+def _tt(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def _dict(spark):
+    return spark.createDataFrame(
+        [("spark", "eng:spark"), ("table", "obj:table"),
+         ("postgres", "eng:pg")],
+        ["surface", "entity"],
+    )
+
+
+def _types(spark):
+    return spark.createDataFrame(
+        [("eng:spark", "engine"), ("eng:pg", "engine"),
+         ("obj:table", "object")],
+        ["entity", "entity_type"],
+    )
+
+
+class TestResolveNominals:
+    def test_resolves_to_last_mention_of_type(self, spark):
+        t = _tt(spark, [
+            ("c1", 0, "we started spark today"),
+            ("c1", 1, "later postgres joined"),
+            ("c1", 2, "the engine crashed"),
+        ])
+        rows = resolve_nominals(t, _dict(spark), _types(spark)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # nearest PRECEDING engine-typed mention is postgres (turn 1)
+        assert (r.type_word, r.entity, r.entity_turn, r.distance) == (
+            "engine", "eng:pg", 1, 1)
+
+    def test_dictionary_surface_is_not_an_anaphor(self, spark):
+        # "the table": table IS a dictionary surface — direct mention
+        # outranks the anaphoric reading, no anaphor row
+        t = _tt(spark, [("c1", 0, "we scanned the table")])
+        types = spark.createDataFrame(
+            [("obj:table", "table")], ["entity", "entity_type"]
+        )
+        assert resolve_nominals(t, _dict(spark), types).count() == 0
+
+    def test_no_preceding_mention_is_null(self, spark):
+        t = _tt(spark, [("c1", 0, "the engine hums")])
+        r = resolve_nominals(t, _dict(spark), _types(spark)).collect()[0]
+        assert r.entity is None and r.entity_turn is None
+
+    def test_determiner_required(self, spark):
+        t = _tt(spark, [("c1", 0, "spark ran and engine hums")])
+        assert resolve_nominals(
+            t, _dict(spark), _types(spark)
+        ).count() == 0
+
+    def test_multi_typed_entity_serves_both_types(self, spark):
+        types = spark.createDataFrame(
+            [("eng:spark", "engine"), ("eng:spark", "framework")],
+            ["entity", "entity_type"],
+        )
+        t = _tt(spark, [
+            ("c1", 0, "spark started"),
+            ("c1", 1, "the engine hummed and the framework scaled"),
+        ])
+        rows = {
+            r.type_word: r.entity
+            for r in resolve_nominals(t, _dict(spark), types).collect()
+        }
+        assert rows == {"engine": "eng:spark", "framework": "eng:spark"}
+
+    def test_types_are_case_normalized(self, spark):
+        types = spark.createDataFrame(
+            [("eng:spark", "Engine")], ["entity", "entity_type"]
+        )
+        t = _tt(spark, [
+            ("c1", 0, "spark started"), ("c1", 1, "the engine hums"),
+        ])
+        rows = resolve_nominals(t, _dict(spark), types).collect()
+        assert len(rows) == 1 and rows[0].entity == "eng:spark"
+
+    def test_conversations_are_independent(self, spark):
+        t = _tt(spark, [
+            ("c1", 0, "spark started"),
+            ("c2", 0, "the engine hums"),
+        ])
+        r = resolve_nominals(t, _dict(spark), _types(spark)).collect()[0]
+        assert r.conv_id == "c2" and r.entity is None
