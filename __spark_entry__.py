@@ -1525,6 +1525,36 @@ def _q_induce_signatures(
     return kg.induce_signatures(triples, types)
 
 
+def _q_signed_confidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed belief fixture: every 5th turn is a planted correction
+    ("not " prepended), the negated flag derives through the REAL cue
+    machinery (kg.cue_pattern over NEG_CUES), and refuting evidence
+    lowers the noisy-OR belief."""
+    t = transcripts.synthesize_transcripts(_read(spark, sf_dir, "documents"))
+    t2 = t.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 5 == 0,
+            F.concat(F.lit("not "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    d = spark.createDataFrame(KG_DICT, ["surface", "pred"])
+    ev = t2.join(
+        F.broadcast(d),
+        F.instr(F.lower(F.col("text")), F.col("surface")) > 0,
+    ).select(
+        F.col("conv_id").alias("subj"),
+        "pred",
+        F.col("surface").alias("obj"),
+        F.col("ts").cast("long").alias("ts"),
+        F.round(F.lit(1.0) / (F.col("turn_idx") + 2), 6).alias("score"),
+        F.col("text").rlike(kg.cue_pattern(kg.NEG_CUES)).alias("negated"),
+    )
+    return kg.signed_confidence(ev)
+
+
 def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflicting-claims table for the truth-discovery queries:
     every lineitem row is supplier s ASSERTING part p's return flag —
@@ -2895,6 +2925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .withColumn("turn_idx", F.col("turn_idx").cast("long"))
         .withColumn("clause_idx", F.col("clause_idx").cast("long")),
+        # signed noisy-OR beliefs: negated-clause mentions REFUTE —
+        # the assertion-layer/belief-layer junction
+        "signed_confidence": _q_signed_confidence,
         # typed numeric fact extraction with unit normalization over
         # the lineitem-derived numeric transcript (all three duration
         # units exercised; unknown units drop by contract)
@@ -6817,6 +6850,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.rank <= 2
     """
     )
+
+    # signed_confidence: the kg_ev derivation over the planted-
+    # correction corpus (every 5th turn 'not '-prefixed), negated by
+    # the VERBATIM cue pattern, two conditional log-sums per triple
+    sql["signed_confidence"] = f"""
+        WITH t AS ({_transcripts_cte()}),
+        t2 AS (SELECT conv_id, turn_idx,
+                      CASE WHEN turn_idx % 5 = 0
+                           THEN 'not ' || turn_text
+                           ELSE turn_text END AS turn_text,
+                      ts_s
+               FROM t),
+        d AS (SELECT * FROM (VALUES {_KG_DICT_VALUES})
+              AS d(surface, pred)),
+        ev AS (
+          SELECT conv_id AS subj, pred, surface AS obj, ts_s AS ts,
+                 round(1.0 / (turn_idx + 2), 6) AS score,
+                 regexp_matches(turn_text, '{kg.cue_pattern(kg.NEG_CUES)}')
+                   AS negated
+          FROM t2 JOIN d ON instr(lower(turn_text), surface) > 0),
+        g AS (
+          SELECT subj, pred, obj,
+                 CAST(count(CASE WHEN NOT negated THEN 1 END)
+                      AS BIGINT) AS n_support,
+                 CAST(count(CASE WHEN negated THEN 1 END)
+                      AS BIGINT) AS n_refute,
+                 CAST(min(ts) AS BIGINT) AS first_ts,
+                 CAST(max(ts) AS BIGINT) AS last_ts,
+                 coalesce(sum(CASE WHEN NOT negated THEN
+                   ln(1.0 - least(score, 0.999999)) END), 0.0) AS lgp,
+                 coalesce(sum(CASE WHEN negated THEN
+                   ln(1.0 - least(score, 0.999999)) END), 0.0) AS lgn
+          FROM ev GROUP BY 1, 2, 3)
+        SELECT subj, pred, obj, n_support, n_refute, first_ts,
+               last_ts,
+               round(1.0 - exp(lgp), 6) AS support,
+               round(1.0 - exp(lgn), 6) AS refute,
+               round((1.0 - exp(lgp)) * exp(lgn), 6) AS confidence
+        FROM g
+    """
 
     # numeric_triples: the VERBATIM NUMERIC_RULES over the lineitem-
     # derived numeric turns; magnitude parsed as DOUBLE, normalized

@@ -403,6 +403,67 @@ def triple_confidence(
     )
 
 
+def signed_confidence(evidence: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_support, n_refute, first_ts, last_ts,
+    support, refute, confidence): SIGNED noisy-OR belief combination
+    — the junction between the assertion layer and the belief layer:
+    evidence rows carry a ``negated`` boolean (e.g. the mention sat
+    in a negated clause, :func:`assertion_clauses`), and refuting
+    evidence LOWERS the belief instead of raising it.
+
+    support = 1 − Π(1 − s_i) over asserting rows, refute likewise
+    over negated rows (each the :func:`triple_confidence` noisy-OR,
+    map-side-combinable log-sums with the same 1−1e-6 clamp), and
+
+        confidence = support · (1 − refute)
+
+    — the probability that at least one assertion is right AND no
+    refutation is ("independent refuters veto independently", the
+    noisy-AND-NOT gate of the TruthFinder family).  A triple with
+    only refutations publishes confidence 0 (support term 0); a
+    triple with none publishes its plain noisy-OR.  The final value
+    rounds 6dp ONCE from the unrounded channel sums; the published
+    per-channel ``support``/``refute`` columns round independently
+    (audit faces, not inputs to ``confidence``).
+
+    One map-side-combinable shuffle on the triple key — two
+    conditional log-sums in the same aggregate, so the signed gate
+    costs exactly what the unsigned one does.
+    """
+    s = F.least(F.col("score"), F.lit(1.0 - 1e-6))
+    lg = F.log(F.lit(1.0) - s)
+    neg = F.col("negated")
+    grouped = (
+        evidence.select(
+            "subj", "pred", "obj", "ts",
+            F.when(~neg, lg).alias("lgp"),
+            F.when(neg, lg).alias("lgn"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.col("lgp")).cast("long").alias("n_support"),
+            F.count(F.col("lgn")).cast("long").alias("n_refute"),
+            F.min("ts").cast("long").alias("first_ts"),
+            F.max("ts").cast("long").alias("last_ts"),
+            F.coalesce(F.sum("lgp"), F.lit(0.0)).alias("_lgp"),
+            F.coalesce(F.sum("lgn"), F.lit(0.0)).alias("_lgn"),
+        )
+    )
+    sup = F.lit(1.0) - F.exp(F.col("_lgp"))
+    return grouped.select(
+        "subj",
+        "pred",
+        "obj",
+        "n_support",
+        "n_refute",
+        "first_ts",
+        "last_ts",
+        F.round(sup, 6).alias("support"),
+        F.round(F.lit(1.0) - F.exp(F.col("_lgn")), 6).alias("refute"),
+        F.round(sup * F.exp(F.col("_lgn")), 6).alias("confidence"),
+    )
+
+
 def merge_beliefs(snapshots: DataFrame) -> DataFrame:
     """(subj, pred, obj, n_windows, n_evidence, first_ts, last_ts,
     confidence): compact per-window belief rows into the all-time

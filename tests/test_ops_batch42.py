@@ -97,3 +97,48 @@ class TestResolveNominals:
         ])
         r = resolve_nominals(t, _dict(spark), _types(spark)).collect()[0]
         assert r.conv_id == "c2" and r.entity is None
+
+
+class TestSignedConfidence:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, ts long,"
+            " score double, negated boolean",
+        )
+
+    def test_refutation_lowers_belief(self, spark):
+        from coies_spark.ops.kg import signed_confidence
+
+        ev = self._ev(spark, [
+            ("a", "p", "x", 1, 0.5, False),
+            ("a", "p", "x", 2, 0.5, False),
+            ("a", "p", "x", 3, 0.5, True),
+        ])
+        r = signed_confidence(ev).collect()[0]
+        assert (r.n_support, r.n_refute) == (2, 1)
+        assert (r.first_ts, r.last_ts) == (1, 3)
+        assert r.support == 0.75 and r.refute == 0.5
+        # confidence = support * (1 - refute)
+        assert r.confidence == 0.375
+
+    def test_only_refutations_is_zero(self, spark):
+        from coies_spark.ops.kg import signed_confidence
+
+        ev = self._ev(spark, [("a", "p", "x", 1, 0.9, True)])
+        r = signed_confidence(ev).collect()[0]
+        assert r.support == 0.0 and r.confidence == 0.0
+        assert r.refute == 0.9
+
+    def test_unrefuted_equals_plain_noisy_or(self, spark):
+        from coies_spark.ops.kg import signed_confidence, triple_confidence
+
+        rows = [("a", "p", "x", i, 0.1 * (i + 1), False)
+                for i in range(4)]
+        ev = self._ev(spark, rows)
+        signed = signed_confidence(ev).collect()[0]
+        plain = triple_confidence(
+            ev.select("subj", "pred", "obj", "ts", "score")
+        ).collect()[0]
+        assert signed.confidence == plain.confidence
+        assert signed.support == plain.confidence
