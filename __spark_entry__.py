@@ -1694,9 +1694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # noisy-OR evidence combination over transcript dictionary
         # mentions: confidence = 1 - Π(1 - s_i) as a map-side SUM
         "triple_confidence": _q_triple_confidence,
-        # per-language token budgets counted in trained BPE tokens
-        # (with_bpe_token_counts composed with the n_tokens_col knob)
-        "token_budget_bpe": _q_token_budget_bpe,
+        # signed noisy-OR beliefs (session-5 star): negated-clause
+        # mentions REFUTE, confidence = support*(1-refute) — rotated
+        # into the window in place of token_budget_bpe (still oracled
+        # in the tail; pack_documents_bpe/pack_turns_bpe keep the BPE
+        # budget family in-window)
+        "signed_confidence": _q_signed_confidence,
         # functional-predicate conflicts over the belief table, with
         # deterministic latest-strongest resolution + triage margin
         "functional_conflicts": lambda s, d: kg.functional_conflicts(
@@ -1849,8 +1852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge1_pairs": lambda s, d: relational.rouge1_pairs(
             _read(s, d, "documents")
         ),
-        # overlapping RAG chunks with window/stride in BPE tokens
-        "sliding_chunks_bpe": _q_sliding_chunks_bpe,
+        # assertion-GATED pattern extraction (session-5 star): rules
+        # never fire inside negated/hypothetical clauses — rotated in
+        # for sliding_chunks_bpe (still oracled in the tail; the
+        # in-window pattern_triples gives the ungated contrast)
+        "pattern_triples_asserted": lambda s, d: (
+            kg.pattern_triples_asserted(
+                transcripts.synthesize_transcripts(
+                    _read(s, d, "documents")
+                ),
+                PATTERN_RULES,
+            ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        ),
         "rwmd_pairs": lambda s, d: wmd.rwmd_pairs(_read(s, d, "documents")),
         # ComplEx trainer (round-5 star): the Hermitian-product KGE
         # model on the shared deterministic scaffolding — rotated into
@@ -2925,23 +2938,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .withColumn("turn_idx", F.col("turn_idx").cast("long"))
         .withColumn("clause_idx", F.col("clause_idx").cast("long")),
-        # signed noisy-OR beliefs: negated-clause mentions REFUTE —
-        # the assertion-layer/belief-layer junction
-        "signed_confidence": _q_signed_confidence,
         # typed numeric fact extraction with unit normalization over
         # the lineitem-derived numeric transcript (all three duration
         # units exercised; unknown units drop by contract)
         "numeric_triples": _q_numeric_triples,
-        # the pattern extractor gated by assertion scoping: rules
-        # never fire inside negated/hypothetical clauses
-        "pattern_triples_asserted": lambda s, d: (
-            kg.pattern_triples_asserted(
-                transcripts.synthesize_transcripts(
-                    _read(s, d, "documents")
-                ),
-                PATTERN_RULES,
-            ).withColumn("turn_idx", F.col("turn_idx").cast("long"))
-        ),
+        # rotated OUT of the window for the session-5 stars, both
+        # still oracled here in the tail
+        "token_budget_bpe": _q_token_budget_bpe,
+        "sliding_chunks_bpe": _q_sliding_chunks_bpe,
         # PRA (Lao & Cohen 2010) per-pair path-type counts over the
         # catalog KG with inverse hops; max_degree=60 drops hub
         # brands as midpoints (the standard PRA fan-out guard)
