@@ -2391,12 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (not an instr probe), longest-match-per-start resolution
         "gazetteer_mentions": lambda s, d: kg.gazetteer_mentions(
             transcripts.synthesize_transcripts(_read(s, d, "documents")),
-            s.createDataFrame(
-                [("table", "obj:table"), ("hash", "obj:hash"),
-                 ("table hash", "obj:table-hash"),
-                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
-                ["surface", "entity"],
-            ),
+            _relext_dict(s),
             max_len=2,
         ),
         # the NA class completing the distant-supervision training
@@ -2404,19 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # downsampled at emission (class ratio set before any shuffle)
         "distant_negatives": lambda s, d: kg.distant_negatives(
             transcripts.synthesize_transcripts(_read(s, d, "documents")),
-            s.createDataFrame(
-                [("table", "obj:table"), ("hash", "obj:hash"),
-                 ("table hash", "obj:table-hash"),
-                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
-                ["surface", "entity"],
-            ),
-            s.createDataFrame(
-                [("act:merge-join", "consumes", "obj:hash"),
-                 ("act:scan", "reads", "obj:table"),
-                 ("obj:table-hash", "refines", "obj:table"),
-                 ("act:merge-join", "follows", "act:scan")],
-                ["subj", "pred", "obj"],
-            ),
+            _relext_dict(s),
+            _relext_seed(s),
             rate=0.25,
             max_len=2,
         ),
@@ -2425,19 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bootstrapping its own relation-classifier training set
         "distant_supervision": lambda s, d: kg.distant_supervision(
             transcripts.synthesize_transcripts(_read(s, d, "documents")),
-            s.createDataFrame(
-                [("table", "obj:table"), ("hash", "obj:hash"),
-                 ("table hash", "obj:table-hash"),
-                 ("merge join", "act:merge-join"), ("scan", "act:scan")],
-                ["surface", "entity"],
-            ),
-            s.createDataFrame(
-                [("act:merge-join", "consumes", "obj:hash"),
-                 ("act:scan", "reads", "obj:table"),
-                 ("obj:table-hash", "refines", "obj:table"),
-                 ("act:merge-join", "follows", "act:scan")],
-                ["subj", "pred", "obj"],
-            ),
+            _relext_dict(s),
+            _relext_seed(s),
             max_len=2,
         ),
         # the relation-extraction bootstrap (ops/relext.py): the KG's

@@ -843,6 +843,10 @@ def induce_signatures(
     reduced rows only.  Output is |preds|-bounded.
     """
     t = triples.select("subj", "pred", "obj").distinct()
+    # dedupe the type table (the resolve_nominals defensive rule): a
+    # repeated (entity, entity_type) row — e.g. after a union of type
+    # sources — would double-count votes and could flip the modal type
+    types = types.select("entity", "entity_type").distinct()
     base = t.groupBy("pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_triples")
     )

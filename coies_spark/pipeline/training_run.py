@@ -152,10 +152,16 @@ def prepare_training_run(
 
     packed = runner.stage(
         "packed",
-        lambda: pack_documents(sampled, row_tokens, merges=merges)
-        if merges is not None
-        else pack_documents(
-            sampled, row_tokens, n_tokens_col="n_tokens"
+        # the sampled snapshot ALREADY carries n_bpe_tokens (computed
+        # once by with_bpe_token_counts in the sample stage) — reuse
+        # the column instead of re-running the per-merge transform
+        # chain over every document's text a second time
+        lambda: pack_documents(
+            sampled,
+            row_tokens,
+            n_tokens_col=(
+                "n_bpe_tokens" if merges is not None else "n_tokens"
+            ),
         ),
     )
     del packed  # the manifest snapshot is the stage's artifact

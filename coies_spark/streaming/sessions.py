@@ -74,9 +74,12 @@ def stream_sessionize(
     quiesced-user cardinality, which is why it is bounded at all."""
     if gap_seconds < 1:
         raise ValueError("stream_sessionize: gap_seconds must be >= 1")
-    if renumber_retention_ms < 0:
+    # strictly positive: state.setTimeoutDuration(0) raises inside the
+    # streaming task (PySpark VALUE_NOT_POSITIVE), which would kill the
+    # query at the FIRST quiescence — reject the bad value at plan time
+    if renumber_retention_ms < 1:
         raise ValueError(
-            "stream_sessionize: renumber_retention_ms must be >= 0"
+            "stream_sessionize: renumber_retention_ms must be >= 1"
         )
     gap_us = gap_seconds * 1_000_000
     keyed = event_stream.select(
