@@ -2944,7 +2944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 n_bins=64, lo=0.0, hi=640.0,
             ),
             [0.25, 0.5, 0.9, 0.99],
-            n_bins=64,
         ),
         "kg_extract_triples": _q_kg_extract,
         "kg_linked_triples": _q_kg_linked,
@@ -9497,12 +9496,13 @@ def oracle_sql() -> dict[str, str]:
                    floor((CAST(n_chars AS DOUBLE) - 0.0)
                          / (640.0 - 0.0) * 64))) AS BIGINT) AS bin,
                  0.0 AS lo, 640.0 AS hi,
+                 CAST(64 AS BIGINT) AS n_bins,
                  CAST(count(*) AS BIGINT) AS n
           FROM documents WHERE n_chars IS NOT NULL
-          GROUP BY 1, 2, 3)
+          GROUP BY 1, 2, 3, 4)
     """
     sql["hist_sketch"] = (
-        "WITH " + _hist_reg + "SELECT bin, lo, hi, n FROM hreg"
+        "WITH " + _hist_reg + "SELECT bin, lo, hi, n_bins, n FROM hreg"
     )
     sql["hist_quantiles"] = (
         "WITH "

@@ -469,7 +469,6 @@ def main() -> None:
                     docs, "n_chars", n_bins=64, lo=0.0, hi=640.0
                 ),
                 [0.25, 0.5, 0.9, 0.99],
-                n_bins=64,
             )
         ),
         "agg_pricing": lambda: run(_q_agg_pricing(spark, sf_dir)),

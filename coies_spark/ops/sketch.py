@@ -262,9 +262,12 @@ def histogram_registers(
       values clamp into the edge bins (the honest convention — they
       stay counted, and the edge-bin error is bounded by the grid
       choice);
-    * every register row CARRIES its (lo, hi): merging mismatched
-      grids then fails loudly as distinct (lo, hi) groups instead of
-      silently corrupting counts.
+    * every register row CARRIES its full grid (lo, hi, n_bins):
+      merging mismatched grids then fails loudly as distinct grid
+      groups instead of silently corrupting counts, and the quantile
+      face reads the bin count FROM the registers — a caller can no
+      longer query a 32-bin sketch as if it were 64 bins (which
+      would silently halve every estimate).
 
     Degenerate grid (hi == lo, e.g. constant column): everything
     lands in bin 0 and quantile estimates collapse to ``lo`` — exact.
@@ -297,14 +300,15 @@ def histogram_registers(
             b.cast("long").alias("bin"),
             F.col("__lo").alias("lo"),
             F.col("__hi").alias("hi"),
+            F.lit(int(n_bins)).cast("long").alias("n_bins"),
         )
-        .groupBy("bin", "lo", "hi")
+        .groupBy("bin", "lo", "hi", "n_bins")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
 def histogram_quantiles(
-    registers: DataFrame, qs: list[float], n_bins: int = 64
+    registers: DataFrame, qs: list[float]
 ) -> DataFrame:
     """(q, estimate, err_bound): quantile estimates from a histogram
     sketch — rank r = ceil(q·N) located in the cumulative register
@@ -312,7 +316,13 @@ def histogram_quantiles(
     bin width, the sketch's honest worst case (the true q-quantile
     lies in the same bin).
 
-    The registers frame is ≤ ``n_bins`` rows by construction, so the
+    The grid — including the bin count — is read FROM the registers
+    (every row carries lo/hi/n_bins), so the query face can never
+    disagree with the build face about the grid: an earlier version
+    took ``n_bins`` as an independent parameter, and a 32-bin sketch
+    queried with the default 64 silently halved every estimate.
+
+    The registers frame is register-sized by construction, so the
     cumulative window and the per-quantile lookup are register-sized
     work — querying never touches the original data (the CMS-query
     property).  All arithmetic is doubles with fixed op order over
@@ -332,6 +342,7 @@ def histogram_quantiles(
         "bin",
         "lo",
         "hi",
+        "n_bins",
         "n",
         F.sum("n").over(w).alias("cum"),
     )
@@ -339,7 +350,7 @@ def histogram_quantiles(
     probes = spark.createDataFrame(
         [(float(q),) for q in sorted(qs)], "q double"
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
+    width = (F.col("hi") - F.col("lo")) / F.col("n_bins")
     # rank of the q-quantile (1-based); the first bin whose cumsum
     # reaches it wins (min bin — a pinned total order)
     r = F.ceil(F.col("q") * F.col("total")).cast("long")

@@ -32,7 +32,7 @@ class TestHistogramSketch:
         h2 = histogram_registers(v.where("value > 500"), **GRID)
         merged = (
             h1.unionByName(h2)
-            .groupBy("bin", "lo", "hi")
+            .groupBy("bin", "lo", "hi", "n_bins")
             .agg(F.sum("n").cast("long").alias("n"))
         )
         assert sorted(map(tuple, merged.collect())) == sorted(
@@ -64,7 +64,7 @@ class TestHistogramSketch:
     def test_degenerate_constant_column(self, spark):
         v = spark.range(5).select(F.lit(7.0).alias("value"))
         reg = histogram_registers(v, n_bins=8)  # auto grid: lo == hi
-        out = histogram_quantiles(reg, [0.5], n_bins=8).collect()
+        out = histogram_quantiles(reg, [0.5]).collect()
         assert out == [pytest.approx((0.5, 7.0, 0.0))] or (
             out[0].estimate == 7.0 and out[0].err_bound == 0.0
         )

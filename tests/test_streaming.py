@@ -521,7 +521,7 @@ def test_stream_histogram_registers_match_batch(spark, tmp_path):
     )
     # and the quantile face reads the streamed registers directly
     est = sketch.histogram_quantiles(
-        spark.sql("select * from hist_regs_stream"), [0.5], n_bins=16
+        spark.sql("select * from hist_regs_stream"), [0.5]
     ).first()
     assert abs(est.estimate - 48.0) <= est.err_bound + 1e-9
 
