@@ -9113,13 +9113,22 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY id ASC) - 1 AS idx
                FROM ents)""",
             """nn AS (SELECT count(*) AS n FROM ents)""",
+            # corrupted tail EXCLUDES the true tail: idx0 = md5 mod
+            # (N-1), shifted past the tail's own rank (ops/kge.py
+            # _negatives — the sample-excluding-one trick)
             f"""tneg AS MATERIALIZED (
                SELECT tr.subj, tr.pred, tr.obj, e.id AS neg_obj
                FROM tr CROSS JOIN nn
+               JOIN eidx eo ON eo.id = tr.obj
                JOIN eidx e ON e.idx =
                  (CAST(('0x' || substr(md5(
                     tr.subj || {sep} || tr.pred || {sep} || tr.obj
-                  ), 1, 8)) AS BIGINT) % nn.n))""",
+                  ), 1, 8)) AS BIGINT) % (nn.n - 1))
+                 + (CASE WHEN
+                    (CAST(('0x' || substr(md5(
+                       tr.subj || {sep} || tr.pred || {sep} || tr.obj
+                     ), 1, 8)) AS BIGINT) % (nn.n - 1)) >= eo.idx
+                    THEN 1 ELSE 0 END))""",
             f"""dims AS (SELECT range AS i FROM range(0, {dim}))""",
             """tcnt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tr)""",
         ]

@@ -21,8 +21,9 @@ The lite trainer here makes every choice the deterministic one:
 * **hash-everything determinism**: initial components are
   md5-derived uniforms in [-0.5, 0.5) (the `deterministic_sample`
   hex trick, numeric form), and each triple's corrupted tail is the
-  entity at index md5(h⎵r⎵t) mod N of the sorted entity list — no
-  RNG state anywhere;
+  entity at index md5(h⎵r⎵t) mod (N−1) of the sorted entity list
+  with the TRUE tail excluded (sample-excluding-one shift) — no RNG
+  state anywhere;
 * **squared L2 energy** d = Σ(h_i + r_i - t_i)², whose subgradient
   is linear — per-triple gradient components round to 9dp and sum in
   decimal(28,12) per (id, i) (exact under any visit order), updates
@@ -77,8 +78,16 @@ def _init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
 
 def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
     """Append the deterministic corrupted tail: the entity at index
-    md5(triple) mod N of the sorted entity list.  The rank window is
-    vocabulary-sized (see module docstring for the web-scale swap)."""
+    md5(triple) mod (N−1) of the sorted entity list WITH THE TRUE
+    TAIL EXCLUDED (the sample-excluding-one shift: indexes at or
+    past the tail's own rank move up by one).  Excluding the tail
+    matters: a corruption equal to the positive gives d_pos == d_neg
+    forever — the triple counts as violated at every epoch with
+    gradients that cancel exactly, polluting the violated-count
+    health gauge for ~|T|/N triples.  The rank window is
+    vocabulary-sized (see module docstring for the web-scale swap);
+    a single-entity KG degenerates to the tail itself (no other
+    entity exists)."""
     n = ents.count()
     eidx = ents.select(
         "id",
@@ -87,8 +96,23 @@ def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
         ),
     )
     key = _md5_long(F.concat_ws(_SEP, "subj", "pred", "obj"))
+    if n < 2:
+        return (
+            t.withColumn("idx", key % F.lit(n))
+            .join(eidx, "idx")
+            .select(
+                "subj", "pred", "obj", F.col("id").alias("neg_obj")
+            )
+        )
+    oidx = eidx.select(
+        F.col("id").alias("obj"), F.col("idx").alias("__oi")
+    )
+    idx0 = key % F.lit(n - 1)
     return (
-        t.withColumn("idx", key % F.lit(n))
+        t.join(oidx, "obj")
+        .withColumn(
+            "idx", idx0 + (idx0 >= F.col("__oi")).cast("long")
+        )
         .join(eidx, "idx")
         .select(
             "subj", "pred", "obj", F.col("id").alias("neg_obj")

@@ -121,10 +121,14 @@ class TestTransE:
             return round(u - 0.5, 9)
 
         ents = sorted({"a", "b", "c"})
-        neg = {
-            (s, p, o): ents[h32(f"{s}\x1f{p}\x1f{o}") % len(ents)]
-            for s, p, o in rows
-        }
+
+        def corrupt(s, p, o):
+            # excluding-one corruption: idx0 = md5 mod (N-1), shifted
+            # past the true tail's own rank (kge._negatives)
+            i0 = h32(f"{s}\x1f{p}\x1f{o}") % (len(ents) - 1)
+            return ents[i0 + (1 if i0 >= ents.index(o) else 0)]
+
+        neg = {(s, p, o): corrupt(s, p, o) for s, p, o in rows}
         state = {}
         for e in ents:
             for i in range(dim):

@@ -152,15 +152,17 @@ class TestDistMult:
             if nrm > 0:
                 for i in range(dim):
                     e[(x, i)] = _q9(e[(x, i)] / nrm)
-        # deterministic tail corruption: entity at index
-        # md5(subj\x1fpred\x1fobj) mod N of the SORTED entity list
-        # (kge._negatives; obj itself is a legal corruption — the
-        # gradients then cancel)
+        # deterministic tail corruption excluding the TRUE tail:
+        # idx0 = md5 mod (N-1), shifted past the tail's own rank
+        # (kge._negatives — the sample-excluding-one trick)
         ranked = sorted(ents)
+
+        def corrupt(s_, p_, o_):
+            i0 = h32(f"{s_}\x1f{p_}\x1f{o_}") % (len(ranked) - 1)
+            return ranked[i0 + (1 if i0 >= ranked.index(o_) else 0)]
+
         negmap = {
-            (s_, p_, o_): ranked[
-                h32(f"{s_}\x1f{p_}\x1f{o_}") % len(ranked)
-            ]
+            (s_, p_, o_): corrupt(s_, p_, o_)
             for (s_, p_, o_) in rows
         }
         def epoch(negmap):

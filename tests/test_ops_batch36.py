@@ -151,10 +151,13 @@ class TestComplEx:
                         _q9(e[(x, i)][1] / nrm),
                     ]
         ranked = sorted(ents)
+
+        def corrupt(s_, p_, o_):
+            i0 = h32(f"{s_}\x1f{p_}\x1f{o_}") % (len(ranked) - 1)
+            return ranked[i0 + (1 if i0 >= ranked.index(o_) else 0)]
+
         negmap = {
-            (s_, p_, o_): ranked[
-                h32(f"{s_}\x1f{p_}\x1f{o_}") % len(ranked)
-            ]
+            (s_, p_, o_): corrupt(s_, p_, o_)
             for (s_, p_, o_) in rows
         }
 

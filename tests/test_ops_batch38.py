@@ -178,10 +178,13 @@ class TestRotatE:
             if m > 0:
                 r[i] = [_q9(r[i][0] / m), _q9(r[i][1] / m)]
         ranked = sorted(ents)
+
+        def corrupt(s_, p_, o_):
+            i0 = h32(f"{s_}\x1f{p_}\x1f{o_}") % (len(ranked) - 1)
+            return ranked[i0 + (1 if i0 >= ranked.index(o_) else 0)]
+
         negmap = {
-            (s_, p_, o_): ranked[
-                h32(f"{s_}\x1f{p_}\x1f{o_}") % len(ranked)
-            ]
+            (s_, p_, o_): corrupt(s_, p_, o_)
             for (s_, p_, o_) in rows
         }
 
