@@ -8995,16 +8995,20 @@ def oracle_sql() -> dict[str, str]:
             ctes.append(f"""f{i} AS (
                SELECT subj, pred, obj,
                       CAST(count(*) AS BIGINT) AS n_sources,
-                      round(1 - exp(-CAST(sum(CAST(
-                            round(-ln(1 - 0.8 * least(t, 1 - 1e-6)), 9)
-                          AS DECIMAL(28,12))) AS DOUBLE)), 9) AS conf
+                      (floor((1.0 - exp(-CAST(sum(CAST(
+                            (floor(-ln(1.0 - 0.8
+                               * least(t, 1 - 1e-6))
+                               * 1000000000.0 + 0.5) / 1000000000.0)
+                          AS DECIMAL(28,12))) AS DOUBLE)))
+                         * 1000000000.0 + 0.5) / 1000000000.0) AS conf
                FROM cl JOIN t{i - 1} USING (source)
                GROUP BY 1, 2, 3)""")
             ctes.append(f"""t{i} AS (
                SELECT source,
                       CAST(count(*) AS BIGINT) AS n_claims,
-                      round(CAST(sum(CAST(conf AS DECIMAL(28,12)))
-                            AS DOUBLE) / count(*), 9) AS t
+                      (floor(CAST(sum(CAST(conf AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*)
+                            * 1000000000.0 + 0.5) / 1000000000.0) AS t
                FROM cl JOIN f{i} USING (subj, pred, obj)
                GROUP BY 1)""")
         return "WITH " + ",\n".join(ctes)

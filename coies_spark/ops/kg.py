@@ -2792,13 +2792,17 @@ def _truth_rounds(
         )
     facts = None
     for _ in range(iters):
-        tau = F.round(
-            -F.log(
-                F.lit(1.0)
-                - F.lit(float(damp))
-                * F.least(F.col("t"), F.lit(1.0 - 1e-6))
-            ),
-            9,
+        tau = (
+            F.floor(
+                -F.log(
+                    F.lit(1.0)
+                    - F.lit(float(damp))
+                    * F.least(F.col("t"), F.lit(1.0 - 1e-6))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
         )
         facts = (
             cl.join(F.broadcast(trust), "source")
@@ -2806,12 +2810,20 @@ def _truth_rounds(
             .groupBy("subj", "pred", "obj")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_sources"),
-                F.round(
-                    F.lit(1.0)
-                    - F.exp(
-                        -F.sum(F.col("tau").cast(dec)).cast("double")
-                    ),
-                    9,
+                (
+                    F.floor(
+                        (
+                            F.lit(1.0)
+                            - F.exp(
+                                -F.sum(F.col("tau").cast(dec)).cast(
+                                    "double"
+                                )
+                            )
+                        )
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e9)
                 ).alias("conf"),
             )
         )
@@ -2820,10 +2832,14 @@ def _truth_rounds(
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_claims"),
-                F.round(
-                    F.sum(F.col("conf").cast(dec)).cast("double")
-                    / F.count(F.lit(1)),
-                    9,
+                (
+                    F.floor(
+                        F.sum(F.col("conf").cast(dec)).cast("double")
+                        / F.count(F.lit(1))
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e9)
                 ).alias("t"),
             )
         )
