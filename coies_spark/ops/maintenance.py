@@ -417,17 +417,25 @@ def write_shards(
     last link of the curate → pack → shard story.  Returns the
     manifest read back from disk.
 
-    * **Idempotent re-runs**: both data and manifest use the
-      write-scoped dynamic partition overwrite
+    * **Full runs replace the dataset**: with ``shard_ids=None`` the
+      plan IS the complete dataset, so data and manifest write with
+      a plain (static) overwrite — a re-run with a DIFFERENT plan
+      (larger ``target_bytes``, fewer documents) leaves no stale
+      shard partitions behind.  An earlier dynamic-overwrite version
+      kept old shards the new plan no longer produced: the read-back
+      manifest then reported them as live and every re-packed
+      document existed twice on disk, with :func:`verify_shards`
+      blessing the duplication (manifest and files agreed on the
+      same stale content).
+    * **Resume**: pass ``shard_ids`` to (re)write only those shards
+      with the write-scoped dynamic partition overwrite
       (``refresh_triple_partitions``' pattern — no session-global
-      conf mutation), and the plan is contiguous in id order, so
-      shard k always holds the same documents: re-running overwrites
-      each touched partition with identical CONTENT (same rows, same
-      manifest — file-internal row order may differ with task order)
-      and never clobbers partitions it isn't writing.
-    * **Resume**: pass ``shard_ids`` to (re)write only those shards —
-      a crashed run resumes by writing the missing partitions; the
-      untouched ones stay byte-identical (pinned by test).
+      conf mutation); the plan is contiguous in id order, so shard k
+      always holds the same documents — a crashed run resumes by
+      writing the missing partitions and the untouched ones stay
+      byte-identical (pinned by test).  Resume assumes the SAME
+      plan as the interrupted run (same target/corpus); a changed
+      plan needs a full run.
     * **Manifest**: ``bytes`` is the plan's size column summed per
       shard (logical payload bytes — the quantity the plan balanced),
       ``digest_sum`` the order-independent md5-summand digest over
@@ -458,12 +466,14 @@ def write_shards(
         if digest_cols is not None
         else [id_col, size_col]
     )
-    (
-        data.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard_id")
-        .parquet(f"{path}/data")
-    )
+    def _write(df: DataFrame, sub: str) -> None:
+        w = df.write.mode("overwrite")
+        if shard_ids is not None:
+            # resume: touch only the requested partitions
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("shard_id").parquet(f"{path}/{sub}")
+
+    _write(data, "data")
     written = spark.read.parquet(f"{path}/data").where(
         F.col("shard_id").isin([int(s) for s in shard_ids])
         if shard_ids is not None
@@ -474,12 +484,7 @@ def write_shards(
         F.sum(F.col(size_col).cast("long")).alias("bytes"),
         F.sum(_shard_digest_col(dcols)).alias("digest_sum"),
     )
-    (
-        manifest.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard_id")
-        .parquet(f"{path}/manifest")
-    )
+    _write(manifest, "manifest")
     return spark.read.parquet(f"{path}/manifest").select(
         "shard_id", "n_rows", "bytes", "digest_sum"
     )

@@ -168,3 +168,29 @@ class TestWriteShards:
                 target_bytes=100,
                 shard_ids=[],
             )
+
+    def test_shrinking_rerun_leaves_no_stale_shards(
+        self, spark, tmp_path
+    ):
+        # a re-run with a DIFFERENT plan (larger target -> fewer
+        # shards) must replace the dataset: no stale shard partitions
+        # on disk, no stale rows in the manifest, no document present
+        # twice
+        docs = _docs(spark)
+        path = str(tmp_path / "shrink")
+        many = write_shards(spark, docs, path, target_bytes=60)
+        assert many.count() > 3
+        few = write_shards(spark, docs, path, target_bytes=10_000)
+        assert few.count() == 1
+        # manifest holds ONLY the new plan's shards
+        assert spark.read.parquet(f"{path}/manifest").select(
+            "shard_id"
+        ).distinct().count() == 1
+        # data dir holds only the new shard partitions, each doc once
+        data = spark.read.parquet(f"{path}/data")
+        assert data.select("shard_id").distinct().count() == 1
+        assert data.count() == docs.count()
+        assert data.select("doc_id").distinct().count() == docs.count()
+        # and the audit stays green
+        bad = verify_shards(spark, path).where("NOT ok").count()
+        assert bad == 0
