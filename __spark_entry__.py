@@ -1525,6 +1525,34 @@ def _q_induce_signatures(
     return kg.induce_signatures(triples, types)
 
 
+def _q_rule_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mine → apply composition: AMIE-lite rules mined from the
+    catalog KG (min_support=2) applied back to it as horn-rule
+    completion — derived facts are the strictly-new frontier, with
+    product-t-norm confidences over deterministic belief scores."""
+    part = _read(spark, sf_dir, "part")
+    t = _part_triples(spark, sf_dir).unionByName(
+        part.select(
+            F.concat(F.lit("part:"), F.col("p_partkey")).alias("subj"),
+            F.lit("part_type").alias("pred"),
+            F.col("p_type").alias("obj"),
+        )
+    )
+    beliefs = t.select(
+        "subj",
+        "pred",
+        "obj",
+        F.round(
+            F.lit(1.0)
+            / (2 + (F.length("subj") + F.length("obj")) % 7),
+            6,
+        ).alias("confidence"),
+    )
+    return kg.apply_rules(
+        beliefs, kg.mine_path_rules(t, min_support=2)
+    )
+
+
 def _q_signed_confidence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2915,6 +2943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lineitem-derived numeric transcript (all three duration
         # units exercised; unknown units drop by contract)
         "numeric_triples": _q_numeric_triples,
+        # symbolic KG completion: mined horn rules applied back to
+        # the catalog beliefs — mine -> apply, the auditable
+        # completion route beside the learned bootstrap
+        "rule_inferred_triples": _q_rule_inferred,
         # rotated OUT of the window for the session-5 stars, both
         # still oracled here in the tail
         "token_budget_bpe": _q_token_budget_bpe,
@@ -6826,6 +6858,58 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.rank <= 2
     """
     )
+
+    # rule_inferred_triples: the mine_path_rules derivation (same
+    # 3-pred catalog, min_support=2) applied back as horn-rule
+    # completion — product t-norm over deterministic belief scores,
+    # max over derivations, strictly-new facts via the anti-join
+    sql["rule_inferred_triples"] = """
+        WITH t AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'part:' || p_partkey AS subj,
+                   'has_brand' AS pred, p_brand AS obj FROM part
+            UNION ALL
+            SELECT p_brand, 'has_type', p_type FROM part
+            UNION ALL
+            SELECT 'part:' || p_partkey, 'part_type', p_type
+            FROM part)),
+        bl AS (SELECT subj, pred, obj,
+                      round(1.0 / (2 + (len(subj) + len(obj)) % 7), 6)
+                        AS confidence
+               FROM t),
+        paths AS (
+          SELECT DISTINCT a.subj AS s, a.pred AS p1,
+                          b.pred AS p2, b.obj AS o
+          FROM t a JOIN t b ON a.obj = b.subj),
+        body AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_paths
+                 FROM paths GROUP BY 1, 2),
+        sup AS (SELECT p.p1, p.p2, h.pred AS p3,
+                       CAST(count(*) AS BIGINT) AS support
+                FROM paths p
+                JOIN t h ON h.subj = p.s AND h.obj = p.o
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= 2),
+        r AS (SELECT sup.p1, sup.p2, sup.p3,
+                     round(CAST(sup.support AS DOUBLE)
+                           / body.n_paths, 6) AS rule_conf
+              FROM sup JOIN body USING (p1, p2)),
+        d AS (SELECT l.subj AS subj, r.p3 AS pred, rt.obj AS obj,
+                     r.rule_conf * l.confidence * rt.confidence AS dc
+              FROM bl l
+              JOIN r ON l.pred = r.p1
+              JOIN bl rt ON rt.subj = l.obj AND rt.pred = r.p2
+              WHERE r.rule_conf * l.confidence * rt.confidence >= 0.0),
+        ag AS (SELECT subj, pred, obj,
+                      CAST(count(*) AS BIGINT) AS n_derivations,
+                      round(max(dc), 6) AS confidence
+               FROM d GROUP BY 1, 2, 3)
+        SELECT ag.subj, ag.pred, ag.obj, ag.n_derivations,
+               ag.confidence
+        FROM ag
+        LEFT JOIN t ON t.subj = ag.subj AND t.pred = ag.pred
+          AND t.obj = ag.obj
+        WHERE t.subj IS NULL
+    """
 
     # signed_confidence: the kg_ev derivation over the planted-
     # correction corpus (every 5th turn 'not '-prefixed), negated by

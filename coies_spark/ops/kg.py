@@ -2550,6 +2550,84 @@ def mine_path_rules(
     )
 
 
+def apply_rules(
+    beliefs: DataFrame,
+    rules: DataFrame,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """(subj, pred, obj, n_derivations, confidence): SYMBOLIC KG
+    completion — apply 2-hop horn rules ``p1(x,y) ∧ p2(y,z) ⇒
+    p3(x,z)`` to a belief table and emit the NEW facts they derive,
+    with confidence = rule_confidence · conf(body₁) · conf(body₂)
+    (the probabilistic-soft-logic product t-norm), the MAX over all
+    derivations and rules deriving the same triple, rounded 6dp once
+    at the edge.  This is the consumer :func:`mine_path_rules` was
+    built for — mine → apply → grown KG, the SYMBOLIC completion
+    route that runs beside the learned one
+    (``pipeline/kg_bootstrap.py``'s detector): rules are auditable
+    and per-derivation explainable where the detector generalizes.
+
+    ``beliefs`` is (subj, pred, obj, confidence) (the
+    :func:`triple_confidence` face); ``rules`` is (p1, p2, p3,
+    confidence) (the :func:`mine_path_rules` face — feed its output
+    through a confidence threshold).  Facts already present in
+    ``beliefs`` are anti-joined away: the output is strictly the
+    completion frontier.  ``min_confidence`` drops weak derivations
+    before the aggregate.
+
+    Scale: ONE midpoint-keyed self-join of the belief table (the
+    :func:`mine_path_rules` shape — shuffles on entity ids, AQE-skew
+    territory for hubs) gated by a BROADCAST join against the
+    rule table on (p1, p2) — so only rule-matching body pairs
+    materialize, not all 2-hop paths; then one (subj, pred, obj)
+    aggregate and one anti-join.  Derivation confidences are fixed
+    IEEE product trees, max is order-free, so the output is
+    engine-exact.
+    """
+    b = beliefs.select("subj", "pred", "obj", "confidence").distinct()
+    r = rules.select(
+        "p1", "p2", "p3", F.col("confidence").alias("rule_conf")
+    )
+    left = b.select(
+        F.col("subj").alias("__x"),
+        F.col("pred").alias("p1"),
+        F.col("obj").alias("__m"),
+        F.col("confidence").alias("__c1"),
+    )
+    right = b.select(
+        F.col("subj").alias("__m2"),
+        F.col("pred").alias("__p2"),
+        F.col("obj").alias("__z"),
+        F.col("confidence").alias("__c2"),
+    )
+    derived = (
+        left.join(F.broadcast(r), "p1")
+        .join(
+            right,
+            (F.col("__m") == F.col("__m2"))
+            & (F.col("__p2") == F.col("p2")),
+        )
+        .select(
+            F.col("__x").alias("subj"),
+            F.col("p3").alias("pred"),
+            F.col("__z").alias("obj"),
+            (
+                F.col("rule_conf") * F.col("__c1") * F.col("__c2")
+            ).alias("__dc"),
+        )
+        .where(F.col("__dc") >= F.lit(float(min_confidence)))
+    )
+    agg = derived.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_derivations"),
+        F.round(F.max("__dc"), 6).alias("confidence"),
+    )
+    return agg.join(
+        b.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )
+
+
 def disambiguate_by_coherence(
     mentions: DataFrame,
     candidates: DataFrame,

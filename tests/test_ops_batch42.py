@@ -142,3 +142,92 @@ class TestSignedConfidence:
         ).collect()[0]
         assert signed.confidence == plain.confidence
         assert signed.support == plain.confidence
+
+
+class TestApplyRules:
+    def _b(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, confidence double",
+        )
+
+    def _r(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "p1 string, p2 string, p3 string, confidence double"
+        )
+
+    def test_derives_product_tnorm_confidence(self, spark):
+        from coies_spark.ops.kg import apply_rules
+
+        b = self._b(spark, [
+            ("a", "r1", "b", 0.8),
+            ("b", "r2", "c", 0.5),
+        ])
+        r = self._r(spark, [("r1", "r2", "r3", 0.5)])
+        got = apply_rules(b, r).collect()
+        assert len(got) == 1
+        row = got[0]
+        assert (row.subj, row.pred, row.obj) == ("a", "r3", "c")
+        assert row.n_derivations == 1
+        assert row.confidence == 0.2  # 0.5 * 0.8 * 0.5
+
+    def test_max_over_derivations(self, spark):
+        from coies_spark.ops.kg import apply_rules
+
+        b = self._b(spark, [
+            ("a", "r1", "m1", 1.0), ("m1", "r2", "c", 0.4),
+            ("a", "r1", "m2", 1.0), ("m2", "r2", "c", 0.9),
+        ])
+        r = self._r(spark, [("r1", "r2", "r3", 1.0)])
+        row = apply_rules(b, r).collect()[0]
+        assert row.n_derivations == 2
+        assert row.confidence == 0.9
+
+    def test_existing_facts_are_not_emitted(self, spark):
+        from coies_spark.ops.kg import apply_rules
+
+        b = self._b(spark, [
+            ("a", "r1", "b", 1.0),
+            ("b", "r2", "c", 1.0),
+            ("a", "r3", "c", 1.0),  # the derivable fact already held
+        ])
+        r = self._r(spark, [("r1", "r2", "r3", 1.0)])
+        assert apply_rules(b, r).count() == 0
+
+    def test_min_confidence_filters_derivations(self, spark):
+        from coies_spark.ops.kg import apply_rules
+
+        b = self._b(spark, [
+            ("a", "r1", "b", 0.3), ("b", "r2", "c", 0.3),
+        ])
+        r = self._r(spark, [("r1", "r2", "r3", 1.0)])
+        assert apply_rules(b, r, min_confidence=0.5).count() == 0
+        assert apply_rules(b, r, min_confidence=0.05).count() == 1
+
+    def test_composes_with_mined_rules(self, spark):
+        from coies_spark.ops.kg import apply_rules, mine_path_rules
+        from pyspark.sql import functions as F
+
+        # catalog KG with the direct shortcut on SOME parts: the
+        # mined rule completes the others
+        rows = (
+            [(f"p{i}", "has_brand", "b1") for i in range(4)]
+            + [("b1", "has_type", "t1")]
+            + [(f"p{i}", "part_type", "t1") for i in range(2)]
+        )
+        t = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        beliefs = t.select(
+            "subj", "pred", "obj", F.lit(1.0).alias("confidence")
+        )
+        new = apply_rules(
+            beliefs, mine_path_rules(t, min_support=2)
+        )
+        derived = {
+            (r.subj, r.pred, r.obj)
+            for r in new.where("pred = 'part_type'").collect()
+        }
+        # exactly the parts MISSING the shortcut get it derived
+        assert derived == {("p2", "part_type", "t1"),
+                           ("p3", "part_type", "t1")}
