@@ -1553,6 +1553,49 @@ def _q_rule_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_forward_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded forward chaining over a 4-level subclass chain
+    (part:N → brand → type → 'part') under the transitivity rule:
+    round 1 derives the grandparent edges, round 2 the
+    great-grandparent closure — both rounds non-empty, confidences
+    decaying by the product t-norm."""
+    part = _read(spark, sf_dir, "part")
+    ed = (
+        part.select(
+            F.concat(F.lit("part:"), F.col("p_partkey")).alias("subj"),
+            F.col("p_brand").alias("obj"),
+        )
+        .unionByName(
+            part.select(
+                F.col("p_brand").alias("subj"),
+                F.col("p_type").alias("obj"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.col("p_type").alias("subj"),
+                F.lit("part").alias("obj"),
+            )
+        )
+        .distinct()
+    )
+    beliefs = ed.select(
+        "subj",
+        F.lit("subclass_of").alias("pred"),
+        "obj",
+        F.round(
+            F.lit(1.0)
+            / (2 + (F.length("subj") + F.length("obj")) % 7),
+            6,
+        ).alias("confidence"),
+    )
+    rules = spark.createDataFrame(
+        [("subclass_of", "subclass_of", "subclass_of", 0.9)],
+        ["p1", "p2", "p3", "confidence"],
+    )
+    return kg.forward_chain(beliefs, rules, rounds=2)
+
+
 def _q_signed_confidence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2947,6 +2990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the catalog beliefs — mine -> apply, the auditable
         # completion route beside the learned bootstrap
         "rule_inferred_triples": _q_rule_inferred,
+        # bounded forward chaining under the transitivity rule over a
+        # 4-level subclass chain: multi-round closure with decaying
+        # product-t-norm confidences
+        "forward_chain": _q_forward_chain,
         # rotated OUT of the window for the session-5 stars, both
         # still oracled here in the tail
         "token_budget_bpe": _q_token_budget_bpe,
@@ -6909,6 +6956,55 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN t ON t.subj = ag.subj AND t.pred = ag.pred
           AND t.obj = ag.obj
         WHERE t.subj IS NULL
+    """
+
+    # forward_chain: two unrolled apply rounds over the 4-level
+    # subclass chain — single rule (transitivity, conf 0.9), so the
+    # body joins reduce to subj/obj equality; each round's frontier
+    # anti-joins the accumulated belief set
+    sql["forward_chain"] = """
+        WITH ed AS (
+          SELECT DISTINCT subj, obj FROM (
+            SELECT 'part:' || p_partkey AS subj, p_brand AS obj
+            FROM part
+            UNION ALL SELECT p_brand, p_type FROM part
+            UNION ALL SELECT p_type, 'part' FROM part)),
+        b0 AS (SELECT subj, 'subclass_of' AS pred, obj,
+                      round(1.0 / (2 + (len(subj) + len(obj)) % 7), 6)
+                        AS confidence
+               FROM ed),
+        d1 AS (SELECT l.subj, 'subclass_of' AS pred, rt.obj,
+                      0.9 * l.confidence * rt.confidence AS dc
+               FROM b0 l JOIN b0 rt ON rt.subj = l.obj),
+        a1 AS (SELECT subj, pred, obj,
+                      CAST(count(*) AS BIGINT) AS n_derivations,
+                      round(max(dc), 6) AS confidence
+               FROM d1 GROUP BY 1, 2, 3),
+        n1 AS (SELECT a1.* FROM a1
+               LEFT JOIN b0 ON b0.subj = a1.subj
+                 AND b0.pred = a1.pred AND b0.obj = a1.obj
+               WHERE b0.subj IS NULL),
+        b1 AS (SELECT subj, pred, obj, confidence FROM b0
+               UNION ALL
+               SELECT subj, pred, obj, confidence FROM n1),
+        d2 AS (SELECT l.subj, 'subclass_of' AS pred, rt.obj,
+                      0.9 * l.confidence * rt.confidence AS dc
+               FROM b1 l JOIN b1 rt ON rt.subj = l.obj),
+        a2 AS (SELECT subj, pred, obj,
+                      CAST(count(*) AS BIGINT) AS n_derivations,
+                      round(max(dc), 6) AS confidence
+               FROM d2 GROUP BY 1, 2, 3),
+        n2 AS (SELECT a2.* FROM a2
+               LEFT JOIN b1 ON b1.subj = a2.subj
+                 AND b1.pred = a2.pred AND b1.obj = a2.obj
+               WHERE b1.subj IS NULL)
+        SELECT subj, pred, obj, CAST(1 AS BIGINT) AS round,
+               n_derivations, confidence
+        FROM n1
+        UNION ALL
+        SELECT subj, pred, obj, CAST(2 AS BIGINT) AS round,
+               n_derivations, confidence
+        FROM n2
     """
 
     # signed_confidence: the kg_ev derivation over the planted-

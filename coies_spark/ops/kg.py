@@ -2628,6 +2628,60 @@ def apply_rules(
     )
 
 
+def forward_chain(
+    beliefs: DataFrame,
+    rules: DataFrame,
+    rounds: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """(subj, pred, obj, round, n_derivations, confidence): bounded
+    FORWARD CHAINING — :func:`apply_rules` unrolled ``rounds`` times,
+    each round's newly derived facts (tagged with the round that
+    first derived them) feeding the next round as rule bodies.  With
+    a transitivity rule this materializes multi-hop closures
+    (grandparents in round 1, great-grandparents in round 2 — the
+    RDFS entailment regime) with product-t-norm confidences that
+    decay along the chain, exactly the auditability the learned
+    completion routes lack.
+
+    A fact is emitted once, in the FIRST round that derives it (the
+    anti-join inside :func:`apply_rules` sees the accumulated belief
+    set); a round deriving nothing leaves every later round empty,
+    so a ``rounds`` larger than the chain depth is harmless — the
+    loop is a fixed unrolled plan with no driver-side convergence
+    probe (the :func:`khop_reachability` convention), and the
+    accumulated frame localCheckpoints per round to cut lineage.
+
+    Scale: ``rounds`` × the :func:`apply_rules` shape (one
+    midpoint-keyed self-join of the growing belief table, broadcast
+    rules, one aggregate, one anti-join); the belief table grows by
+    each round's frontier only.
+    """
+    if rounds < 1:
+        raise ValueError("forward_chain: rounds must be >= 1")
+    current = (
+        beliefs.select("subj", "pred", "obj", "confidence")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for k in range(1, rounds + 1):
+        new = apply_rules(current, rules, min_confidence)
+        tagged = new.select(
+            "subj",
+            "pred",
+            "obj",
+            F.lit(k).cast("long").alias("round"),
+            "n_derivations",
+            "confidence",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        current = current.unionByName(
+            new.select("subj", "pred", "obj", "confidence")
+        ).localCheckpoint(eager=False)
+    return out
+
+
 def disambiguate_by_coherence(
     mentions: DataFrame,
     candidates: DataFrame,

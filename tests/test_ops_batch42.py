@@ -231,3 +231,64 @@ class TestApplyRules:
         # exactly the parts MISSING the shortcut get it derived
         assert derived == {("p2", "part_type", "t1"),
                            ("p3", "part_type", "t1")}
+
+
+class TestForwardChain:
+    def test_multi_round_closure_with_decaying_confidence(self, spark):
+        from coies_spark.ops.kg import forward_chain
+
+        b = spark.createDataFrame(
+            [("a", "sub", "b", 1.0), ("b", "sub", "c", 1.0),
+             ("c", "sub", "d", 1.0)],
+            "subj string, pred string, obj string, confidence double",
+        )
+        r = spark.createDataFrame(
+            [("sub", "sub", "sub", 0.5)],
+            "p1 string, p2 string, p3 string, confidence double",
+        )
+        rows = {
+            (x.subj, x.obj): (x.round, x.confidence)
+            for x in forward_chain(b, r, rounds=3).collect()
+        }
+        # round 1: grandparents at 0.5; round 2: the 3-hop closure —
+        # best derivation chains a round-1 fact (conf 0.5) with a
+        # base fact: 0.5 * 0.5 * 1.0 = 0.25
+        assert rows[("a", "c")] == (1, 0.5)
+        assert rows[("b", "d")] == (1, 0.5)
+        assert rows[("a", "d")] == (2, 0.25)
+        # round 3 derives nothing new (chain exhausted)
+        assert len(rows) == 3
+
+    def test_first_round_wins_emission(self, spark):
+        from coies_spark.ops.kg import forward_chain
+
+        # (a,c) derivable in round 1 stays tagged round 1 even though
+        # round 2 could re-derive it
+        b = spark.createDataFrame(
+            [("a", "sub", "b", 1.0), ("b", "sub", "c", 1.0)],
+            "subj string, pred string, obj string, confidence double",
+        )
+        r = spark.createDataFrame(
+            [("sub", "sub", "sub", 1.0)],
+            "p1 string, p2 string, p3 string, confidence double",
+        )
+        rows = forward_chain(b, r, rounds=2).collect()
+        assert [(x.subj, x.obj, x.round) for x in rows] == [
+            ("a", "c", 1)
+        ]
+
+    def test_rounds_validation(self, spark):
+        from coies_spark.ops.kg import forward_chain
+
+        b = spark.createDataFrame(
+            [("a", "p", "b", 1.0)],
+            "subj string, pred string, obj string, confidence double",
+        )
+        r = spark.createDataFrame(
+            [("p", "p", "p", 1.0)],
+            "p1 string, p2 string, p3 string, confidence double",
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            forward_chain(b, r, rounds=0)
