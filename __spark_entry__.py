@@ -2038,6 +2038,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ["entity", "entity_type"],
             ),
         ),
+        # the unified mention feed: direct + pronoun-resolved +
+        # nominal-resolved mentions with provenance and rational
+        # recency-decay scores — the coref -> belief junction
+        "coref_mentions": lambda s, d: kg.coref_mentions(
+            transcripts.synthesize_transcripts(_read(s, d, "documents")),
+            s.createDataFrame(
+                [("spark", "eng:spark"), ("stream", "eng:stream"),
+                 ("vector", "eng:vector"), ("table", "obj:table"),
+                 ("hash", "obj:hash")],
+                ["surface", "entity"],
+            ),
+            s.createDataFrame(
+                [("eng:spark", "query"), ("eng:stream", "query"),
+                 ("eng:vector", "query"), ("obj:table", "filter"),
+                 ("obj:hash", "filter")],
+                ["entity", "entity_type"],
+            ),
+            pronouns=("the", "a"),
+        ),
         # rdfs9: every part typed by its brand inherits the brand's
         # superclasses; assertion wins over derivation (direct flag)
         "inherit_types": lambda s, d: kg.inherit_types(
@@ -5028,6 +5047,42 @@ def oracle_sql() -> dict[str, str]:
         FROM carried WHERE is_anaph
     """
     )
+
+    # coref_mentions: the direct-mention CTE unioned with BOTH
+    # resolver chains (each a complete WITH chain, nested as a
+    # parenthesized subquery — the kge_model_compare composition
+    # idiom), rational recency decay on the resolved rows
+    sql["coref_mentions"] = f"""
+        SELECT conv_id, turn_idx, pos, entity, source, score FROM (
+          WITH t AS ({_transcripts_cte()}),
+          tk AS (SELECT conv_id, turn_idx,
+                        list_filter(regexp_split_to_array(
+                          lower(turn_text), '[\\s!-/:-@\\[-`{{-~]'),
+                          x -> x <> '') AS tokens
+                 FROM t),
+          toks AS (SELECT conv_id, turn_idx, i - 1 AS pos,
+                          tokens[i] AS tok
+                   FROM tk, unnest(range(1, len(tokens) + 1)) u(i)),
+          dict(surface, entity) AS (VALUES
+            ('spark', 'eng:spark'), ('stream', 'eng:stream'),
+            ('vector', 'eng:vector'), ('table', 'obj:table'),
+            ('hash', 'obj:hash'))
+          SELECT k.conv_id,
+                 CAST(k.turn_idx AS BIGINT) AS turn_idx,
+                 CAST(k.pos AS BIGINT) AS pos,
+                 d.entity, 'direct' AS source, 1.0 AS score
+          FROM toks k JOIN dict d ON k.tok = d.surface)
+        UNION ALL
+        SELECT conv_id, turn_idx, pos, entity, 'pronoun' AS source,
+               round(1.0 / (1 + distance), 6) AS score
+        FROM ({sql['resolve_pronouns']})
+        WHERE entity IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, pos, entity, 'nominal' AS source,
+               round(1.0 / (1 + distance), 6) AS score
+        FROM ({sql['resolve_nominals']})
+        WHERE entity IS NOT NULL
+    """
 
     # functional-predicate conflicts: rank objects per (subj, pred) by
     # (confidence DESC, last_ts DESC, obj ASC) over the belief rows,

@@ -292,3 +292,41 @@ class TestForwardChain:
 
         with _pt.raises(ValueError):
             forward_chain(b, r, rounds=0)
+
+
+class TestCorefMentions:
+    def test_all_three_routes_feed_one_table(self, spark):
+        from coies_spark.ops.kg import coref_mentions
+
+        t = _tt(spark, [
+            ("c1", 0, "spark crashed"),
+            ("c1", 1, "it restarted"),
+            ("c1", 2, "the engine recovered"),
+        ])
+        d = spark.createDataFrame(
+            [("spark", "eng:spark")], ["surface", "entity"]
+        )
+        ty = spark.createDataFrame(
+            [("eng:spark", "engine")], ["entity", "entity_type"]
+        )
+        rows = coref_mentions(t, d, ty).collect()
+        by_src = {r.source: r for r in rows}
+        assert set(by_src) == {"direct", "pronoun", "nominal"}
+        assert all(r.entity == "eng:spark" for r in rows)
+        assert by_src["direct"].score == 1.0
+        # pronoun at turn 1 (distance 1) and nominal at turn 2
+        # (distance 2): rational recency decay
+        assert by_src["pronoun"].score == 0.5
+        assert round(by_src["nominal"].score, 6) == 0.333333
+
+    def test_unresolved_anaphors_contribute_nothing(self, spark):
+        from coies_spark.ops.kg import coref_mentions
+
+        t = _tt(spark, [("c1", 0, "it hums and the engine sings")])
+        d = spark.createDataFrame(
+            [("spark", "eng:spark")], ["surface", "entity"]
+        )
+        ty = spark.createDataFrame(
+            [("eng:spark", "engine")], ["entity", "entity_type"]
+        )
+        assert coref_mentions(t, d, ty).count() == 0
