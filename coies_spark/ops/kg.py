@@ -3155,6 +3155,23 @@ def kg_align(
     if max_postings < 1:
         raise ValueError("kg_align: max_postings must be >= 1")
 
+    # the candidate join fans out ~posting² rows per shared attribute
+    # from a tiny probe input, so AQE (which sizes partitions from
+    # JOIN INPUT bytes) would coalesce the probe side to ~1 task and
+    # serialize the fan-out (guide §2.5: exploding join).  Instead,
+    # hash-partition side A by entity ONCE, explicitly: the distinct,
+    # the per-entity attr count, the fan-out join (broadcast build),
+    # the (entity_a, entity_b) candidate aggregate, and the entity_a
+    # best-match window ALL have their clustering requirement
+    # satisfied by this single exchange (grouping keys are supersets
+    # of entity_a), so the multi-million-row candidate table never
+    # crosses an exchange until the entity_b window.  The partition
+    # count scales with the cluster (defaultParallelism), with fan-out
+    # headroom — never a constant tuned to one machine.
+    n_part = (
+        triples_a.sparkSession.sparkContext.defaultParallelism * 4
+    )
+
     def _attrs(t: DataFrame, side: str) -> DataFrame:
         return (
             t.select(
@@ -3163,7 +3180,14 @@ def kg_align(
             .distinct()
         )
 
-    a, b = _attrs(triples_a, "a"), _attrs(triples_b, "b")
+    a = (
+        triples_a.select(
+            F.col("subj").alias("entity_a"), "pred", "obj"
+        )
+        .repartition(n_part, "entity_a")
+        .dropDuplicates()
+    )
+    b = _attrs(triples_b, "b")
     # per-side attribute set sizes (for the Jaccard denominator)
     na = a.groupBy("entity_a").agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
