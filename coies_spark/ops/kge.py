@@ -13,11 +13,13 @@ The lite trainer here makes every choice the deterministic one:
   each epoch's gradient is one aggregation over all triples, so the
   loop is reproducible on any partitioning and expressible as an
   unrolled DuckDB CTE chain;
-* **long-format state** (id, i, x) instead of array columns: the
-  per-dimension join/aggregate program is REGULAR relational algebra
-  — identical on Spark and DuckDB with no per-dimension SQL
-  generation, and the shuffle keys ((subj, pred, obj) and (id, i))
-  stay well-spread at any scale;
+* **array-packed state** (id, xs[dim]) with per-element arithmetic:
+  the per-dimension program is the SAME expression tree the long
+  (id, i, x) form evaluated row-by-row — each element op is one IEEE
+  double op and each cross-dimension sum folds in exact decimal, so
+  results are bit-identical to the long form (which the DuckDB twins
+  still replay) while every join keys on the entity/triple alone and
+  ships dim values per row instead of dim rows;
 * **hash-everything determinism**: initial components are
   md5-derived uniforms in [-0.5, 0.5) (the `deterministic_sample`
   hex trick, numeric form), and each triple's corrupted tail is the
@@ -30,15 +32,18 @@ The lite trainer here makes every choice the deterministic one:
   re-round to 9dp before the next epoch (the classifier GD
   accumulation trick).
 
-Scale shapes (10⁹-entity KG): the per-epoch core join fans each
-triple into ``dim`` rows — that is TransE's intrinsic cost — and
-every join/aggregate keys on (entity, i) or the triple key, so hot
-entities spread across dimensions and triples.  The one structure
-that is NOT shuffle-spread is the corruption index (row_number over
-the sorted entity list): vocabulary-sized by construction here, and
-at web scale the two-phase range-bucketed rank
-(``ops.maintenance.exclusive_prefix_sum``) replaces it — the same
-swap the walk ops made in round 5.
+Scale shapes (10⁹-entity KG): every join keys on the entity id or the
+triple key, so hot entities spread across triples; the corruption
+index over the sorted entity list is built HUB-SAFELY above
+``_INDEX_WINDOW_MAX`` entities by the two-phase quantile-bucketed
+rank (the ``operators.graph._neighbor_index`` /
+``ops.maintenance.exclusive_prefix_sum`` recipe — rank values are
+identical to the single-window build, so nothing downstream moves),
+and below it by one bounded-size window.  State sides join broadcast
+when vocabulary-sized (|E|·dim·channels ≤ ``_BCAST_MAX_ELEMS``) and
+as plain shuffled equi-joins beyond that — a driver-side branch on
+counts the loop already takes, because the lazily-checkpointed state
+hides its statistics from Catalyst.
 
 No file in ``/root/reference`` contains embedding-based KG scoring;
 this implements the public TransE recipe for the alias/link layers
@@ -48,11 +53,21 @@ to consume.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(28,12)"
 _SEP = "\x1f"
+# one rank task may sort at most this many entity ids before the
+# two-phase bucketed build takes over (the walk-ops lesson: always
+# bucketing costs a constant factor tiny vocabularies never earn back)
+_INDEX_WINDOW_MAX = 2_000_000
+# a state side broadcasts while |ids| · dim · channels stays under
+# this many elements (~32 MB of doubles); beyond it the joins fall
+# back to shuffled equi-joins on the entity key
+_BCAST_MAX_ELEMS = 4_000_000
 
 
 def _md5_long(col: Column) -> Column:
@@ -63,20 +78,109 @@ def _md5_long(col: Column) -> Column:
     ).cast("long")
 
 
-def _init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
-    """(id, i, x): md5-uniform init in [-0.5, 0.5), round 9 — the
-    ``kind`` salt keeps an entity and a relation with the same name
-    on independent vectors."""
-    dims = ids.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
+def _maybe_b(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast hint iff the driver-side count said the side fits —
+    the scale-adaptive branch the checkpointed state needs because
+    Catalyst sees no statistics through a LogicalRDD."""
+    return F.broadcast(df) if small else df
+
+
+def _dec_arr_sum(arr: Column, term: Callable[[Column], Column]) -> Column:
+    """Σ term(x) over an array, folded in exact decimal(28,12) and
+    cast to double — the array twin of ``F.sum(term(x))`` over long
+    (id, i, x) rows.  Decimal addition is exact (unit-scale terms
+    never approach the 28-digit cap), so the fold order is as
+    irrelevant as the shuffle-reduce order was, and the final double
+    is the identical value on every engine."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + term(x)).cast(_DEC),
+    ).cast("double")
+
+
+def _entity_index(ents: DataFrame, n: int) -> DataFrame:
+    """(id, idx): the sorted-entity-list index (0-based dense rank by
+    id ascending) every corruption/candidate draw addresses — built
+    HUB-SAFELY.  Below ``_INDEX_WINDOW_MAX`` ids, one bounded
+    ``row_number`` window (a single task sorting ≤ 2M short strings —
+    cheaper than the two-phase build's extra passes).  Above it, the
+    two-phase quantile-bucketed rank the walk ops use
+    (``operators.graph._neighbor_index``): an order-preserving
+    numeric proxy of the id (integer value, or the zero-right-padded
+    first-60-bits key of a string — fixed width, so prefix order ==
+    byte order == Spark's code-point order), ``percentile_approx``
+    bucket boundaries, per-bucket local ranks, and a ≤B-row offset
+    prefix sum broadcast back.  Equal proxies always share a bucket,
+    so idx == the single-window rank EXACTLY (ids are distinct);
+    every oracle and test downstream is invariant to the branch."""
+    if n <= _INDEX_WINDOW_MAX:
+        return ents.select(
+            "id",
+            (
+                F.row_number().over(Window.orderBy(F.col("id").asc())) - 1
+            ).cast("long").alias("idx"),
+        )
+    id_type = dict(ents.dtypes)["id"]
+    if id_type in ("tinyint", "smallint", "int", "bigint", "long"):
+        key = F.col("id").cast("long")
+    elif id_type == "string":
+        key = F.conv(
+            F.rpad(F.hex(F.encode(F.col("id"), "utf-8")), 15, "0"),
+            16,
+            10,
+        ).cast("long")
+    else:  # exotic id type: degenerate to the single-window build
+        return ents.select(
+            "id",
+            (
+                F.row_number().over(Window.orderBy(F.col("id").asc())) - 1
+            ).cast("long").alias("idx"),
+        )
+    n_buckets = max(
+        2, ents.sparkSession.sparkContext.defaultParallelism * 4
     )
-    u = _md5_long(
-        F.concat_ws(_SEP, F.lit(kind), F.col("id"), F.col("i").cast("string"))
-    ) / F.lit(4294967296.0)
-    return dims.select("id", "i", F.round(u - F.lit(0.5), 9).alias("x"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    keyed = ents.select("id", key.alias("__k"))
+    bnds = keyed.agg(
+        F.percentile_approx("__k", qs, 10_000).alias("__bnds")
+    )
+    bucketed = keyed.crossJoin(F.broadcast(bnds)).select(
+        "id",
+        F.aggregate(
+            "__bnds",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(b <= F.col("__k"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ).alias("__bkt"),
+    )
+    wl = Window.partitionBy("__bkt").orderBy(F.col("id").asc())
+    local = bucketed.select(
+        "id",
+        "__bkt",
+        (F.row_number().over(wl) - 1).cast("long").alias("__lr"),
+    )
+    wo = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            "__bkt",
+            (F.sum("__n").over(wo) - F.col("__n")).alias("__off"),
+        )
+    )
+    return local.join(F.broadcast(offs), "__bkt").select(
+        "id", (F.col("__off") + F.col("__lr")).alias("idx")
+    )
 
 
-def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
+def _negatives(
+    t: DataFrame, ents: DataFrame, n: int | None = None
+) -> DataFrame:
     """Append the deterministic corrupted tail: the entity at index
     md5(triple) mod (N−1) of the sorted entity list WITH THE TRUE
     TAIL EXCLUDED (the sample-excluding-one shift: indexes at or
@@ -84,22 +188,18 @@ def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
     matters: a corruption equal to the positive gives d_pos == d_neg
     forever — the triple counts as violated at every epoch with
     gradients that cancel exactly, polluting the violated-count
-    health gauge for ~|T|/N triples.  The rank window is
-    vocabulary-sized (see module docstring for the web-scale swap);
-    a single-entity KG degenerates to the tail itself (no other
-    entity exists)."""
-    n = ents.count()
-    eidx = ents.select(
-        "id",
-        (F.row_number().over(Window.orderBy(F.col("id").asc())) - 1).alias(
-            "idx"
-        ),
-    )
+    health gauge for ~|T|/N triples.  The entity index is the
+    hub-safe :func:`_entity_index`; a single-entity KG degenerates to
+    the tail itself (no other entity exists)."""
+    if n is None:
+        n = ents.count()
+    small = n <= _BCAST_MAX_ELEMS
+    eidx = _entity_index(ents, n)
     key = _md5_long(F.concat_ws(_SEP, "subj", "pred", "obj"))
     if n < 2:
         return (
             t.withColumn("idx", key % F.lit(n))
-            .join(eidx, "idx")
+            .join(_maybe_b(eidx, small), "idx")
             .select(
                 "subj", "pred", "obj", F.col("id").alias("neg_obj")
             )
@@ -109,126 +209,206 @@ def _negatives(t: DataFrame, ents: DataFrame) -> DataFrame:
     )
     idx0 = key % F.lit(n - 1)
     return (
-        t.join(oidx, "obj")
+        t.join(_maybe_b(oidx, small), "obj")
         .withColumn(
             "idx", idx0 + (idx0 >= F.col("__oi")).cast("long")
         )
-        .join(eidx, "idx")
+        .join(_maybe_b(eidx, small), "idx")
         .select(
             "subj", "pred", "obj", F.col("id").alias("neg_obj")
         )
     )
 
 
-def _epoch_core(
-    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
-) -> DataFrame:
-    """Per-(triple, dimension) translation residuals under the current
-    state: dp_i = (h_i + r_i) - t_i, dn_i against the corrupted tail."""
-    return (
-        tneg.join(
-            e_state.select(
-                F.col("id").alias("subj"), "i", F.col("x").alias("h")
-            ),
-            "subj",
-        )
-        .join(
-            r_state.select(
-                F.col("id").alias("pred"), "i", F.col("x").alias("r")
-            ),
-            ["pred", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("obj"), "i", F.col("x").alias("t")
-            ),
-            ["obj", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("neg_obj"), "i", F.col("x").alias("tn")
-            ),
-            ["neg_obj", "i"],
-        )
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            "neg_obj",
-            "i",
-            ((F.col("h") + F.col("r")) - F.col("t")).alias("dp"),
-            ((F.col("h") + F.col("r")) - F.col("tn")).alias("dn"),
-        )
-    )
+# --------------------------------------------------------------------
+# TransE (single-channel, round-9 grid)
+# --------------------------------------------------------------------
 
 
-def _energies(core: DataFrame, margin: float) -> DataFrame:
-    """Per-triple squared-L2 energies and the margin-violation flag;
-    per-component squares round 9dp, the cross-dimension sum is exact
-    decimal — identical in both engines."""
-    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
-        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
-        .cast("double")
-        .alias("d_pos"),
-        F.sum(F.round(F.col("dn") * F.col("dn"), 9).cast(_DEC))
-        .cast("double")
-        .alias("d_neg"),
-    ).withColumn(
-        "violated",
-        (F.lit(float(margin)) + F.col("d_pos") - F.col("d_neg")) > 0,
+def _init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
+    """(id, xs[dim]): md5-uniform init in [-0.5, 0.5), round 9 — the
+    ``kind`` salt keeps an entity and a relation with the same name
+    on independent vectors.  Element i carries exactly the value the
+    long-form (id, i, x) init produced."""
+    return ids.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.round(
+                _md5_long(
+                    F.concat_ws(
+                        _SEP, F.lit(kind), F.col("id"), i.cast("string")
+                    )
+                )
+                / F.lit(4294967296.0)
+                - F.lit(0.5),
+                9,
+            ),
+        ).alias("xs"),
     )
 
 
 def _l2_normalize(state: DataFrame) -> DataFrame:
     """Project every entity vector onto the unit L2 ball at epoch
     start (the TransE Algorithm-1 normalization step): ‖x‖² sums
-    round-9 squares in decimal (exact), the norm and division are
-    IEEE doubles identical on both engines, and the result re-rounds
-    to 9dp.  Besides algorithm fidelity, this BOUNDS every entity
-    component at 1, so round(x, 9) can never outrun double precision
-    however adversarial the input KG (unsatisfiable cycles diverge
-    without it)."""
-    nrm = state.groupBy("id").agg(
-        F.sqrt(
-            F.sum(
-                F.round(F.col("x") * F.col("x"), 9).cast(_DEC)
-            ).cast("double")
-        ).alias("nrm")
+    round-9 squares in exact decimal, the norm and division are IEEE
+    doubles identical on both engines, and the result re-rounds to
+    9dp.  A pure per-row projection now — the norm folds over the
+    row's own array, so the former per-id groupBy+join is gone.
+    Besides algorithm fidelity, this BOUNDS every entity component at
+    1, so round(x, 9) can never outrun double precision however
+    adversarial the input KG (unsatisfiable cycles diverge without
+    it)."""
+    nrm = F.sqrt(
+        _dec_arr_sum("xs", lambda x: F.round(x * x, 9).cast(_DEC))
     )
-    return state.join(nrm, "id").select(
+    return state.withColumn("__nrm", nrm).select(
         "id",
-        "i",
         F.when(
-            F.col("nrm") > 0, F.round(F.col("x") / F.col("nrm"), 9)
+            F.col("__nrm") > 0,
+            F.transform(
+                "xs", lambda x: F.round(x / F.col("__nrm"), 9)
+            ),
         )
-        .otherwise(F.col("x"))
-        .alias("x"),
+        .otherwise(F.col("xs"))
+        .alias("xs"),
+    )
+
+
+def _attach1(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    small_e: bool,
+    small_r: bool,
+) -> DataFrame:
+    """tneg + (h, r, t, tn) arrays: four entity/relation-keyed
+    equi-joins (broadcast while the state side fits), one row per
+    triple — the array twin of the long-form 4-join fan-out."""
+    return (
+        tneg.join(
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("subj"), F.col("xs").alias("h")
+                ),
+                small_e,
+            ),
+            "subj",
+        )
+        .join(
+            _maybe_b(
+                r_state.select(
+                    F.col("id").alias("pred"), F.col("xs").alias("r")
+                ),
+                small_r,
+            ),
+            "pred",
+        )
+        .join(
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("obj"), F.col("xs").alias("t")
+                ),
+                small_e,
+            ),
+            "obj",
+        )
+        .join(
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("neg_obj"),
+                    F.col("xs").alias("tn"),
+                ),
+                small_e,
+            ),
+            "neg_obj",
+        )
+    )
+
+
+def _epoch_rows(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    margin: float,
+    small_e: bool,
+    small_r: bool,
+) -> DataFrame:
+    """Per-triple translation residual arrays and energies under the
+    current state: dp[i] = (h_i + r_i) - t_i, dn[i] against the
+    corrupted tail; d_pos/d_neg the exact-decimal sums of the round-9
+    squares; ``violated`` the margin flag.  One row per triple —
+    residuals, energies and the flag live on the SAME row, so the
+    former join-back of the violation set onto the core is gone."""
+    dp = F.zip_with(
+        F.zip_with("h", "r", lambda a, b: a + b),
+        "t",
+        lambda s, x: s - x,
+    )
+    dn = F.zip_with(
+        F.zip_with("h", "r", lambda a, b: a + b),
+        "tn",
+        lambda s, x: s - x,
+    )
+    rows = _attach1(tneg, e_state, r_state, small_e, small_r).select(
+        "subj", "pred", "obj", "neg_obj",
+        dp.alias("dp"), dn.alias("dn"),
+    )
+    sq = lambda x: F.round(x * x, 9).cast(_DEC)  # noqa: E731
+    return rows.select(
+        "*",
+        _dec_arr_sum("dp", sq).alias("d_pos"),
+        _dec_arr_sum("dn", sq).alias("d_neg"),
+    ).withColumn(
+        "violated",
+        (F.lit(float(margin)) + F.col("d_pos") - F.col("d_neg")) > 0,
+    )
+
+
+def _grad_sum(
+    grads: DataFrame, dim: int, n_triples: int
+) -> DataFrame:
+    """(id, g[dim]) from per-contribution (id, g[dim]) rows: element
+    sums fold in exact decimal per (id, i) — the identical vote set
+    the long-form groupBy(id, i) reduced — then divide by the triple
+    count (full-batch MEAN descent, the :mod:`classify` g/N rule:
+    per-epoch movement stays O(lr) however many triples vote, which
+    is also what keeps the 9dp grid exact — past |x|·10⁹ ≈ 2⁵³ the
+    grid outruns double precision and engines disagree by 1 ulp)."""
+    sums = [
+        F.sum(F.element_at("g", k + 1).cast(_DEC)).alias(f"__s{k}")
+        for k in range(dim)
+    ]
+    return grads.groupBy("id").agg(*sums).select(
+        "id",
+        F.array(
+            *[
+                F.col(f"__s{k}").cast("double")
+                / F.lit(float(n_triples))
+                for k in range(dim)
+            ]
+        ).alias("g"),
     )
 
 
 def _apply_grads(
-    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+    state: DataFrame, gsum: DataFrame, lr: float, small: bool
 ) -> DataFrame:
-    """x ← round(x - lr·(Σg)/T, 9); rows with no gradient keep their
-    weight (LEFT join — the classifier's no-silent-delete rule).
-    Dividing by the TRIPLE COUNT makes this full-batch MEAN descent
-    (the :mod:`classify` g/N rule): per-epoch movement stays O(lr)
-    however many triples vote, so components stay unit-scale — which
-    is also what keeps round(x, 9) EXACT (past |x|·10⁹ ≈ 2⁵³ the
-    9dp grid outruns double precision and engines disagree by 1 ulp;
-    sum-gradient TransE diverges into exactly that regime)."""
-    gsum = grads.groupBy("id", "i").agg(
-        (
-            F.sum(F.col("g").cast(_DEC)).cast("double")
-            / F.lit(float(n_triples))
-        ).alias("g")
-    )
-    return state.join(gsum, ["id", "i"], "left").select(
+    """x ← round(x - lr·g, 9) element-wise; ids with no gradient keep
+    their weight (LEFT join — the classifier's no-silent-delete rule;
+    state components already sit on the 9dp grid, so skipping the
+    no-op update equals the former round(x - lr·0, 9))."""
+    return state.join(_maybe_b(gsum, small), "id", "left").select(
         "id",
-        "i",
-        F.round(
-            F.col("x") - F.lit(float(lr)) * F.coalesce("g", F.lit(0.0)), 9
-        ).alias("x"),
+        F.when(F.col("g").isNull(), F.col("xs"))
+        .otherwise(
+            F.zip_with(
+                "xs",
+                "g",
+                lambda x, g: F.round(x - F.lit(float(lr)) * g, 9),
+            )
+        )
+        .alias("xs"),
     )
 
 
@@ -252,44 +432,61 @@ def _train_states(
     )
     rels = t.select(F.col("pred").alias("id")).distinct()
     n_triples = t.count()
-    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    n_ents = ents.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
+    # relations are a subset of the triple count per distinct pred;
+    # they broadcast whenever the entity side does (|R| ≤ 2|T| keys
+    # is the practical regime; an adversarial all-distinct-pred KG
+    # still fits whenever the entity side fits)
+    small_r = small_e
+    tneg = _negatives(t, ents, n_ents).localCheckpoint(eager=False)
     e_state = _init_state(ents, "entity", dim)
     r_state = _init_state(rels, "relation", dim)
     for _ in range(iters):
         e_state = _l2_normalize(e_state)
-        core = _epoch_core(tneg, e_state, r_state)
-        viol = (
-            _energies(core, margin)
+        vc = (
+            _epoch_rows(tneg, e_state, r_state, margin, small_e, small_r)
             .where("violated")
-            .select("subj", "pred", "obj", "neg_obj")
+            .select("subj", "pred", "obj", "neg_obj", "dp", "dn")
+            # the violation rows feed FOUR gradient projections — cut
+            # here so the epoch's join tree runs once, not four times
+            .localCheckpoint(eager=False)
         )
-        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
-        g_hr = F.round(2.0 * (F.col("dp") - F.col("dn")), 9)
+        g_hr = F.zip_with(
+            "dp", "dn", lambda p, q: F.round(2.0 * (p - q), 9)
+        )
         grads_e = (
-            vc.select(F.col("subj").alias("id"), "i", g_hr.alias("g"))
+            vc.select(F.col("subj").alias("id"), g_hr.alias("g"))
             .unionByName(
                 vc.select(
                     F.col("obj").alias("id"),
-                    "i",
-                    F.round(-2.0 * F.col("dp"), 9).alias("g"),
+                    F.transform(
+                        "dp", lambda p: F.round(-2.0 * p, 9)
+                    ).alias("g"),
                 )
             )
             .unionByName(
                 vc.select(
                     F.col("neg_obj").alias("id"),
-                    "i",
-                    F.round(2.0 * F.col("dn"), 9).alias("g"),
+                    F.transform(
+                        "dn", lambda q: F.round(2.0 * q, 9)
+                    ).alias("g"),
                 )
             )
         )
-        grads_r = vc.select(F.col("pred").alias("id"), "i", g_hr.alias("g"))
+        grads_r = vc.select(F.col("pred").alias("id"), g_hr.alias("g"))
         e_state = _apply_grads(
-            e_state, grads_e, lr, n_triples
+            e_state, _grad_sum(grads_e, dim, n_triples), lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _apply_grads(
-            r_state, grads_r, lr, n_triples
+            r_state, _grad_sum(grads_r, dim, n_triples), lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
+
+
+def _explode1(state: DataFrame) -> DataFrame:
+    """(id, xs[dim]) → the published long format (id, i, x)."""
+    return state.select("id", F.posexplode("xs").alias("i", "x"))
 
 
 def transe_train(
@@ -309,10 +506,12 @@ def transe_train(
     a representation-learning op).
     """
     _, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
-    return e_state.select(
+    return _explode1(e_state).select(
         "id", F.lit("entity").alias("kind"), "i", "x"
     ).unionByName(
-        r_state.select("id", F.lit("relation").alias("kind"), "i", "x")
+        _explode1(r_state).select(
+            "id", F.lit("relation").alias("kind"), "i", "x"
+        )
     )
 
 
@@ -335,15 +534,11 @@ def transe_energies(
     every stage with :func:`transe_train`, so the faces cannot drift.
     """
     tneg, e_state, r_state = _train_states(triples, dim, iters, lr, margin)
-    core = _epoch_core(tneg, e_state, r_state)
-    # NO final rounding: the decimal sums are exact at <= 9dp, so the
-    # cast double is already the identical value on every engine —
-    # re-rounding to 6dp would CREATE cross-engine ties (an exact
-    # x.xxxxxx5 decimal rounds differently through BigDecimal HALF_UP
-    # vs double multiply-round; observed once per ~1e3 rows)
-    return _energies(core, margin).select(
-        "subj", "pred", "obj", "d_pos", "d_neg", "violated"
-    )
+    n_ents = e_state.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
+    return _epoch_rows(
+        tneg, e_state, r_state, margin, small_e, small_e
+    ).select("subj", "pred", "obj", "d_pos", "d_neg", "violated")
 
 
 def transe_rank_eval(
@@ -376,14 +571,14 @@ def transe_rank_eval(
     because energies are round-9 decimal sums cast to double (the
     :func:`transe_energies` guarantee).
 
-    Scale: scoring is |test|·K·``dim`` rows through the same
-    (entity, i)-keyed equi-join program as training — no all-pairs
-    structure anywhere.  Ranking against ALL entities (the original
-    protocol) is |test|·|E| and deliberately not the default; at
-    10⁹ entities the published path is candidate sampling (this), or
-    ANN over the entity table (``ops.similarity``) when exact
-    full-ranking is required.  The sorted-entity index window is
-    vocabulary-sized (module docstring caveat).
+    Scale: scoring is |test|·K rows through the same entity-keyed
+    equi-join program as training (arrays carry the ``dim`` values) —
+    no all-pairs structure anywhere.  Ranking against ALL entities
+    (the original protocol) is |test|·|E| and deliberately not the
+    default; at 10⁹ entities the published path is candidate sampling
+    (this), or ANN over the entity table (``ops.similarity``) when
+    exact full-ranking is required.  The sorted-entity index is the
+    hub-safe :func:`_entity_index`.
     """
     if n_candidates < 1:
         raise ValueError("transe_rank_eval: n_candidates must be >= 1")
@@ -393,41 +588,57 @@ def transe_rank_eval(
     t3 = tneg.select("subj", "pred", "obj")
     if side == "head":
         t3 = _flip(t3)
+    n_ents = e_state.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
     probe = _rank_probe(t3, n_candidates)
+    sq = lambda x: F.round(x * x, 9).cast(_DEC)  # noqa: E731
     res = (
         probe.join(
-            e_state.select(
-                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("subj"), F.col("xs").alias("h")
+                ),
+                small_e,
             ),
             "subj",
         )
         .join(
-            r_state.select(
-                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            _maybe_b(
+                r_state.select(
+                    F.col("id").alias("pred"), F.col("xs").alias("r")
+                ),
+                small_e,
             ),
-            ["pred", "i"],
+            "pred",
         )
         .join(
-            e_state.select(
-                F.col("id").alias("cand"), "i", F.col("x").alias("e")
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("cand"), F.col("xs").alias("e")
+                ),
+                small_e,
             ),
-            ["cand", "i"],
-        )
-        .select(
-            "subj", "pred", "obj", "cand", "is_true",
-            # tail side: d(h + r, cand); head side (flipped probe):
-            # d(cand + r, t) — the candidate occupies the HEAD slot
-            (
-                (F.col("h") + F.col("r") - F.col("e"))
-                if side == "tail"
-                else (F.col("e") + F.col("r") - F.col("h"))
-            ).alias("dp"),
+            "cand",
         )
     )
-    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
-        F.sum(F.round(F.col("dp") * F.col("dp"), 9).cast(_DEC))
-        .cast("double")
-        .alias("score")
+    # tail side: d(h + r, cand); head side (flipped probe):
+    # d(cand + r, t) — the candidate occupies the HEAD slot
+    dp = (
+        F.zip_with(
+            F.zip_with("h", "r", lambda a, b: a + b),
+            "e",
+            lambda s, x: s - x,
+        )
+        if side == "tail"
+        else F.zip_with(
+            F.zip_with("e", "r", lambda a, b: a + b),
+            "h",
+            lambda s, x: s - x,
+        )
+    )
+    scored = res.select(
+        "subj", "pred", "obj", "cand", "is_true",
+        _dec_arr_sum(dp, sq).alias("score"),
     )
     # translation ENERGY: lower is better
     out = _rank_output(scored, higher_is_better=False)
@@ -462,19 +673,16 @@ def _rank_probe(t3: DataFrame, n_candidates: int) -> DataFrame:
     deterministic md5-indexed candidate entities per triple, with
     known-true tails for (subj, pred) FILTERED out, plus the true
     tail flagged ``is_true``.  See :func:`transe_rank_eval` for the
-    protocol contract."""
+    protocol contract; the sorted-entity index is the hub-safe
+    :func:`_entity_index`."""
     ents = (
         t3.select(F.col("subj").alias("id"))
         .unionByName(t3.select(F.col("obj").alias("id")))
         .distinct()
     )
     n = ents.count()
-    eidx = ents.select(
-        "id",
-        (F.row_number().over(Window.orderBy(F.col("id").asc())) - 1).alias(
-            "idx"
-        ),
-    )
+    eidx = _entity_index(ents, n)
+    small = n <= _BCAST_MAX_ELEMS
     cand = (
         t3.select(
             "*",
@@ -491,7 +699,7 @@ def _rank_probe(t3: DataFrame, n_candidates: int) -> DataFrame:
             )
             % F.lit(n),
         )
-        .join(eidx, "idx")
+        .join(_maybe_b(eidx, small), "idx")
         .select("subj", "pred", "obj", F.col("id").alias("cand"))
         .distinct()
         .where(F.col("cand") != F.col("obj"))
@@ -584,104 +792,93 @@ def _q9(c: Column) -> Column:
     return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
 
+# --------------------------------------------------------------------
+# DistMult (single-channel, q9 grid)
+# --------------------------------------------------------------------
+
+
 def _dm_init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
     """:func:`_init_state` on the :func:`_q9` grid (see there)."""
-    dims = ids.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
+    return ids.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: _q9(
+                _md5_long(
+                    F.concat_ws(
+                        _SEP, F.lit(kind), F.col("id"), i.cast("string")
+                    )
+                )
+                / F.lit(4294967296.0)
+                - F.lit(0.5)
+            ),
+        ).alias("xs"),
     )
-    u = _md5_long(
-        F.concat_ws(_SEP, F.lit(kind), F.col("id"), F.col("i").cast("string"))
-    ) / F.lit(4294967296.0)
-    return dims.select("id", "i", _q9(u - F.lit(0.5)).alias("x"))
 
 
 def _dm_l2_normalize(state: DataFrame) -> DataFrame:
     """:func:`_l2_normalize` on the :func:`_q9` grid."""
-    nrm = state.groupBy("id").agg(
-        F.sqrt(
-            F.sum(_q9(F.col("x") * F.col("x")).cast(_DEC)).cast("double")
-        ).alias("nrm")
-    )
-    return state.join(nrm, "id").select(
+    nrm = F.sqrt(_dec_arr_sum("xs", lambda x: _q9(x * x).cast(_DEC)))
+    return state.withColumn("__nrm", nrm).select(
         "id",
-        "i",
-        F.when(F.col("nrm") > 0, _q9(F.col("x") / F.col("nrm")))
-        .otherwise(F.col("x"))
-        .alias("x"),
+        F.when(
+            F.col("__nrm") > 0,
+            F.transform("xs", lambda x: _q9(x / F.col("__nrm"))),
+        )
+        .otherwise(F.col("xs"))
+        .alias("xs"),
     )
 
 
 def _dm_apply_grads(
-    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+    state: DataFrame, gsum: DataFrame, lr: float, small: bool
 ) -> DataFrame:
     """:func:`_apply_grads` on the :func:`_q9` grid."""
-    gsum = grads.groupBy("id", "i").agg(
-        (
-            F.sum(F.col("g").cast(_DEC)).cast("double")
-            / F.lit(float(n_triples))
-        ).alias("g")
-    )
-    return state.join(gsum, ["id", "i"], "left").select(
+    return state.join(_maybe_b(gsum, small), "id", "left").select(
         "id",
-        "i",
-        _q9(
-            F.col("x") - F.lit(float(lr)) * F.coalesce("g", F.lit(0.0))
-        ).alias("x"),
+        F.when(F.col("g").isNull(), F.col("xs"))
+        .otherwise(
+            F.zip_with(
+                "xs",
+                "g",
+                lambda x, g: _q9(x - F.lit(float(lr)) * g),
+            )
+        )
+        .alias("xs"),
     )
 
 
-def _dm_core(
-    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
+def _dm_rows(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    margin: float,
+    small_e: bool,
+    small_r: bool,
 ) -> DataFrame:
-    """Per-(triple, dimension) raw components under the current state
-    — DistMult needs the factors themselves (its gradients are
-    products of the OTHER two factors), so this publishes (h, r, t,
-    tn) per dimension rather than residuals."""
-    return (
-        tneg.join(
-            e_state.select(
-                F.col("id").alias("subj"), "i", F.col("x").alias("h")
-            ),
-            "subj",
-        )
-        .join(
-            r_state.select(
-                F.col("id").alias("pred"), "i", F.col("x").alias("r")
-            ),
-            ["pred", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("obj"), "i", F.col("x").alias("t")
-            ),
-            ["obj", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("neg_obj"), "i", F.col("x").alias("tn")
-            ),
-            ["neg_obj", "i"],
-        )
-        .select("subj", "pred", "obj", "neg_obj", "i", "h", "r", "t", "tn")
+    """Per-triple factor arrays and bilinear scores under the current
+    state — DistMult needs the factors themselves (its gradients are
+    products of the OTHER two factors), so this keeps (h, r, t, tn)
+    per row next to s_pos = Σᵢ q9(hᵢrᵢtᵢ), s_neg, and the violation
+    flag."""
+    rows = _attach1(tneg, e_state, r_state, small_e, small_r)
+    tri = lambda t: F.zip_with(  # noqa: E731
+        F.zip_with("h", "r", lambda a, b: a * b),
+        t,
+        lambda p, x: p * x,
     )
-
-
-def _dm_scores(core: DataFrame, margin: float) -> DataFrame:
-    """Per-triple bilinear scores s = Σᵢ hᵢrᵢtᵢ (true and corrupted
-    tail) and the margin-violation flag max(0, γ - s_pos + s_neg);
-    per-dimension triple products round 9dp, the cross-dimension sum
-    is exact decimal — the :func:`_energies` engine-parity recipe."""
-    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
-        F.sum(
-            _q9(F.col("h") * F.col("r") * F.col("t")).cast(_DEC)
-        )
-        .cast("double")
-        .alias("s_pos"),
-        F.sum(
-            _q9(F.col("h") * F.col("r") * F.col("tn")).cast(_DEC)
-        )
-        .cast("double")
-        .alias("s_neg"),
+    # NOTE the association: q9(h*r*t) in the long form multiplies
+    # (h*r) first only if the engine parenthesizes left-to-right —
+    # h*r*t in both Spark and DuckDB parses as (h*r)*t, which is what
+    # the zip_with chain reproduces
+    return rows.select(
+        "subj", "pred", "obj", "neg_obj", "h", "r", "t", "tn",
+        _dec_arr_sum(tri("t"), lambda x: _q9(x).cast(_DEC)).alias(
+            "s_pos"
+        ),
+        _dec_arr_sum(tri("tn"), lambda x: _q9(x).cast(_DEC)).alias(
+            "s_neg"
+        ),
     ).withColumn(
         "violated",
         (F.lit(float(margin)) - F.col("s_pos") + F.col("s_neg")) > 0,
@@ -695,7 +892,7 @@ def _dm_train_states(
     :func:`distmult_scores`: the :func:`_train_states` loop with the
     bilinear score s = Σᵢ hᵢrᵢtᵢ in place of translation energy.
     Everything else — md5 init/corruption, epoch-start entity
-    normalization, round-9 decimal mean-gradient accumulation — is
+    normalization, q9 decimal mean-gradient accumulation — is
     byte-identical scaffolding, which is the point: one deterministic
     trainer recipe, many model families."""
     if dim < 1 or iters < 1:
@@ -712,52 +909,64 @@ def _dm_train_states(
     )
     rels = t.select(F.col("pred").alias("id")).distinct()
     n_triples = t.count()
-    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    n_ents = ents.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
+    small_r = small_e
+    tneg = _negatives(t, ents, n_ents).localCheckpoint(eager=False)
     e_state = _dm_init_state(ents, "entity", dim)
     r_state = _dm_init_state(rels, "relation", dim)
     for _ in range(iters):
         e_state = _dm_l2_normalize(e_state)
-        core = _dm_core(tneg, e_state, r_state)
-        viol = (
-            _dm_scores(core, margin)
+        vc = (
+            _dm_rows(tneg, e_state, r_state, margin, small_e, small_r)
             .where("violated")
-            .select("subj", "pred", "obj", "neg_obj")
+            .select(
+                "subj", "pred", "obj", "neg_obj", "h", "r", "t", "tn"
+            )
+            .localCheckpoint(eager=False)
         )
-        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
         # margin loss γ - s_pos + s_neg: each weight's subgradient is
         # the product of the OTHER factors, negative via s_pos and
         # positive via s_neg
         grads_e = (
             vc.select(
                 F.col("subj").alias("id"),
-                "i",
-                _q9(F.col("r") * (F.col("tn") - F.col("t"))).alias("g"),
+                F.zip_with(
+                    "r",
+                    F.zip_with("tn", "t", lambda a, b: a - b),
+                    lambda r, d: _q9(r * d),
+                ).alias("g"),
             )
             .unionByName(
                 vc.select(
                     F.col("obj").alias("id"),
-                    "i",
-                    _q9(-F.col("h") * F.col("r")).alias("g"),
+                    F.zip_with(
+                        "h", "r", lambda h, r: _q9(-h * r)
+                    ).alias("g"),
                 )
             )
             .unionByName(
                 vc.select(
                     F.col("neg_obj").alias("id"),
-                    "i",
-                    _q9(F.col("h") * F.col("r")).alias("g"),
+                    F.zip_with(
+                        "h", "r", lambda h, r: _q9(h * r)
+                    ).alias("g"),
                 )
             )
         )
         grads_r = vc.select(
             F.col("pred").alias("id"),
-            "i",
-            _q9(F.col("h") * (F.col("tn") - F.col("t"))).alias("g"),
+            F.zip_with(
+                "h",
+                F.zip_with("tn", "t", lambda a, b: a - b),
+                lambda h, d: _q9(h * d),
+            ).alias("g"),
         )
         e_state = _dm_apply_grads(
-            e_state, grads_e, lr, n_triples
+            e_state, _grad_sum(grads_e, dim, n_triples), lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _dm_apply_grads(
-            r_state, grads_r, lr, n_triples
+            r_state, _grad_sum(grads_r, dim, n_triples), lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
@@ -782,14 +991,15 @@ def distmult_train(
 
     Same determinism, scale shape, and cross-engine bit-exactness
     contract as TransE (module docstring): the DuckDB oracle twin
-    replays the identical relational program; per-epoch cost is the
-    same 4-equi-join fan-out to ``dim`` rows per triple.
+    replays the identical relational program on the long format.
     """
     _, e_state, r_state = _dm_train_states(triples, dim, iters, lr, margin)
-    return e_state.select(
+    return _explode1(e_state).select(
         "id", F.lit("entity").alias("kind"), "i", "x"
     ).unionByName(
-        r_state.select("id", F.lit("relation").alias("kind"), "i", "x")
+        _explode1(r_state).select(
+            "id", F.lit("relation").alias("kind"), "i", "x"
+        )
     )
 
 
@@ -812,10 +1022,11 @@ def distmult_scores(
     tneg, e_state, r_state = _dm_train_states(
         triples, dim, iters, lr, margin
     )
-    core = _dm_core(tneg, e_state, r_state)
-    return _dm_scores(core, margin).select(
-        "subj", "pred", "obj", "s_pos", "s_neg", "violated"
-    )
+    n_ents = e_state.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
+    return _dm_rows(
+        tneg, e_state, r_state, margin, small_e, small_e
+    ).select("subj", "pred", "obj", "s_pos", "s_neg", "violated")
 
 
 def distmult_rank_eval(
@@ -836,8 +1047,8 @@ def distmult_rank_eval(
     Per-dimension products quantize on the :func:`_q9` grid and sum
     in exact decimal, so ranks are engine-exact.
 
-    Scale: identical shape to the TransE eval — |test|·K·``dim``
-    rows through (entity, i)-keyed equi-joins, no all-pairs
+    Scale: identical shape to the TransE eval — |test|·K rows through
+    entity-keyed equi-joins carrying dim-arrays, no all-pairs
     structure; see :func:`transe_rank_eval` for the full-ranking
     alternative at 10⁹ entities.
     """
@@ -854,176 +1065,248 @@ def distmult_rank_eval(
         # the head face needs ONLY the probe flip — the score
         # expression is role-blind
         t3 = _flip(t3)
+    n_ents = e_state.count()
+    small_e = n_ents * dim <= _BCAST_MAX_ELEMS
     probe = _rank_probe(t3, n_candidates)
     res = (
         probe.join(
-            e_state.select(
-                F.col("id").alias("subj"), "i", F.col("x").alias("h")
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("subj"), F.col("xs").alias("h")
+                ),
+                small_e,
             ),
             "subj",
         )
         .join(
-            r_state.select(
-                F.col("id").alias("pred"), "i", F.col("x").alias("r")
+            _maybe_b(
+                r_state.select(
+                    F.col("id").alias("pred"), F.col("xs").alias("r")
+                ),
+                small_e,
             ),
-            ["pred", "i"],
+            "pred",
         )
         .join(
-            e_state.select(
-                F.col("id").alias("cand"), "i", F.col("x").alias("e")
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("cand"), F.col("xs").alias("e")
+                ),
+                small_e,
             ),
-            ["cand", "i"],
-        )
-        .select(
-            "subj", "pred", "obj", "cand", "is_true",
-            _q9(F.col("h") * F.col("r") * F.col("e")).alias("p"),
+            "cand",
         )
     )
-    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
-        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    tri = F.zip_with(
+        F.zip_with("h", "r", lambda a, b: a * b),
+        "e",
+        lambda p, x: p * x,
+    )
+    scored = res.select(
+        "subj", "pred", "obj", "cand", "is_true",
+        _dec_arr_sum(tri, lambda x: _q9(x).cast(_DEC)).alias("score"),
     )
     # bilinear SCORE: higher is better
     out = _rank_output(scored, higher_is_better=True)
     return out if side == "tail" else _unflip_output(out)
 
 
+# --------------------------------------------------------------------
+# ComplEx (two-channel, q9 grid)
+# --------------------------------------------------------------------
+
+
 def _cx_init_state(ids: DataFrame, kind: str, dim: int) -> DataFrame:
-    """(id, i, xr, xi): two-channel md5-uniform init on the
+    """(id, xr[dim], xi[dim]): two-channel md5-uniform init on the
     :func:`_q9` grid — the ``:re`` / ``:im`` salt suffixes keep the
     channels on independent hash streams (and distinct from the
     real-valued models' vectors for the same names)."""
-    dims = ids.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i")
-    )
 
-    def _u(ch: str) -> Column:
-        u = _md5_long(
-            F.concat_ws(
-                _SEP,
-                F.lit(kind + ":" + ch),
-                F.col("id"),
-                F.col("i").cast("string"),
-            )
-        ) / F.lit(4294967296.0)
-        return _q9(u - F.lit(0.5))
+    def _u(ch: str):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: _q9(
+                _md5_long(
+                    F.concat_ws(
+                        _SEP,
+                        F.lit(kind + ":" + ch),
+                        F.col("id"),
+                        i.cast("string"),
+                    )
+                )
+                / F.lit(4294967296.0)
+                - F.lit(0.5)
+            ),
+        )
 
-    return dims.select("id", "i", _u("re").alias("xr"), _u("im").alias("xi"))
+    return ids.select("id", _u("re").alias("xr"), _u("im").alias("xi"))
 
 
 def _cx_l2_normalize(state: DataFrame) -> DataFrame:
     """Unit-ball projection of the COMPLEX entity vectors: ‖x‖² sums
-    both channels' round-9 squares in exact decimal (the
-    :func:`_l2_normalize` recipe, two channels per dimension)."""
-    nrm = state.groupBy("id").agg(
-        F.sqrt(
-            F.sum(
-                _q9(F.col("xr") * F.col("xr")).cast(_DEC)
-                + _q9(F.col("xi") * F.col("xi")).cast(_DEC)
-            ).cast("double")
-        ).alias("nrm")
+    both channels' q9 squares in exact decimal (the
+    :func:`_l2_normalize` recipe, two channels per dimension) — a
+    pure per-row projection over the row's own arrays."""
+    terms = F.zip_with(
+        "xr",
+        "xi",
+        lambda a, b: (
+            _q9(a * a).cast(_DEC) + _q9(b * b).cast(_DEC)
+        ).cast(_DEC),
     )
-    ok = F.col("nrm") > 0
-    return state.join(nrm, "id").select(
+    nrm = F.sqrt(_dec_arr_sum(terms, lambda x: x))
+    ok = F.col("__nrm") > 0
+    return state.withColumn("__nrm", nrm).select(
         "id",
-        "i",
-        F.when(ok, _q9(F.col("xr") / F.col("nrm")))
+        F.when(
+            ok, F.transform("xr", lambda x: _q9(x / F.col("__nrm")))
+        )
         .otherwise(F.col("xr"))
         .alias("xr"),
-        F.when(ok, _q9(F.col("xi") / F.col("nrm")))
+        F.when(
+            ok, F.transform("xi", lambda x: _q9(x / F.col("__nrm")))
+        )
         .otherwise(F.col("xi"))
         .alias("xi"),
     )
 
 
-def _cx_apply_grads(
-    state: DataFrame, grads: DataFrame, lr: float, n_triples: int
+def _cx_grad_sum(
+    grads: DataFrame, dim: int, n_triples: int
 ) -> DataFrame:
-    """:func:`_apply_grads` per channel: (id, i, gr, gi) votes sum in
-    exact decimal, mean by the triple count, q9 update; rows with no
-    gradient keep their weight."""
-    gsum = grads.groupBy("id", "i").agg(
-        (
-            F.sum(F.col("gr").cast(_DEC)).cast("double")
-            / F.lit(float(n_triples))
+    """(id, gr[dim], gi[dim]) from per-contribution rows — the
+    two-channel :func:`_grad_sum`: per-(id, i, channel) votes fold in
+    exact decimal, mean by the triple count."""
+    sums = [
+        F.sum(F.element_at("gr", k + 1).cast(_DEC)).alias(f"__r{k}")
+        for k in range(dim)
+    ] + [
+        F.sum(F.element_at("gi", k + 1).cast(_DEC)).alias(f"__i{k}")
+        for k in range(dim)
+    ]
+    nt = F.lit(float(n_triples))
+    return grads.groupBy("id").agg(*sums).select(
+        "id",
+        F.array(
+            *[F.col(f"__r{k}").cast("double") / nt for k in range(dim)]
         ).alias("gr"),
-        (
-            F.sum(F.col("gi").cast(_DEC)).cast("double")
-            / F.lit(float(n_triples))
+        F.array(
+            *[F.col(f"__i{k}").cast("double") / nt for k in range(dim)]
         ).alias("gi"),
     )
-    return state.join(gsum, ["id", "i"], "left").select(
+
+
+def _cx_apply_grads(
+    state: DataFrame, gsum: DataFrame, lr: float, small: bool
+) -> DataFrame:
+    """:func:`_apply_grads` per channel: q9 update; ids with no
+    gradient keep their weights."""
+    lrv = F.lit(float(lr))
+    return state.join(_maybe_b(gsum, small), "id", "left").select(
         "id",
-        "i",
-        _q9(
-            F.col("xr") - F.lit(float(lr)) * F.coalesce("gr", F.lit(0.0))
-        ).alias("xr"),
-        _q9(
-            F.col("xi") - F.lit(float(lr)) * F.coalesce("gi", F.lit(0.0))
-        ).alias("xi"),
+        F.when(F.col("gr").isNull(), F.col("xr"))
+        .otherwise(
+            F.zip_with("xr", "gr", lambda x, g: _q9(x - lrv * g))
+        )
+        .alias("xr"),
+        F.when(F.col("gi").isNull(), F.col("xi"))
+        .otherwise(
+            F.zip_with("xi", "gi", lambda x, g: _q9(x - lrv * g))
+        )
+        .alias("xi"),
     )
 
 
-def _cx_core(
-    tneg: DataFrame, e_state: DataFrame, r_state: DataFrame
+def _attach2(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    small_e: bool,
+    small_r: bool,
 ) -> DataFrame:
-    """Per-(triple, dimension) complex components under the current
-    state: (ar, ai) the head, (br, bi) the relation, (cr, ci) the
-    true tail, (dr, di) the corrupted tail — the neutral letter names
-    keep the 8-factor algebra readable and collision-free in both
-    engines."""
+    """tneg + the 8 channel arrays (ar, ai | br, bi | cr, ci | dr,
+    di) for head, relation, true tail, corrupted tail — the
+    two-channel :func:`_attach1`; the neutral letter names keep the
+    8-factor algebra readable and collision-free in both engines."""
 
     def _sel(key: str, a: str, b: str) -> DataFrame:
         return e_state.select(
             F.col("id").alias(key),
-            "i",
             F.col("xr").alias(a),
             F.col("xi").alias(b),
         )
 
     return (
-        tneg.join(_sel("subj", "ar", "ai"), "subj")
+        tneg.join(_maybe_b(_sel("subj", "ar", "ai"), small_e), "subj")
         .join(
-            r_state.select(
-                F.col("id").alias("pred"),
-                "i",
-                F.col("xr").alias("br"),
-                F.col("xi").alias("bi"),
+            _maybe_b(
+                r_state.select(
+                    F.col("id").alias("pred"),
+                    F.col("xr").alias("br"),
+                    F.col("xi").alias("bi"),
+                ),
+                small_r,
             ),
-            ["pred", "i"],
+            "pred",
         )
-        .join(_sel("obj", "cr", "ci"), ["obj", "i"])
-        .join(_sel("neg_obj", "dr", "di"), ["neg_obj", "i"])
-        .select(
-            "subj", "pred", "obj", "neg_obj", "i",
-            "ar", "ai", "br", "bi", "cr", "ci", "dr", "di",
+        .join(_maybe_b(_sel("obj", "cr", "ci"), small_e), "obj")
+        .join(
+            _maybe_b(_sel("neg_obj", "dr", "di"), small_e), "neg_obj"
         )
     )
 
 
-def _cx_dim_score(tr: Column, ti: Column) -> Column:
+_CX_Z = ["ar", "ai", "br", "bi", "cr", "ci", "dr", "di"]
+
+
+def _cx_zip() -> Column:
+    """One array of 8-field structs over the channel arrays — the
+    row-local stand-in for the former per-(triple, i) core rows."""
+    return F.arrays_zip(*[F.col(c) for c in _CX_Z])
+
+
+def _cx_dim_score(s: Column, tr: Column, ti: Column) -> Column:
     """Per-dimension Re(h·r·conj(t)) against a tail (tr, ti) — ONE
     fixed expression tree of IEEE double ops, written identically in
     the DuckDB twin so the q9 quantization is engine-exact."""
     return _q9(
-        F.col("ar") * F.col("br") * tr
-        + F.col("ai") * F.col("br") * ti
-        + F.col("ar") * F.col("bi") * ti
-        - F.col("ai") * F.col("bi") * tr
+        s["ar"] * s["br"] * tr
+        + s["ai"] * s["br"] * ti
+        + s["ar"] * s["bi"] * ti
+        - s["ai"] * s["bi"] * tr
     )
 
 
-def _cx_scores(core: DataFrame, margin: float) -> DataFrame:
+def _cx_rows(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    margin: float,
+    small_e: bool,
+    small_r: bool,
+) -> DataFrame:
     """Per-triple ComplEx scores s = Σᵢ Re(hᵢrᵢ·conj(tᵢ)) (true and
     corrupted tail) and the margin-violation flag — the
-    :func:`_dm_scores` recipe with the 4-product real part as the
-    per-dimension term."""
-    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
-        F.sum(_cx_dim_score(F.col("cr"), F.col("ci")).cast(_DEC))
-        .cast("double")
-        .alias("s_pos"),
-        F.sum(_cx_dim_score(F.col("dr"), F.col("di")).cast(_DEC))
-        .cast("double")
-        .alias("s_neg"),
+    :func:`_dm_rows` recipe with the 4-product real part as the
+    per-dimension term; the channel arrays stay on the row for the
+    gradient projections."""
+    rows = _attach2(tneg, e_state, r_state, small_e, small_r).select(
+        "subj", "pred", "obj", "neg_obj", *_CX_Z, _cx_zip().alias("z")
+    )
+    return rows.select(
+        "*",
+        _dec_arr_sum(
+            F.transform(
+                "z", lambda s: _cx_dim_score(s, s["cr"], s["ci"])
+            ),
+            lambda x: x.cast(_DEC),
+        ).alias("s_pos"),
+        _dec_arr_sum(
+            F.transform(
+                "z", lambda s: _cx_dim_score(s, s["dr"], s["di"])
+            ),
+            lambda x: x.cast(_DEC),
+        ).alias("s_neg"),
     ).withColumn(
         "violated",
         (F.lit(float(margin)) - F.col("s_pos") + F.col("s_neg")) > 0,
@@ -1038,8 +1321,8 @@ def _cx_train_states(
     Re(Σᵢ hᵢrᵢ·conj(tᵢ)) — the real part of a Hermitian product, so
     one relation can be symmetric (imaginary part 0) AND another
     anti-symmetric (real part 0), which neither TransE nor DistMult
-    can express simultaneously.  State is two-channel long format
-    (id, i, xr, xi); everything else — md5 init/corruption,
+    can express simultaneously.  State is two-channel array format
+    (id, xr[dim], xi[dim]); everything else — md5 init/corruption,
     epoch-start entity normalization, q9 decimal mean-gradient
     accumulation — is the shared deterministic-trainer scaffolding.
     """
@@ -1057,75 +1340,101 @@ def _cx_train_states(
     )
     rels = t.select(F.col("pred").alias("id")).distinct()
     n_triples = t.count()
-    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    n_ents = ents.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
+    small_r = small_e
+    tneg = _negatives(t, ents, n_ents).localCheckpoint(eager=False)
     e_state = _cx_init_state(ents, "entity", dim)
     r_state = _cx_init_state(rels, "relation", dim)
     # margin-loss subgradients: d(s)/d(factor) is the Wirtinger-style
     # product of the OTHER factors; the loss γ - s_pos + s_neg gives
     # each entity the (neg - pos) difference, the true tail -pos
     # only, the corrupted tail +neg only
-    ddr = F.col("dr") - F.col("cr")
-    ddi = F.col("di") - F.col("ci")
     for _ in range(iters):
         e_state = _cx_l2_normalize(e_state)
-        core = _cx_core(tneg, e_state, r_state)
-        viol = (
-            _cx_scores(core, margin)
+        vc = (
+            _cx_rows(tneg, e_state, r_state, margin, small_e, small_r)
             .where("violated")
-            .select("subj", "pred", "obj", "neg_obj")
+            .select("subj", "pred", "obj", "neg_obj", "z")
+            .localCheckpoint(eager=False)
         )
-        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+
+        def _g(fr, fi):
+            return (
+                F.transform("z", fr).alias("gr"),
+                F.transform("z", fi).alias("gi"),
+            )
+
+        ddr = lambda s: s["dr"] - s["cr"]  # noqa: E731
+        ddi = lambda s: s["di"] - s["ci"]  # noqa: E731
         grads_e = (
             vc.select(
                 F.col("subj").alias("id"),
-                "i",
-                _q9(F.col("br") * ddr + F.col("bi") * ddi).alias("gr"),
-                _q9(F.col("br") * ddi - F.col("bi") * ddr).alias("gi"),
+                *_g(
+                    lambda s: _q9(
+                        s["br"] * ddr(s) + s["bi"] * ddi(s)
+                    ),
+                    lambda s: _q9(
+                        s["br"] * ddi(s) - s["bi"] * ddr(s)
+                    ),
+                ),
             )
             .unionByName(
                 vc.select(
                     F.col("obj").alias("id"),
-                    "i",
-                    _q9(
-                        F.col("ai") * F.col("bi")
-                        - F.col("ar") * F.col("br")
-                    ).alias("gr"),
-                    _q9(
-                        -(
-                            F.col("ai") * F.col("br")
-                            + F.col("ar") * F.col("bi")
-                        )
-                    ).alias("gi"),
+                    *_g(
+                        lambda s: _q9(
+                            s["ai"] * s["bi"] - s["ar"] * s["br"]
+                        ),
+                        lambda s: _q9(
+                            -(
+                                s["ai"] * s["br"]
+                                + s["ar"] * s["bi"]
+                            )
+                        ),
+                    ),
                 )
             )
             .unionByName(
                 vc.select(
                     F.col("neg_obj").alias("id"),
-                    "i",
-                    _q9(
-                        F.col("ar") * F.col("br")
-                        - F.col("ai") * F.col("bi")
-                    ).alias("gr"),
-                    _q9(
-                        F.col("ai") * F.col("br")
-                        + F.col("ar") * F.col("bi")
-                    ).alias("gi"),
+                    *_g(
+                        lambda s: _q9(
+                            s["ar"] * s["br"] - s["ai"] * s["bi"]
+                        ),
+                        lambda s: _q9(
+                            s["ai"] * s["br"] + s["ar"] * s["bi"]
+                        ),
+                    ),
                 )
             )
         )
         grads_r = vc.select(
             F.col("pred").alias("id"),
-            "i",
-            _q9(F.col("ar") * ddr + F.col("ai") * ddi).alias("gr"),
-            _q9(F.col("ar") * ddi - F.col("ai") * ddr).alias("gi"),
+            *_g(
+                lambda s: _q9(s["ar"] * ddr(s) + s["ai"] * ddi(s)),
+                lambda s: _q9(s["ar"] * ddi(s) - s["ai"] * ddr(s)),
+            ),
         )
         e_state = _cx_apply_grads(
-            e_state, grads_e, lr, n_triples
+            e_state, _cx_grad_sum(grads_e, dim, n_triples), lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _cx_apply_grads(
-            r_state, grads_r, lr, n_triples
+            r_state, _cx_grad_sum(grads_r, dim, n_triples), lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
+
+
+def _explode2(state: DataFrame) -> DataFrame:
+    """(id, xr[dim], xi[dim]) → the published long format
+    (id, i, xr, xi)."""
+    z = F.arrays_zip(F.col("xr"), F.col("xi"))
+    return state.select(
+        "id", F.posexplode(z).alias("i", "s")
+    ).select(
+        "id", "i",
+        F.col("s.xr").alias("xr"), F.col("s.xi").alias("xi"),
+    )
 
 
 def complex_train(
@@ -1142,18 +1451,17 @@ def complex_train(
     translations model anti-symmetric relations, DistMult's diagonal
     bilinear form only symmetric ones; ComplEx's Hermitian product
     Re(Σᵢ hᵢrᵢ·conj(tᵢ)) expresses both (and relation inverses via
-    conjugation).  Same determinism, scale shape (4 equi-joins
-    fanning to dim rows per triple — two channels ride the SAME rows,
-    so shuffle volume is 2× DistMult's bytes at identical row count
-    and stage count), and cross-engine bit-exactness contract as the
-    other trainers: the DuckDB twin replays the identical relational
-    program on the q9 grid.
+    conjugation).  Same determinism, scale shape (entity-keyed
+    equi-joins carrying both channels on the SAME rows), and
+    cross-engine bit-exactness contract as the other trainers: the
+    DuckDB twin replays the identical relational program on the q9
+    grid.
     """
     _, e_state, r_state = _cx_train_states(triples, dim, iters, lr, margin)
-    return e_state.select(
+    return _explode2(e_state).select(
         "id", F.lit("entity").alias("kind"), "i", "xr", "xi"
     ).unionByName(
-        r_state.select(
+        _explode2(r_state).select(
             "id", F.lit("relation").alias("kind"), "i", "xr", "xi"
         )
     )
@@ -1175,10 +1483,60 @@ def complex_scores(
     tneg, e_state, r_state = _cx_train_states(
         triples, dim, iters, lr, margin
     )
-    core = _cx_core(tneg, e_state, r_state)
-    return _cx_scores(core, margin).select(
-        "subj", "pred", "obj", "s_pos", "s_neg", "violated"
+    n_ents = e_state.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
+    return _cx_rows(
+        tneg, e_state, r_state, margin, small_e, small_e
+    ).select("subj", "pred", "obj", "s_pos", "s_neg", "violated")
+
+
+def _cx_rank_res(
+    probe: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    small_e: bool,
+) -> DataFrame:
+    """probe + head (ar, ai), relation (br, bi), candidate (cr, ci)
+    channel arrays — the shared join half of the two-channel eval
+    faces."""
+    return (
+        probe.join(
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("subj"),
+                    F.col("xr").alias("ar"),
+                    F.col("xi").alias("ai"),
+                ),
+                small_e,
+            ),
+            "subj",
+        )
+        .join(
+            _maybe_b(
+                r_state.select(
+                    F.col("id").alias("pred"),
+                    F.col("xr").alias("br"),
+                    F.col("xi").alias("bi"),
+                ),
+                small_e,
+            ),
+            "pred",
+        )
+        .join(
+            _maybe_b(
+                e_state.select(
+                    F.col("id").alias("cand"),
+                    F.col("xr").alias("cr"),
+                    F.col("xi").alias("ci"),
+                ),
+                small_e,
+            ),
+            "cand",
+        )
     )
+
+
+_CX_EVAL_Z = ["ar", "ai", "br", "bi", "cr", "ci"]
 
 
 def complex_rank_eval(
@@ -1195,7 +1553,7 @@ def complex_rank_eval(
     ComplEx model — :func:`transe_rank_eval`'s contract verbatim via
     the shared :func:`_rank_probe` / :func:`_rank_output`
     scaffolding, candidates ranked by Re(h·r·conj(e)) HIGHEST-first.
-    Same |test|·K·``dim``-row scale shape as the other evals."""
+    Same |test|·K-row scale shape as the other evals."""
     if n_candidates < 1:
         raise ValueError("complex_rank_eval: n_candidates must be >= 1")
     if side not in ("tail", "head"):
@@ -1206,107 +1564,113 @@ def complex_rank_eval(
     t3 = tneg.select("subj", "pred", "obj")
     if side == "head":
         t3 = _flip(t3)
+    n_ents = e_state.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
     probe = _rank_probe(t3, n_candidates)
-    res = (
-        probe.join(
-            e_state.select(
-                F.col("id").alias("subj"),
-                "i",
-                F.col("xr").alias("ar"),
-                F.col("xi").alias("ai"),
-            ),
-            "subj",
-        )
-        .join(
-            r_state.select(
-                F.col("id").alias("pred"),
-                "i",
-                F.col("xr").alias("br"),
-                F.col("xi").alias("bi"),
-            ),
-            ["pred", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("cand"),
-                "i",
-                F.col("xr").alias("cr"),
-                F.col("xi").alias("ci"),
-            ),
-            ["cand", "i"],
-        )
-        .select(
-            "subj", "pred", "obj", "cand", "is_true",
-            # tail side: Re((a)·r·conj(cand)); head side (flipped
-            # probe): Re(cand·r·conj(a)) — conjugation makes the
-            # Hermitian product role-SENSITIVE, unlike DistMult's
-            (
-                _cx_dim_score(F.col("cr"), F.col("ci"))
-                if side == "tail"
-                else _q9(
-                    F.col("cr") * F.col("br") * F.col("ar")
-                    + F.col("ci") * F.col("br") * F.col("ai")
-                    + F.col("cr") * F.col("bi") * F.col("ai")
-                    - F.col("ci") * F.col("bi") * F.col("ar")
-                )
-            ).alias("p"),
+    res = _cx_rank_res(probe, e_state, r_state, small_e)
+    z = F.arrays_zip(*[F.col(c) for c in _CX_EVAL_Z])
+    # tail side: Re((a)·r·conj(cand)); head side (flipped probe):
+    # Re(cand·r·conj(a)) — conjugation makes the Hermitian product
+    # role-SENSITIVE, unlike DistMult's
+    term = (
+        (lambda s: _cx_dim_score(s, s["cr"], s["ci"]))
+        if side == "tail"
+        else (
+            lambda s: _q9(
+                s["cr"] * s["br"] * s["ar"]
+                + s["ci"] * s["br"] * s["ai"]
+                + s["cr"] * s["bi"] * s["ai"]
+                - s["ci"] * s["bi"] * s["ar"]
+            )
         )
     )
-    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
-        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    scored = res.select(
+        "subj", "pred", "obj", "cand", "is_true",
+        _dec_arr_sum(
+            F.transform(z, term), lambda x: x.cast(_DEC)
+        ).alias("score"),
     )
     # Hermitian-product SCORE: higher is better
     out = _rank_output(scored, higher_is_better=True)
     return out if side == "tail" else _unflip_output(out)
 
 
+# --------------------------------------------------------------------
+# RotatE (two-channel, q9 grid)
+# --------------------------------------------------------------------
+
+
 def _rt_rel_normalize(state: DataFrame) -> DataFrame:
     """Project every relation onto unit modulus PER DIMENSION — the
     RotatE constraint |r_i| = 1 that makes each relation coordinate a
     pure rotation in its complex plane.  Unlike the entity unit-BALL
-    projection (one norm per vector, a groupBy), this is a pure
-    per-row projection: m = sqrt(q9(xr²) + q9(xi²)) is a fixed IEEE
-    tree (multiply → q9 → add → sqrt, each op correctly rounded), so
-    the DuckDB twin writing the identical expression agrees bitwise
-    — no decimal accumulation needed for a two-term sum."""
-    m = F.sqrt(
-        _q9(F.col("xr") * F.col("xr")) + _q9(F.col("xi") * F.col("xi"))
-    )
+    projection (one norm per vector), this is per-coordinate:
+    m = sqrt(q9(xr²) + q9(xi²)) is a fixed IEEE tree (multiply → q9 →
+    add → sqrt, each op correctly rounded), so the DuckDB twin
+    writing the identical expression agrees bitwise — no decimal
+    accumulation needed for a two-term sum."""
+    z = F.arrays_zip(F.col("xr"), F.col("xi"))
+
+    def _m(s):
+        return F.sqrt(
+            _q9(s["xr"] * s["xr"]) + _q9(s["xi"] * s["xi"])
+        )
+
     return state.select(
         "id",
-        "i",
-        F.when(m > 0, _q9(F.col("xr") / m)).otherwise(F.col("xr")).alias(
-            "xr"
-        ),
-        F.when(m > 0, _q9(F.col("xi") / m)).otherwise(F.col("xi")).alias(
-            "xi"
-        ),
+        F.transform(
+            z,
+            lambda s: F.when(_m(s) > 0, _q9(s["xr"] / _m(s)))
+            .otherwise(s["xr"]),
+        ).alias("xr"),
+        F.transform(
+            z,
+            lambda s: F.when(_m(s) > 0, _q9(s["xi"] / _m(s)))
+            .otherwise(s["xi"]),
+        ).alias("xi"),
     )
 
 
-def _rt_dim_energy(tr: Column, ti: Column) -> Column:
+def _rt_dim_energy(s: Column, tr: Column, ti: Column) -> Column:
     """Per-dimension squared modulus |h_i·r_i − t_i|² against a tail
     (tr, ti): the rotated head (ar·br − ai·bi, ar·bi + ai·br) minus
     the tail, squared and summed across channels — ONE fixed IEEE
     expression tree, written character-identically in the DuckDB twin
     so the q9 quantization is engine-exact."""
-    pr = F.col("ar") * F.col("br") - F.col("ai") * F.col("bi") - tr
-    pi = F.col("ar") * F.col("bi") + F.col("ai") * F.col("br") - ti
+    pr = s["ar"] * s["br"] - s["ai"] * s["bi"] - tr
+    pi = s["ar"] * s["bi"] + s["ai"] * s["br"] - ti
     return _q9(pr * pr + pi * pi)
 
 
-def _rt_energies(core: DataFrame, margin: float) -> DataFrame:
+def _rt_rows(
+    tneg: DataFrame,
+    e_state: DataFrame,
+    r_state: DataFrame,
+    margin: float,
+    small_e: bool,
+    small_r: bool,
+) -> DataFrame:
     """Per-triple RotatE energies d = Σᵢ |hᵢrᵢ − tᵢ|² (true and
     corrupted tail) and the margin-violation flag — the
-    :func:`_energies` recipe (energy: LOWER is better) over the
+    :func:`_epoch_rows` recipe (energy: LOWER is better) over the
     two-channel core."""
-    return core.groupBy("subj", "pred", "obj", "neg_obj").agg(
-        F.sum(_rt_dim_energy(F.col("cr"), F.col("ci")).cast(_DEC))
-        .cast("double")
-        .alias("d_pos"),
-        F.sum(_rt_dim_energy(F.col("dr"), F.col("di")).cast(_DEC))
-        .cast("double")
-        .alias("d_neg"),
+    rows = _attach2(tneg, e_state, r_state, small_e, small_r).select(
+        "subj", "pred", "obj", "neg_obj", _cx_zip().alias("z")
+    )
+    return rows.select(
+        "*",
+        _dec_arr_sum(
+            F.transform(
+                "z", lambda s: _rt_dim_energy(s, s["cr"], s["ci"])
+            ),
+            lambda x: x.cast(_DEC),
+        ).alias("d_pos"),
+        _dec_arr_sum(
+            F.transform(
+                "z", lambda s: _rt_dim_energy(s, s["dr"], s["di"])
+            ),
+            lambda x: x.cast(_DEC),
+        ).alias("d_neg"),
     ).withColumn(
         "violated",
         (F.lit(float(margin)) + F.col("d_pos") - F.col("d_neg")) > 0,
@@ -1344,7 +1708,10 @@ def _rt_train_states(
     )
     rels = t.select(F.col("pred").alias("id")).distinct()
     n_triples = t.count()
-    tneg = _negatives(t, ents).localCheckpoint(eager=False)
+    n_ents = ents.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
+    small_r = small_e
+    tneg = _negatives(t, ents, n_ents).localCheckpoint(eager=False)
     e_state = _cx_init_state(ents, "entity", dim)
     r_state = _cx_init_state(rels, "relation", dim)
     # margin-energy subgradients: with p = h∘r − t (true tail) and
@@ -1352,68 +1719,88 @@ def _rt_train_states(
     # rotation product, and p − q = t' − t (the rotated head cancels)
     # — so head/relation gradients need only the tail difference,
     # the ComplEx ddr/ddi trick for the distance model
-    ddr = F.col("dr") - F.col("cr")
-    ddi = F.col("di") - F.col("ci")
-    pr = F.col("ar") * F.col("br") - F.col("ai") * F.col("bi")
-    pi = F.col("ar") * F.col("bi") + F.col("ai") * F.col("br")
+    ddr = lambda s: s["dr"] - s["cr"]  # noqa: E731
+    ddi = lambda s: s["di"] - s["ci"]  # noqa: E731
+    pr = lambda s: s["ar"] * s["br"] - s["ai"] * s["bi"]  # noqa: E731
+    pi = lambda s: s["ar"] * s["bi"] + s["ai"] * s["br"]  # noqa: E731
     for _ in range(iters):
         e_state = _cx_l2_normalize(e_state)
         r_state = _rt_rel_normalize(r_state)
-        core = _cx_core(tneg, e_state, r_state)
-        viol = (
-            _rt_energies(core, margin)
+        vc = (
+            _rt_rows(tneg, e_state, r_state, margin, small_e, small_r)
             .where("violated")
-            .select("subj", "pred", "obj", "neg_obj")
+            .select("subj", "pred", "obj", "neg_obj", "z")
+            .localCheckpoint(eager=False)
         )
-        vc = core.join(viol, ["subj", "pred", "obj", "neg_obj"])
+
+        def _g(fr, fi):
+            return (
+                F.transform("z", fr).alias("gr"),
+                F.transform("z", fi).alias("gi"),
+            )
+
         grads_e = (
             vc.select(
                 F.col("subj").alias("id"),
-                "i",
                 # ∂(d_pos − d_neg)/∂a = 2·conj(r)·(p − q) = 2·conj(r)
                 # ·(t' − t), expanded to cartesian components
-                _q9(
-                    F.lit(2.0)
-                    * (F.col("br") * ddr + F.col("bi") * ddi)
-                ).alias("gr"),
-                _q9(
-                    F.lit(2.0)
-                    * (F.col("br") * ddi - F.col("bi") * ddr)
-                ).alias("gi"),
+                *_g(
+                    lambda s: _q9(
+                        F.lit(2.0)
+                        * (s["br"] * ddr(s) + s["bi"] * ddi(s))
+                    ),
+                    lambda s: _q9(
+                        F.lit(2.0)
+                        * (s["br"] * ddi(s) - s["bi"] * ddr(s))
+                    ),
+                ),
             )
             .unionByName(
                 vc.select(
                     F.col("obj").alias("id"),
-                    "i",
-                    _q9(F.lit(-2.0) * (pr - F.col("cr"))).alias("gr"),
-                    _q9(F.lit(-2.0) * (pi - F.col("ci"))).alias("gi"),
+                    *_g(
+                        lambda s: _q9(
+                            F.lit(-2.0) * (pr(s) - s["cr"])
+                        ),
+                        lambda s: _q9(
+                            F.lit(-2.0) * (pi(s) - s["ci"])
+                        ),
+                    ),
                 )
             )
             .unionByName(
                 vc.select(
                     F.col("neg_obj").alias("id"),
-                    "i",
-                    _q9(F.lit(2.0) * (pr - F.col("dr"))).alias("gr"),
-                    _q9(F.lit(2.0) * (pi - F.col("di"))).alias("gi"),
+                    *_g(
+                        lambda s: _q9(
+                            F.lit(2.0) * (pr(s) - s["dr"])
+                        ),
+                        lambda s: _q9(
+                            F.lit(2.0) * (pi(s) - s["di"])
+                        ),
+                    ),
                 )
             )
         )
         grads_r = vc.select(
             F.col("pred").alias("id"),
-            "i",
             # ∂/∂r = 2·conj(h)·(t' − t)
-            _q9(
-                F.lit(2.0) * (F.col("ar") * ddr + F.col("ai") * ddi)
-            ).alias("gr"),
-            _q9(
-                F.lit(2.0) * (F.col("ar") * ddi - F.col("ai") * ddr)
-            ).alias("gi"),
+            *_g(
+                lambda s: _q9(
+                    F.lit(2.0)
+                    * (s["ar"] * ddr(s) + s["ai"] * ddi(s))
+                ),
+                lambda s: _q9(
+                    F.lit(2.0)
+                    * (s["ar"] * ddi(s) - s["ai"] * ddr(s))
+                ),
+            ),
         )
         e_state = _cx_apply_grads(
-            e_state, grads_e, lr, n_triples
+            e_state, _cx_grad_sum(grads_e, dim, n_triples), lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _cx_apply_grads(
-            r_state, grads_r, lr, n_triples
+            r_state, _cx_grad_sum(grads_r, dim, n_triples), lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
@@ -1433,17 +1820,17 @@ def rotate_train(
     scales symmetrically, ComplEx scores a Hermitian product, RotatE
     ROTATES — the one family member that models relation COMPOSITION
     exactly (rotations compose by complex multiply).  Same
-    determinism, long-format two-channel state, and cross-engine
-    bit-exactness contract as the other trainers; the rotation is
-    cartesian-parametrized under unit-modulus projection so no
-    transcendental (cos/sin) ever enters the loop (see
+    determinism, long-format two-channel published face, and
+    cross-engine bit-exactness contract as the other trainers; the
+    rotation is cartesian-parametrized under unit-modulus projection
+    so no transcendental (cos/sin) ever enters the loop (see
     :func:`_rt_train_states`).
     """
     _, e_state, r_state = _rt_train_states(triples, dim, iters, lr, margin)
-    return e_state.select(
+    return _explode2(e_state).select(
         "id", F.lit("entity").alias("kind"), "i", "xr", "xi"
     ).unionByName(
-        r_state.select(
+        _explode2(r_state).select(
             "id", F.lit("relation").alias("kind"), "i", "xr", "xi"
         )
     )
@@ -1465,10 +1852,11 @@ def rotate_energies(
     tneg, e_state, r_state = _rt_train_states(
         triples, dim, iters, lr, margin
     )
-    core = _cx_core(tneg, e_state, r_state)
-    return _rt_energies(core, margin).select(
-        "subj", "pred", "obj", "d_pos", "d_neg", "violated"
-    )
+    n_ents = e_state.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
+    return _rt_rows(
+        tneg, e_state, r_state, margin, small_e, small_e
+    ).select("subj", "pred", "obj", "d_pos", "d_neg", "violated")
 
 
 def rotate_rank_eval(
@@ -1486,8 +1874,8 @@ def rotate_rank_eval(
     the shared :func:`_rank_probe` / :func:`_rank_output`
     scaffolding, candidates ranked by rotation energy LOWEST-first.
     Head side scores |cand∘r − t|² (the candidate occupies the head
-    slot of the rotation).  Same |test|·K·``dim``-row scale shape as
-    the other evals."""
+    slot of the rotation).  Same |test|·K-row scale shape as the
+    other evals."""
     if n_candidates < 1:
         raise ValueError("rotate_rank_eval: n_candidates must be >= 1")
     if side not in ("tail", "head"):
@@ -1498,69 +1886,46 @@ def rotate_rank_eval(
     t3 = tneg.select("subj", "pred", "obj")
     if side == "head":
         t3 = _flip(t3)
+    n_ents = e_state.count()
+    small_e = n_ents * dim * 2 <= _BCAST_MAX_ELEMS
     probe = _rank_probe(t3, n_candidates)
-    res = (
-        probe.join(
-            e_state.select(
-                F.col("id").alias("subj"),
-                "i",
-                F.col("xr").alias("ar"),
-                F.col("xi").alias("ai"),
-            ),
-            "subj",
-        )
-        .join(
-            r_state.select(
-                F.col("id").alias("pred"),
-                "i",
-                F.col("xr").alias("br"),
-                F.col("xi").alias("bi"),
-            ),
-            ["pred", "i"],
-        )
-        .join(
-            e_state.select(
-                F.col("id").alias("cand"),
-                "i",
-                F.col("xr").alias("cr"),
-                F.col("xi").alias("ci"),
-            ),
-            ["cand", "i"],
-        )
-        .select(
-            "subj", "pred", "obj", "cand", "is_true",
-            # tail side: |a∘r − cand|²; head side (flipped probe):
-            # |cand∘r − a|² — the candidate occupies the head slot
-            (
-                _rt_dim_energy(F.col("cr"), F.col("ci"))
-                if side == "tail"
-                else _q9(
-                    (
-                        F.col("cr") * F.col("br")
-                        - F.col("ci") * F.col("bi")
-                        - F.col("ar")
-                    )
-                    * (
-                        F.col("cr") * F.col("br")
-                        - F.col("ci") * F.col("bi")
-                        - F.col("ar")
-                    )
-                    + (
-                        F.col("cr") * F.col("bi")
-                        + F.col("ci") * F.col("br")
-                        - F.col("ai")
-                    )
-                    * (
-                        F.col("cr") * F.col("bi")
-                        + F.col("ci") * F.col("br")
-                        - F.col("ai")
-                    )
+    res = _cx_rank_res(probe, e_state, r_state, small_e)
+    z = F.arrays_zip(*[F.col(c) for c in _CX_EVAL_Z])
+    # tail side: |a∘r − cand|²; head side (flipped probe):
+    # |cand∘r − a|² — the candidate occupies the head slot
+    term = (
+        (lambda s: _rt_dim_energy(s, s["cr"], s["ci"]))
+        if side == "tail"
+        else (
+            lambda s: _q9(
+                (
+                    s["cr"] * s["br"]
+                    - s["ci"] * s["bi"]
+                    - s["ar"]
                 )
-            ).alias("p"),
+                * (
+                    s["cr"] * s["br"]
+                    - s["ci"] * s["bi"]
+                    - s["ar"]
+                )
+                + (
+                    s["cr"] * s["bi"]
+                    + s["ci"] * s["br"]
+                    - s["ai"]
+                )
+                * (
+                    s["cr"] * s["bi"]
+                    + s["ci"] * s["br"]
+                    - s["ai"]
+                )
+            )
         )
     )
-    scored = res.groupBy("subj", "pred", "obj", "cand", "is_true").agg(
-        F.sum(F.col("p").cast(_DEC)).cast("double").alias("score")
+    scored = res.select(
+        "subj", "pred", "obj", "cand", "is_true",
+        _dec_arr_sum(
+            F.transform(z, term), lambda x: x.cast(_DEC)
+        ).alias("score"),
     )
     # rotation ENERGY: lower is better
     out = _rank_output(scored, higher_is_better=False)
@@ -1596,26 +1961,26 @@ def kge_entity_neighbors(
     Scale: this is the EXACT face — the pairwise dot table is
     |E|²·dim rows through a dimension-keyed join, deliberately scoped
     to vocabulary-sized entity sets (the ``embedding_norm_stats``
-    scoping rule).  At 10⁹ entities, pivot the long state to arrays
-    and route through ``ops.similarity`` (IVF / LSH-bucketed ANN)
-    instead; this face is the recall-1.0 oracle those paths are
-    measured against.
+    scoping rule).  At 10⁹ entities, route through ``ops.similarity``
+    (IVF / LSH-bucketed ANN) instead; this face is the recall-1.0
+    oracle those paths are measured against.
     """
     if k < 1:
         raise ValueError("kge_entity_neighbors: k must be >= 1")
     if model in ("transe", "distmult"):
         trainer = _train_states if model == "transe" else _dm_train_states
         _, e_state, _ = trainer(triples, dim, iters, lr, margin)
-        rows = e_state.select("id", "i", "x")
+        rows = _explode1(e_state).select("id", "i", "x")
     elif model in ("complex", "rotate"):
         trainer = (
             _cx_train_states if model == "complex" else _rt_train_states
         )
         _, e_state, _ = trainer(triples, dim, iters, lr, margin)
-        rows = e_state.select(
+        e_long = _explode2(e_state)
+        rows = e_long.select(
             "id", "i", F.col("xr").alias("x")
         ).unionByName(
-            e_state.select(
+            e_long.select(
                 "id",
                 (F.col("i") + F.lit(dim)).alias("i"),
                 F.col("xi").alias("x"),
@@ -1701,10 +2066,11 @@ def kge_model_compare(
     grid in exact decimal before the final double division, so the
     averages hash-match however partitions reduce.
 
-    Scale: 4× one training run (each |T|·dim rows/epoch through
-    (entity, i)-keyed equi-joins); the evals add |test|·K·dim rows
-    each.  The four models are independent jobs — on a cluster they
-    can run concurrently from the same cached triple table.
+    Scale: 4× one training run (each |T| rows/epoch through
+    entity-keyed equi-joins carrying dim-arrays); the evals add
+    |test|·K rows each.  The four models are independent jobs — on a
+    cluster they can run concurrently from the same cached triple
+    table.
     """
     evals = [
         ("transe", transe_rank_eval),

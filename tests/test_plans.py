@@ -636,11 +636,12 @@ def test_kg_align_inverted_index_no_cartesian(spark):
 
 def test_transe_epoch_joins_are_keyed(spark):
     # the published faces sit behind localCheckpoints, so inspect one
-    # epoch's internals directly: four equi-joins on (id, i) feeding
-    # a map-side-combinable energy aggregate — no cross join anywhere
+    # epoch's internals directly: four entity-keyed equi-joins
+    # (broadcast for a vocabulary-sized state) whose residual arrays,
+    # energies and violation flag live on the SAME row — no cross
+    # join, and no per-(triple, dimension) fan-out aggregate at all
     from coies_spark.ops.kge import (
-        _energies,
-        _epoch_core,
+        _epoch_rows,
         _init_state,
         _negatives,
     )
@@ -655,15 +656,42 @@ def test_transe_epoch_joins_are_keyed(spark):
         .distinct()
     )
     rels = tr.select(F.col("pred").alias("id")).distinct()
-    core = _epoch_core(
+    df = _epoch_rows(
         _negatives(tr, ents),
         _init_state(ents, "entity", 2),
         _init_state(rels, "relation", 2),
+        1.0,
+        True,
+        True,
     )
-    p = plan_of(_energies(core, 1.0))
+    p = plan_of(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "partial_sum" in p
+    # the state sides join broadcast; the energies are per-row array
+    # folds, so no HashAggregate sits between the joins and the output
+    assert "BroadcastHashJoin" in p
+
+
+def test_kge_entity_index_hub_safe(spark, monkeypatch):
+    # verdict r5 #1: above _INDEX_WINDOW_MAX the sorted-entity index
+    # must come from the two-phase quantile-bucketed rank (per-bucket
+    # windows + a <=B-row offset table), never one vocabulary-sized
+    # window task — and the ranks must be IDENTICAL to the
+    # single-window build so every downstream oracle is branch-blind
+    from coies_spark.ops import kge
+
+    ents = spark.range(400).select(
+        F.concat(F.lit("ent:"), F.col("id")).alias("id")
+    )
+    base = {
+        r.id: r.idx for r in kge._entity_index(ents, 400).collect()
+    }
+    monkeypatch.setattr(kge, "_INDEX_WINDOW_MAX", 0)
+    bucketed = kge._entity_index(ents, 400)
+    assert {r.id: r.idx for r in bucketed.collect()} == base
+    p = plan_of(bucketed)
+    # the per-id rank window is partitioned by the quantile bucket
+    assert "__bkt" in p
 
 
 def test_histogram_registers_partial_and_pruned(spark):
@@ -681,12 +709,11 @@ def test_histogram_registers_partial_and_pruned(spark):
 
 def test_complex_epoch_joins_are_keyed(spark):
     # the ComplEx epoch is the TransE shape with two channels riding
-    # the same rows: four (id, i)-keyed equi-joins, map-side partial
-    # score aggregation, no cross join
+    # the same rows: four entity-keyed equi-joins, per-row score
+    # folds, no cross join
     from coies_spark.ops.kge import (
-        _cx_core,
         _cx_init_state,
-        _cx_scores,
+        _cx_rows,
         _negatives,
     )
 
@@ -700,29 +727,32 @@ def test_complex_epoch_joins_are_keyed(spark):
         .distinct()
     )
     rels = tr.select(F.col("pred").alias("id")).distinct()
-    core = _cx_core(
-        _negatives(tr, ents),
-        _cx_init_state(ents, "entity", 2),
-        _cx_init_state(rels, "relation", 2),
+    p = plan_of(
+        _cx_rows(
+            _negatives(tr, ents),
+            _cx_init_state(ents, "entity", 2),
+            _cx_init_state(rels, "relation", 2),
+            1.0,
+            True,
+            True,
+        )
     )
-    p = plan_of(_cx_scores(core, 1.0))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_rotate_epoch_joins_are_keyed(spark):
     # the RotatE epoch rides the ComplEx core verbatim (four
-    # (id, i)-keyed equi-joins, two channels on the same rows); the
-    # rotation energy aggregates map-side, no cross join — and the
+    # entity-keyed equi-joins, two channels on the same rows); the
+    # rotation energy folds per-row, no cross join — and the
     # relation unit-modulus projection is a pure per-row projection
     # (no exchange of its own)
     from coies_spark.ops.kge import (
-        _cx_core,
         _cx_init_state,
         _negatives,
-        _rt_energies,
         _rt_rel_normalize,
+        _rt_rows,
     )
 
     tr = spark.createDataFrame(
@@ -735,19 +765,22 @@ def test_rotate_epoch_joins_are_keyed(spark):
         .distinct()
     )
     rels = tr.select(F.col("pred").alias("id")).distinct()
-    core = _cx_core(
-        _negatives(tr, ents),
-        _cx_init_state(ents, "entity", 2),
-        _rt_rel_normalize(_cx_init_state(rels, "relation", 2)),
+    p = plan_of(
+        _rt_rows(
+            _negatives(tr, ents),
+            _cx_init_state(ents, "entity", 2),
+            _rt_rel_normalize(_cx_init_state(rels, "relation", 2)),
+            1.0,
+            True,
+            True,
+        )
     )
-    p = plan_of(_rt_energies(core, 1.0))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "partial_sum" in p
-    # the unit-modulus projection is a pure per-row projection —
-    # unlike the entity unit-BALL projection it adds NO aggregate (the
-    # entity one needs a per-id norm groupBy); its plan on top of a
-    # plain state has no SortAggregate/HashAggregate of its own
+    assert "BroadcastHashJoin" in p
+    # the unit-modulus projection is a pure per-row projection — it
+    # adds NO aggregate; its plan on top of a plain state has no
+    # SortAggregate/HashAggregate of its own
     base = plan_of(_cx_init_state(rels, "relation", 2))
     proj = plan_of(_rt_rel_normalize(_cx_init_state(rels, "relation", 2)))
     assert proj.count("Aggregate") == base.count("Aggregate")
