@@ -1729,6 +1729,17 @@ def gazetteer_mentions(
     starts = F.when(n_tok > 0, F.sequence(F.lit(1), n_tok)).otherwise(
         F.array().cast("array<int>")
     )
+    # span generation is the CPU-heavy half (≤ max_len surface strings
+    # built per token); a narrowly-partitioned source (one parquet
+    # file, a parallelized fixture) would serialize it onto a few
+    # cores — spread the scan FIRST when it arrives under the
+    # cluster's parallelism (guide §2.5 input-skew rule; a no-op for
+    # well-partitioned corpora, where npart ≥ defaultParallelism)
+    if not transcripts.isStreaming:
+        npart = transcripts.rdd.getNumPartitions()
+        dp = transcripts.sparkSession.sparkContext.defaultParallelism
+        if npart < dp:
+            transcripts = transcripts.repartition(dp)
     spans = F.flatten(
         F.transform(
             starts,
@@ -1754,10 +1765,14 @@ def gazetteer_mentions(
         F.col("turn_idx").cast("long").alias("turn_idx"),
         F.explode(spans).alias("s"),
     ).select("conv_id", "turn_idx", "s.pos", "s.n_toks", "s.surface")
-    # normalize surfaces under the same tokenizer; coalesce(1) keeps
-    # the tiny-table dedup exchange-free (resolve_pronouns precedent)
+    # normalize surfaces under the same tokenizer; repartition(1)
+    # collapses the tiny table for an exchange of a few rows — unlike
+    # coalesce(1), which would make ONE task iterate every near-empty
+    # parent slice serially (a parallelized fixture pays a
+    # Python-worker round trip per slice: measured ~3 s serial vs
+    # ~0.1 s through the exchange)
     gaz = (
-        dictionary.coalesce(1)
+        dictionary.repartition(1)
         .select(
             F.array_join(tokens_col("surface"), " ").alias("surface"),
             "entity",
@@ -1798,7 +1813,13 @@ def _comention_pairs(
     m = (
         mentions
         if mentions is not None
-        else gazetteer_mentions(transcripts, dictionary, max_len, broadcast)
+        else gazetteer_mentions(
+            transcripts, dictionary, max_len, broadcast
+        )
+        # the self-join references the mention table TWICE — without a
+        # lineage cut the corpus-scale mention scan runs twice per
+        # face (callers passing a prebuilt ``mentions`` already cut)
+        .localCheckpoint(eager=False)
     )
     left = m.select(
         "conv_id",
