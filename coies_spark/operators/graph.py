@@ -912,6 +912,38 @@ def link_prediction_mrr(
     )
 
 
+# a per-node rank window tolerates up to this degree before the
+# two-phase bucketed build is worth its extra percentile pass + bucket
+# joins — the r5 lesson: always-bucketing regressed random_walks 1.6x
+# on graphs whose max degree is single digits
+_DEGREE_WINDOW_MAX = 1_000_000
+
+
+def _walk_tables(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sym, degs, index), each lineage-cut: the walk ops reference
+    the symmetrized edge table and the degree table once per unrolled
+    step, so without checkpoints every step re-ran the
+    symmetrize/distinct from scratch (measured: nine 128-task
+    recomputations per bench run).  The neighbor index buckets ONLY
+    when the max degree (one tiny aggregate over the checkpointed
+    degree table) exceeds ``_DEGREE_WINDOW_MAX`` — rank values are
+    identical either way, so walk corpora and oracles are
+    branch-blind."""
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    degs = (
+        sym.groupBy(F.col("a").alias("cur"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    max_deg = degs.agg(F.max("deg")).first()[0] or 0
+    index = _neighbor_index(
+        sym, n_buckets=1 if max_deg <= _DEGREE_WINDOW_MAX else 32
+    ).localCheckpoint(eager=False)
+    return sym, degs, index
+
+
 def _neighbor_index(sym: DataFrame, n_buckets: int = 32) -> DataFrame:
     """(cur, nbr, pick): every node's neighbors ranked 0..deg-1 by
     neighbor id ascending — the walk ops' pick↔neighbor bijection —
@@ -1040,15 +1072,9 @@ def random_walks(
         raise ValueError("random_walks: length must be >= 1")
     if walks_per_node < 1:
         raise ValueError("random_walks: walks_per_node must be >= 1")
-    sym = _symmetrize(edges, src, dst)
-    # built ONCE: the unrolled steps reference the index `length`
-    # times — the lazy local checkpoint computes it at the first
-    # action and reuses the materialized RDD for every step
-    index = _neighbor_index(sym).localCheckpoint(eager=False)
-    degs = (
-        sym.groupBy(F.col("a").alias("cur"))
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    # sym/degs/index built ONCE (lineage-cut, degree-thresholded
+    # bucketing) — the unrolled steps reference them `length` times
+    _sym, degs, index = _walk_tables(edges, src, dst)
     state = (
         degs.select("cur")
         .select(
@@ -1197,14 +1223,9 @@ def node2vec_walks(
         raise ValueError("node2vec_walks: walks_per_node must be >= 1")
     if p <= 0 or q <= 0:
         raise ValueError("node2vec_walks: p and q must be > 0")
-    sym = _symmetrize(edges, src, dst)
-    # built ONCE: the unrolled steps reference the index `length`
-    # times — the lazy local checkpoint computes it at the first
-    # action and reuses the materialized RDD for every step
-    index = _neighbor_index(sym).localCheckpoint(eager=False)
-    degs = sym.groupBy(F.col("a").alias("cur")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    # sym/degs/index built ONCE (lineage-cut, degree-thresholded
+    # bucketing) — the unrolled steps reference them `length` times
+    sym, degs, index = _walk_tables(edges, src, dst)
     marker = sym.select(
         F.col("a").alias("prev"),
         F.col("b").alias("nbr"),
