@@ -132,12 +132,20 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             F.concat("lhs", "rhs").alias("merged"),
         )
         out = row if out is None else out.unionByName(row)
-        words = words.crossJoin(F.broadcast(best)).select(
-            "word",
-            "n",
-            _apply_merge(
-                F.col("s"), F.col("lhs"), F.col("rhs")
-            ).alias("s"),
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "n",
+                _apply_merge(
+                    F.col("s"), F.col("lhs"), F.col("rhs")
+                ).alias("s"),
+            )
+            # lineage cut per round: round k's pair counts otherwise
+            # re-apply every prior round's merge chain from the base
+            # word table (O(rounds²) recomputation) and the unrolled
+            # codegen grows with the round number
+            .localCheckpoint(eager=False)
         )
     return out
 
