@@ -505,34 +505,55 @@ def embedding_neardup(
             )
             .where(F.col("sim") >= threshold)
         )
-    # norms are computed once per vector BEFORE banding/explode; the
-    # per-candidate verify then evaluates only the pair dot product.
-    # sqrt(dot(v,v)) here times sqrt(dot(w,w)) there is the exact
-    # expression cosine_sim folds, so sims stay bit-identical.
-    emb_n = embeddings.withColumn(
-        "nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    # SKINNY candidate generation (guide §8: decide with small rows,
+    # move big rows once): the bucket table carries (vec_id, band,
+    # bucket) only — the 64 hyperplane dots per vector compute ONCE
+    # behind a lazy lineage cut, and the (band, bucket) self-join
+    # ships 3 small columns per exploded row instead of the full
+    # vector + norm on both sides.  Vectors and norms then attach to
+    # the DEDUPED pair list (a pair colliding in several bands
+    # verifies once, not per collision).  sqrt(dot(v,v)) here times
+    # sqrt(dot(w,w)) there is the exact expression cosine_sim folds,
+    # so sims stay bit-identical.
+    e = (
+        banded_lsh_buckets(
+            embeddings, n_bands, band_planes, seed, id_col, vec_col, dim
+        )
+        .select("vec_id", "band", "bucket")
+        .localCheckpoint(eager=False)
     )
-    e = banded_lsh_buckets(
-        emb_n, n_bands, band_planes, seed, id_col, vec_col, dim,
-        keep_cols=("nrm",),
+    cand = (
+        e.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    x = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"),
-        "band",
-        "bucket",
-    )
-    y = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
-        "band",
-        "bucket",
+    emb_n = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
     )
     return (
-        x.join(y, ["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cand.join(
+            emb_n.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            emb_n.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .select(
             "vec_a",
             "vec_b",
@@ -545,9 +566,6 @@ def embedding_neardup(
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        # a pair may collide in several bands; sim is identical on
-        # every duplicate row, so a plain distinct dedups candidates
-        .distinct()
     )
 
 
