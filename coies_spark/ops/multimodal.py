@@ -101,7 +101,13 @@ def extract_features(media: DataFrame, real: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    # opaque-function column pruning is on US (guide §4): Spark cannot
+    # see which columns the kernel touches, so an explicit select
+    # keeps metadata columns out of the Arrow transfer and lets the
+    # scan prune to exactly the three inputs
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
