@@ -391,6 +391,49 @@ def _grad_sum(
     )
 
 
+def _grad_sum_fused(
+    grads_e: DataFrame, grads_r: DataFrame, dim: int, n_triples: int
+) -> tuple[DataFrame, DataFrame]:
+    """(entity gsum, relation gsum) through ONE shuffle: the entity
+    and relation contribution rows union under a kind tag, aggregate
+    per (kind, id), and split back by the tag.  Values are
+    bit-identical to two separate :func:`_grad_sum` calls — the
+    (kind, id) groups are exactly the per-id groups of each original
+    frame (the tag prevents an id naming both an entity and a
+    relation from cross-summing), and the decimal fold is order-free
+    — while the per-epoch exchange count drops from 2 to 1.  The
+    fused table is lazily checkpointed: without the cut Catalyst
+    would push each split's tag filter back through the union and
+    re-derive the two separate shuffles this fusion removes."""
+    tagged = grads_e.select(
+        F.lit("e").alias("kk"), "id", "g"
+    ).unionByName(grads_r.select(F.lit("r").alias("kk"), "id", "g"))
+    sums = [
+        F.sum(F.element_at("g", k + 1).cast(_DEC)).alias(f"__s{k}")
+        for k in range(dim)
+    ]
+    fused = (
+        tagged.groupBy("kk", "id")
+        .agg(*sums)
+        .select(
+            "kk",
+            "id",
+            F.array(
+                *[
+                    F.col(f"__s{k}").cast("double")
+                    / F.lit(float(n_triples))
+                    for k in range(dim)
+                ]
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return (
+        fused.where(F.col("kk") == "e").drop("kk"),
+        fused.where(F.col("kk") == "r").drop("kk"),
+    )
+
+
 def _apply_grads(
     state: DataFrame, gsum: DataFrame, lr: float, small: bool
 ) -> DataFrame:
@@ -475,11 +518,12 @@ def _train_states(
             )
         )
         grads_r = vc.select(F.col("pred").alias("id"), g_hr.alias("g"))
+        gs_e, gs_r = _grad_sum_fused(grads_e, grads_r, dim, n_triples)
         e_state = _apply_grads(
-            e_state, _grad_sum(grads_e, dim, n_triples), lr, small_e
+            e_state, gs_e, lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _apply_grads(
-            r_state, _grad_sum(grads_r, dim, n_triples), lr, small_r
+            r_state, gs_r, lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
@@ -962,11 +1006,12 @@ def _dm_train_states(
                 lambda h, d: _q9(h * d),
             ).alias("g"),
         )
+        gs_e, gs_r = _grad_sum_fused(grads_e, grads_r, dim, n_triples)
         e_state = _dm_apply_grads(
-            e_state, _grad_sum(grads_e, dim, n_triples), lr, small_e
+            e_state, gs_e, lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _dm_apply_grads(
-            r_state, _grad_sum(grads_r, dim, n_triples), lr, small_r
+            r_state, gs_r, lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
@@ -1196,6 +1241,55 @@ def _cx_grad_sum(
     )
 
 
+def _cx_grad_sum_fused(
+    grads_e: DataFrame, grads_r: DataFrame, dim: int, n_triples: int
+) -> tuple[DataFrame, DataFrame]:
+    """Two-channel :func:`_grad_sum_fused`: entity and relation
+    contribution rows aggregate per (kind, id) through ONE shuffle
+    and split back by the tag — bit-identical to two separate
+    :func:`_cx_grad_sum` calls for the same reasons (tag-disjoint
+    groups, order-free decimal folds), one exchange per epoch instead
+    of two.  Lazily checkpointed against tag-filter pushdown."""
+    tagged = grads_e.select(
+        F.lit("e").alias("kk"), "id", "gr", "gi"
+    ).unionByName(
+        grads_r.select(F.lit("r").alias("kk"), "id", "gr", "gi")
+    )
+    sums = [
+        F.sum(F.element_at("gr", k + 1).cast(_DEC)).alias(f"__r{k}")
+        for k in range(dim)
+    ] + [
+        F.sum(F.element_at("gi", k + 1).cast(_DEC)).alias(f"__i{k}")
+        for k in range(dim)
+    ]
+    nt = F.lit(float(n_triples))
+    fused = (
+        tagged.groupBy("kk", "id")
+        .agg(*sums)
+        .select(
+            "kk",
+            "id",
+            F.array(
+                *[
+                    F.col(f"__r{k}").cast("double") / nt
+                    for k in range(dim)
+                ]
+            ).alias("gr"),
+            F.array(
+                *[
+                    F.col(f"__i{k}").cast("double") / nt
+                    for k in range(dim)
+                ]
+            ).alias("gi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return (
+        fused.where(F.col("kk") == "e").drop("kk"),
+        fused.where(F.col("kk") == "r").drop("kk"),
+    )
+
+
 def _cx_apply_grads(
     state: DataFrame, gsum: DataFrame, lr: float, small: bool
 ) -> DataFrame:
@@ -1416,11 +1510,12 @@ def _cx_train_states(
                 lambda s: _q9(s["ar"] * ddi(s) - s["ai"] * ddr(s)),
             ),
         )
+        gs_e, gs_r = _cx_grad_sum_fused(grads_e, grads_r, dim, n_triples)
         e_state = _cx_apply_grads(
-            e_state, _cx_grad_sum(grads_e, dim, n_triples), lr, small_e
+            e_state, gs_e, lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _cx_apply_grads(
-            r_state, _cx_grad_sum(grads_r, dim, n_triples), lr, small_r
+            r_state, gs_r, lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
@@ -1796,11 +1891,12 @@ def _rt_train_states(
                 ),
             ),
         )
+        gs_e, gs_r = _cx_grad_sum_fused(grads_e, grads_r, dim, n_triples)
         e_state = _cx_apply_grads(
-            e_state, _cx_grad_sum(grads_e, dim, n_triples), lr, small_e
+            e_state, gs_e, lr, small_e
         ).localCheckpoint(eager=False)
         r_state = _cx_apply_grads(
-            r_state, _cx_grad_sum(grads_r, dim, n_triples), lr, small_r
+            r_state, gs_r, lr, small_r
         ).localCheckpoint(eager=False)
     return tneg, e_state, r_state
 
