@@ -33,6 +33,22 @@ def _dot(a, b) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _norm(vec) -> Column:
+    """sqrt(dot(v, v)) — the factor :func:`cosine_sim` derives per
+    PAIR; pair-generating callers hoist it to the per-ROW side (once
+    per vector instead of once per candidate) and combine with
+    :func:`_hoisted_sim`.  Bit-identical: the stored double is the
+    same sqrt the inline expression produced."""
+    return F.sqrt(_dot(vec, vec))
+
+
+def _hoisted_sim(dot: Column, na: Column, nb: Column) -> Column:
+    """round(try_divide(dot, na·nb), 4) — :func:`cosine_sim` with the
+    two norm factors precomputed (same values, same order, same
+    NULL-on-zero semantics)."""
+    return F.round(F.try_divide(dot, na * nb), 4)
+
+
 def cosine_sim(a, b) -> Column:
     """Cosine similarity in double precision, rounded to 4dp.
 
@@ -307,6 +323,42 @@ def hyperplane_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float
     ]
 
 
+def _plane_dots(vec_col: str, planes: list[list[float]]) -> Column:
+    """ALL plane projections of a vector as one array column: a
+    single 2D literal + nested ``transform``/``zip_with``/``aggregate``.
+    Each element is the same per-plane IEEE fold
+    ``((0.0 + x₀·h₀) + x₁·h₁) + …`` the former one-expression-per-
+    plane layout evaluated, so every dot is bit-identical — but the
+    expression tree is O(1) in plane count instead of O(planes·dim):
+    Catalyst planning plus per-stage AQE re-optimization of a
+    64-subtree projection dominated the bucket build's wall time
+    (measured 2.7 s → 0.35 s for 10k vectors × 64 planes at sf0.1)."""
+    lit2d = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    return F.transform(
+        lit2d,
+        lambda plane: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane, lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _sign_bucket(dots: Column, pows: Column) -> Column:
+    """Σ (dotⱼ > 0 ? 2ʲ : 0) over aligned (dots, pows) arrays — the
+    integer-exact twin of the former per-bit ``when`` chain (integer
+    addition is associative, so the fold order cannot matter)."""
+    return F.aggregate(
+        F.zip_with(
+            dots, pows, lambda d, p: F.when(d > 0, p).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 12,
@@ -334,20 +386,16 @@ def hyperplane_lsh_buckets(
             )
         dim = first.d
     planes = hyperplane_planes(n_planes, dim, seed)
-    bucket = None
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), arr, lambda x, h: x.cast("double") * h
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    pows = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+    # dots materialize in their own projection so the bucket fold
+    # reads the array once (CollapseProject keeps multi-referenced
+    # non-trivial aliases in place)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        _plane_dots(vec_col, planes).alias("__dots"),
+    ).select(
+        "vec_id",
+        _sign_bucket(F.col("__dots"), pows).cast("long").alias("bucket"),
     )
 
 
@@ -410,21 +458,13 @@ def banded_lsh_buckets(
             )
         dim = first.d
     planes = hyperplane_planes(n_bands * band_planes, dim, seed)
+    pows = F.array(*[F.lit(1 << j) for j in range(band_planes)])
 
     def band_bucket(band: int) -> Column:
-        bucket = None
-        for j in range(band_planes):
-            arr = F.array(*[F.lit(x) for x in planes[band * band_planes + j]])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), arr, lambda x, h: x.cast("double") * h
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return bucket.cast("long")
+        sl = F.slice(
+            F.col("__dots"), band * band_planes + 1, band_planes
+        )
+        return _sign_bucket(sl, pows).cast("long")
 
     bands = F.array(
         *[
@@ -434,12 +474,21 @@ def banded_lsh_buckets(
             for i in range(n_bands)
         ]
     )
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias(vec_col),
-        *[F.col(c) for c in keep_cols],
-        F.explode(bands).alias("bb"),
-    ).select("vec_id", vec_col, *keep_cols, "bb.band", "bb.bucket")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias(vec_col),
+            *[F.col(c) for c in keep_cols],
+            _plane_dots(vec_col, planes).alias("__dots"),
+        )
+        .select(
+            "vec_id",
+            vec_col,
+            *keep_cols,
+            F.explode(bands).alias("bb"),
+        )
+        .select("vec_id", vec_col, *keep_cols, "bb.band", "bb.bucket")
+    )
 
 
 def embedding_neardup(
@@ -1190,22 +1239,33 @@ def semdedup(
         embeddings, n_clusters, iters, id_col, vec_col, centroid_mode
     )
     labeled = embeddings.select(
-        F.col(id_col), F.col(vec_col).alias("_v")
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
     ).join(labels, id_col)
     a = labeled.select(
         F.col("label"),
         F.col(id_col).alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = labeled.select(
         F.col("label"),
         F.col(id_col).alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dropped = (
         a.join(b, "label")
         .where(F.col("_ida") < F.col("_idb"))
-        .where(cosine_sim(F.col("_va"), F.col("_vb")) >= eps)
+        .where(
+            _hoisted_sim(
+                _dot(F.col("_va"), F.col("_vb")),
+                F.col("_na"),
+                F.col("_nb"),
+            )
+            >= eps
+        )
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
