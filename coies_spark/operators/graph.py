@@ -60,11 +60,19 @@ def connected_components(
     rounds (a converged round is a fixpoint, so running k extra cheap
     rounds is semantics-free).  Raises if max_iter is hit first.
     """
-    # lazy localCheckpoint: every round's plan and every convergence
-    # probe reference sym — without it each action re-runs the raw
-    # edges' scan+union+distinct from scratch
-    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
-    labels = _nodes(edges, src, dst).withColumn(
+    # lazy localCheckpoint on the raw projection FIRST: sym, the
+    # initial labels, and (through them) every round and every
+    # convergence probe reference the caller's edge chain — often an
+    # expensive upstream plan (EM link scoring, LSH banding) — and
+    # without this cut each of those references re-runs that chain
+    # from scratch (measured 28.5 s → the EM chain alone for
+    # linkage_clusters at sf0.01)
+    edges0 = edges.select(src, dst).localCheckpoint(eager=False)
+    # second lazy cut on sym: every round's plan and every probe
+    # reference it — without it each action re-runs the
+    # union+distinct over edges0
+    sym = _symmetrize(edges0, src, dst).localCheckpoint(eager=False)
+    labels = _nodes(edges0, src, dst).withColumn(
         "component", F.col("node")
     )
     for it in range(max_iter):
@@ -141,8 +149,14 @@ def connected_components_star(
     centers are the component minima; labels are read straight off the
     final directed edges.
     """
-    sym = _symmetrize(edges, src, dst)
-    nodes = _nodes(edges, src, dst)
+    # lazy localCheckpoint the raw projection: round 1 references sym
+    # four times (two large-star faces + the two fixpoint probes) and
+    # the final labeling reads nodes — without the cut each reference
+    # re-runs the caller's edge chain (for incremental_components
+    # that chain is a FULL prior CC; measured 23 s → 4.5 s at sf0.01)
+    edges0 = edges.select(src, dst).localCheckpoint(eager=False)
+    sym = _symmetrize(edges0, src, dst).localCheckpoint(eager=False)
+    nodes = _nodes(edges0, src, dst)
     e = sym
     for it in range(max_iter):
         e2 = _small_star(_symmetrize(_large_star(e), "a", "b"))
@@ -209,7 +223,10 @@ def pagerank(
     On a near-dup candidate graph the high-pr nodes are the hub
     members of duplicate clusters — boilerplate/template detection.
     """
-    sym = _symmetrize(edges, src, dst)
+    # lazy localCheckpoint: sym feeds nodes, deg, AND every round's
+    # contribution join — without the cut each reference re-runs the
+    # caller's edge chain's scan+union+distinct
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("__n"))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
@@ -274,7 +291,9 @@ def personalized_pagerank(
     frame rides as a broadcast left join (seed sets are
     document-sized, not corpus-sized).
     """
-    sym = _symmetrize(edges, src, dst)
+    # same lazy cut as pagerank: sym feeds nodes, deg, and every
+    # round's contribution join
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     nodes = (
         sym.select(F.col("a").alias("node")).distinct().unionByName(sd)
@@ -297,6 +316,8 @@ def personalized_pagerank(
                 9,
             ).alias("r0"),
         )
+        # lazy cut: r0 is re-read by every round's restart term
+        .localCheckpoint(eager=False)
     )
     pr = r0.select("node", F.col("r0").alias("ppr"))
     for _ in range(iters):
@@ -768,10 +789,14 @@ def hits(
     distributed PageRank; the max-normalizer is a broadcast 1-row
     cross-join, never a single-partition window.
     """
+    # lazy localCheckpoint: e is referenced by every half-round's
+    # join (2·iters of them) plus the node derivation — without the
+    # cut each reference re-runs the caller's edge chain
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s") != F.col("d"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
@@ -781,7 +806,14 @@ def hits(
     hub = nodes.select("node", F.lit(1.0).alias("score"))
 
     def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
-        # score flows across each edge from `key`'s side to `out`'s
+        # score flows across each edge from `key`'s side to `out`'s.
+        # Both lazy localCheckpoints are load-bearing: raw feeds BOTH
+        # the broadcast max-normalizer subquery and the output
+        # projection, and each half-round's output feeds the next
+        # half plus the final join — without the cuts every reference
+        # re-evaluates the full preceding half-round chain, doubling
+        # work per half-round (2^(2·iters)× the base chain at the
+        # default 3 iterations; measured 14.9 s → ~2 s at sf0.01)
         raw = (
             e.join(frm.withColumnRenamed("node", key), key)
             .groupBy(F.col(out).alias("node"))
@@ -793,11 +825,16 @@ def hits(
                     9,
                 ).alias("raw")
             )
+            .localCheckpoint(eager=False)
         )
         mx = raw.agg(F.max("raw").alias("__mx"))
-        return raw.crossJoin(F.broadcast(mx)).select(
-            "node",
-            F.round(F.col("raw") / F.col("__mx"), 9).alias("score"),
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.round(F.col("raw") / F.col("__mx"), 9).alias("score"),
+            )
+            .localCheckpoint(eager=False)
         )
 
     auth = None

@@ -2054,57 +2054,90 @@ def kge_entity_neighbors(
     trees, the published sim is floor-quantized at 1e-6, ties break
     by neighbor id — the family's cross-engine bit-exact contract.
 
-    Scale: this is the EXACT face — the pairwise dot table is
-    |E|²·dim rows through a dimension-keyed join, deliberately scoped
-    to vocabulary-sized entity sets (the ``embedding_norm_stats``
-    scoping rule).  At 10⁹ entities, route through ``ops.similarity``
-    (IVF / LSH-bucketed ANN) instead; this face is the recall-1.0
-    oracle those paths are measured against.
+    Scale: this is the EXACT face — every ordered entity pair is
+    scored, deliberately scoped to vocabulary-sized entity sets (the
+    ``embedding_norm_stats`` scoping rule).  The pair table is built
+    by an id-inequality join carrying the dim-ARRAY per row (the
+    trainers' array-packed state), with the smaller-than-
+    ``_BCAST_MAX_ELEMS`` side broadcast — |E|² rows of 2 arrays, not
+    the former |E|²·dim long rows funneled through a join keyed on
+    the dim index (whose ≤ dim distinct key values serialized the
+    whole pair fan-out onto ≤ dim tasks).  Per-pair dots fold
+    ``_q9`` products in exact decimal (``_dec_arr_sum``) — the same
+    order-free sum the long-format ``groupBy('id','neighbor')``
+    computed, so every dot, norm, sim, and rank is bit-identical.
+    At 10⁹ entities, route through ``ops.similarity`` (IVF /
+    LSH-bucketed ANN) instead; this face is the recall-1.0 oracle
+    those paths are measured against.
     """
     if k < 1:
         raise ValueError("kge_entity_neighbors: k must be >= 1")
     if model in ("transe", "distmult"):
         trainer = _train_states if model == "transe" else _dm_train_states
         _, e_state, _ = trainer(triples, dim, iters, lr, margin)
-        rows = _explode1(e_state).select("id", "i", "x")
+        vecs = e_state.select("id", "xs")
+        n_elems_per_row = dim
     elif model in ("complex", "rotate"):
         trainer = (
             _cx_train_states if model == "complex" else _rt_train_states
         )
         _, e_state, _ = trainer(triples, dim, iters, lr, margin)
-        e_long = _explode2(e_state)
-        rows = e_long.select(
-            "id", "i", F.col("xr").alias("x")
-        ).unionByName(
-            e_long.select(
-                "id",
-                (F.col("i") + F.lit(dim)).alias("i"),
-                F.col("xi").alias("x"),
-            )
-        )
+        # standard complex-to-real flattening: [re..., im...] — the
+        # same (i, i+dim) layout the long format published, so the
+        # per-pair product multiset (hence the decimal sum) is
+        # unchanged
+        vecs = e_state.select("id", F.concat("xr", "xi").alias("xs"))
+        n_elems_per_row = 2 * dim
     else:
         raise ValueError(
             "kge_entity_neighbors: model must be "
             "transe|distmult|complex|rotate"
         )
-    rows = rows.localCheckpoint(eager=False)
-    nrm = rows.groupBy("id").agg(
+    # per-ROW norm (sqrt of the order-free decimal sum — identical to
+    # the former per-id groupBy over long rows), attached before the
+    # pair join so no post-join norm lookups are needed
+    vecs = vecs.select(
+        "id",
+        "xs",
         F.sqrt(
-            F.sum(_q9(F.col("x") * F.col("x")).cast(_DEC)).cast("double")
-        ).alias("nrm")
+            _dec_arr_sum("xs", lambda x: _q9(x * x).cast(_DEC))
+        ).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    # driver-side broadcast branch, the trainers' convention: the
+    # lazily-checkpointed state hides stats from Catalyst, so AQE
+    # cannot make this call itself
+    small = (
+        vecs.count() * n_elems_per_row <= _BCAST_MAX_ELEMS
     )
-    a = rows.select("id", "i", F.col("x").alias("xa"))
-    b = rows.select(
-        F.col("id").alias("neighbor"), "i", F.col("x").alias("xb")
+    b_side = vecs.select(
+        F.col("id").alias("neighbor"),
+        F.col("xs").alias("xb"),
+        F.col("nrm").alias("nrm_b"),
     )
+    # spread the stream side before the pair fan-out: the checkpointed
+    # state arrives in a handful of partitions, and the |E|² per-pair
+    # array folds are the CPU of this face — the gazetteer span-scan
+    # rule (scale-adaptive; a no-op when the state is already wide)
+    sc = vecs.sparkSession.sparkContext
+    a_side = vecs
+    if a_side.rdd.getNumPartitions() < sc.defaultParallelism:
+        a_side = a_side.repartition(sc.defaultParallelism)
     dots = (
-        a.join(b, "i")
-        .where(F.col("id") != F.col("neighbor"))
-        .groupBy("id", "neighbor")
-        .agg(
-            F.sum(_q9(F.col("xa") * F.col("xb")).cast(_DEC))
-            .cast("double")
-            .alias("dot")
+        a_side.join(
+            _maybe_b(b_side, small),
+            F.col("id") != F.col("neighbor"),
+        )
+        .select(
+            "id",
+            "neighbor",
+            "nrm",
+            "nrm_b",
+            _dec_arr_sum(
+                F.zip_with(
+                    "xs", "xb", lambda x, y: _q9(x * y).cast(_DEC)
+                ),
+                lambda v: v,
+            ).alias("dot"),
         )
     )
     sim = (
@@ -2117,18 +2150,9 @@ def kge_entity_neighbors(
         )
         / F.lit(1e6)
     )
-    scored = (
-        dots.join(nrm, "id")
-        .join(
-            nrm.select(
-                F.col("id").alias("neighbor"),
-                F.col("nrm").alias("nrm_b"),
-            ),
-            "neighbor",
-        )
-        .select("id", "neighbor", sim.alias("sim"))
-        .where(F.col("sim").isNotNull())
-    )
+    scored = dots.select(
+        "id", "neighbor", sim.alias("sim")
+    ).where(F.col("sim").isNotNull())
     w = Window.partitionBy("id").orderBy(
         F.desc("sim"), F.asc("neighbor")
     )
